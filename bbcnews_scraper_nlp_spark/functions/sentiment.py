@@ -1,0 +1,139 @@
+"""Sentiment scoring (reference M6/M7: TextBlob polarity/subjectivity).
+
+TextBlob's PatternAnalyzer is a lexicon lookup averaged over matched
+words with negation/intensifier modifiers
+(sentiment_analysis.ipynb:262-263, cell 7). The engine provides the
+same surface three ways, fastest first:
+
+1. ``polarity_expr``/``subjectivity_expr`` — pure Catalyst column
+   expressions over a small lexicon (map literal in the plan). The
+   100 TB default: whole-stage codegen, zero Python, no shuffle.
+2. ``score_with_lexicon_join`` — explode tokens + broadcast-join a
+   lexicon DataFrame + re-aggregate. For large lexicons that don't
+   belong in a plan literal. One shuffle (the re-agg by doc key),
+   map-side combined.
+3. ``sentiment_pandas_udf`` — Arrow-vectorized escape hatch with the
+   negation rule (TextBlob-style "not X" -> -0.5 * polarity(X)),
+   for semantics the pure-DF forms can't express.
+
+No TextBlob/NLTK dependency: the default lexicon is a deterministic
+engine-owned word list.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Deterministic engine lexicon: word -> (polarity, subjectivity).
+# Stands in for en-sentiment.xml; swap via the `lexicon=` params.
+DEFAULT_LEXICON: dict[str, tuple[float, float]] = {
+    "good": (0.7, 0.6),
+    "great": (0.8, 0.75),
+    "best": (1.0, 0.3),
+    "fast": (0.2, 0.3),
+    "small": (-0.25, 0.4),
+    "slow": (-0.3, 0.4),
+    "bad": (-0.7, 0.67),
+    "worst": (-1.0, 1.0),
+    "error": (-0.4, 0.4),
+    "new": (0.14, 0.45),
+    "old": (0.1, 0.2),
+    "big": (0.0, 0.1),
+}
+
+
+def _lexicon_map(lexicon: dict[str, tuple[float, float]], which: int) -> Column:
+    pairs = list(
+        chain.from_iterable((F.lit(w), F.lit(float(v[which]))) for w, v in lexicon.items())
+    )
+    return F.create_map(*pairs)
+
+
+def _avg_score(tokens: Column, lex_map: Column) -> Column:
+    hits = F.filter(tokens, lambda t: F.map_contains_key(lex_map, t))
+    scores = F.transform(hits, lambda t: F.element_at(lex_map, t))
+    n = F.size(scores)
+    # TextBlob returns 0.0 when no lexicon word matches.
+    return F.when(n > 0, F.aggregate(scores, F.lit(0.0), lambda a, x: a + x) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def polarity_expr(
+    tokens: Column, lexicon: dict[str, tuple[float, float]] | None = None
+) -> Column:
+    """Mean lexicon polarity over matched tokens, 0.0 if none (M6)."""
+    return _avg_score(tokens, _lexicon_map(lexicon or DEFAULT_LEXICON, 0))
+
+
+def subjectivity_expr(
+    tokens: Column, lexicon: dict[str, tuple[float, float]] | None = None
+) -> Column:
+    """Mean lexicon subjectivity over matched tokens, 0.0 if none (M7)."""
+    return _avg_score(tokens, _lexicon_map(lexicon or DEFAULT_LEXICON, 1))
+
+
+def score_with_lexicon_join(
+    df: DataFrame,
+    text_tokens_col: str,
+    key_cols: list[str],
+    lexicon_df: DataFrame,
+) -> DataFrame:
+    """Large-lexicon path: posexplode tokens -> broadcast join lexicon
+    (word, polarity, subjectivity) -> groupBy doc key -> avg.
+
+    Scale: lexicon broadcasts (it's small vs the corpus); the single
+    shuffle is the per-document re-aggregation with map-side partial
+    aggregation. Docs with zero matched tokens keep score 0.0 via the
+    left join + coalesce.
+    """
+    exploded = df.select(*key_cols, F.explode_outer(text_tokens_col).alias("word"))
+    joined = exploded.join(F.broadcast(lexicon_df), "word", "left")
+    return joined.groupBy(*key_cols).agg(
+        F.coalesce(F.avg("polarity"), F.lit(0.0)).alias("polarity"),
+        F.coalesce(F.avg("subjectivity"), F.lit(0.0)).alias("subjectivity"),
+    )
+
+
+_SENT_SCHEMA = T.StructType(
+    [
+        T.StructField("polarity", T.DoubleType()),
+        T.StructField("subjectivity", T.DoubleType()),
+    ]
+)
+
+
+def make_sentiment_pandas_udf(lexicon: dict[str, tuple[float, float]] | None = None):
+    """Arrow-vectorized scorer with TextBlob-style negation:
+    "not X" contributes -0.5 * polarity(X)."""
+    lex = lexicon or DEFAULT_LEXICON
+
+    @F.pandas_udf(_SENT_SCHEMA)
+    def sentiment(texts: pd.Series) -> pd.DataFrame:
+        pols, subs = [], []
+        for text in texts:
+            words = (text or "").split()
+            p_scores: list[float] = []
+            s_scores: list[float] = []
+            prev_neg = False
+            for w in words:
+                lw = w.lower()
+                if lw in ("not", "no", "never"):
+                    prev_neg = True
+                    continue
+                hit = lex.get(lw)
+                if hit is not None:
+                    p, s = hit
+                    p_scores.append(-0.5 * p if prev_neg else p)
+                    s_scores.append(s)
+                prev_neg = False
+            pols.append(sum(p_scores) / len(p_scores) if p_scores else 0.0)
+            subs.append(sum(s_scores) / len(s_scores) if s_scores else 0.0)
+        return pd.DataFrame({"polarity": pols, "subjectivity": subs})
+
+    return sentiment

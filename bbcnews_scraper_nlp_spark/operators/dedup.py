@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-architected for 100 TB:
+
+- exact: content-hash groupBy (one shuffle on a 128-bit hash).
+- minhash_lsh: shingle -> minhash signature (narrow, codegen) ->
+  banded LSH bucket join (shuffle on band hash, bucket sizes bounded)
+  -> exact-Jaccard verify on candidates only.
+- simhash: 64-bit fingerprint via bitwise aggregate -> chunk-banded
+  candidate join -> Hamming verify (F.bit_count).
+- ngram_jaccard: fully relational set-similarity join (explode
+  distinct shingles, pair counts, |A∩B| / (|A|+|B|-|A∩B|)).
+- embedding near-dup: see operators/similarity.py (cosine pairs).
+
+All hash functions are engine-defined affine families over
+xxhash64 — deterministic across runs, executors, and Spark versions;
+no Python in any hot path.
+
+Reference parity: the reference's only dedup is URL-key exact dedup
+(pipelines.py:33-44, middlewares.py:6-16 — SURVEY F6/F7); everything
+beyond is the 100 TB extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import char_shingles, word_shingles
+
+# Mersenne prime 2^31-1: keeps every affine-hash product within int64.
+MERSENNE31 = 2_147_483_647
+
+# Deterministic affine coefficients (seed derivation: linear
+# congruential walk from a fixed seed; any fixed odd constants work).
+def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    out = []
+    state = seed
+    for _ in range(k):
+        state = (state * 1_103_515_245 + 12_345) % MERSENNE31
+        a = state | 1  # odd, non-zero
+        state = (state * 1_103_515_245 + 12_345) % MERSENNE31
+        b = state
+        out.append((a, b))
+    return out
+
+
+def content_hash(col: Column) -> Column:
+    """128-bit content hash (md5 hex) for exact dedup at scale —
+    collision-safe at 100 TB row counts, unlike 64-bit."""
+    return F.md5(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-zero-cost dedup: keep the min-id row per content
+    hash. One shuffle keyed by the hash (uniformly distributed — no
+    skew by construction)."""
+    h = content_hash(F.col(text_col)).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def hashed_shingles(col: Column, mode: str = "word", n: int = 3) -> Column:
+    """Distinct shingles of a text column, hashed into [0, 2^31-1)."""
+    sh = word_shingles(F.split(col, " "), n) if mode == "word" else char_shingles(col, n)
+    return F.array_distinct(
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    )
+
+
+def minhash_signature(hashed: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for each affine h_i(x)=(a_i x + b_i) mod p,
+    the min over the doc's hashed shingles. Pure codegen — one pass
+    over the shingle array per hash function, no shuffle, no Python.
+
+    Empty shingle sets get signature value p (sentinel) so they never
+    collide with real minima.
+    """
+    parts = []
+    for a, b in _coeffs(num_hashes):
+        h = F.transform(
+            hashed, lambda x, a=a, b=b: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))
+        )
+        parts.append(F.coalesce(F.array_min(h), F.lit(MERSENNE31)))
+    return F.array(*parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_mode: str = "word",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pair finder.
+
+    Plan shape (the 100 TB rationale):
+      1. signatures: narrow projection (codegen, no shuffle).
+      2. bands: explode to ``bands`` rows/doc; band key = xxhash64 of
+         the signature slice. Shuffle #1 groups docs by band bucket;
+         bucket sizes are tiny for non-dup data, and AQE skew-join
+         splits pathological buckets.
+      3. candidates: self-join within bucket (id1 < id2), distinct.
+      4. verify: exact Jaccard on the two *hashed shingle sets* via
+         array_intersect/array_union on the candidate pairs only —
+         the expensive O(|A|+|B|) work happens on candidates, not on
+         all O(n^2) pairs.
+    Returns (id_1, id_2, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        hashed_shingles(F.col(text_col), shingle_mode, shingle_n).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(id_col, "__sh", F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
+
+    left = banded.select(
+        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_1"), F.col("__sh").alias("sh_1")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_2"), F.col("__sh").alias("sh_2")
+    )
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+    inter = F.size(F.array_intersect("sh_1", "sh_2"))
+    union = F.size("sh_1") + F.size("sh_2") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash fingerprint, pure bitwise aggregate.
+
+    Each token hashes to 64 bits; per bit position the classic
+    algorithm sums +1/-1 and takes the sign. Expressed as: counters =
+    aggregate(tokens, zeros[64], zip_with(+)); fingerprint = OR of
+    (1<<j) where counters[j] > 0. No Python, no shuffle.
+    """
+    hashed = F.transform(tokens, F.xxhash64)
+    js = F.sequence(F.lit(0), F.lit(63))
+    counters = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                js,
+                lambda j: F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = F.zip_with(
+        counters,
+        js,
+        lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint -> band on 4×16-bit chunks
+    (any pair within Hamming distance 3 of a 64-bit hash shares at
+    least one identical 16-bit chunk — pigeonhole) -> verify with
+    bit_count(xor). Shuffle only on chunk keys."""
+    base = df.select(
+        F.col(id_col), simhash64(F.split(F.col(text_col), " ")).alias("__f")
+    )
+    chunks = base.select(
+        id_col,
+        "__f",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftright(F.col("__f"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                ),
+            )
+        ).alias("__c"),
+    ).select(id_col, "__f", F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"))
+
+    left = chunks.select("chunk", "ckey", F.col(id_col).alias("id_1"), F.col("__f").alias("f1"))
+    right = chunks.select("chunk", "ckey", F.col(id_col).alias("id_2"), F.col("__f").alias("f2"))
+    return (
+        left.join(right, ["chunk", "ckey"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .withColumn("hamming", F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fully-relational n-gram Jaccard similarity join.
+
+    explode distinct word n-grams -> self-join on the shingle (the
+    shuffle key; frequency-skewed shingles are the known hazard — at
+    scale, drop shingles with document frequency above a cap first)
+    -> per-pair intersection counts -> Jaccard from set sizes.
+    Every step is plain SQL: this operator is DuckDB-oracle-able.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id_1"), F.col("sz").alias("sz_1"))
+    s2 = sizes.select(F.col("id").alias("id_2"), F.col("sz").alias("sz_2"))
+    return (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_1") + F.col("sz_2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )

@@ -1,0 +1,105 @@
+"""Reusable relational operator builders (SURVEY §2.2-2.7).
+
+Each helper encodes one reference operator as the Spark plan we'd
+want at 100 TB — broadcast where the side is small, top-k without a
+full sort, deterministic dedup, window specs with the reference's
+exact NULL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
+    """A6: ``sort(k, desc).limit(n)``.
+
+    Spark plans TakeOrderedAndProject: each partition keeps a local
+    top-n heap, the driver merges — no global sort, no full shuffle.
+    Always include a unique tiebreak column for deterministic results.
+    """
+    return df.orderBy(*order_cols).limit(n)
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """F6/S7: dedup by key, DETERMINISTICALLY keeping the first row by
+    ``order_cols`` (the reference's Mongo unique index keeps the first
+    insert; plain ``dropDuplicates`` keeps an arbitrary row).
+
+    One shuffle on the key; AQE handles skewed hot keys.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_new(df_new: DataFrame, df_seen: DataFrame, key: str) -> DataFrame:
+    """F7/J3/J4: keep only unseen keys — the reference's
+    dedup-BEFORE-fetch middleware (middlewares.py:6-16). Placed
+    upstream of any expensive UDF stage by construction; Catalyst
+    won't reorder around black-box Python, so this ordering is the
+    design rule itself."""
+    return df_new.join(df_seen.select(key), key, "left_anti")
+
+
+def union_dedup(a: DataFrame, b: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """§2.7: archive + daily feeds share one sink -> unionByName +
+    keyed dedup."""
+    return dedup_keep_first(a.unionByName(b), key_cols, order_cols)
+
+
+def rolling_mean_min_periods(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    window_rows: int = 10,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """W1/W2: pandas ``rolling(10).mean()`` semantics — trailing
+    10-row mean, NULL for the first window_rows-1 rows (min_periods).
+
+    Implemented as one window spec reused for every value column plus
+    a row_number guard. Note: an unpartitioned ordered window is a
+    single-task bottleneck at scale — the trend query only ever runs
+    this over the *daily aggregate* series (≤ a few thousand rows at
+    100 TB), never over raw events; pass partition_cols to shard.
+    """
+    parts = partition_cols or []
+    w_order = Window.partitionBy(*parts).orderBy(order_col)
+    w_frame = w_order.rowsBetween(-(window_rows - 1), 0)
+    rn = F.row_number().over(w_order)
+    out = df
+    for v in value_cols:
+        out = out.withColumn(
+            f"rolling_{v}",
+            F.when(rn >= window_rows, F.avg(v).over(w_frame)),
+        )
+    return out
+
+
+def argmax_array(arr: Column) -> tuple[Column, Column]:
+    """W3: per-row (argmax_index, max_value) over an array column.
+
+    ``array_position`` finds the FIRST occurrence of the max —
+    matching Python ``sorted(..., reverse=True)`` stability (ties keep
+    the lowest index), the reference's tie-break
+    (topic_modelling.ipynb cell 23).
+    Returns 0-based index.
+    """
+    mx = F.array_max(arr)
+    idx = (F.array_position(arr, mx) - 1).cast("int")
+    return idx, mx
+
+
+def daily_mean(df: DataFrame, ts_col: str, value_cols: list[str], extra_keys: list[str] | None = None) -> DataFrame:
+    """A3+P16: truncate to day, group-avg each value column.
+
+    Hash aggregation with map-side partial aggregation; output
+    cardinality = #days (* #extra_keys) — tiny at any input scale.
+    """
+    keys = [F.to_date(ts_col).alias("date"), *(extra_keys or [])]
+    return df.groupBy(*keys).agg(*[F.avg(v).alias(v) for v in value_cols])

@@ -1,0 +1,163 @@
+"""Embedding similarity search over array<float> columns.
+
+Three tiers:
+- ``cosine_topk`` — brute-force top-k for one query vector. The
+  correctness baseline: one narrow pass (dot product via zip_with +
+  aggregate, codegen'd) + TakeOrderedAndProject. Linear scan, but at
+  100 TB it is embarrassingly parallel and shuffle-free until the
+  final top-k merge (k rows per partition to the driver).
+- ``rp_lsh_topk`` — random-hyperplane LSH: bucket vectors by the sign
+  pattern of r fixed projections, probe only the query's bucket (and
+  optionally neighbors). The scale path: the scan touches ~n/2^r
+  rows; bucket assignment is a narrow projection computed once and
+  reusable (write it as a partition column for real workloads).
+- ``cosine_pairs`` — all-pairs near-duplicate search by cosine >=
+  threshold within LSH buckets (embedding analog of MinHash dedup).
+
+Projections are deterministic: pseudo-random hyperplanes generated
+from a fixed seed via the same LCG family as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M31 = 2_147_483_647
+
+
+def _lcg_floats(n: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random floats in [-1, 1)."""
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 1_103_515_245 + 12_345) % _M31
+        out.append(state / _M31 * 2.0 - 1.0)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, JVM-side: zip_with multiply +
+    ordered-fold sum (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The query vector is a plan literal (broadcast by value); the scan
+    computes one double per row; TakeOrderedAndProject merges local
+    heaps — no full sort, no wide shuffle. Ties broken by id for
+    determinism.
+    """
+    q = F.lit(query).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id over r hyperplanes -> int in [0, 2^r)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec, F.lit(p).cast("array<double>")) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def make_planes(dim: int, r: int = 8, seed: int = 42) -> list[list[float]]:
+    flat = _lcg_floats(dim * r, seed)
+    return [flat[i * dim : (i + 1) * dim] for i in range(r)]
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    r: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-pruned top-k: scan only rows whose sign-bucket matches the
+    query's. Approximate (recall < 1); bucket column is a narrow
+    deterministic projection — at scale, persist it / partition by it
+    so queries prune at the parquet level (partition pruning)."""
+    planes = make_planes(len(query), r, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query, p)) >= 0:
+            qbucket |= 1 << i
+    q = F.lit(query).cast("array<double>")
+    scored = (
+        df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+        .filter(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    r: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """All-pairs embedding near-dup: (id_1, id_2, cosine >= threshold).
+
+    Default: candidate pairs only within matching LSH sign-buckets
+    (shuffle on bucket id, O(sum bucket^2) verify). High-cosine pairs
+    very likely share all r signs for small r; recall tunable via r.
+    ``brute_force=True`` computes all O(n^2) pairs — the correctness
+    oracle path for small inputs (and exactly what the DuckDB twin
+    does).
+    """
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
+    if brute_force:
+        cand = a.crossJoin(b).filter(F.col("id_1") < F.col("id_2"))
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = make_planes(dim, r, seed)
+        withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+        a = withb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"), "__bucket")
+        b = withb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"), "__bucket")
+        cand = a.join(b, "__bucket").filter(F.col("id_1") < F.col("id_2"))
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale corpus curation.
+
+- language ID: stopword-hit-ratio heuristic over per-language marker
+  lists (the classic n-gram/common-word method), pure expressions.
+- quality scoring: length / punctuation-ratio / stopword-ratio /
+  mean-word-length features -> composite score.
+- token counting: whitespace + BPE-ish regex (functions/tokenize.py).
+- document fingerprinting: polynomial rolling hash over the token
+  stream (order-sensitive, unlike bag-of-words hashes).
+
+All narrow, codegen'd, shuffle-free — linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE31
+
+# Small high-frequency marker-word lists per language (public common
+# word lists). Enough signal for corpus bucketing; a real fastText
+# model would slot in as a pandas_udf with identical plumbing.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "pour", "dans", "une"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"),
+    "es": ("el", "la", "los", "las", "de", "que", "es", "para", "con", "una"),
+}
+
+
+def lang_hit_ratio(tokens: Column, lang: str) -> Column:
+    markers = F.lit(list(LANG_MARKERS[lang]))
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1))
+
+
+def detect_language(tokens: Column, min_ratio: float = 0.01) -> Column:
+    """argmax language by marker-hit ratio; 'und' if nothing clears
+    the floor. Deterministic tie-break: declaration order in
+    LANG_MARKERS (forward fold with strict >)."""
+    result = F.lit("und")
+    best = F.lit(float(min_ratio))
+    for lang in LANG_MARKERS:
+        ratio = lang_hit_ratio(tokens, lang)
+        new_result = F.when(ratio > best, F.lit(lang)).otherwise(result)
+        best = F.when(ratio > best, ratio).otherwise(best)
+        result = new_result
+    return result
+
+
+# Explicit ASCII punctuation chars — identical bytes in Java regex
+# (Spark) and RE2 (DuckDB oracle); \p{Punct} means different sets in
+# the two engines.
+ASCII_PUNCT_CHARS = r"""!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~"""
+ASCII_PUNCT_CLASS = f"[{ASCII_PUNCT_CHARS}]"
+NON_PUNCT_CLASS = f"[^{ASCII_PUNCT_CHARS}]"
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, NON_PUNCT_CLASS, "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
+    sw = F.lit(stopwords)
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t))).cast(
+        "double"
+    ) / F.greatest(F.size(tokens), F.lit(1))
+
+
+def mean_word_length(tokens: Column) -> Column:
+    total = F.aggregate(
+        F.transform(tokens, F.length), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.greatest(F.size(tokens), F.lit(1))
+
+
+def quality_score(
+    col: Column,
+    stopwords: list[str],
+    min_words: int = 20,
+    max_words: int = 10_000,
+) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style rules):
+    in-range length, some stopwords (fluency proxy), sane mean word
+    length, low symbol ratio. Weighted sum of four indicator-ish
+    terms — transparent and cheap."""
+    tokens = F.split(col, " ")
+    n = F.size(tokens)
+    len_ok = F.when((n >= min_words) & (n <= max_words), 1.0).otherwise(0.0)
+    sw = stopword_ratio(tokens, stopwords)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.0)
+    mwl = mean_word_length(tokens)
+    mwl_ok = F.when((mwl >= 2.5) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    return F.round(0.3 * len_ok + 0.3 * sw_ok + 0.2 * mwl_ok + 0.2 * punct_ok, 2)
+
+
+def rolling_fingerprint(tokens: Column, base: int = 31) -> Column:
+    """Order-sensitive polynomial rolling hash of the token stream:
+    h = fold(h * base + xxhash32(token)) mod 2^31-1. Distinguishes
+    permuted documents that bag-of-words hashes conflate. Sequential
+    fold over the array — deterministic everywhere."""
+    hashed = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE31)))
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * base + h, F.lit(MERSENNE31)),
+    )

@@ -1,0 +1,813 @@
+"""Query registry: every SURVEY §2 operator as a (Spark plan, DuckDB
+oracle SQL) pair, run by ``__spark_entry__.py`` for the driver's
+correctness gate.
+
+Cross-engine determinism rules used throughout (the reason these
+queries hash-match their oracles):
+- Money/metric sums go through integer scaling
+  (``ROUND(x*100)::BIGINT``) so SUM is exact integer arithmetic in
+  both engines regardless of partial-aggregation order; the final
+  division back to double is a single identical fp op.
+- Every computed double is ROUND()ed identically on both sides.
+- Every top-k orders by (value, unique-key) so ties are
+  deterministic.
+- Regexes use only syntax with identical semantics in Java regex
+  (Spark) and RE2 (DuckDB); punctuation is an explicit ASCII class.
+- Cross-engine hashes use md5 (both engines) — xxhash64 variants are
+  engine-internal fast paths, exercised by rows-only queries.
+- Aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import sentiment as sent
+from .functions.text_clean import ALL_STOPWORDS, clean_text, word_count
+from .functions.tokenize import BPE_ISH_PATTERN, bpe_ish_tokens
+from .operators import relational as R
+from .operators import similarity as S
+from .operators import textstats as TS
+from .operators.dedup import MERSENNE31, content_hash, ngram_jaccard_pairs
+
+# --------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only driver check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, sql)
+        return fn
+
+    return deco
+
+
+def _sql_str_list(words) -> str:
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{quoted}]"
+
+
+STOPWORDS_SQL = _sql_str_list(ALL_STOPWORDS)
+
+# --------------------------------------------------------------------
+# §2.2 filters / predicates
+# --------------------------------------------------------------------
+
+
+@register(
+    "f1_contains_filter",
+    "SELECT doc_id, source FROM documents WHERE text LIKE '%spark%'",
+)
+def f1_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: substring containment (bbc_news_dag.py:32). Pushed into the
+    parquet scan as a StringContains filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("spark")).select("doc_id", "source")
+
+
+@register(
+    "f2_ts_range_filter",
+    "SELECT event_id, user_id, ts FROM events "
+    "WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
+)
+def f2_ts_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: timestamp cutoff (archive_scraper.py:28) — the reference
+    compares ISO strings lexicographically; we compare real
+    timestamps. Pushed down to parquet row-group stats."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ).select("event_id", "user_id", "ts")
+
+
+@register(
+    "f3_dropna",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
+    "AND source IS NOT NULL AND n_chars IS NOT NULL",
+)
+def f3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: drop rows with any NULL (data_preparation.py:88)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.na.drop("any").select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "f4_min_word_count",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words "
+    "FROM documents WHERE len(string_split(text, ' ')) > 50",
+)
+def f4_min_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+P3: derive n_words = len(split(' ')), keep > 50
+    (data_preparation.py:89-90)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", word_count(F.col("text")).alias("n_words")
+    ).filter(F.col("n_words") > 50)
+
+
+@register(
+    "f5_required_field",
+    "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND text <> ''",
+)
+def f5_required_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: drop-if-empty-field pipeline (pipelines.py:16-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "f6_dedup_keep_first",
+    "SELECT event_id, user_id, event_type FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1",
+)
+def f6_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/S7: keyed dedup keeping the deterministic first row — the
+    Mongo unique-index insert keeps the first writer
+    (pipelines.py:33-44, bbc_news_dag.py:34-38)."""
+    events = load_table(spark, sf_dir, "events")
+    return R.dedup_keep_first(events, ["user_id"], [F.col("event_id")]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "f7_anti_join_unseen",
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def f7_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/J3: left-anti 'seen' probe placed BEFORE expensive work
+    (middlewares.py:6-16)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seen = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return R.anti_join_new(customer, seen, "c_custkey").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------
+# §2.3 projections / scalar functions
+# --------------------------------------------------------------------
+
+
+@register(
+    "p1_strip_last_segment",
+    "SELECT p_partkey, array_to_string("
+    "string_split(p_name, ' ')[1:len(string_split(p_name, ' ')) - 1], '-') "
+    "AS name_prefix FROM part",
+)
+def p1_strip_last_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: split, drop last token, rejoin (ArticlesSpider.py:24's
+    menu_submenu derivation, applied to p_name)."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), "-").alias("name_prefix"),
+    )
+
+
+def _sql_clean_expr(col: str) -> str:
+    """DuckDB twin of functions/text_clean.py::clean_text — the exact
+    ordered regex chain of data_preparation.py:34-42."""
+    c = f"lower(trim({col}))"
+    c = rf"regexp_replace({c}, 'http\S+', '', 'g')"
+    c = rf"regexp_replace({c}, '<.*?>', '', 'g')"
+    c = rf"regexp_replace({c}, '[^ 0-9a-z]', ' ', 'g')"
+    c = rf"regexp_replace({c}, '\b(\d+\d)\b', '', 'g')"
+    c = rf"regexp_replace({c}, 'http|https|www', '', 'g')"
+    c = rf"regexp_replace({c}, '\b[a-z]\b', '', 'g')"
+    c = rf"regexp_replace({c}, ' +', ' ', 'g')"
+    return (
+        f"array_to_string(list_filter(string_split(trim({c}), ' '), "
+        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w)), ' ')"
+    )
+
+
+@register(
+    "p4_p12_clean_text",
+    f"SELECT doc_id, {_sql_clean_expr('text')} AS text_clean FROM documents",
+)
+def p4_p12_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-P12 + F8/F9: the full clean() chain as one codegen'd
+    projection (data_preparation.py:29-57)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text(F.col("text")).alias("text_clean"))
+
+
+@register(
+    "p15_p16_day_cast",
+    "SELECT event_id, CAST(ts AS DATE) AS day FROM events",
+)
+def p15_p16_day_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15/P16: timestamp cast + day truncation
+    (data_preparation.py:96, sentiment_analysis.ipynb cell 11)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_id", F.to_date("ts").alias("day"))
+
+
+# --------------------------------------------------------------------
+# §2.4 joins
+# --------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_enrich",
+    "SELECT c_custkey, c_name, n_name FROM customer "
+    "LEFT JOIN nation ON c_nationkey = n_nationkey",
+)
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact LEFT JOIN tiny dim -> broadcast hash join, no shuffle
+    of the fact side (topic_modelling.ipynb cell 29's label join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "j_multiway_region_count",
+    "SELECT r_name, COUNT(*) AS n_customers FROM customer, nation, region "
+    "WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "GROUP BY r_name",
+)
+def j_multiway_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join chain + hash agg (engine extension —
+    the reference has no multi-way joins; free via Catalyst)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------
+# §2.5 aggregations, §2.6 windows, §2.7 set ops
+# --------------------------------------------------------------------
+
+
+@register("a1_count_rows", "SELECT COUNT(*) AS n FROM lineitem")
+def a1_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7: count(*) (bbc_news_dag.py:63-64)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a2_group_count",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def a2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: value_counts() (topic_modelling.ipynb cell 25)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a3_daily_mean",
+    "SELECT CAST(ts AS DATE) AS date, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100) "
+    "AS avg_value FROM events GROUP BY 1",
+)
+def a3_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+P16: daily mean (sentiment_analysis.ipynb cell 13).
+    Integer-scaled sum -> exact cross-engine average. No fractional
+    ROUND: Spark rounds scale>0 via the shortest decimal repr
+    (BigDecimal) while DuckDB rounds the raw double — they disagree
+    on .xxxx5 boundaries; the raw quotient of identical integers is
+    bit-identical instead."""
+    events = load_table(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100).cast("long")
+    return events.groupBy(F.to_date("ts").alias("date")).agg(
+        (F.sum(scaled) / (F.count("*") * 100)).alias("avg_value")
+    )
+
+
+@register(
+    "a6_top_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def a6_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: sort desc + limit (data_preparation.py:19) — Spark plans
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return R.top_n(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        10,
+    )
+
+
+_DAILY_SQL = (
+    "SELECT event_type, CAST(ts AS DATE) AS date, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100) "
+    "AS avg_value FROM events GROUP BY 1, 2"
+)
+
+
+@register(
+    "w1_rolling_trend",
+    f"WITH daily AS ({_DAILY_SQL}), "
+    "s AS (SELECT *, CAST(ROUND(avg_value * 10000) AS BIGINT) AS sc FROM daily) "
+    "SELECT event_type, date, avg_value, "
+    "CASE WHEN row_number() OVER "
+    "(PARTITION BY event_type ORDER BY date) >= 10 THEN "
+    "CAST(SUM(sc) OVER (PARTITION BY event_type ORDER BY date "
+    "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) / 100000.0 "
+    "END AS rolling_avg_value "
+    "FROM s",
+)
+def w1_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: the sentiment-trend query shape — daily means + 10-row
+    trailing mean with pandas min_periods NULL semantics
+    (sentiment_analysis.ipynb cells 11-13). Flagship query.
+
+    Scale note: the window runs over the *aggregated* daily series
+    (#days × #event_types rows), partitioned by event_type — never
+    over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100).cast("long")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("date")).agg(
+        (F.sum(scaled) / (F.count("*") * 100)).alias("avg_value")
+    )
+    # Rolling mean via integer-scaled window sum (integer ROUND is
+    # boundary-safe cross-engine; fractional ROUND is not) so the
+    # final division is a single identical fp op in both engines.
+    # min_periods semantics via the row_number guard.
+    sc = F.round(F.col("avg_value") * 10000).cast("long")
+    w_order = Window.partitionBy("event_type").orderBy("date")
+    w_frame = w_order.rowsBetween(-9, 0)
+    rolling = F.when(
+        F.row_number().over(w_order) >= 10, F.sum(sc).over(w_frame) / 100000.0
+    )
+    return daily.withColumn("rolling_avg_value", rolling).select(
+        "event_type", "date", "avg_value", "rolling_avg_value"
+    )
+
+
+@register(
+    "w3_argmax_vector",
+    "SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS INT) "
+    "AS argmax_idx, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val "
+    "FROM embeddings",
+)
+def w3_argmax_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-row argmax over an array (the dominant-topic extraction
+    shape, topic_modelling.ipynb cell 23); first-occurrence tie-break
+    matches Python sorted() stability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx, mx = R.argmax_array(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        idx.alias("argmax_idx"),
+        F.round(mx.cast("double"), 6).alias("max_val"),
+    )
+
+
+@register(
+    "union_dedup",
+    "SELECT DISTINCT o_orderkey, o_totalprice FROM ("
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <= 1 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 >= 1)",
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: archive + daily feeds writing one sink = union + dedup
+    (archive_scraper.py:29 / bbc_news_dag.py:34 share `links`)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = orders.filter(F.col("o_orderkey") % 3 <= 1)
+    b = orders.filter(F.col("o_orderkey") % 3 >= 1)
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------
+# sources: S2 XML sitemap parsing (regex round-trip on a derived feed)
+# --------------------------------------------------------------------
+
+
+@register(
+    "s2_sitemap_parse",
+    "WITH pages AS (SELECT '<url><loc>https://www.bbc.com/' || "
+    "CASE WHEN event_id % 2 = 0 THEN 'news/' ELSE 'sport/' END || "
+    "event_type || '-' || CAST(event_id AS VARCHAR) || '</loc>' || "
+    "'<lastmod>' || strftime(ts, '%Y-%m-%d') || '</lastmod></url>' AS xml "
+    "FROM events) "
+    "SELECT regexp_extract(xml, '<loc>(.*?)</loc>', 1) AS url, "
+    "regexp_extract(xml, '<lastmod>(.*?)</lastmod>', 1) AS lastmod "
+    "FROM pages WHERE regexp_extract(xml, '<loc>(.*?)</loc>', 1) "
+    "LIKE '%www.bbc.com/news/%'",
+)
+def s2_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+F1: sitemap-XML field extraction + news-url filter
+    (bbc_news_dag.py:28-34). The XML feed is synthesized from events
+    so the oracle sees identical input; extraction itself is the
+    regex the engine's sitemap source uses."""
+    events = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<url><loc>https://www.bbc.com/"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("news/")).otherwise(F.lit("sport/")),
+        F.col("event_type"),
+        F.lit("-"),
+        F.col("event_id").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.lit("</lastmod></url>"),
+    )
+    pages = events.select(xml.alias("xml"))
+    parsed = pages.select(
+        F.regexp_extract("xml", "<loc>(.*?)</loc>", 1).alias("url"),
+        F.regexp_extract("xml", "<lastmod>(.*?)</lastmod>", 1).alias("lastmod"),
+    )
+    return parsed.filter(F.col("url").contains("www.bbc.com/news/"))
+
+
+# --------------------------------------------------------------------
+# §2.8 NLP: sentiment (pure-DF lexicon path) + vocab pruning
+# --------------------------------------------------------------------
+
+
+def _sql_sentiment_scores(which: int) -> str:
+    """list of per-token scores for polarity (0) / subjectivity (1)."""
+    lex = sent.DEFAULT_LEXICON
+    words_sql = _sql_str_list(lex)
+    cases = " ".join(
+        f"WHEN '{w}' THEN {v[which]!r}::DOUBLE" for w, v in lex.items()
+    )
+    return (
+        f"list_transform(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({words_sql}, w)), "
+        f"w -> CASE w {cases} ELSE 0.0::DOUBLE END)"
+    )
+
+
+def _sql_avg_or_zero(scores_expr: str) -> str:
+    return (
+        f"CASE WHEN len({scores_expr}) > 0 THEN "
+        f"ROUND(CAST(list_aggregate({scores_expr}, 'sum') AS DOUBLE) "
+        f"/ len({scores_expr}), 6) ELSE 0.0::DOUBLE END"
+    )
+
+
+@register(
+    "m6_m7_sentiment_scores",
+    f"SELECT doc_id, {_sql_avg_or_zero(_sql_sentiment_scores(0))} AS polarity, "
+    f"{_sql_avg_or_zero(_sql_sentiment_scores(1))} AS subjectivity FROM documents",
+)
+def m6_m7_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7: per-doc polarity+subjectivity via the pure-DF lexicon
+    path (TextBlob twin, sentiment_analysis.ipynb cell 7) — zero
+    Python, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.round(sent.polarity_expr(toks), 6).alias("polarity"),
+        F.round(sent.subjectivity_expr(toks), 6).alias("subjectivity"),
+    )
+
+
+@register(
+    "sentiment_by_source",
+    f"WITH s AS (SELECT source, "
+    f"{_sql_avg_or_zero(_sql_sentiment_scores(0))} AS polarity, "
+    f"{_sql_avg_or_zero(_sql_sentiment_scores(1))} AS subjectivity "
+    f"FROM documents) "
+    "SELECT source, "
+    "SUM(CAST(ROUND(polarity * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) "
+    "AS avg_polarity, "
+    "SUM(CAST(ROUND(subjectivity * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) "
+    "AS avg_subjectivity FROM s GROUP BY source",
+)
+def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7 + A3: grouped mean sentiment (the trend query's agg over
+    a categorical key instead of day). Per-doc scores are identical
+    doubles in both engines; the group mean goes through integer
+    scaling so aggregation order can't skew the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "source",
+        F.round(sent.polarity_expr(toks), 6).alias("polarity"),
+        F.round(sent.subjectivity_expr(toks), 6).alias("subjectivity"),
+    )
+    return scored.groupBy("source").agg(
+        (F.sum(F.round(F.col("polarity") * 1e6).cast("long")) / (F.count("*") * 1e6)).alias(
+            "avg_polarity"
+        ),
+        (
+            F.sum(F.round(F.col("subjectivity") * 1e6).cast("long")) / (F.count("*") * 1e6)
+        ).alias("avg_subjectivity"),
+    )
+
+
+@register(
+    "a4_vocab_prune",
+    "WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) "
+    "AS term FROM documents), "
+    "c AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term) "
+    "SELECT term, df FROM c "
+    "WHERE df >= 10 AND df <= 0.9 * (SELECT COUNT(*) FROM documents)",
+)
+def a4_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: Dictionary.filter_extremes(no_below=10, no_above=0.9)
+    (topic_modelling.ipynb cell 7) as explode-distinct + doc-frequency
+    count + bounds — exactly what CountVectorizer(minDF, maxDF) does
+    internally."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter((F.col("df") >= 10) & (F.col("df") <= 0.9 * F.col("total")))
+        .select("term", "df")
+    )
+
+
+# --------------------------------------------------------------------
+# scale extensions: dedup / similarity / text analysis
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_content",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: survivors = min doc_id per md5.
+    One shuffle on a uniform 128-bit key — no skew possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(content_hash(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+_NGRAM_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+    "range(0, greatest(len(t) - 2, 0)), i -> array_to_string(t[i+1:i+3], ' ')))) "
+    "AS shingle FROM toks), "
+    "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+    "pairs AS (SELECT a.id AS id_1, b.id AS id_2, COUNT(*) AS inter "
+    "FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2) "
+    "SELECT id_1, id_2, ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) "
+    "AS jaccard FROM pairs "
+    "JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id "
+    "WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {thr}"
+)
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL.format(thr="0.2"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity join, fully relational (the exact
+    verify stage of MinHash-LSH, runnable standalone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "ann_topk_cosine",
+    "SELECT e.vec_id, ROUND(list_cosine_similarity("
+    "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+    "FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0 "
+    "ORDER BY cosine DESC, e.vec_id LIMIT 10",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a query vector (the ANN
+    correctness baseline): one narrow scan + TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(10)
+
+
+def _sql_lang_ratio(lang: str) -> str:
+    markers = _sql_str_list(TS.LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({markers}, w))) AS DOUBLE) "
+        f"/ greatest(len(string_split(text, ' ')), 1)"
+    )
+
+
+_LANG_SQL = (
+    "WITH r AS (SELECT doc_id, "
+    + ", ".join(f"{_sql_lang_ratio(lg)} AS r_{lg}" for lg in TS.LANG_MARKERS)
+    + " FROM documents) SELECT doc_id, CASE WHEN greatest("
+    + ", ".join(f"r_{lg}" for lg in TS.LANG_MARKERS)
+    + ") > 0.01 THEN (CASE "
+    + " ".join(
+        f"WHEN r_{lg} = greatest(" + ", ".join(f"r_{m}" for m in TS.LANG_MARKERS) + f") THEN '{lg}'"
+        for lg in TS.LANG_MARKERS
+    )
+    + " END) ELSE 'und' END AS lang_pred FROM r"
+)
+
+
+@register("lang_id", _LANG_SQL)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word hit ratios (common-word heuristic);
+    argmax with declaration-order tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.detect_language(F.split(F.col("text"), " ")).alias("lang_pred"),
+    )
+
+
+_QUALITY_SQL = (
+    "WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS n, "
+    f"CAST(len(list_filter(string_split(text, ' '), "
+    f"w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE) "
+    "/ greatest(len(string_split(text, ' ')), 1) AS sw, "
+    "CAST(list_aggregate(list_transform(string_split(text, ' '), w -> len(w)), "
+    "'sum') AS DOUBLE) / greatest(len(string_split(text, ' ')), 1) AS mwl, "
+    "CAST(len(regexp_replace(text, "
+    f"'[^{TS.ASCII_PUNCT_CHARS.replace(chr(39), chr(39) * 2)}]', '', 'g')) AS DOUBLE)"
+    " / greatest(len(text), 1) AS pr FROM documents) "
+    "SELECT doc_id, ROUND("
+    "0.3 * (CASE WHEN n >= 20 AND n <= 10000 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+    "0.3 * (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+    "0.2 * (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+    "0.2 * (CASE WHEN pr <= 0.2 THEN 1.0::DOUBLE ELSE 0.0 END), 2) AS quality "
+    "FROM f"
+)
+
+
+@register("quality_score", _QUALITY_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.quality_score(F.col("text"), list(ALL_STOPWORDS)).alias("quality"),
+    )
+
+
+_BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "token_count_bpe",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 1)) AS INT) "
+    "AS n_tokens FROM documents",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (training-data budgeting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_tokens")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), "
+    f"w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {MERSENNE31}), "
+    f"(a, b) -> (a * 31 + b) % {MERSENNE31}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream.
+    Cross-engine variant: token hash = first 8 md5 hex digits (md5 is
+    identical in both engines; xxhash64 is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hashed = F.transform(
+        toks,
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+            F.lit(MERSENNE31),
+        ),
+    )
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * 31 + h, F.lit(MERSENNE31)),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------
+# TPC-H-shaped headline aggregations (bench workhorses)
+# --------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS sum_base_price, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS sum_disc_price, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+    "/ (COUNT(*) * 100.0) AS avg_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "/ (COUNT(*) * 100.0) AS avg_price, "
+    "CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) "
+    "/ (COUNT(*) * 100.0) AS avg_disc, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-agg — the engine's headline
+    batch-agg benchmark. Integer-scaled money math -> exact sums in
+    any aggregation order (the 100 TB-safe formulation; int64
+    headroom to ~sf1000 for the scaled products)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty) / 100.0).alias("sum_qty"),
+            (F.sum(price) / 100.0).alias("sum_base_price"),
+            (F.sum(price * (100 - disc)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(qty) / (F.count("*") * 100.0)).alias("avg_qty"),
+            (F.sum(price) / (F.count("*") * 100.0)).alias("avg_price"),
+            (F.sum(disc) / (F.count("*") * 100.0)).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_top_revenue",
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+    "AND l_orderkey = o_orderkey "
+    "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10",
+)
+def tpch_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer filter applied BEFORE the join (prunes the build side);
+    top-k via TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    agg = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
+
+
+# --------------------------------------------------------------------
+# public accessors for __spark_entry__.py
+# --------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

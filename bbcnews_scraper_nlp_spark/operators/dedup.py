@@ -80,11 +80,14 @@ def minhash_signature(hashed: Column, num_hashes: int = 64) -> Column:
     Empty shingle sets get signature value p (sentinel) so they never
     collide with real minima.
     """
+    def affine(a: int, b: int):
+        # one-arg closure: Spark introspects the lambda's signature,
+        # so default-arg tricks (lambda x, a=a: ...) break it
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))
+
     parts = []
     for a, b in _coeffs(num_hashes):
-        h = F.transform(
-            hashed, lambda x, a=a, b=b: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))
-        )
+        h = F.transform(hashed, affine(a, b))
         parts.append(F.coalesce(F.array_min(h), F.lit(MERSENNE31)))
     return F.array(*parts)
 
@@ -165,32 +168,41 @@ def minhash_lsh_pairs(
     )
 
 
+# static 2^j bit masks as int64 (j=63 is the sign bit — same bit
+# pattern as the two's-complement literal)
+_BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash fingerprint, pure bitwise aggregate.
 
     Each token hashes to 64 bits; per bit position the classic
     algorithm sums +1/-1 and takes the sign. Expressed as: counters =
-    aggregate(tokens, zeros[64], zip_with(+)); fingerprint = OR of
-    (1<<j) where counters[j] > 0. No Python, no shuffle.
+    aggregate(tokens, zeros[64], zip_with(+)); fingerprint = fold-OR
+    of zip_with(counters, bitmask literals). No Python, no shuffle.
+    Shift amounts must be Python ints (Spark's shiftright takes no
+    Column), so per-bit terms are built as static 64-element arrays.
     """
-    hashed = F.transform(tokens, F.xxhash64)
-    js = F.sequence(F.lit(0), F.lit(63))
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bits_pm1(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
     counters = F.aggregate(
         hashed,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                js,
-                lambda j: F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            ),
-            lambda x, y: x + y,
-        ),
+        lambda acc, h: F.zip_with(acc, bits_pm1(h), lambda x, y: x + y),
     )
+    masks = F.lit(_BIT_MASKS).cast("array<long>")
     bits = F.zip_with(
-        counters,
-        js,
-        lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+        counters, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
@@ -212,12 +224,16 @@ def simhash_pairs(
         id_col,
         "__f",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("__f"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("__f"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("__c"),
     ).select(id_col, "__f", F.col("__c.chunk").alias("chunk"), F.col("__c.ckey").alias("ckey"))

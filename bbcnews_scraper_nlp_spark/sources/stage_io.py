@@ -1,0 +1,111 @@
+"""Stage-table I/O (SURVEY §2.1 S5-S8 + §1.3 schemas).
+
+The reference's Mongo collections become Parquet stage tables with
+EXPLICIT StructType schemas pinned at every boundary (the reference's
+schemaless BSON + pandas dtype inference is the anti-pattern SURVEY
+§1.3 calls out). Writers are append-mode with keyed upsert-skip
+semantics (the Mongo unique-index behavior) via left-anti before
+append.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# §1 schemas — one per reference collection / stage.
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+ARTICLES_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("menu_submenu", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("subtitle", T.StringType()),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("text", T.StringType()),
+        T.StructField("topic_name", T.ArrayType(T.StringType())),
+        T.StructField("topic_url", T.ArrayType(T.StringType())),
+        T.StructField("images", T.ArrayType(T.StringType())),
+        T.StructField("link", T.StringType()),
+    ]
+)
+
+ARTICLES_PROCESSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.TimestampType()),
+        T.StructField("menu_submenu", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("subtitle", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("article_clean", T.StringType()),
+        T.StructField("n_words_clean", T.IntegerType()),
+    ]
+)
+
+TOPIC_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("topic_num", T.IntegerType()),
+        T.StructField("topic_label", T.StringType()),
+    ]
+)
+
+SENTIMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("date", T.TimestampType()),
+        T.StructField("polarity", T.DoubleType()),
+        T.StructField("subjectivity", T.DoubleType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def read_stage(spark: SparkSession, root: str, name: str, schema: T.StructType | None = None) -> DataFrame:
+    """S5: read a stage table. Schema arg asserts the contract."""
+    df = spark.read.parquet(os.path.join(root, name))
+    if schema is not None:
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+    return df
+
+
+def append_stage(df: DataFrame, root: str, name: str) -> None:
+    """S6: append to a stage table (Mongo insert_many analog)."""
+    df.write.mode("append").parquet(os.path.join(root, name))
+
+
+def upsert_skip(
+    spark: SparkSession, df: DataFrame, root: str, name: str, key: str
+) -> None:
+    """S7/J4: unique-key insert-or-skip — new rows only, via left-anti
+    against the existing table (bbc_news_dag.py:34-38's
+    DuplicateKeyError skip). Idempotent re-runs append nothing.
+
+    Scale: the anti-join shuffles on the key; with a Delta/Iceberg
+    sink this becomes MERGE WHEN NOT MATCHED (jar not in this image).
+    """
+    path = os.path.join(root, name)
+    try:
+        existing = spark.read.parquet(path).select(key)
+    except Exception:
+        existing = None
+    out = df if existing is None else df.join(existing, key, "left_anti")
+    out = out.dropDuplicates([key])
+    out.write.mode("append").parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, columns: list[str]) -> None:
+    """S8: CSV sink with explicit column projection
+    (pipelines.py:76-102's CsvItemExporter fields_to_export)."""
+    df.select(*columns).write.option("header", True).mode("overwrite").csv(path)

@@ -1,0 +1,81 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The set covers every execution shape the engine claims: scan-heavy
+multi-agg, selective join + top-k, window trend, regex-chain text
+cleaning, lexicon sentiment, exact + LSH + relational dedup,
+similarity search, and the full LDA topic pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bbcnews_scraper_nlp_spark.queries import REGISTRY  # noqa: E402
+from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue",
+    "w1_rolling_trend",
+    "a3_daily_mean",
+    "f6_dedup_keep_first",
+    "union_dedup",
+    "p4_p12_clean_text",
+    "m6_m7_sentiment_scores",
+    "dedup_exact_content",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "lda_topics",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so per-query times measure
+    # the plans, not first-touch JIT.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Dedup operators: planted near-duplicates, recall/precision vs the
+exact-Jaccard oracle, determinism across runs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.operators import dedup as D
+
+VOCAB = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red blue green".split()
+)
+
+
+def _corpus(spark, n_docs=60, n_dups=12, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append((i, " ".join(words)))
+    # planted near-dups: copy with 2 words changed
+    for j in range(n_dups):
+        base_id, base_text = rows[j]
+        words = base_text.split()
+        words[5] = "changed"
+        words[17] = "altered"
+        rows.append((1000 + base_id, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string"), n_dups
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = D.exact_dedup(df, "text", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df, n_dups = _corpus(spark)
+    pairs = D.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id_1"], r["id_2"]) for r in pairs}
+    planted = {(j, 1000 + j) for j in range(n_dups)}
+    recall = len(found & planted) / n_dups
+    assert recall >= 0.9, f"recall {recall}: {sorted(found)[:5]}"
+    # verify stage guarantees precision: every reported pair really
+    # has Jaccard >= threshold per the exact relational oracle
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    for p in found:
+        assert exact.get(p, 0.0) >= 0.5 - 1e-9
+
+
+def test_minhash_deterministic_across_runs(spark):
+    df, _ = _corpus(spark)
+    a = sorted(
+        map(tuple, D.minhash_lsh_pairs(df, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(tuple, D.minhash_lsh_pairs(df, "doc_id", "text").collect())
+    )
+    assert a == b
+
+
+def test_simhash_near_dups(spark):
+    df, n_dups = _corpus(spark)
+    pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    found = {(r["id_1"], r["id_2"]) for r in pairs}
+    planted = {(j, 1000 + j) for j in range(n_dups)}
+    assert len(found & planted) >= n_dups * 0.7
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 8
+
+
+def test_ngram_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_1"], r["id_2"]) == (1, 2) and abs(r["jaccard"] - 1.0) < 1e-9

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: header parsing is real; codec fallback is
+deterministic; frame sampler fan-out shape."""
+
+from __future__ import annotations
+
+from bbcnews_scraper_nlp_spark.operators import multimodal as M
+
+
+def test_png_gif_jpeg_header_parse():
+    png = M._png_header(640, 480) + b"data"
+    assert M._parse_dims(png) == (640, 480, "png")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert M._parse_dims(gif) == (320, 200, "gif")
+    # minimal JPEG: SOI + SOF0 segment
+    sof = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x03\x00\x00\x00"
+    jpg = b"\xff\xd8" + sof
+    assert M._parse_dims(jpg) == (77, 99, "jpeg")
+    assert M._parse_dims(b"plain text") is None
+
+
+def test_image_meta_over_spark(spark):
+    rows = [(1, "image/png", M._png_header(10, 20) + b"x"), (2, "image/raw", b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r["doc_id"]: r for r in M.image_meta(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (10, 20, "png")
+    assert out[2]["format"] == "unknown"  # deterministic fake dims
+    assert out[2]["width"] >= 1 and out[2]["height"] >= 1
+    # determinism: same payload -> same fake dims
+    again = {r["doc_id"]: r for r in M.image_meta(df).collect()}
+    assert (again[2]["width"], again[2]["height"]) == (out[2]["width"], out[2]["height"])
+
+
+def test_strict_mode_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "image/raw", b"junk")], "doc_id long, media_type string, payload binary"
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        M.image_meta(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "no codec" in str(exc.value)
+
+
+def test_frame_sampler(spark):
+    df = spark.createDataFrame([(1, b"0123456789" * 5)], "doc_id long, payload binary")
+    out = M.frame_samples(df, every_n=10, max_frames=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    assert all(len(r["frame_sha1"]) == 40 for r in out)

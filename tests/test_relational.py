@@ -1,0 +1,62 @@
+"""Relational operator builders vs pandas/python oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.operators import relational as R
+
+
+def test_rolling_mean_min_periods_matches_pandas(spark):
+    vals = [float(x) for x in [5, 3, 8, 1, 9, 2, 7, 4, 6, 0, 11, 13]]
+    pdf = pd.DataFrame({"d": range(len(vals)), "v": vals})
+    expected = pdf["v"].rolling(window=4).mean().tolist()
+
+    df = spark.createDataFrame(pdf)
+    out = (
+        R.rolling_mean_min_periods(df, "d", ["v"], window_rows=4)
+        .orderBy("d")
+        .collect()
+    )
+    got = [r["rolling_v"] for r in out]
+    for g, e in zip(got, expected):
+        if pd.isna(e):
+            assert g is None
+        else:
+            assert abs(g - e) < 1e-12
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (2, 9, "d"), (3, 1, "e")]
+    df = spark.createDataFrame(rows, "k int, ord int, v string")
+    out = R.dedup_keep_first(df, ["k"], [F.col("ord")]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "b"), (2, "c"), (3, "e")]
+
+
+def test_top_n_with_tiebreak(spark):
+    rows = [(i, i % 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    out = R.top_n(df, [F.desc("v"), F.col("id")], 4).collect()
+    assert [(r["v"], r["id"]) for r in out] == [(2, 2), (2, 5), (2, 8), (2, 11)]
+
+
+def test_argmax_array_first_occurrence(spark):
+    df = spark.createDataFrame([([0.1, 0.5, 0.5, 0.2],)], "arr array<double>")
+    idx, mx = R.argmax_array(F.col("arr"))
+    r = df.select(idx.alias("i"), mx.alias("m")).first()
+    assert r["i"] == 1 and r["m"] == 0.5
+
+
+def test_union_dedup(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(2, "y2"), (3, "z")], "k int, v string")
+    out = R.union_dedup(a, b, ["k"], [F.col("v")]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_anti_join_new(spark):
+    new = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "url string")
+    seen = spark.createDataFrame([("u2",)], "url string")
+    out = R.anti_join_new(new, seen, "url").collect()
+    assert sorted(r["url"] for r in out) == ["u1", "u3"]

@@ -1,0 +1,59 @@
+"""Similarity search: Spark cosine vs numpy; LSH subset-of-brute-force."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.operators import similarity as S
+
+
+def _emb_df(spark, n=80, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), mat
+
+
+def test_cosine_matches_numpy(spark):
+    df, mat = _emb_df(spark)
+    q = [float(x) for x in mat[0]]
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in S.cosine_topk(df, "embedding", "vec_id", q, k=80).collect()
+    }
+    qv = np.asarray(q, dtype="float64")
+    m64 = mat.astype("float64")
+    expected = m64 @ qv / (np.linalg.norm(m64, axis=1) * np.linalg.norm(qv))
+    for i in range(80):
+        assert abs(got[i] - round(float(expected[i]), 6)) < 2e-6
+
+
+def test_lsh_topk_subset_of_bruteforce_ranking(spark):
+    df, mat = _emb_df(spark)
+    q = [float(x) for x in mat[0]]
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in S.cosine_topk(df, "embedding", "vec_id", q, k=80).collect()
+    }
+    lsh = S.rp_lsh_topk(df, "embedding", "vec_id", q, k=10, r=4).collect()
+    assert 0 < len(lsh) <= 10
+    # every LSH hit carries the same cosine the exact scan computed
+    for r in lsh:
+        assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-9
+    # the query's own bucket must contain the query vector itself
+    assert lsh[0]["cosine"] >= 0.999999  # vec 0 vs itself
+
+
+def test_cosine_pairs_bruteforce_vs_lsh(spark):
+    # near-identical planted pair
+    base = [1.0, 0.5, -0.25, 0.125] * 4
+    near = [x * 1.001 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<float>"
+    )
+    bf = S.cosine_pairs(df, "embedding", "vec_id", threshold=0.99, brute_force=True).collect()
+    assert {(r["id_1"], r["id_2"]) for r in bf} == {(0, 1)}
+    lsh = S.cosine_pairs(df, "embedding", "vec_id", threshold=0.99, r=3, dim=16).collect()
+    assert {(r["id_1"], r["id_2"]) for r in lsh} == {(0, 1)}

@@ -1,0 +1,81 @@
+"""Sources: sitemap parsing, stage IO upsert-skip idempotence, CSV
+export, tokenize edge cases."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.functions import tokenize as TK
+from bbcnews_scraper_nlp_spark.sources import stage_io
+from bbcnews_scraper_nlp_spark.sources.sitemap import filter_news_links, parse_sitemap
+
+XML = (
+    "<urlset>"
+    "<url><loc>https://www.bbc.com/news/uk-1</loc>"
+    "<lastmod>2022-06-01T00:00:00Z</lastmod></url>"
+    "<url><loc>https://www.bbc.com/sport/f1-2</loc>"
+    "<lastmod>2022-06-02T00:00:00Z</lastmod></url>"
+    "<url><loc>https://www.bbc.com/news/world-3</loc>"
+    "<lastmod>2022-01-01T00:00:00Z</lastmod></url>"
+    "</urlset>"
+)
+
+
+def test_parse_and_filter_sitemap(spark):
+    pages = spark.createDataFrame([(XML,)], "xml string")
+    parsed = parse_sitemap(pages).collect()
+    assert len(parsed) == 3
+    news = filter_news_links(
+        parse_sitemap(pages), cutoff_lastmod="2022-05-24T14:54:50Z"
+    ).collect()
+    assert [r["url"] for r in news] == ["https://www.bbc.com/news/uk-1"]
+
+
+def test_upsert_skip_idempotent(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u2", "b2")], "url string, v string"
+    )
+    stage_io.upsert_skip(spark, df, root, "links", key="url")
+    assert spark.read.parquet(os.path.join(root, "links")).count() == 2
+    # re-run: nothing new appended
+    stage_io.upsert_skip(spark, df, root, "links", key="url")
+    assert spark.read.parquet(os.path.join(root, "links")).count() == 2
+    # new key appended
+    df2 = spark.createDataFrame([("u3", "c")], "url string, v string")
+    stage_io.upsert_skip(spark, df2, root, "links", key="url")
+    assert spark.read.parquet(os.path.join(root, "links")).count() == 3
+
+
+def test_export_csv_projection(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", "drop")], "a int, b string, c string")
+    out = str(tmp_path / "csv")
+    stage_io.export_csv(df, out, ["a", "b"])
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["a", "b"]
+    assert back.count() == 1
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "text string"
+    )
+    out = df.select(
+        TK.word_shingles(F.split("text", " "), 3).alias("w"),
+        TK.char_shingles(F.col("text"), 5).alias("c"),
+    ).collect()
+    assert out[0]["w"] == ["a b c", "b c d"]
+    assert out[1]["w"] == []  # shorter than n -> empty, not [0,-1] junk
+    assert out[2]["w"] == []
+    assert out[1]["c"] == []  # 3 chars < k=5
+    assert out[0]["c"] == ["a b c", " b c ", "b c d"]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("it's a test-1 çase",)], "text string")
+    toks = df.select(TK.bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
+    # contractions split off, punctuation isolated, non-ascii falls in
+    # the symbol class
+    assert toks == ["it", "'s", "a", "test", "-", "1", "ç", "ase"]

@@ -1,0 +1,101 @@
+"""clean() fidelity: char-for-char against a Python oracle
+replicating dags/scripts/data_preparation.py:29-57 (SURVEY §7.4.1)."""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.functions.text_clean import (
+    ALL_STOPWORDS,
+    clean_text,
+    word_count,
+)
+
+
+def oracle_clean(text: str) -> str:
+    """Python twin of the reference's clean(): the ordered regex chain
+    + token filter, written independently from the Spark expression."""
+    t = text.lower().strip()
+    t = re.sub(r"http\S+", "", t)
+    t = re.sub(r"<.*?>", "", t)
+    t = re.sub(r"[^ 0-9a-z]", " ", t)
+    t = re.sub(r"\b(\d+\d)\b", "", t)
+    t = re.sub(r"http|https|www", "", t)
+    t = re.sub(r"\b[a-z]\b", "", t)
+    t = re.sub(r" +", " ", t)
+    t = t.translate(str.maketrans("", "", string.punctuation))
+    stop = set(ALL_STOPWORDS)
+    return " ".join(
+        w for w in t.strip().split(" ") if len(w) > 2 and w not in stop
+    )
+
+
+CASES = [
+    "Hello, World! This is a TEST.",
+    "visit https://example.com/x?y=1 for more",
+    "<b>bold</b> and <i>italic</i> tags",
+    "numbers 7 42 123 and words",
+    "a b c single letters gone",
+    "  spaces   everywhere   ",
+    "the and of stopwords only",
+    "",
+    "UPPER lower MiXeD case99 mix-99 end",
+]
+
+
+def test_clean_matches_reference_semantics(spark):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "id long, text string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", clean_text(F.col("text")).alias("c")).collect()
+    }
+    for i, c in enumerate(CASES):
+        assert got[i] == oracle_clean(c), f"case {i}: {c!r}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\r\x00"),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_clean_property_matches_oracle(spark, texts):
+    texts = [t.replace("\n", " ") for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", clean_text(F.col("text")).alias("c")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == oracle_clean(t)
+
+
+def test_clean_output_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(clean_text(F.col("text")).alias("c")).collect()
+    stop = set(ALL_STOPWORDS)
+    for r in out:
+        c = r["c"]
+        assert re.fullmatch(r"[ 0-9a-z]*", c), "charset violated"
+        for w in c.split():
+            assert len(w) > 2
+            assert w not in stop
+
+
+def test_word_count(spark):
+    df = spark.createDataFrame([("a b c",), ("one",), ("",)], "text string")
+    got = [r[0] for r in df.select(word_count(F.col("text"))).collect()]
+    assert got == [3, 1, 1]  # len(''.split(' ')) == 1, matching pandas

@@ -125,13 +125,13 @@ def lda_pipeline(
     cv_model = fit_count_vectorizer(
         df, tokens_col=tokens_col, min_df=min_df, max_df=max_df
     )
-    vectorized = cv_model.transform(df)
-    # LDA ignores empty vectors poorly; keep docs with >=1 counted term
-    # (the reference implicitly does this via its n_words>50 filter).
-    non_empty = vectorized  # filter applied upstream by process()
-    model = fit_lda(non_empty, k=k, max_iter=max_iter, seed=seed)
-    transformed = model.transform(non_empty)
+    # cache: online LDA samples a minibatch per iteration — uncached,
+    # every iteration would recompute tokenization + CV transform
+    vectorized = cv_model.transform(df).cache()
+    model = fit_lda(vectorized, k=k, max_iter=max_iter, seed=seed)
+    transformed = model.transform(vectorized)
     dom = dominant_topics(transformed, id_col)
+    vectorized.unpersist(blocking=False)
     kw = topic_keywords(model, cv_model.vocabulary, num_words)
     out = dom.join(
         F.broadcast(kw), dom.dominant_topic == kw.topic_num, "left"

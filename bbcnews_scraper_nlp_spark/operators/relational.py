@@ -95,6 +95,82 @@ def argmax_array(arr: Column) -> tuple[Column, Column]:
     return idx, mx
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, the
+    latest right row with right_ts <= left_ts per key.
+
+    Implemented as the union-window composition: tag both sides,
+    union, window per key ordered by (ts, side) with right rows
+    sorting BEFORE left rows at equal ts (so exact-timestamp matches
+    are visible, matching DuckDB/pandas inclusive semantics), and
+    last_value(..., ignoreNulls) carries the right payload forward.
+
+    Scale: ONE shuffle (the window partition by key) instead of a
+    range-join explosion; per-key state is a single running value.
+    Skewed keys are the hazard — salt or sub-bucket the key if one
+    entity dominates.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+    )
+    for v in value_cols:
+        lt = lt.withColumn(f"__r_{v}", F.lit(None).cast(rt.schema[f"__r_{v}"].dataType))
+    unioned = lt.select(
+        *[F.col(c) for c in left.columns], "__ts", "__side",
+        *[F.col(f"__r_{v}") for v in value_cols],
+    ).unionByName(
+        rt.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c != key
+                else F.col(key)
+                for c in left.columns
+            ],
+            "__ts", "__side", *[F.col(f"__r_{v}") for v in value_cols],
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *left.columns,
+        "__side",
+        *[
+            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event
+    of the same key exceeds the threshold. lag + conditional cumsum —
+    one shuffle on the key; returns rows with a session_id column."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def daily_mean(df: DataFrame, ts_col: str, value_cols: list[str], extra_keys: list[str] | None = None) -> DataFrame:
     """A3+P16: truncate to day, group-avg each value column.
 

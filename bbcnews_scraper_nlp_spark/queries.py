@@ -801,6 +801,139 @@ def tpch_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extended relational surface: as-of join, sessionization, pivot,
+# rollup, distinct aggs, Q6 scan (all oracle-checked)
+# --------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_view",
+    "SELECT c.event_id, c.user_id, c.ts, v.value AS asof_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+    "ON c.user_id = v.user_id AND c.ts >= v.ts",
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click picks up the user's latest prior view's
+    value. Spark lacks a native as-of join; this is the union-window
+    composition (ONE shuffle — no range-join explosion). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return R.asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).select("event_id", "user_id", "ts", F.col("asof_value").alias("asof_value"))
+
+
+@register(
+    "sessionize_count",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN "
+    "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "IS NULL OR epoch(ts) - lag(epoch(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END AS is_new "
+    "FROM events) "
+    "SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions "
+    "FROM g GROUP BY user_id",
+)
+def sessionize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) -> sessions per user. lag +
+    conditional cumsum; one shuffle on the key."""
+    events = load_table(spark, sf_dir, "events")
+    with_sessions = R.sessionize(events, "user_id", "ts", gap_minutes=30)
+    return with_sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_daily_event_counts",
+    "SELECT CAST(ts AS DATE) AS date, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns (engine
+    extension; Catalyst rewrites pivot into conditional aggs)."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; align with COUNT FILTER's 0
+    return out.select(
+        "date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "rollup_order_status",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS sum_total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (engine extension — free via Catalyst's
+    Expand; the reference has no grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    scaled = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), (F.sum(scaled) / 100.0).alias("sum_total")
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY event_type",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Expand-based two-phase distinct)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "tpch_q6_revenue_scan",
+    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+)
+def tpch_q6_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered scan + single agg — measures
+    pushdown + codegen throughput (all four predicates reach the
+    parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(price * disc) / 10000.0).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
 # rows-only queries: ops with no SQL-expressible oracle (the driver
 # records a weaker rows-only check; pytest covers their semantics)
 # --------------------------------------------------------------------

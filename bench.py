@@ -26,6 +26,9 @@ from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue",
+    "tpch_q6_revenue_scan",
+    "asof_join_last_view",
+    "sessionize_count",
     "w1_rolling_trend",
     "a3_daily_mean",
     "f6_dedup_keep_first",

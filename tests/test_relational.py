@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401
 
 from bbcnews_scraper_nlp_spark.operators import relational as R
 
@@ -53,6 +53,49 @@ def test_union_dedup(spark):
     b = spark.createDataFrame([(2, "y2"), (3, "z")], "k int, v string")
     out = R.union_dedup(a, b, ["k"], [F.col("v")]).orderBy("k").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, 1 + i % 2, base + dt.timedelta(minutes=m)) for i, m in enumerate([5, 12, 3, 40, 41])]
+    rrows = [(1 + j % 2, base + dt.timedelta(minutes=m), float(m)) for j, m in enumerate([1, 4, 10, 39])]
+    left = spark.createDataFrame(lrows, "event_id long, k int, ts timestamp")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, value double")
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in R.asof_join(left, right, "k", "ts", "ts", ["value"]).collect()
+    }
+    lpdf = pd.DataFrame(lrows, columns=["event_id", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(rrows, columns=["k", "ts", "value"]).sort_values("ts")
+    exp = pd.merge_asof(lpdf, rpdf, on="ts", by="k")
+    for _, row in exp.iterrows():
+        e = row["value"]
+        g = got[row["event_id"]]
+        if pd.isna(e):
+            assert g is None
+        else:
+            assert g == e
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # same session
+        (1, base + dt.timedelta(minutes=50)),   # gap 40 > 30 -> new
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = R.sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    sessions = {(r["user_id"], r["ts"]): r["session_id"] for r in out}
+    assert sessions[(1, rows[0][1])] == 1
+    assert sessions[(1, rows[1][1])] == 1
+    assert sessions[(1, rows[2][1])] == 2
+    assert sessions[(2, rows[3][1])] == 1
 
 
 def test_anti_join_new(spark):

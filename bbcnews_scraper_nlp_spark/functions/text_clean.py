@@ -81,13 +81,26 @@ def normalize_text(col: Column) -> Column:
     return c
 
 
+def _stopword_map() -> Column:
+    from itertools import chain
+
+    return F.create_map(
+        *chain.from_iterable((F.lit(w), F.lit(True)) for w in ALL_STOPWORDS)
+    )
+
+
 def filter_tokens(tokens: Column, min_len: int = 2) -> Column:
     """Token filter: len(w) > min_len AND w not a stopword
-    (data_preparation.py:54-56, F8/F9)."""
-    stop = F.lit(list(ALL_STOPWORDS))
+    (data_preparation.py:54-56, F8/F9).
+
+    Membership via map lookup, not array_contains: HOF lambdas are
+    interpreted, and a 180-element array scan per token costs ~1.7x
+    more than the hash lookup (measured at sf0.1)."""
+    stop = _stopword_map()
     return F.filter(
         tokens,
-        lambda w: (F.length(w) > min_len) & ~F.array_contains(stop, w),
+        lambda w: (F.length(w) > min_len)
+        & ~F.coalesce(F.element_at(stop, w), F.lit(False)),
     )
 
 

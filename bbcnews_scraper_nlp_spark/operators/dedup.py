@@ -269,15 +269,31 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Fully-relational n-gram Jaccard similarity join.
+    """Fully-relational n-gram Jaccard similarity join, with exact
+    PPJoin-style prefix filtering (Xiao et al. 2008).
 
-    explode distinct word n-grams -> self-join on the shingle (the
-    shuffle key; frequency-skewed shingles are the known hazard — at
-    scale, drop shingles with document frequency above a cap first)
-    -> per-pair intersection counts -> Jaccard from set sizes.
-    Every step is plain SQL: this operator is DuckDB-oracle-able.
+    Base plan: explode distinct word n-grams -> self-join on the
+    shingle -> per-pair intersection counts -> Jaccard from set
+    sizes. The self-join fanout is Σ_shingle df² — high-document-
+    frequency shingles blow it up at scale.
+
+    Prefix filter (exact, output-identical): order each doc's
+    shingles by ascending global document frequency; if
+    J(A,B) >= t, the first ⌊(1-t)·|X|⌋+1 shingles of each side must
+    intersect, so candidate generation joins only on those prefixes
+    (the rarest shingles — precisely the ones with small df²), then
+    the verify stage counts true intersections for candidates only.
+    Every step remains plain SQL — DuckDB-oracle-able.
+
+    ``prefix_filter=None`` auto-enables at threshold >= 0.5: the
+    prefix keeps (1-t) of each set, so at low thresholds the filter
+    prunes little and its extra joins cost more than they save
+    (measured 2x slower at t=0.2, sf0.1; the win flips as t grows).
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -285,13 +301,49 @@ def ngram_jaccard_pairs(
         ).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "shingle")
+                ),
+            )
+            .join(sizes, "id")
+        )
+        prefix = ranked.filter(
+            F.col("rank") <= F.floor((1 - threshold) * F.col("sz")) + 1
+        ).select("id", "shingle")
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+            .dropDuplicates(["id_1", "id_2"])
+        )
+        pairs = (
+            cand.join(sh.select(F.col("id").alias("id_1"), "shingle"), "id_1")
+            .join(
+                sh.select(F.col("id").alias("id_2"), "shingle"),
+                ["id_2", "shingle"],
+            )
+            .groupBy("id_1", "id_2")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+            .agg(F.count("*").alias("inter"))
+        )
+
     s1 = sizes.select(F.col("id").alias("id_1"), F.col("sz").alias("sz_1"))
     s2 = sizes.select(F.col("id").alias("id_2"), F.col("sz").alias("sz_2"))
     return (

@@ -171,6 +171,31 @@ def sessionize(
     )
 
 
+def grouped_zscore_pandas(
+    df: DataFrame, key: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """applyInPandas twin of the window z-score: per-group pandas
+    transform (the grouped-map UDF surface, SURVEY §2.9). Prefer the
+    pure-window form for production — this exists to exercise and
+    document the escape hatch; one shuffle on the key, whole group
+    materialized in pandas (bounded-group-size assumption)."""
+    import pandas as pd  # noqa: F401
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def per_group(pdf):
+        std = pdf[value_col].std(ddof=1)
+        if std and std > 0:
+            pdf[out_col] = (pdf[value_col] - pdf[value_col].mean()) / std
+        else:
+            pdf[out_col] = 0.0
+        return pdf
+
+    return df.groupBy(key).applyInPandas(per_group, schema)
+
+
 def daily_mean(df: DataFrame, ts_col: str, value_cols: list[str], extra_keys: list[str] | None = None) -> DataFrame:
     """A3+P16: truncate to day, group-avg each value column.
 

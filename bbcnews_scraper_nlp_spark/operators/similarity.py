@@ -125,6 +125,50 @@ def rp_lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the vectors, probe
+    only the n_probe centroids nearest the query.
+
+    Scale path: centroid assignment is a one-off narrow projection
+    (persist it — or partition the table by it for parquet partition
+    pruning); each query scans ~n_probe/n_centroids of the data.
+    Recall < 1 like any IVF index; raise n_probe to trade speed for
+    recall. Centroids fit on the driver (n_centroids × dim floats).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(with_vec)
+    centers = model.clusterCenters()
+    qarr = [float(x) for x in query]
+
+    def dist2(c) -> float:
+        return float(sum((a - b) * (a - b) for a, b in zip(c, qarr)))
+
+    probe = sorted(range(len(centers)), key=lambda i: (dist2(centers[i]), i))[:n_probe]
+    q = F.lit(qarr).cast("array<double>")
+    assigned = model.transform(with_vec)
+    scored = (
+        assigned.filter(F.col("__cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str,

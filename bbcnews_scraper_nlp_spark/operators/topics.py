@@ -122,16 +122,19 @@ def lda_pipeline(
 
     The label join is J1: a broadcast left join against a k-row dim
     (topic_modelling.ipynb:1692-1696, cell 29)."""
+    # cache the token arrays: CV fit, CV transform, and the LDA
+    # minibatch iterations would otherwise each recompute the
+    # upstream tokenize/clean chain
+    df = df.cache()
     cv_model = fit_count_vectorizer(
         df, tokens_col=tokens_col, min_df=min_df, max_df=max_df
     )
-    # cache: online LDA samples a minibatch per iteration — uncached,
-    # every iteration would recompute tokenization + CV transform
     vectorized = cv_model.transform(df).cache()
     model = fit_lda(vectorized, k=k, max_iter=max_iter, seed=seed)
     transformed = model.transform(vectorized)
     dom = dominant_topics(transformed, id_col)
     vectorized.unpersist(blocking=False)
+    df.unpersist(blocking=False)
     kw = topic_keywords(model, cv_model.vocabulary, num_words)
     out = dom.join(
         F.broadcast(kw), dom.dominant_topic == kw.topic_num, "left"

@@ -933,6 +933,83 @@ def tpch_q6_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5_local_supplier_revenue",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "GROUP BY n_name",
+)
+def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a region filter — exercises
+    Catalyst join reordering and broadcast of the dim chain
+    (region -> nation -> supplier filters flow into the fact join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey)
+        .join(li, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(
+            customer,
+            (customer.c_custkey == orders.o_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+    )
+
+
+_Z_SQL = (
+    "WITH s AS (SELECT event_id, event_type, value, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
+    "(PARTITION BY event_type) AS BIGINT) AS s1, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * "
+    "CAST(ROUND(value * 100) AS BIGINT)) OVER "
+    "(PARTITION BY event_type) AS BIGINT) AS s2, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_id, event_type, "
+    "CASE WHEN (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1) > 0 "
+    "THEN (value - s1 / (n * 100.0)) / "
+    "sqrt((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)) "
+    "ELSE 0.0 END AS zscore FROM s"
+)
+
+
+@register("zscore_per_type", _Z_SQL)
+def zscore_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped normalization (z-score per event_type) via unordered
+    analytic windows. mean/var derive from integer-scaled first and
+    second moments (exact in any aggregation order), so z is the same
+    double in both engines — stddev_samp() directly would diverge
+    cross-engine. The applyInPandas twin (grouped-map UDF surface,
+    SURVEY §2.9) is pytest-checked against this plan."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    sc = F.round(F.col("value") * 100).cast("long")
+    s1 = F.sum(sc).over(w)
+    s2 = F.sum(sc * sc).over(w)
+    n = F.count(F.lit(1)).over(w)
+    var = (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)
+    mean = s1 / (n * 100.0)
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(0.0)
+    return events.select("event_id", "event_type", z.alias("zscore"))
+
+
 # --------------------------------------------------------------------
 # rows-only queries: ops with no SQL-expressible oracle (the driver
 # records a weaker rows-only check; pytest covers their semantics)
@@ -990,6 +1067,41 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(
         emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
         [float(x) for x in query], k=10, r=6,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+    "SELECT a.vec_id AS id_1, b.vec_id AS id_2, "
+    "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+    "FROM e a, e b WHERE a.vec_id < b.vec_id "
+    "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force exact (the oracle
+    baseline; the LSH-bucketed variant in similarity.cosine_pairs is
+    the scale path, pytest-checked for recall). Threshold 0.4 chosen
+    so the synthetic embeddings (max pairwise cosine ~0.51) yield a
+    non-empty result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, brute_force=True
+    )
+
+
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (KMeans cells, probe nearest 3 of 16) —
+    the second scale path beside rp-LSH; pytest checks recall vs the
+    brute-force oracle twin."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
+        [float(x) for x in query], k=10,
     )
 
 

@@ -79,6 +79,28 @@ def test_simhash_near_dups(spark):
         assert 0 <= r["hamming"] <= 8
 
 
+def test_ngram_prefix_filter_output_identical(spark):
+    df, _ = _corpus(spark)
+    for thr in (0.2, 0.5, 0.8):
+        naive = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=thr, prefix_filter=False
+                ).collect(),
+            )
+        )
+        pruned = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=thr, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert naive == pruned, f"threshold {thr}"
+
+
 def test_ngram_jaccard_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],

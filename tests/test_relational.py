@@ -103,3 +103,18 @@ def test_anti_join_new(spark):
     seen = spark.createDataFrame([("u2",)], "url string")
     out = R.anti_join_new(new, seen, "url").collect()
     assert sorted(r["url"] for r in out) == ["u1", "u3"]
+
+
+def test_grouped_zscore_pandas_matches_window(spark):
+    rows = [(i, "t" + str(i % 2), float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in R.grouped_zscore_pandas(df, "event_type", "value").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    pdf["z"] = pdf.groupby("event_type")["value"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=1)
+    )
+    for _, row in pdf.iterrows():
+        assert abs(got[row["event_id"]] - row["z"]) < 1e-9

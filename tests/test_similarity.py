@@ -45,6 +45,22 @@ def test_lsh_topk_subset_of_bruteforce_ranking(spark):
     assert lsh[0]["cosine"] >= 0.999999  # vec 0 vs itself
 
 
+def test_ivf_topk_recall(spark):
+    df, mat = _emb_df(spark, n=200, dim=16)
+    q = [float(x) for x in mat[0]]
+    brute = [r["vec_id"] for r in S.cosine_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            df, "embedding", "vec_id", q, k=10, n_centroids=8, n_probe=4
+        ).collect()
+    ]
+    # probing half the cells should recover most of the true top-10
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.5, f"recall {recall}: {ivf} vs {brute}"
+    assert 0 in ivf  # the query vector itself lives in the probed cell
+
+
 def test_cosine_pairs_bruteforce_vs_lsh(spark):
     # near-identical planted pair
     base = [1.0, 0.5, -0.25, 0.125] * 4

@@ -1199,6 +1199,16 @@ def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lem(F.col("text")).alias("text_lemma"))
 
 
+@register("streaming_user_stats")
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 + custom stateful operator: applyInPandasWithState
+    running per-user count/total (the reference's cross-run state,
+    generalized); pytest checks it equals the batch groupBy."""
+    from .streaming.ingest import user_stats_batch
+
+    return user_stats_batch(spark, sf_dir)
+
+
 @register("streaming_dedup")
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: incremental ingest as Structured Streaming — watermarked

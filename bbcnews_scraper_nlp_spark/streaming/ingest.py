@@ -71,6 +71,72 @@ def run_available_now(
     )
 
 
+USER_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total, emitted once per
+    micro-batch per updated key.
+
+    This is the engine's slot for operators Structured Streaming
+    lacks natively (the reference's cross-run XCom/Mongo state,
+    bbc_news_dag.py:60-67, generalized). State is a 2-field tuple per
+    key — GroupState keeps it in the state store (RocksDB/HDFS at
+    scale), bounded by key cardinality, checkpointed for exactly-once
+    recovery.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stateful per-user stats over all available input and
+    return the final micro-batch output as a batch DataFrame."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"user_stats_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def incremental_dedup_batch(
     spark: SparkSession, sf_dir: str, key: str = "event_id"
 ) -> DataFrame:

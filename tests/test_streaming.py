@@ -7,6 +7,31 @@ from bbcnews_scraper_nlp_spark.catalog import load_table
 from bbcnews_scraper_nlp_spark.streaming.ingest import incremental_dedup_batch
 
 
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.streaming.ingest import user_stats_batch
+
+    out = user_stats_batch(spark, sf_dir)
+    # final state per user (availableNow may emit once per key per
+    # batch; take the last = max n_events)
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u, (n, t) in batch.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - t) < 1e-6
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir):
     out = incremental_dedup_batch(spark, sf_dir, key="event_id")
     batch = load_table(spark, sf_dir, "events")

@@ -78,6 +78,26 @@ def test_umass_coherence_planted_beats_shuffled(spark, planted):
         assert r["n_pairs"] == 15
 
 
+def test_lda_model_save_load_roundtrip(spark, planted, tmp_path):
+    from pyspark.ml.clustering import LocalLDAModel
+
+    cv = T.fit_count_vectorizer(planted, min_df=2.0)
+    vec = cv.transform(planted)
+    model = T.fit_lda(vec, k=3, max_iter=5, seed=42)
+    path = str(tmp_path / "lda_model")
+    model.save(path)
+    loaded = LocalLDAModel.load(path)
+    a = sorted(
+        (r["doc_id"], r["dominant_topic"])
+        for r in T.dominant_topics(model.transform(vec), "doc_id").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["dominant_topic"])
+        for r in T.dominant_topics(loaded.transform(vec), "doc_id").collect()
+    )
+    assert a == b
+
+
 def test_sweep_k_returns_scores(spark, planted):
     scores = T.sweep_k(planted, "tokens", ks=[2, 3], max_iter=3, min_df=2.0)
     assert [k for k, _ in scores] == [2, 3]

@@ -122,6 +122,78 @@ def image_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(make_image_meta_extractor(strict), IMAGE_META_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, width int, height int"
+)
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def make_resizer(target_w: int = 224, target_h: int = 224):
+    """mapInPandas stage shaped like image resize: declares the
+    output contract (payload + new dims); the pixel work is the
+    stubbed codec slot (here: payload truncation keyed to the target
+    area — deterministic, so downstream stages are testable). A real
+    implementation swaps `fake_resize` for PIL/libvips and nothing
+    else changes."""
+
+    def fake_resize(data: bytes) -> bytes:
+        keep = max(1, min(len(data), target_w * target_h // 512))
+        return data[:keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [fake_resize(bytes(p or b"")) for p in pdf["payload"]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return run
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    return df.select("doc_id", "media_type", "payload").mapInPandas(
+        make_resizer(target_w, target_h), RESIZE_SCHEMA
+    )
+
+
+def make_feature_extractor(dim: int = 16):
+    """mapInPandas stage shaped like an image/audio embedding model:
+    binary payload -> fixed-dim float vector. Kernel is a
+    deterministic byte-histogram projection (stub for a real
+    encoder); per-executor model init would live at this closure's
+    module level."""
+
+    def embed(data: bytes) -> list[float]:
+        hist = [0] * dim
+        for b in data:
+            hist[b % dim] += 1
+        total = max(1, len(data))
+        return [h / total for h in hist]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [embed(bytes(p or b"")) for p in pdf["payload"]],
+                }
+            )
+
+    return run
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    return df.select("doc_id", "payload").mapInPandas(
+        make_feature_extractor(dim), FEATURES_SCHEMA
+    )
+
+
 def make_frame_sampler(every_n: int = 10, max_frames: int = 4):
     """mapInPandas stage shaped like video frame sampling: emits
     deterministic per-'frame' rows (payload chunk hashes). A real

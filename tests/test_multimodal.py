@@ -42,6 +42,18 @@ def test_strict_mode_raises(spark):
     assert "NotImplementedError" in str(exc.value) or "no codec" in str(exc.value)
 
 
+def test_resize_and_features_chain(spark):
+    rows = [(1, "image/png", M._png_header(100, 50) + b"payload-bytes" * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    resized = M.resize_images(df, 224, 224)
+    r = resized.first()
+    assert (r["width"], r["height"]) == (224, 224)
+    assert len(bytes(r["payload"])) >= 1
+    feats = M.extract_features(resized, dim=8).first()["features"]
+    assert len(feats) == 8
+    assert abs(sum(feats) - 1.0) < 1e-6  # histogram normalized
+
+
 def test_frame_sampler(spark):
     df = spark.createDataFrame([(1, b"0123456789" * 5)], "doc_id long, payload binary")
     out = M.frame_samples(df, every_n=10, max_frames=3).collect()

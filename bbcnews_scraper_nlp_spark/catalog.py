@@ -30,9 +30,32 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def widen_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-width guard for compute-heavy consumers.
+
+    Single-row-group parquet files scan as ONE partition no matter how
+    maxPartitionBytes is set, so every downstream narrow op (regex
+    tokenize, shingling, vectorize) runs on one core. When the scan is
+    narrower than the cluster, repartition up to defaultParallelism —
+    one cheap round-robin shuffle buys full-width codegen stages.
+
+    Self-disabling at scale: a 100 TB table has file splits >= cores,
+    the guard sees npart >= parallelism and becomes a no-op, so no
+    full-table shuffle is ever added to a big scan.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if widen:
+        return widen_scan(spark, load_table(spark, sf_dir, name))
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects. Read nanos as long, then integer-

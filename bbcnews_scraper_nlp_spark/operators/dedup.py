@@ -294,13 +294,19 @@ def ngram_jaccard_pairs(
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
+    shingle_arr = F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
-        ).alias("shingle"),
+        F.explode(shingle_arr).alias("shingle"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # Set sizes narrowly from the source (size of the distinct-shingle
+    # array, no explode+groupBy) — one scan instead of re-deriving the
+    # exploded table, and small enough that AQE broadcasts the final
+    # sizes joins at bench scale (unhinted: at 100 TB it is one row
+    # per doc and must stay a shuffle join).
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(shingle_arr).alias("sz")
+    ).filter(F.col("sz") > 0)
 
     if prefix_filter:
         from pyspark.sql import Window
@@ -336,11 +342,33 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
+        # Pair generation via group-then-explode instead of a shingle
+        # self-join: one shuffle of the shingle table (not two), and
+        # df=1 shingles (most of them) die at the size filter before
+        # any pair is materialized. Skew note (both shapes share it):
+        # a shingle with document frequency f yields f^2 pairs; at
+        # real scale high-df shingles must be pruned first — that is
+        # exactly what the prefix_filter path does at threshold>=0.5.
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pair_arr = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.col("ids"),
+                        lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+                    ),
+                )
+            ),
+            lambda s: s["id_1"] < s["id_2"],
+        )
         pairs = (
-            sh.alias("a")
-            .join(sh.alias("b"), "shingle")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+            grouped.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
             .agg(F.count("*").alias("inter"))
         )
 

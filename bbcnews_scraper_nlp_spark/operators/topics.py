@@ -126,10 +126,22 @@ def lda_pipeline(
     # minibatch iterations would otherwise each recompute the
     # upstream tokenize/clean chain
     df = df.cache()
+    n_docs = df.count()
     cv_model = fit_count_vectorizer(
         df, tokens_col=tokens_col, min_df=min_df, max_df=max_df
     )
-    vectorized = cv_model.transform(df).cache()
+    # Size the training partitioning to the corpus: online LDA runs
+    # maxIter minibatch jobs, so per-job scheduling overhead scales
+    # with partition count while per-task work scales with docs per
+    # partition. Aim >=512 docs/partition (measured ~2x faster than
+    # 32 near-empty partitions at 5k docs), capped at cluster width —
+    # at real corpus sizes the cap binds and this is full parallelism.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(parallelism, n_docs // 512))
+    vectorized = cv_model.transform(df)
+    if target < vectorized.rdd.getNumPartitions():
+        vectorized = vectorized.coalesce(target)
+    vectorized = vectorized.cache()
     model = fit_lda(vectorized, k=k, max_iter=max_iter, seed=seed)
     transformed = model.transform(vectorized)
     dom = dominant_topics(transformed, id_col)

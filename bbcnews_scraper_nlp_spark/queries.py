@@ -76,7 +76,7 @@ STOPWORDS_SQL = _sql_str_list(ALL_STOPWORDS)
 def f1_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: substring containment (bbc_news_dag.py:32). Pushed into the
     parquet scan as a StringContains filter."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.filter(F.col("text").contains("spark")).select("doc_id", "source")
 
 
@@ -103,7 +103,7 @@ def f2_ts_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: drop rows with any NULL (data_preparation.py:88)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.na.drop("any").select("doc_id", "text", "lang", "source", "n_chars")
 
 
@@ -115,7 +115,7 @@ def f3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f4_min_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4+P3: derive n_words = len(split(' ')), keep > 50
     (data_preparation.py:89-90)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select(
         "doc_id", word_count(F.col("text")).alias("n_words")
     ).filter(F.col("n_words") > 50)
@@ -127,7 +127,7 @@ def f4_min_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f5_required_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: drop-if-empty-field pipeline (pipelines.py:16-24)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     ).select("doc_id", "n_chars")
@@ -208,7 +208,7 @@ def _sql_clean_expr(col: str) -> str:
 def p4_p12_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4-P12 + F8/F9: the full clean() chain as one codegen'd
     projection (data_preparation.py:29-57)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select("doc_id", clean_text(F.col("text")).alias("text_clean"))
 
 
@@ -377,7 +377,7 @@ def w3_argmax_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-row argmax over an array (the dominant-topic extraction
     shape, topic_modelling.ipynb cell 23); first-occurrence tie-break
     matches Python sorted() stability."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     idx, mx = R.argmax_array(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -479,7 +479,7 @@ def m6_m7_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6/M7: per-doc polarity+subjectivity via the pure-DF lexicon
     path (TextBlob twin, sentiment_analysis.ipynb cell 7) — zero
     Python, whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -505,7 +505,7 @@ def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a categorical key instead of day). Per-doc scores are identical
     doubles in both engines; the group mean goes through integer
     scaling so aggregation order can't skew the result."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = F.split(F.col("text"), " ")
     scored = docs.select(
         "source",
@@ -535,7 +535,7 @@ def a4_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topic_modelling.ipynb cell 7) as explode-distinct + doc-frequency
     count + bounds — exactly what CountVectorizer(minDF, maxDF) does
     internally."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     terms = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
     )
@@ -560,7 +560,7 @@ def a4_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-hash dedup: survivors = min doc_id per md5.
     One shuffle on a uniform 128-bit key — no skew possible."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return (
         docs.groupBy(content_hash(F.col("text")).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -587,7 +587,7 @@ _NGRAM_SQL = (
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity join, fully relational (the exact
     verify stage of MinHash-LSH, runnable standalone)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
@@ -601,7 +601,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a query vector (the ANN
     correctness baseline): one narrow scan + TakeOrderedAndProject."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = (
         emb.filter(F.col("vec_id") != 0)
@@ -641,7 +641,7 @@ _LANG_SQL = (
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via marker-word hit ratios (common-word heuristic);
     argmax with declaration-order tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select(
         "doc_id",
         TS.detect_language(F.split(F.col("text"), " ")).alias("lang_pred"),
@@ -670,7 +670,7 @@ _QUALITY_SQL = (
 @register("quality_score", _QUALITY_SQL)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style document quality heuristic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select(
         "doc_id",
         TS.quality_score(F.col("text"), list(ALL_STOPWORDS)).alias("quality"),
@@ -687,7 +687,7 @@ _BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (training-data budgeting)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return docs.select(
         "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_tokens")
     )
@@ -703,7 +703,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream.
     Cross-engine variant: token hash = first 8 md5 hex digits (md5 is
     identical in both engines; xxhash64 is not)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = F.split(F.col("text"), " ")
     hashed = F.transform(
         toks,
@@ -1019,7 +1019,7 @@ def zscore_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copies (last 2 words dropped, ids offset by
     1M) — planted near-duplicates so dedup operators have positives."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     mutated = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1062,7 +1062,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force twin ann_topk_cosine is the oracle-checked baseline)."""
     from .operators.similarity import rp_lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return rp_lsh_topk(
         emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
@@ -1084,7 +1084,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path, pytest-checked for recall). Threshold 0.4 chosen
     so the synthetic embeddings (max pairwise cosine ~0.51) yield a
     non-empty result."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     return S.cosine_pairs(
         emb, "embedding", "vec_id", threshold=0.4, brute_force=True
     )
@@ -1097,7 +1097,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle twin."""
     from .operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
@@ -1114,7 +1114,7 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_clean import clean_tokens
     from .operators.topics import lda_pipeline
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -1132,7 +1132,7 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.coherence import topics_terms_from_model, umass_coherence
     from .operators.topics import fit_count_vectorizer, fit_lda
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -1149,7 +1149,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed — see operators/multimodal.py)."""
     from .operators.multimodal import attach_binary_payload, image_meta
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return image_meta(attach_binary_payload(docs, "text", "doc_id"))
 
 
@@ -1160,7 +1160,7 @@ def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     menu_submenu derivation."""
     from .sources.html_extract import derive_menu_submenu, extract_article_fields
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     html = F.concat(
         F.lit('<html><body><h1 id="main-heading">Doc '),
         F.col("doc_id").cast("string"),
@@ -1194,7 +1194,7 @@ def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WordNet slot; kernel is engine-owned, plumbing is the contract)."""
     from .functions.lemmatize import POS_WHITELIST, make_lemmatize_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     lem = make_lemmatize_udf(POS_WHITELIST)
     return docs.select("doc_id", lem(F.col("text")).alias("text_lemma"))
 

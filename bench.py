@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bbcnews_scraper_nlp_spark.queries import REGISTRY  # noqa: E402
 from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
 
@@ -51,9 +53,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers once so per-query times measure
-    # the plans, not first-touch JIT.
-    spark.range(1).count()
+    # Warm the JVM once so per-query times measure the plans, not
+    # first-touch JIT: a tiny aggregate (codegen paths), a tiny
+    # online-LDA fit (MLlib/breeze JIT — otherwise the first fit pays
+    # ~3s of compilation), and a tiny pandas-UDF roundtrip (Arrow
+    # serialization path).
+    spark.range(32).groupBy((F.col("id") % 4).alias("g")).count().count()
+    tiny = spark.range(32).select(
+        F.col("id"), F.array(F.lit("a"), F.lit("b")).alias("tokens")
+    )
+    try:
+        from bbcnews_scraper_nlp_spark.operators.topics import lda_pipeline
+
+        lda_pipeline(tiny, "id", "tokens", k=2, max_iter=2, min_df=1.0).count()
+    except Exception:
+        pass
+    tiny.mapInPandas(lambda it: it, "id long, tokens array<string>").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

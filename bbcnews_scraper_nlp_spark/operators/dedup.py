@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.tokenize import char_shingles, word_shingles
 
@@ -121,10 +122,9 @@ def minhash_lsh_pairs(
     # Signatures via explode + grouped min-aggregation rather than
     # nested higher-order functions: HOF lambdas are interpreted
     # per-element while hash aggregation is whole-stage-codegen'd —
-    # measured 3.5x faster at sf0.1, identical signatures. The same
-    # pass collects the distinct hashed-shingle set for the verify
-    # stage. (Docs with zero shingles vanish here; they can't match
-    # any pair, so that's semantics-preserving.)
+    # measured 3.5x faster at sf0.1, identical signatures. (Docs with
+    # zero shingles vanish here; they can't match any pair, so that's
+    # semantics-preserving.)
     exploded = df.select(
         F.col(id_col),
         F.explode(hashed_shingles(F.col(text_col), shingle_mode, shingle_n)).alias("__h"),
@@ -135,9 +135,15 @@ def minhash_lsh_pairs(
         )
         for i, (a, b) in enumerate(_coeffs(num_hashes))
     ]
+    # One aggregation pass builds the whole LSH index: the 64
+    # signature mins plus the distinct shingle set (for the verify
+    # stage). Persisted — the index is one compact row per doc and is
+    # probed three times (band explode + two candidate set fetches);
+    # without it each probe re-runs tokenize+shingle+hash end to end.
+    # MEMORY_AND_DISK so a 10^9-doc index degrades to spill, not OOM.
     base = exploded.groupBy(id_col).agg(
         F.collect_set("__h").alias("__sh"), *min_aggs
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = [
         F.struct(
@@ -154,21 +160,29 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # Band join on (band, bhash, id) ONLY — the shingle sets stay
+    # behind. Shuffling them through the 16x band explode (on both
+    # join sides) was the dominant cost: bands x 2 copies of every
+    # doc's full shingle array. Candidates are rare by construction,
+    # so fetching sh_1/sh_2 afterwards touches base twice with a
+    # key-only semi-join-sized probe instead.
     banded = base.select(
-        id_col, "__sh", F.explode(F.array(*band_structs)).alias("__b")
-    ).select(id_col, "__sh", F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
+        id_col, F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bhash").alias("bhash"))
 
-    left = banded.select(
-        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_1"), F.col("__sh").alias("sh_1")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bhash"), F.col(id_col).alias("id_2"), F.col("__sh").alias("sh_2")
-    )
-    cand = (
+    left = banded.select("band", "bhash", F.col(id_col).alias("id_1"))
+    right = banded.select("band", "bhash", F.col(id_col).alias("id_2"))
+    cand_ids = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "sh_1", "sh_2")
+        .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
+    )
+    sets = base.select(F.col(id_col), F.col("__sh"))
+    cand = cand_ids.join(
+        sets.select(F.col(id_col).alias("id_1"), F.col("__sh").alias("sh_1")), "id_1"
+    ).join(
+        sets.select(F.col(id_col).alias("id_2"), F.col("__sh").alias("sh_2")), "id_2"
     )
 
     inter = F.size(F.array_intersect("sh_1", "sh_2"))

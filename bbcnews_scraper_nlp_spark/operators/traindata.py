@@ -1,0 +1,206 @@
+"""Training-corpus preparation operators.
+
+The four operations every large-scale LLM-data pipeline runs between
+"deduplicated documents" and "training shards", each expressed as a
+pure Catalyst plan so Catalyst/AQE own the physical strategy:
+
+- deterministic_split: reproducible train/val/test assignment from a
+  content-independent hash of the document key. No rand() — the split
+  is a pure function of the id, so it is stable across runs, engines,
+  repartitioning, and backfills (the property that matters when a
+  100 TB corpus is re-materialized incrementally).
+- contamination: benchmark-contamination check — which documents
+  contain verbatim n-grams from an eval/benchmark set. The benchmark
+  side is small by nature (broadcast); documents never shuffle.
+- pii_scrub: regex redaction of emails / IPv4s / long digit runs.
+  Narrow projection, whole-stage codegen, linear scale-out. The regex
+  dialect is restricted to the Java-regex ∩ RE2 subset so the exact
+  same patterns run on any engine (and in the DuckDB oracle).
+- pack_sequences: assign documents to fixed-token-budget training
+  bins. Exact greedy packing is inherently sequential; the scalable
+  form shards documents (hash of id), packs each shard independently
+  with a running-cumsum window, and accepts <=1 partially-filled bin
+  per shard. One shuffle (the per-shard window); shards = the
+  parallelism knob.
+
+No reference-repo counterpart: this module is part of the 100 TB
+training-pipeline extension mandated by the build brief (BASELINE.json
+north star), same tier as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# deterministic split
+# ---------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key — identical
+    bytes-in/bucket-out on any engine that has md5 (unlike xxhash64 or
+    rand(seed), which are engine-private)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Add a ``split`` column by hash-bucketing the id.
+
+    weights are fractions summing to ~1; assignment is by cumulative
+    bucket ranges, e.g. 80/10/10 -> train=[0,80) val=[80,90)
+    test=[90,100). Pure projection: no shuffle, no state, reproducible
+    under any partitioning.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(F.col(id_col), buckets)
+    expr: Column | None = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name] * buckets
+        cond = bucket < F.lit(int(round(edge)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document count + share of word n-grams that appear verbatim
+    in a benchmark corpus (decontamination pass, in the spirit of the
+    GPT-3/C4 13-gram checks — n is a knob; tests use smaller n to fit
+    the synthetic corpus).
+
+    Plan: distinct doc shingles (explode, narrow) inner-join the
+    distinct benchmark shingle set, counted per doc. The benchmark
+    side is aggregated first (distinct) and broadcast — eval sets are
+    thousands of rows while docs are billions, so the big side never
+    shuffles. Returns (id, contaminated_ngrams, total_ngrams,
+    contamination_ratio) for contaminated docs only.
+    """
+    from ..functions.tokenize import word_shingles
+
+    sh_arr = F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
+    doc_sh = docs.select(
+        F.col(id_col), F.size(sh_arr).alias("__total"), F.explode(sh_arr).alias("__s")
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
+            ).alias("__s")
+        )
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "__s")
+    return (
+        hits.groupBy(id_col, "__total")
+        .agg(F.count("*").alias("contaminated_ngrams"))
+        .select(
+            F.col(id_col),
+            "contaminated_ngrams",
+            F.col("__total").alias("total_ngrams"),
+            F.round(
+                F.col("contaminated_ngrams").cast("double") / F.col("__total"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------
+
+# Java-regex ∩ RE2 subset only: explicit ASCII classes, no lookaround,
+# no \p{...} (dialects disagree — see cross-engine rules in queries.py).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+LONG_DIGITS_RE = r"\b[0-9]{9,}\b"
+
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (LONG_DIGITS_RE, "<ID>"),
+)
+
+
+def pii_scrub(col: Column, rules: tuple[tuple[str, str], ...] = PII_RULES) -> Column:
+    """Ordered regex redaction chain (email before ip/id so the local
+    part's digits are not half-eaten). Pure codegen projection."""
+    out = col
+    for pattern, token in rules:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_scrub_sql(expr: str, rules: tuple[tuple[str, str], ...] = PII_RULES) -> str:
+    """The identical chain as ANSI/DuckDB SQL (regexp_replace with the
+    global flag — Spark's regexp_replace is global by default)."""
+    out = expr
+    for pattern, token in rules:
+        escaped = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{token}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shards: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk packing (the standard LLM-pretraining shape):
+    per shard, documents are laid out contiguously in id order and the
+    token stream is cut every ``budget`` tokens; each document's
+    ``bin`` is the context-window index where it starts.
+
+    Plan: deterministic hash shard -> per-shard running token cumsum
+    (window) -> bin = floor(cumsum_before / budget). One shuffle (the
+    per-shard window); ``shards`` is the parallelism knob — at 100 TB
+    pick shards >> cores so no single window partition outgrows
+    executor memory.
+    """
+    shard = hash_bucket(F.col(id_col), shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tokens = F.col(token_count_col)
+    return (
+        df.select(F.col(id_col), F.col(token_count_col), shard)
+        .withColumn("__cum", F.sum(tokens).over(w))
+        .select(
+            id_col,
+            token_count_col,
+            "shard",
+            F.floor((F.col("__cum") - tokens) / budget).cast("int").alias("bin"),
+        )
+    )

@@ -1220,6 +1220,128 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# training-corpus preparation (operators/traindata.py)
+# --------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@register(
+    "split_train_val_test",
+    f"WITH b AS (SELECT doc_id, {_BUCKET_SQL} % 100 AS bucket FROM documents) "
+    "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+    "ELSE 'test' END AS split, COUNT(*) AS n_docs FROM b GROUP BY 1",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split from md5(doc_id) — reproducible
+    across runs/engines/partitionings (no rand()), the property a
+    re-materialized 100 TB corpus needs. Pure projection + one tiny
+    aggregate."""
+    from .operators.traindata import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_CONTAM_N = 5
+_CONTAM_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "arrs AS (SELECT doc_id, list_distinct(list_transform("
+    f"range(0, greatest(len(t) - {_CONTAM_N - 1}, 0)), "
+    f"i -> array_to_string(t[i+1:i+{_CONTAM_N}], ' '))) AS sh FROM toks), "
+    "doc_sh AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s FROM arrs "
+    "WHERE doc_id % 97 <> 0), "
+    "bench AS (SELECT DISTINCT unnest(sh) AS s FROM arrs WHERE doc_id % 97 = 0) "
+    "SELECT doc_id, COUNT(*) AS contaminated_ngrams, total AS total_ngrams, "
+    "ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS contamination_ratio "
+    "FROM doc_sh JOIN bench USING (s) GROUP BY doc_id, total"
+)
+
+
+@register("contamination_check", _CONTAM_SQL)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs contain verbatim
+    word n-grams from a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval set). Benchmark shingles
+    are distinct-aggregated then broadcast — the training side (the
+    100 TB side) never shuffles."""
+    from .operators.traindata import contamination
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, "doc_id", "text", n=_CONTAM_N)
+
+
+def _pii_augmented_sql() -> str:
+    from .operators.traindata import pii_scrub_sql
+
+    aug = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.org or 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.' || CAST(doc_id % 250 AS VARCHAR) || ' acct ' || "
+        "CAST(900000000 + doc_id AS VARCHAR)"
+    )
+    return (
+        f"SELECT doc_id, {pii_scrub_sql(aug)} AS scrubbed FROM documents"
+    )
+
+
+@register("pii_scrub_text", _pii_augmented_sql())
+def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4s, long digit runs) over text with
+    synthetic PII planted per doc so the regexes actually fire. Narrow
+    codegen projection — linear scale-out, no shuffle."""
+    from .operators.traindata import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" acct "),
+        (F.lit(900000000) + F.col("doc_id")).cast("string"),
+    )
+    return docs.select("doc_id", pii_scrub(aug).alias("scrubbed"))
+
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 8
+_PACK_SQL = (
+    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    f"AS n_tokens, {_BUCKET_SQL} % {_PACK_SHARDS} AS shard FROM documents) "
+    "SELECT doc_id, n_tokens, shard, CAST(FLOOR(CAST(SUM(n_tokens) OVER "
+    "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    f"CURRENT ROW) - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS INT) AS bin FROM d"
+)
+
+
+@register("pack_sequences_bins", _PACK_SQL)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per hash-shard, docs are laid
+    out in id order and cut every 512 tokens; bin = the context-window
+    index where each doc starts. One window shuffle, sharded for
+    scale."""
+    from .operators.traindata import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, "doc_id", "n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
+# --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------
 

@@ -109,3 +109,45 @@ def export_csv(df: DataFrame, path: str, columns: list[str]) -> None:
     """S8: CSV sink with explicit column projection
     (pipelines.py:76-102's CsvItemExporter fields_to_export)."""
     df.select(*columns).write.option("header", True).mode("overwrite").csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed stage-table writer — the co-located-join scale path.
+
+    Pre-hashes rows into ``num_buckets`` files per partition keyed on
+    ``bucket_cols`` at WRITE time, so every later join/aggregation on
+    those keys reads with the required hash distribution already in
+    place: no Exchange on the fact side, ever. This is the standing
+    answer to "tpch_q3-style joins stop broadcasting at 100 TB" —
+    bucket orders and lineitem by orderkey once, join shuffle-free
+    forever after (see PLANS.md and tests/test_sources.py, which
+    asserts the Exchange-free plan).
+
+    Pick num_buckets ≈ total-table-bytes / 128 MB at the target scale;
+    both join sides must use the SAME bucket count (or an integer
+    multiple) for co-location. ``sort_cols`` additionally orders
+    within each bucket file (merge-join without a sort when one file
+    per bucket).
+
+    Uses ``saveAsTable`` (bucketing metadata lives in the session
+    catalog; plain ``.parquet(path)`` cannot carry it).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed stage table with its distribution metadata (the
+    plain parquet path would discard bucketing)."""
+    return spark.table(table)

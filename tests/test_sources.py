@@ -79,3 +79,36 @@ def test_bpe_ish_tokens(spark):
     # contractions split off, punctuation isolated, non-ascii falls in
     # the symbol class
     assert toks == ["it", "'s", "a", "test", "-", "1", "ç", "ase"]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.sources.stage_io import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem, "bkt_lineitem", ["l_orderkey"], num_buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so distribution requirements bite
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "bkt_orders").join(
+            read_bucketed(spark, "bkt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing satisfied both sides
+        n = joined.count()
+        # every lineitem matches exactly one order
+        assert n == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

@@ -46,6 +46,46 @@ def anti_join_new(df_new: DataFrame, df_seen: DataFrame, key: str) -> DataFrame:
     return df_new.join(df_seen.select(key), key, "left_anti")
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of the skewed
+    (big) side across ``n_salts`` shuffle partitions; the dim side is
+    replicated once per salt so every (key, salt) pair still meets its
+    match. Output is row-identical to ``skewed.join(dim, key, how)``.
+
+    This is the MANUAL fallback for when AQE's skew-join split cannot
+    help: AQE splits oversized *partitions*, but a single hot KEY
+    lands in one partition no matter how it is split for a join that
+    must co-locate the key. Salting rewrites the join key itself, so
+    one hot key fans across n_salts reducers. Cost: dim side is
+    materialized n_salts times — use with a dim that is small-ish but
+    above the broadcast threshold (below it, broadcast already avoids
+    the problem entirely).
+
+    The salt is derived from xxhash64 of the skewed row's whole tuple
+    — deterministic (replayable tasks, no rand()) and decorrelated
+    from the join key.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full-outer would surface the dim replication as
+        # duplicate unmatched rows — flip the sides instead.
+        raise ValueError(f"salted_join supports left-preserving joins, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in skewed.columns])),
+        F.lit(n_salts),
+    )
+    left = skewed.withColumn("__salt", salt)
+    right = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [key, "__salt"], how).drop("__salt")
+
+
 def union_dedup(a: DataFrame, b: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
     """§2.7: archive + daily feeds share one sink -> unionByName +
     keyed dedup."""

@@ -1209,6 +1209,17 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_stats_batch(spark, sf_dir)
 
 
+@register("streaming_windowed_counts")
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: watermarked tumbling-window aggregation in append mode —
+    daily event counts emitted only once the watermark closes the
+    window; pytest checks emitted windows equal the batch aggregate
+    and open windows are withheld."""
+    from .streaming.ingest import windowed_counts_batch
+
+    return windowed_counts_batch(spark, sf_dir)
+
+
 @register("streaming_dedup")
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: incremental ingest as Structured Streaming — watermarked

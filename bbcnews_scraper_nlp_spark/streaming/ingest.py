@@ -137,6 +137,60 @@ def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical
+    Structured Streaming shape for late data: counts per (day window,
+    event_type); the watermark both bounds aggregation state and
+    defines the late-data cutoff (append mode emits a window only
+    once the watermark passes its end, i.e. it can no longer change).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the watermarked windowed aggregation with AvailableNow
+    and return the emitted (closed) windows as a batch DataFrame."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def incremental_dedup_batch(
     spark: SparkSession, sf_dir: str, key: str = "event_id"
 ) -> DataFrame:

@@ -118,3 +118,29 @@ def test_grouped_zscore_pandas_matches_window(spark):
     )
     for _, row in pdf.iterrows():
         assert abs(got[row["event_id"]] - row["z"]) < 1e-9
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.relational import salted_join
+
+    # 90% of fact rows hit one hot key
+    fact = spark.range(0, 5000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 11).alias("attr")
+    )
+    plain = {(r["id"], r["k"], r["attr"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["id"], r["k"], r["attr"])
+        for r in salted_join(fact, dim, "k", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 5000
+    # left join preserves unmatched fact rows exactly once
+    dim_holey = dim.filter(F.col("k") != 7)
+    left = salted_join(fact, dim_holey, "k", n_salts=8, how="left").collect()
+    assert len(left) == 5000
+    assert sum(1 for r in left if r["attr"] is None) == 4500

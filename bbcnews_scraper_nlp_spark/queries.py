@@ -769,6 +769,43 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q1_decimal_scale",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS DOUBLE) / 100.0 "
+    "AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS HUGEINT))) AS DOUBLE) / 10000.0 "
+    "AS sum_disc_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_decimal_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's beyond-sf1000 formulation: scaled money sums in
+    Decimal(38,0) (vs int64 in tpch_q1, which overflows once
+    sum(price_s * (100-disc_s)) passes 2^63 at ~sf1000) — oracle side
+    uses HUGEINT, both cast to double only after the exact sum.
+    Decimal aggregation is still exact integer arithmetic in any
+    partial-agg order; ~30% slower than int64, which is why both
+    formulations exist."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    qty = F.round(F.col("l_quantity") * 100).cast(dec)
+    price = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    disc = F.round(F.col("l_discount") * 100).cast(dec)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price * (F.lit(100).cast(dec) - disc)).cast("double") / 10000.0)
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
     "tpch_q3_top_revenue",
     "SELECT o_orderkey, "
     "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "

@@ -36,6 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate rewrites explode(f(x)) into
+        # Filter(size(f(x))>0 AND isnotnull(f(x))) + explode(f(x)) —
+        # i.e. it EVALUATES the generator input two extra times per
+        # row once pushdown substitutes the alias. Every explode in
+        # this engine generates from a COMPUTED array (shingling,
+        # banding, pair expansion — interpreted HOF chains, the
+        # priciest expressions we run), so the inferred filter is pure
+        # recompute: measured 5.4x on the contamination check at
+        # sf0.1, with bit-identical results (the rule only adds
+        # redundant pre-filters; explode drops empty/null arrays
+        # anyway). The trade-off would flip only for explodes of
+        # STORED array columns feeding a shuffle, which this engine
+        # does not do.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

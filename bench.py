@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "split_train_val_test",
+    "contamination_check",
+    "pii_scrub_text",
+    "pack_sequences_bins",
     "lda_topics",
 ]
 

@@ -82,6 +82,50 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``cosine_topk``: the scoring pass is a
+    pandas_udf doing one numpy matmul per Arrow batch.
+
+    Same plan shape (narrow scan -> TakeOrderedAndProject); the
+    difference is the scoring kernel — BLAS over thousands of rows at
+    once vs an interpreted per-element fold. At bench scale (2k
+    vectors) the JVM fold wins on overhead (0.32s vs 0.47s); the
+    crossover is batch volume: at millions of rows per executor the
+    matmul path is the one that holds, and it is the slot where a GPU
+    or faiss kernel would mount. numpy's pairwise summation can
+    differ from the sequential fold in the last double bit, so this
+    variant is pytest-checked for identical top-k ids (rounded scores
+    equal to 1e-6) rather than oracle-hashed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qarr = np.asarray(query, dtype=np.float64)
+    qnorm = float(np.linalg.norm(qarr))
+
+    def _score(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = m @ qarr
+        n = np.sqrt((m * m).sum(axis=1)) * qnorm
+        return pd.Series(np.round(d / n, 6))
+
+    # no type hints on purpose: this module uses
+    # `from __future__ import annotations`, which stringifies hints
+    # and breaks pandas_udf's signature inference for locally-imported
+    # pandas; the explicit returnType carries the contract instead.
+    score = pandas_udf(_score, "double")
+
+    scored = df.select(F.col(id_col), score(F.col(vec_col)).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id over r hyperplanes -> int in [0, 2^r)."""
     bucket = F.lit(0)

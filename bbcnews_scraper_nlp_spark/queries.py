@@ -1390,6 +1390,56 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# data profiling (operators/profiling.py)
+# --------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+    f"COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct, "
+    f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM documents"
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", _PROFILE_SQL)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA profile: one aggregation pass computes every column's
+    count/null/distinct/min/max, stack() unpivots to a row per column.
+    Exact distincts here (oracle-portable); approx_count_distinct is
+    the documented 100 TB path."""
+    from .operators.profiling import column_profile
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return column_profile(docs, _PROFILE_COLS)
+
+
+_QUANTILE_SQL = (
+    "SELECT l_returnflag, "
+    "quantile_cont(l_extendedprice, 0.25) AS p25, "
+    "quantile_cont(l_extendedprice, 0.50) AS p50, "
+    "quantile_cont(l_extendedprice, 0.75) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@register("price_quantiles", _QUANTILE_SQL)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (order statistics with linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+    The scale path is percentile_approx's mergeable t-digest; the
+    exact form is the oracle."""
+    from .operators.profiling import grouped_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], [0.25, 0.50, 0.75]
+    )
+
+
+# --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------
 

@@ -144,3 +144,31 @@ def test_salted_join_equals_plain_join(spark):
     left = salted_join(fact, dim_holey, "k", n_salts=8, how="left").collect()
     assert len(left) == 5000
     assert sum(1 for r in left if r["attr"] is None) == 4500
+
+
+def test_column_profile_counts(spark):
+    from bbcnews_scraper_nlp_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k long, v string"
+    )
+    out = {r["column_name"]: r for r in column_profile(df, ["k", "v"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_str"], out["k"]["max_str"]) == ("1", "3")
+    assert out["v"]["n_distinct"] == 2 and out["v"]["n_nulls"] == 1
+    # approx path returns the same shape
+    approx = column_profile(df, ["k"], exact_distinct=False).first()
+    assert approx["n_distinct"] >= 1
+
+
+def test_grouped_quantiles_exact(spark):
+    from bbcnews_scraper_nlp_spark.operators.profiling import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)] + [("b", 10.0), ("b", 20.0)],
+        "g string, x double",
+    )
+    out = {r["g"]: r for r in grouped_quantiles(df, "x", ["g"], [0.5]).collect()}
+    assert out["a"]["p50"] == 3.0
+    assert out["b"]["p50"] == 15.0  # interpolated midpoint

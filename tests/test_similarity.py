@@ -73,3 +73,20 @@ def test_cosine_pairs_bruteforce_vs_lsh(spark):
     assert {(r["id_1"], r["id_2"]) for r in bf} == {(0, 1)}
     lsh = S.cosine_pairs(df, "embedding", "vec_id", threshold=0.99, r=3, dim=16).collect()
     assert {(r["id_1"], r["id_2"]) for r in lsh} == {(0, 1)}
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    jvm = cosine_topk(base, "embedding", "vec_id", query, k=10).collect()
+    arrow = cosine_topk_pandas(base, "embedding", "vec_id", query, k=10).collect()
+    assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in arrow]
+    for a, b in zip(jvm, arrow):
+        assert abs(a["cosine"] - b["cosine"]) <= 1e-6

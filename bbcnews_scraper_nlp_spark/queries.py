@@ -1390,6 +1390,70 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extended relational surface II: group top-k, cube, correlated EXISTS
+# --------------------------------------------------------------------
+
+
+@register(
+    "top3_orders_per_segment",
+    "SELECT * FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+    "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3",
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the group-limit operator): row_number window
+    with a deterministic tie-break, filtered to k. Spark pushes a
+    per-partition rank limit below the shuffle (WindowGroupLimit), so
+    each map task ships at most k rows per group — the 100 TB-safe
+    group-limit."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "cube_status_priority",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — Expand-based
+    multi-grouping in one pass over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+_EXISTS_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
+)
+
+
+@register("orders_with_bulk_items", _EXISTS_SQL)
+def orders_with_bulk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front-end (register_views +
+    spark.sql — the engine's second API surface). Catalyst decorrelates
+    to a left-semi hash join; the identical SQL string runs on the
+    DuckDB oracle."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------
 # data profiling (operators/profiling.py)
 # --------------------------------------------------------------------
 

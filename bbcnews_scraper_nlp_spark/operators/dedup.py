@@ -402,3 +402,160 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
+
+
+# --------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# --------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    max_jumps: int = 20,
+) -> DataFrame:
+    """Distributed connected components over an edge list; returns
+    ``(node, comp)`` where ``comp`` is the smallest node id in the
+    component (a deterministic canonical representative).
+
+    Pair-level dedup (MinHash/SimHash/cosine) yields *edges*; a
+    training corpus needs *clusters* — transitive closure — so that
+    A~B, B~C keeps one of {A,B,C}, not two. The reference never needs
+    this (its only dedup key is exact-url, F6/F7); at 100 TB it is
+    the step that turns a pair list into a keep-list.
+
+    Algorithm: star contraction + pointer jumping, two nested loops,
+    both purely relational (no driver-side graph state):
+
+      outer round: (1) every node adopts the min label among itself
+      and its neighbors (one shuffle: groupBy on the symmetric edge
+      list); (2) the resulting parent forest is collapsed by pointer
+      doubling — ``p = p∘p`` — so every tree flattens to its root in
+      O(log depth) self-joins; (3) edges are re-labeled by root and
+      self-loops dropped. The contracted graph has ≥2x fewer nodes
+      per component per round, so O(log n) outer rounds total.
+
+    A plain min-propagation loop needs O(diameter) shuffles — a
+    10^6-doc duplicate *chain* (adversarial but real in scraped
+    corpora) would take 10^6 rounds; this takes ~20. Every iteration
+    ends in ``localCheckpoint`` to truncate lineage (iterative joins
+    otherwise grow the plan exponentially).
+
+    Cross-component edge handling: contraction round k merges every
+    star with its cross-edges re-injected, which is exactly the
+    Kiveris et al. (2014) "Connected Components in MapReduce" family;
+    this variant trades their alternation proof for an explicit
+    root-flattening inner loop, keeping each step a vanilla
+    equi-join that AQE can re-plan (skew-split hot labels).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    # Global node -> component label, refined each round.
+    labels = e.select(F.col("u").alias("x")).distinct().select(
+        "x", F.col("x").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # (1) parent = min(self, neighbors) on the contracted graph.
+        parent = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(
+                F.col("u").alias("x"),
+                F.least(F.col("u"), F.col("mn")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # (2) pointer doubling to the root: x -> p(p(x)) until fixed.
+        for _ in range(max_jumps):
+            nxt = (
+                parent.alias("a")
+                .join(
+                    parent.select(
+                        F.col("x").alias("px"), F.col("p").alias("pp")
+                    ),
+                    F.col("a.p") == F.col("px"),
+                    "left",
+                )
+                .select(
+                    F.col("a.x").alias("x"),
+                    F.coalesce(F.col("pp"), F.col("a.p")).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.alias("n")
+                .join(parent.alias("o"), F.col("n.x") == F.col("o.x"))
+                .filter(F.col("n.p") != F.col("o.p"))
+                .limit(1)
+                .count()
+            )
+            parent = nxt
+            if changed == 0:
+                break
+        # (3) fold into the global labels and contract the edges.
+        labels = (
+            labels.alias("l")
+            .join(parent.alias("r"), F.col("l.comp") == F.col("r.x"), "left")
+            .select(
+                F.col("l.x").alias("x"),
+                F.coalesce(F.col("r.p"), F.col("l.comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(
+                parent.select(F.col("x").alias("u"), F.col("p").alias("cu")),
+                "u",
+            )
+            .join(
+                parent.select(F.col("x").alias("v"), F.col("p").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        )
+        e = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        e = e.localCheckpoint(eager=True)
+        if e.limit(1).count() == 0:
+            break
+    return labels.select(F.col("x").alias("node"), "comp")
+
+
+def duplicate_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, id1: str = "id_1", id2: str = "id_2"
+) -> DataFrame:
+    """Assign every row of ``df`` a duplicate-cluster representative:
+    the min id reachable through ``pairs``; rows in no pair map to
+    themselves. Returns df's columns + ``cluster_rep``."""
+    comp = connected_components(pairs, id1, id2)
+    return (
+        df.join(
+            comp.select(
+                F.col("node").alias(id_col), F.col("comp").alias("cluster_rep")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))
+    )
+
+
+def keep_cluster_canonical(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Corpus-level near-dedup: keep exactly one row (the min-id
+    canonical) per duplicate cluster."""
+    clustered = duplicate_clusters(df, id_col, pairs)
+    return clustered.filter(F.col(id_col) == F.col("cluster_rep")).drop("cluster_rep")

@@ -1504,6 +1504,362 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# TPC-H shape widening: Q4/Q10/Q14/Q18/Q19 on the testdata columns
+# --------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_check",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R') "
+    "GROUP BY o_orderpriority",
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-ranged fact filter + EXISTS semi-join +
+    group count. The semi-join never widens rows (left_semi — no
+    duplicate inflation from multi-lineitem orders), and the lineitem
+    side is pre-filtered so the shuffle carries only matching keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most — fact-fact join with
+    both sides pre-filtered, broadcast nation enrich, top-20 via
+    TakeOrderedAndProject. Aggregates on the join keys BEFORE pulling
+    the wide name columns would be the sf1000 refinement; at any sf
+    the nation join broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("revenue").alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) "
+    "AS promo_revenue_scaled, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS total_revenue_scaled "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim
+    join. Both sums stay exact scaled integers; the oracle compares
+    the two exact sums (a derived promo ratio is one fp division the
+    caller can do). part broadcasts at every sf where it fits; at
+    100 TB AQE picks shuffle-hash on the uniform p_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (100 - disc)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_revenue_scaled"),
+            F.sum(rev).alias("total_revenue_scaled"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    "SELECT c_custkey, o_orderkey, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS total_qty "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 18000) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, o_orderkey "
+    "ORDER BY total_qty DESC, o_orderkey LIMIT 100",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING subquery feeding a semi-join,
+    then re-aggregate with customer context, top-100. The HAVING agg
+    runs once on integer-scaled quantities; its key list semi-joins
+    orders (no row inflation) before the final join+agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 18000)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg((F.sum(qty) / 100.0).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_pred",
+    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity >= 1 AND l_quantity <= 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity >= 10 AND l_quantity <= 20) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity >= 20 AND l_quantity <= 30))",
+)
+def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive join predicates. Authored as an
+    equi-join on p_partkey with the OR-of-ANDs as a post-join filter —
+    Catalyst extracts the common equi-key (no nested-loop join) and
+    pushes the single-sided conjuncts (brand/size membership union)
+    into each scan via constraint inference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# duplicate clustering: connected components (pairs -> clusters)
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_cc_clusters",
+    "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS cluster_rep "
+    "FROM documents",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering over a deterministic
+    candidate graph: consecutive doc_ids within each (lang, source)
+    group are linked, producing one *path graph* per group — the
+    adversarial-diameter shape for CC (plain min-propagation needs
+    O(chain length) shuffles; pointer jumping needs O(log)). The
+    oracle knows the answer analytically: every group chains into one
+    component whose representative is the group's min doc_id.
+
+    The production pairing (MinHash/SimHash edges) runs in
+    ``dedup_minhash_clusters``; this query pins the CC kernel itself
+    to an exact oracle."""
+    from .operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return duplicate_clusters(
+        docs.select("doc_id"), "doc_id", edges, "src", "dst"
+    ).select("doc_id", "cluster_rep")
+
+
+@register("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pair finding -> connected
+    components -> keep the min-id canonical per duplicate cluster.
+    The full 100 TB dedup path (pairs alone under-delete transitive
+    duplicate chains: A~B, B~C must drop two docs, not one).
+    Rows-only check (LSH banding is engine-defined); the CC kernel
+    and the pair stage have their own oracles."""
+    from .operators.dedup import keep_cluster_canonical, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.5
+    ).select("id_1", "id_2")
+    return keep_cluster_canonical(docs.select("doc_id", "text"), "doc_id", pairs).select(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------
+# ranking / lead-lag window surface + set operations
+# --------------------------------------------------------------------
+
+
+@register(
+    "rank_orders_in_priority",
+    "WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+    "ntile(4) OVER w AS quartile FROM orders "
+    "WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)) "
+    "SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile "
+    "FROM r WHERE rnk <= 50",
+)
+def rank_orders_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking surface: rank / dense_rank / ntile in one window pass
+    (one shuffle on the partition key; the rank<=50 filter becomes a
+    WindowGroupLimit pushdown so each partition keeps a 50-row heap
+    rather than sorting everything at 100 TB). Ordering ties broken
+    by o_orderkey -> fully deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    "WITH d AS (SELECT user_id, "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS gap_us FROM events) "
+    "SELECT user_id, COUNT(gap_us) AS n_gaps, "
+    "CAST(SUM(gap_us) AS BIGINT) AS total_gap_us, "
+    "CAST(MAX(gap_us) AS BIGINT) AS max_gap_us "
+    "FROM d WHERE gap_us IS NOT NULL GROUP BY user_id",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag surface: per-user inter-arrival gaps (lag over event
+    time) aggregated to exact integer stats. Gaps are whole
+    microseconds (unix_micros / epoch_us — both engines truncate
+    nanos identically; epoch seconds would be fractional in DuckDB
+    but truncated in Spark). The window and the groupBy share the
+    user_id hash partitioning — one shuffle total, the aggregation
+    partial-combined map-side."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        events.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@register(
+    "setop_intersect_except",
+    "WITH click_users AS (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'click'), "
+    "buy_users AS (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'purchase') "
+    "SELECT 'both' AS cohort, user_id FROM "
+    "(SELECT user_id FROM click_users INTERSECT SELECT user_id FROM buy_users) "
+    "UNION ALL "
+    "SELECT 'click_only' AS cohort, user_id FROM "
+    "(SELECT user_id FROM click_users EXCEPT SELECT user_id FROM buy_users)",
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): clickers who did / did not
+    purchase. Catalyst plans both as hash semi/anti joins over the
+    deduped key sets — no full-row sort-based set algebra."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).select(F.lit("both").alias("cohort"), "user_id")
+    only = clicks.exceptAll(buys).select(
+        F.lit("click_only").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------
 

@@ -110,3 +110,77 @@ def test_ngram_jaccard_values(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["id_1"], r["id_2"]) == (1, 2) and abs(r["jaccard"] - 1.0) < 1e-9
+
+
+# --------------------------------------------------------------------
+# connected components / duplicate clustering
+# --------------------------------------------------------------------
+
+
+def _py_components(edges, nodes):
+    """Pure-Python union-find oracle: node -> min id of component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_path_graph_converges_logarithmically(spark):
+    # A 200-node chain: the adversarial-diameter case. Plain
+    # min-propagation would need 200 rounds; pointer jumping must
+    # collapse it within the operator's bounded round budget.
+    from bbcnews_scraper_nlp_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(201)}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    from bbcnews_scraper_nlp_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(300))
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(180)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _py_components(edges, {n for e in edges for n in e})
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_keep_cluster_canonical_one_per_cluster(spark):
+    from bbcnews_scraper_nlp_spark.operators.dedup import keep_cluster_canonical
+
+    # clusters: {1,2,3} (chain), {10,11}, singletons 20, 21
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_1 long, id_2 long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in keep_cluster_canonical(df, "doc_id", pairs).collect()
+    )
+    assert kept == [1, 10, 20, 21]

@@ -108,3 +108,39 @@ def rolling_fingerprint(tokens: Column, base: int = 31) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: F.pmod(acc * base + h, F.lit(MERSENNE31)),
     )
+
+
+def repetition_stats(text: Column) -> tuple[Column, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) as two
+    columns: ``top_word_share`` (most frequent word's fraction of all
+    words) and ``dup_bigram_frac`` (1 − distinct/total word bigrams).
+
+    Both are *narrow* higher-order-function pipelines — per-row
+    compute, no explode, no shuffle — which is the 100 TB-preferred
+    shape for per-document stats (the explode+groupBy formulation
+    shuffles the whole token stream). top_word_share is O(distinct ×
+    len) per doc; for pathological single-doc lengths cap upstream
+    with a length filter.
+
+    Counts are exact integers; each ratio is one fp division —
+    cross-engine deterministic without rounding."""
+    from ..functions.tokenize import word_shingles
+
+    words = F.split(text, " ")
+    total = F.size(words)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_share = F.when(
+        total > 0, top.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    bigrams = word_shingles(words, 2)
+    n_bi = F.size(bigrams)
+    dup_frac = F.when(
+        n_bi > 0,
+        1.0 - F.size(F.array_distinct(bigrams)).cast("double") / n_bi.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return top_share, dup_frac

@@ -213,3 +213,61 @@ def pack_sequences(
             F.floor((F.col("__cum") - tokens) / budget).cast("int").alias("bin"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# stratified sampling & deterministic corpus shuffle
+# ---------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (domain-mixing for training
+    corpora): keep a row iff its md5 hash-bucket falls below the
+    stratum's fraction. Unlike ``DataFrame.sampleBy`` (rand()-seeded,
+    partitioning-dependent), the kept set is a pure function of the
+    key — stable across runs, engines, and re-partitionings, so a
+    re-materialized 100 TB corpus reproduces byte-identically. Pure
+    projection + filter: no shuffle, no state."""
+    bucket = hash_bucket(F.col(key_col), buckets)
+    thr: Column | None = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(round(frac * buckets)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = thr.otherwise(F.lit(int(round(default_fraction * buckets))))
+    return df.filter(bucket < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, shards: int = 1024, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering:
+    assigns every row a total-order position ``(shard, shard_pos)``
+    where shard = hash-bucket of the salted key and shard_pos ranks
+    by the full salted hash within the shard.
+
+    A literal ORDER BY hash at 100 TB is a global sort; this is the
+    scalable equivalent — readers consume shards in index order and
+    rows within a shard in shard_pos order, which IS the order
+    ORDER BY (hash) would give (shard is the hash's leading bucket).
+    One shuffle on shard; ``shards`` bounds the per-window input
+    (pick shards >> cores so no partition outgrows memory). Changing
+    ``salt`` produces an independent permutation (new epoch order)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(shards)
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__h")
+    )

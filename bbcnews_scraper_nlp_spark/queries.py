@@ -1764,6 +1764,120 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# training-corpus prep: stratified sample, deterministic shuffle,
+# repetition quality signals
+# --------------------------------------------------------------------
+
+_SAMPLE_FRACTIONS = {"src1": 0.5, "src2": 0.5, "src3": 0.25}
+
+
+@register(
+    "stratified_sample_sources",
+    "WITH b AS (SELECT doc_id, source, "
+    f"{_BUCKET_SQL} % 10000 AS bucket FROM documents) "
+    "SELECT doc_id, source FROM b WHERE bucket < (CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {int(round(f * 10000))}"
+        for s, f in _SAMPLE_FRACTIONS.items()
+    )
+    + " ELSE 1000 END)",
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (domain mixing): per-source
+    keep fractions from md5 hash-buckets — reproducible across
+    engines/partitionings, unlike rand()-based sampleBy. Pure
+    filter, no shuffle."""
+    from .operators.traindata import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return stratified_sample(
+        docs, "source", _SAMPLE_FRACTIONS, "doc_id", default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+@register(
+    "deterministic_shuffle_order",
+    "WITH h AS (SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS hh "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8 AS INT) "
+    "AS shard, hh FROM h) "
+    "SELECT doc_id, shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) "
+    "AS shard_pos FROM s",
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: (shard, shard_pos) total order
+    from a salted md5 — the scalable ORDER BY hash (per-shard windows
+    instead of one global sort; shards is the memory/parallelism
+    knob)."""
+    from .operators.traindata import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return deterministic_shuffle(docs, "doc_id", shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+@register(
+    "repetition_quality",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2 THEN list_transform("
+    "range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')) "
+    "ELSE [] END AS bi FROM t) "
+    "SELECT doc_id, "
+    "CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), "
+    "d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) "
+    "ELSE 0.0 END AS top_word_share, "
+    "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) "
+    "/ len(bi) ELSE 0.0 END AS dup_bigram_frac "
+    "FROM g",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word share + duplicate-
+    bigram fraction, per document. Narrow HOF pipeline (no explode,
+    no shuffle) — exact integer counts, one fp division each."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    top_share, dup_frac = TS.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        top_share.alias("top_word_share"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------
+# approximate aggregates: the 100 TB fast path for exact twins above
+# --------------------------------------------------------------------
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per event_type (rsd=2%) — the
+    scale path for ``distinct_users_per_type``: single-pass, fixed
+    ~1.5 KB sketch per group, no Expand/two-phase distinct shuffle of
+    the full key set. Rows-only (sketches are engine-defined); pytest
+    bounds the error against the exact twin."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@register("approx_price_quantiles")
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate grouped quantiles (the t-digest-
+    class scale path for ``price_quantiles``): mergeable fixed-size
+    summaries instead of the exact ``percentile`` sort-per-group.
+    Rows-only; pytest bounds rank error against the exact twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+        ).alias("price_quantiles_approx")
+    )
+
+
+# --------------------------------------------------------------------
 # ranking / lead-lag window surface + set operations
 # --------------------------------------------------------------------
 

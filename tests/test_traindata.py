@@ -88,3 +88,94 @@ def test_pack_sequences_matches_sequential_reference(spark):
         before = cum.get(s, 0)
         assert got[doc_id] == (s, before // 512), doc_id
         cum[s] = before + n_tokens
+
+
+def test_stratified_sample_deterministic_and_ratioed(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    out = TD.stratified_sample(
+        df, "source", {"s0": 0.5, "s1": 0.1}, "doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["s0"] / 2000 - 0.5) < 0.05
+    assert abs(counts["s1"] / 2000 - 0.1) < 0.03
+    # determinism: identical kept set under different partitioning
+    again = TD.stratified_sample(
+        df.repartition(13), "source", {"s0": 0.5, "s1": 0.1}, "doc_id"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_deterministic_shuffle_total_order_and_epochs(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = TD.deterministic_shuffle(df, "doc_id", shards=16)
+    # every row exactly once, positions contiguous from 1 per shard
+    rows = s1.collect()
+    assert len(rows) == 1000
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # same salt -> identical order; different salt -> different order
+    s1b = TD.deterministic_shuffle(df.repartition(7), "doc_id", shards=16)
+    key = lambda d: sorted((r["doc_id"], r["shard"], r["shard_pos"]) for r in d.collect())
+    assert key(s1) == key(s1b)
+    s2 = TD.deterministic_shuffle(df, "doc_id", shards=16, salt="epoch-2")
+    assert key(s1) != key(s2)
+
+
+def test_repetition_stats_known_values(spark):
+    from bbcnews_scraper_nlp_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # top share 1.0; bigrams all "a a" -> dup 2/3
+            (2, "a b c d"),          # top share 0.25; 3 distinct bigrams -> 0.0
+            (3, "x"),                # no bigrams -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    top, dup = repetition_stats(F.col("text"))
+    got = {
+        r["doc_id"]: (r["t"], r["d"])
+        for r in df.select("doc_id", top.alias("t"), dup.alias("d")).collect()
+    }
+    assert got[1][0] == 1.0 and abs(got[1][1] - 2 / 3) < 1e-9
+    assert got[2] == (0.25, 0.0)
+    assert got[3] == (1.0, 0.0)
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in REGISTRY["distinct_users_per_type"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2.0, 0.05 * n)
+
+    exactq = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["price_quantiles"].fn(spark, sf_dir).collect()
+    }
+    approxq = {
+        r["l_returnflag"]: r["price_quantiles_approx"]
+        for r in REGISTRY["approx_price_quantiles"].fn(spark, sf_dir).collect()
+    }
+    # GK with accuracy 10k at this row count: near-exact ranks
+    for flag, row in exactq.items():
+        for i, col in enumerate(["p25", "p50", "p75"]):
+            rel = abs(approxq[flag][i] - row[col]) / max(abs(row[col]), 1e-9)
+            assert rel < 0.02, (flag, col, approxq[flag][i], row[col])

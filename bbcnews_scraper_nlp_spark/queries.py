@@ -1257,6 +1257,18 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(spark, sf_dir)
 
 
+@register("streaming_interval_join")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks pick up the
+    same user's views within a 30-minute lookback, both sides
+    watermarked so join state is bounded (watermark + interval
+    width). Rows-only; pytest checks exact equality with the batch
+    interval-join twin."""
+    from .streaming.ingest import interval_join_batch
+
+    return interval_join_batch(spark, sf_dir)
+
+
 @register("streaming_dedup")
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: incremental ingest as Structured Streaming — watermarked

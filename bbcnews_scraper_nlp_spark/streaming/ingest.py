@@ -205,3 +205,133 @@ def incremental_dedup_batch(
     q = run_available_now(stream_events(spark, sf_dir, key=key), name, ckpt)
     q.awaitTermination()
     return spark.table(name)
+
+
+def event_stream(spark: SparkSession, sf_dir: str, ts_col: str = "ts") -> DataFrame:
+    """Streaming reader for the events table (schema pinned from the
+    parquet footer; NANOS ts normalized to micros exactly as the
+    batch reader does)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return stream
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup keys whose duplicates
+    arrive within the watermark delay of each other. Unlike
+    dropDuplicates (state lives forever per key unless the watermark
+    column is part of the key), state here is *evicted by event
+    time* — the store holds only ~(keys seen in the last watermark
+    window), the right bound for an infinite-retention stream whose
+    duplicates are bursty (retries, re-crawls) rather than eternal.
+    The reference's unique-url index (bbc_news_dag.py:34-38) is the
+    unbounded version; this is what survives years of uptime."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def interval_join_clicks_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins the
+    same user's views from the preceding ``lookback`` window.
+
+    Both sides carry watermarks so the state store can discard rows
+    once no future match is possible (buffered-state bound =
+    watermark + interval width — without both bounds a stream-stream
+    join buffers forever). The join condition is an equi-key
+    (user_id, shuffled symmetrically) plus the time-range predicate
+    evaluated within each key's buffered rows."""
+    c = clicks.withWatermark("click_ts", watermark)
+    v = views.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            "c_user_id = v_user_id AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+        "inner",
+    )
+
+
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream-stream interval join over all available input
+    (two independent file-stream readers over the same table, as a
+    real pipeline would read two topics)."""
+    import tempfile
+    import uuid
+
+    def side(event_type: str, ts_alias: str, cols: list) -> DataFrame:
+        s = event_stream(spark, sf_dir)
+        return s.filter(F.col("event_type") == event_type).select(
+            *cols, F.col("ts").alias(ts_alias)
+        )
+
+    clicks = side(
+        "click",
+        "click_ts",
+        [F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id")],
+    )
+    views = side(
+        "view",
+        "view_ts",
+        [F.col("user_id").alias("v_user_id"), F.col("value").alias("view_value")],
+    )
+    joined = interval_join_clicks_views(clicks, views)
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "click_id", "c_user_id", "click_ts", "view_ts", "view_value"
+    )
+
+
+def upsert_foreach_batch(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    key: str,
+    checkpoint_dir: str,
+):
+    """Idempotent streaming sink: every micro-batch MERGEs into the
+    stage table via foreachBatch + upsert_skip (left-anti + append).
+    foreachBatch is the bridge from exactly-once streaming to
+    batch-only sinks: replayed micro-batches (failure recovery)
+    re-run the anti-join and append nothing — idempotence replaces
+    sink-side transactionality."""
+    from ..sources.stage_io import upsert_skip
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_skip(batch_df.sparkSession, batch_df, root, name, key)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

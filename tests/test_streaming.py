@@ -3,6 +3,8 @@ dedup; dedup key actually deduplicates."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bbcnews_scraper_nlp_spark.catalog import load_table
 from bbcnews_scraper_nlp_spark.streaming.ingest import incremental_dedup_batch
 
@@ -79,3 +81,90 @@ def test_windowed_counts_match_batch_closed_windows(spark, sf_dir):
     for start, end, _ in streamed:
         assert end <= cutoff + datetime.timedelta(days=1)
     assert all(end > cutoff - datetime.timedelta(seconds=1) for _, end, _ in unemitted)
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.streaming.ingest import interval_join_batch
+
+    got = interval_join_batch(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    want = clicks.join(
+        views,
+        (F.col("c_user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "c_user_id", "click_ts", "view_ts", "view_value")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(want)
+
+
+def test_dedup_within_watermark_drops_burst_dups(spark, tmp_path):
+    import uuid
+
+    from bbcnews_scraper_nlp_spark.streaming.ingest import dedup_within_watermark
+
+    # two files: key 1 duplicated within the hour (dropped), key 2
+    # unique, key 3 duplicated across files but still within watermark
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (2, "2024-01-01 10:20:00"),
+            (3, "2024-01-01 10:30:00"),
+        ],
+        "event_id long, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    df1.write.parquet(str(src / "a.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .parquet(str(src) + "/*")
+    )
+    out = dedup_within_watermark(stream, key="event_id", watermark="1 hour")
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.streaming.ingest import upsert_foreach_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2")], "k long, v string"
+    ).write.parquet(str(src / "a.parquet"))
+    stream = spark.readStream.schema("k long, v string").parquet(str(src) + "/*")
+    q = upsert_foreach_batch(
+        stream, str(tmp_path), "stage", "k", str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(str(tmp_path / "stage")).count()
+    assert n1 == 2  # in-batch dup collapsed
+    # replay from a fresh checkpoint (simulates re-run): appends nothing
+    q2 = upsert_foreach_batch(
+        stream, str(tmp_path), "stage", "k", str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "stage")).count() == n1

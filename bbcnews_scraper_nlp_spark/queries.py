@@ -1858,6 +1858,94 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# semi-structured (JSON) surface + doc-term matrix + corpus n-grams
+# --------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    "SELECT event_type, "
+    "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+    "COUNT(json_extract_string(props, '$.k')) AS n_with_k "
+    "FROM events GROUP BY event_type",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON path extraction
+    (get_json_object — Jackson JVM-side, codegen-compatible) feeding
+    an exact integer aggregate. At 100 TB prefer from_json with a
+    pinned schema once the shape is known (single parse, columnar
+    struct); the path form is for exploratory/ragged JSON."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+@register(
+    "doc_term_stats",
+    "WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2), "
+    "dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1), "
+    "ranked AS (SELECT doc_id, term, tf, df, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY tf DESC, term) AS rnk "
+    "FROM tfc JOIN dfc USING (term)) "
+    "SELECT doc_id, term, tf, df FROM ranked WHERE rnk <= 5",
+)
+def doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-term matrix relational core (A4/A5's exact twin): term
+    frequency per doc, document frequency per term, per-doc top-5
+    terms. explode -> two hash aggs (both map-side combinable) ->
+    df join -> WindowGroupLimit top-k per doc. The CountVectorizer
+    path in topics.py is this plan with vocab pruning; exact integer
+    outputs keep it oracle-able (idf's log stays caller-side — libm
+    rounding differs across engines)."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tfc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.col("term"))
+    return (
+        tfc.join(dfc, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df")
+    )
+
+
+@register(
+    "top_bigrams",
+    "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), "
+    "b AS (SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)), "
+    "i -> array_to_string(w[i+1:i+2], ' '))) AS bigram FROM t) "
+    "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
+    "ORDER BY n DESC, bigram LIMIT 100",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram counting (the wordcount of LLM-data work —
+    vocabulary induction, contamination lists): explode bigrams ->
+    hash agg with map-side partial combine -> top-100 via
+    TakeOrderedAndProject. The explode is the scan-dominant stage and
+    stays linear; no driver-side state."""
+    from .functions.tokenize import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return (
+        docs.select(
+            F.explode(word_shingles(F.split("text", " "), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("bigram"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------
 # approximate aggregates: the 100 TB fast path for exact twins above
 # --------------------------------------------------------------------
 

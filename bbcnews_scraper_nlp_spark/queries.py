@@ -2073,6 +2073,301 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+@register(
+    "tpch_q7_volume_shipping",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled "
+    "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+    "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+    "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+    "AND c_nationkey = n2.n_nationkey "
+    "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "GROUP BY supp_nation, cust_nation, l_year",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: one dimension table (nation) playing TWO join
+    roles (supplier's vs customer's nation) with a disjunctive
+    cross-role predicate. The nation filter is applied to each small
+    side BEFORE the fact joins, so supplier/customer shrink to the
+    two named nations and broadcast; the only at-scale shuffle is
+    lineitem ⋈ orders on orderkey. The OR-of-pairs predicate runs
+    post-join on two broadcast-joined label columns — never a
+    nested-loop join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp_n = supplier.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("sk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = customer.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("ck"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(price * (100 - disc)).alias("revenue_scaled"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    "WITH pv AS (SELECT l_partkey, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS value_scaled "
+    "FROM lineitem GROUP BY l_partkey) "
+    "SELECT l_partkey, value_scaled FROM pv "
+    "WHERE value_scaled * 2500 > (SELECT SUM(value_scaled) FROM pv)",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp→lineitem adaptation: traded value
+    per part vs a global-total scalar subquery). Two-level plan: one
+    partial+final hash agg by partkey, then the grand total — a
+    1-row aggregate — broadcast onto the per-part rows via cross
+    join, so the HAVING-vs-global comparison never shuffles the
+    per-part side again. All-integer arithmetic: the 0.04% share
+    threshold is cross-multiplied (`val*2500 > total`), no fp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(price * qty).alias("value_scaled"))
+    )
+    total = pv.agg(F.sum("value_scaled").alias("grand_total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_scaled") * 2500 > F.col("grand_total"))
+        .select("l_partkey", "value_scaled")
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "FROM customer LEFT OUTER JOIN orders "
+    "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "GROUP BY c_custkey) c_orders "
+    "GROUP BY c_count",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders per customer —
+    left-OUTER join with a non-key predicate INSIDE the join
+    condition (customers whose only orders are urgent must surface
+    with count 0, so the filter cannot be a WHERE), then two stacked
+    aggregations. COUNT(o_orderkey) counts non-null matches only —
+    expressed as `count(o_orderkey)` which skips the outer-join
+    nulls in both engines. The second agg's input is ≤ #customers
+    rows, so its shuffle is trivial at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    "WITH rev AS (SELECT l_suppkey, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_scaled "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_rev_scaled "
+    "FROM supplier, rev WHERE s_suppkey = l_suppkey "
+    "AND total_rev_scaled = (SELECT MAX(total_rev_scaled) FROM rev)",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax-by-equality against a scalar MAX
+    subquery (the revenue view). The quarter's per-supplier revenue
+    is aggregated once and reused for both the MAX and the equality
+    probe — authored as one cached-free plan: agg → 1-row max
+    broadcast → filter, then broadcast-join supplier names. Exact
+    integer revenue makes the equality safe cross-engine (fp sums
+    would make `= MAX` nondeterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (100 - disc)).alias("total_rev_scaled"))
+    )
+    mx = rev.agg(F.max("total_rev_scaled").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_scaled") == F.col("mx"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_scaled")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    "SELECT p_brand, p_type, p_size, "
+    "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem, part WHERE p_partkey = l_partkey "
+    "AND p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
+    "AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp→lineitem adaptation; 'complaint'
+    suppliers = negative acctbal): NOT-IN exclusion + grouped
+    COUNT(DISTINCT). The exclusion list is a handful of keys —
+    aggregated then broadcast anti-joined, so the fact side never
+    shuffles for it (s_suppkey is non-null, so anti-join ≡ NOT IN;
+    a nullable exclusion key would need Spark's null-aware anti
+    join, i.e. the `NOT IN` SQL front-end). The distinct-agg is
+    Catalyst's standard two-shuffle expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    "WITH pq AS (SELECT l_partkey AS pk, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_q_scaled, "
+    "COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey) "
+    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "/ 100.0 / 7.0 AS avg_yearly "
+    "FROM lineitem, part, pq WHERE p_partkey = l_partkey AND pk = l_partkey "
+    "AND p_brand = 'Brand#2' "
+    "AND CAST(ROUND(l_quantity * 100) AS BIGINT) * cnt * 5 < sum_q_scaled",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-AVG subquery
+    (`l_quantity < 0.2 * AVG(l_quantity) per part`), decorrelated to
+    a per-part aggregate joined back to the fact — the standard
+    rewrite Catalyst itself applies to correlated scalar subqueries.
+    The AVG comparison is cross-multiplied into integers
+    (`q*cnt*5 < sum`) so the threshold is exact in both engines —
+    a fp average would flip rows at the boundary. p_brand prunes
+    parts before the join; the per-part agg is over full lineitem
+    (needed: AVG is per part, not per brand-filtered subset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    pq = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(qty).alias("sum_q_scaled"), F.count("*").alias("cnt"))
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(qty * F.col("cnt") * 5 < F.col("sum_q_scaled"))
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             / 100.0 / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    "WITH pos AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_s "
+    "FROM customer WHERE c_acctbal > 0), "
+    "thr AS (SELECT CAST(SUM(bal_s) AS BIGINT) AS sum_s, COUNT(*) AS cnt FROM pos) "
+    "SELECT n_name AS nation, COUNT(*) AS numcust, "
+    "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS totacctbal "
+    "FROM customer, nation, thr WHERE c_nationkey = n_nationkey "
+    "AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt > sum_s "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') "
+    "GROUP BY n_name",
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix→nation adaptation; 'no orders'
+    → 'no orders in the final year', since this corpus has no
+    order-less customers): above-average balance via a global scalar
+    subquery + NOT EXISTS anti-join, grouped by nation. The
+    above-average threshold is cross-multiplied to integers
+    (`bal*cnt > sum`); the anti-join's right side is the DISTINCT
+    recent-buyer key set (pre-aggregated, so the anti probe is
+    key-only); nation broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("sum_s"), F.count("*").alias("cnt"))
+    )
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(bal * F.col("cnt") > F.col("sum_s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(bal) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -2368,6 +2368,146 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gapfill_hourly_counts",
+    "WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events), "
+    "b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM ev), "
+    "spine AS (SELECT event_type, "
+    "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr "
+    "FROM (SELECT DISTINCT event_type FROM ev), b), "
+    "c AS (SELECT event_type, hr, COUNT(*) AS n FROM ev GROUP BY 1, 2) "
+    "SELECT s.event_type, s.hr, COALESCE(n, 0) AS n_events "
+    "FROM spine s LEFT JOIN c USING (event_type, hr)",
+)
+def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series (timescale-style `time_bucket_gapfill`):
+    hourly event counts per type with EMPTY buckets materialized as
+    zero rows — the shape every monitoring / training-data freshness
+    dashboard needs, and one vanilla groupBy cannot produce (absent
+    groups don't exist). The hour spine is generated ENGINE-side
+    (`sequence` + `explode` of a 1-row min/max aggregate crossed with
+    the distinct key set) — never a driver loop — then left-joined
+    with the real counts. At 100 TB the spine is |keys|×|hours| rows
+    built from a broadcast 1-row bound, and the left join shuffles on
+    the same (key, hour) the counts aggregation already produced."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    bounds = ev.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    counts = ev.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+    return spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "histogram_totalprice",
+    "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket, "
+    "COUNT(*) AS n_orders FROM orders GROUP BY bucket",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram ($50k buckets over order totals) —
+    the profiling primitive behind data-distribution dashboards.
+    Bucketing is pure integer arithmetic (cents DIV width-in-cents),
+    so bucket boundaries are exact in both engines (fp division would
+    misplace boundary values). One partial+final hash agg; at 100 TB
+    the bucket cardinality is tiny so the map-side combine collapses
+    nearly everything before the single Exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "cast(round(o_totalprice * 100) as bigint) div 5000000"
+    ).alias("bucket")
+    return orders.groupBy(bucket).agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    "WITH mp AS (SELECT l_partkey AS pk, "
+    "MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_price_s "
+    "FROM lineitem GROUP BY l_partkey) "
+    "SELECT l_partkey, MIN(l_suppkey) AS best_supp, min_price_s "
+    "FROM lineitem, mp, part WHERE l_partkey = pk "
+    "AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) = min_price_s "
+    "AND p_partkey = l_partkey AND p_size = 10 "
+    "GROUP BY l_partkey, min_price_s",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp→lineitem adaptation): groupwise-ARGMIN
+    — the supplier quoting the minimum price per part, correlated
+    `= (SELECT MIN ...)` decorrelated into a per-part MIN aggregate
+    joined back on (part, price=min), with MIN(suppkey) as the
+    deterministic tie-break (Q2's ORDER BY role). Exact integer
+    prices make the equality probe safe cross-engine. The size
+    filter prunes parts before the join; the min-agg and the probe
+    shuffle on the same l_partkey, so AQE reuses the partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    mp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min(price).alias("min_price_s")
+    )
+    sized = part.filter(F.col("p_size") == 10).select("p_partkey")
+    return (
+        li.select("l_partkey", "l_suppkey", price.alias("price_s"))
+        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            mp,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("price_s") == F.col("min_price_s")),
+        )
+        .groupBy("l_partkey", "min_price_s")
+        .agg(F.min("l_suppkey").alias("best_supp"))
+        .select("l_partkey", "best_supp", "min_price_s")
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+    "SELECT l_suppkey FROM lineitem WHERE l_partkey IN "
+    "(SELECT p_partkey FROM part WHERE p_name LIKE 'red%') "
+    "GROUP BY l_suppkey "
+    "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 200000)",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a chain of nested IN subqueries — parts by
+    name prefix → lineitems of those parts → suppliers whose summed
+    shipped quantity clears a threshold → supplier details. Each IN
+    becomes a (broadcast) semi-join: the part key set broadcasts
+    into the fact scan, the HAVING aggregate's key list semi-joins
+    supplier. The p_name LIKE 'red%' prefix predicate is pushed into
+    the part scan as a StartsWith filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    heavy = (
+        li.join(
+            F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 200000)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -1257,6 +1257,18 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(spark, sf_dir)
 
 
+@register("streaming_session_windows")
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: streaming sessionization (`session_window`) —
+    dynamic gap-merged windows per user, closed by the watermark and
+    emitted once in append mode. Rows-only; pytest checks exact
+    equality with a batch lag+cumsum sessionization twin (including
+    the half-open boundary semantics)."""
+    from .streaming.ingest import session_counts_batch
+
+    return session_counts_batch(spark, sf_dir)
+
+
 @register("streaming_interval_join")
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: clicks pick up the

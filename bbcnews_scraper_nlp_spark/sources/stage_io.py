@@ -151,3 +151,43 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed stage table with its distribution metadata (the
     plain parquet path would discard bucketing)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned stage writer — the data-SKIPPING scale
+    path (complement of ``write_bucketed``'s co-location path).
+
+    Lays files out as ``path/col=value/...`` so any later read whose
+    filter touches ``partition_cols`` prunes whole directories at
+    PLANNING time (``PartitionFilters`` in the scan node) — a
+    predicate on the partition column over a 100 TB table reads only
+    the matching slices, zero I/O for the rest. This is the standard
+    layout for time-partitioned event/training corpora: partition by
+    ingest day (low cardinality, ~uniform volume), bucket or sort
+    within partitions for join keys.
+
+    Keep partition cardinality ≤ ~10^4: each value is a directory
+    (namenode pressure, tiny files below ~128 MB/partition). High-
+    cardinality keys belong in ``write_bucketed``, not here.
+    ``tests/test_sources.py::test_partition_pruning_in_plan`` asserts
+    both the layout and that a filtered read's plan carries the
+    pruned ``PartitionFilters`` with no pushed data filter left.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read a Hive-partitioned stage dir (partition columns are
+    reconstructed from the directory names; pass ``schema`` to pin
+    partition-column types instead of relying on inference)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

@@ -335,3 +335,58 @@ def upsert_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization via ``F.session_window`` — DYNAMIC
+    windows that extend while events keep arriving within ``gap`` of
+    the session's end (vs the fixed grid of ``F.window``). State per
+    open session; the watermark closes sessions whose possible-extend
+    horizon has passed, so append mode emits each session exactly
+    once and state is bounded by (active keys × open sessions).
+
+    Semantics note (pinned by the batch-equivalence test): a session
+    window is half-open — an event arriving EXACTLY ``gap`` after the
+    last one starts a NEW session (merge condition is strict `<`).
+    The batch twin (`relational.sessionize`) therefore needs `>=` as
+    its new-session test to agree on boundary gaps.
+
+    window.end = last event ts + gap (the "horizon"), per Spark's
+    definition — not the last event's timestamp.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def session_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the streaming sessionization with AvailableNow and return
+    the emitted (closed) sessions as a batch DataFrame."""
+    import tempfile
+    import uuid
+
+    name = f"sess_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_counts(event_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -112,3 +112,37 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.sources.stage_io import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(events, out, ["day"])
+
+    # hive layout: one directory per day value
+    days = sorted(
+        d for d in os.listdir(out) if d.startswith("day=")
+    )
+    assert len(days) == events.select("day").distinct().count()
+
+    back = read_partitioned(spark, out)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must be a planning-time PartitionFilter,
+    # not a per-row data filter
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the scan must read exactly the one pruned directory
+    scan_files = one_day.select(F.input_file_name()).distinct().collect()
+    assert all("day=2024-01-05" in r[0] for r in scan_files)
+    # round-trip correctness vs an unpartitioned filter
+    expect = events.filter(F.col("day") == "2024-01-05").count()
+    assert one_day.count() == expect

@@ -168,3 +168,47 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "stage")).count() == n1
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.streaming.ingest import session_counts_batch
+
+    got = session_counts_batch(spark, sf_dir)
+
+    # Batch twin: lag + cumsum sessionization with session_window's
+    # half-open boundary (new session when gap >= 30 min), then the
+    # same (start, last+gap, count) projection. Only sessions CLOSED
+    # by the final watermark (horizon <= max_ts - 1 day) are emitted
+    # by append mode.
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    is_new = F.when(gap_s.isNull() | (gap_s >= 30 * 60), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    expect = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    expect = expect.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("interval 1 day")
+    ).select("session_start", "session_end", "user_id", "n_events")
+
+    got_rows = {tuple(r) for r in got.collect()}
+    exp_rows = {tuple(r) for r in expect.collect()}
+    assert len(exp_rows) > 0
+    assert got_rows == exp_rows

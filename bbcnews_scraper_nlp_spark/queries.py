@@ -2520,6 +2520,85 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
 
 
+@register(
+    "embedding_centroids",
+    "SELECT label, i - 1 AS pos, "
+    "(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) "
+    "AS BIGINT) / COUNT(*)) / 1000000.0 AS centroid "
+    "FROM embeddings, generate_series(1, 64) AS t(i) "
+    "GROUP BY label, i",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the class-prototype op behind
+    nearest-centroid labeling, clustering init, and drift checks).
+    Plan: ONE hash aggregate with 64 per-index integer-scaled sums —
+    all map-side combinable, so the shuffle carries |labels| × 65
+    longs per map partition instead of exploding rows×dim (the
+    posexplode-then-groupBy alternative shuffles D× the table). The
+    per-index column form is the right physical shape for fixed
+    small dims; for dim ≫ 10^3 switch to a Pandas-UDF matrix
+    partial-sum. Scaled-integer sums keep the mean exact
+    cross-engine (fp partial-sum order would differ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    sums = emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.round(F.col("embedding")[i].cast("double") * 1000000)
+                .cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    return sums.select(
+        "label",
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dim)])).alias(
+            "pos", "s"
+        ),
+        "n",
+    ).select(
+        "label", "pos", ((F.col("s") / F.col("n")) / 1000000.0).alias("centroid")
+    )
+
+
+@register(
+    "chunk_documents",
+    "WITH x AS (SELECT doc_id, text, unnest(range(0, "
+    "CAST(greatest(ceil((n_chars - 100) / 400.0) - 1, 0) AS BIGINT) + 1)) "
+    "AS chunk_idx FROM documents) "
+    "SELECT doc_id, chunk_idx, "
+    "substring(text, CAST(chunk_idx * 400 + 1 AS INT), 500) AS chunk_text "
+    "FROM x",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking — the standard long-document →
+    training-window split (chunk 500 chars, stride 400, 100 overlap).
+    Chunk offsets are generated ENGINE-side (`sequence` + `explode` on
+    a computed per-row count) and sliced with `substring` — linear,
+    fully codegen, no UDF, no driver loop. At 100 TB this is a pure
+    map stage: output rows ≈ chars/stride, no shuffle at all. The
+    chunk count is ceil((n_chars - overlap) / stride) so the final
+    partial window is kept iff it extends past the previous chunk."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_chars") - 100) / 400.0) - 1, F.lit(0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias(
+            "chunk_idx"
+        ),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(
+            F.col("text"), (F.col("chunk_idx") * 400 + 1).cast("int"), 500
+        ).alias("chunk_text"),
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

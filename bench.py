@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue",
     "tpch_q6_revenue_scan",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "gapfill_hourly_counts",
+    "chunk_documents",
     "asof_join_last_view",
     "sessionize_count",
     "w1_rolling_trend",

@@ -16,6 +16,9 @@ queries hash-match their oracles):
 - Cross-engine hashes use md5 (both engines) — xxhash64 variants are
   engine-internal fast paths, exercised by rows-only queries.
 - Aggregate/computed columns carry identical aliases on both sides.
+- IEEE signed zero: Spark's ROUND (BigDecimal) never emits -0.0 but
+  DuckDB's (raw double) does — oracle SQL appends `+ 0.0` after any
+  ROUND whose input can be a tiny negative.
 """
 
 from __future__ import annotations
@@ -463,10 +466,15 @@ def _sql_sentiment_scores(which: int) -> str:
 
 
 def _sql_avg_or_zero(scores_expr: str) -> str:
+    # trailing `+ 0.0` normalizes IEEE negative zero: DuckDB's ROUND
+    # keeps the double's sign (-1e-9 -> -0.0) while Spark's ROUND goes
+    # through BigDecimal, which has no signed zero — without it the
+    # two engines hash-differ on docs whose score rounds to zero from
+    # below (first seen at sf0.1).
     return (
         f"CASE WHEN len({scores_expr}) > 0 THEN "
         f"ROUND(CAST(list_aggregate({scores_expr}, 'sum') AS DOUBLE) "
-        f"/ len({scores_expr}), 6) ELSE 0.0::DOUBLE END"
+        f"/ len({scores_expr}), 6) + 0.0 ELSE 0.0::DOUBLE END"
     )
 
 
@@ -2150,7 +2158,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS value_scaled "
     "FROM lineitem GROUP BY l_partkey) "
     "SELECT l_partkey, value_scaled FROM pv "
-    "WHERE value_scaled * 2500 > (SELECT SUM(value_scaled) FROM pv)",
+    "WHERE value_scaled * (SELECT COUNT(*) FROM pv) > "
+    "2 * (SELECT SUM(value_scaled) FROM pv)",
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp→lineitem adaptation: traded value
@@ -2158,8 +2167,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash agg by partkey, then the grand total — a
     1-row aggregate — broadcast onto the per-part rows via cross
     join, so the HAVING-vs-global comparison never shuffles the
-    per-part side again. All-integer arithmetic: the 0.04% share
-    threshold is cross-multiplied (`val*2500 > total`), no fp."""
+    per-part side again. All-integer arithmetic: the ">2x the mean
+    part value" threshold is cross-multiplied
+    (`val*n_parts > 2*total`) — scale-invariant (a fixed share
+    fraction goes trivial/empty as #parts grows), no fp."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.round(F.col("l_extendedprice") * 100).cast("long")
     qty = F.round(F.col("l_quantity") * 100).cast("long")
@@ -2167,10 +2178,16 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey")
         .agg(F.sum(price * qty).alias("value_scaled"))
     )
-    total = pv.agg(F.sum("value_scaled").alias("grand_total"))
+    total = pv.agg(
+        F.sum("value_scaled").alias("grand_total"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value_scaled") * 2500 > F.col("grand_total"))
+        .filter(
+            F.col("value_scaled") * F.col("n_parts")
+            > 2 * F.col("grand_total")
+        )
         .select("l_partkey", "value_scaled")
     )
 
@@ -2596,6 +2613,88 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(
             F.col("text"), (F.col("chunk_idx") * 400 + 1).cast("int"), 500
         ).alias("chunk_text"),
+    )
+
+
+@register(
+    "dup_ngram_span_score",
+    "WITH sh AS (SELECT doc_id, unnest(list_transform("
+    "range(0, greatest(len(string_split(text, ' ')) - 3, 0)), "
+    "i -> array_to_string(string_split(text, ' ')[i+1:i+4], ' '))) AS g "
+    "FROM documents), "
+    "d AS (SELECT DISTINCT doc_id, g FROM sh), "
+    "df AS (SELECT g, COUNT(*) AS ndocs FROM d GROUP BY g) "
+    "SELECT doc_id, COUNT(*) AS n_grams, "
+    "SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_grams "
+    "FROM d JOIN df USING (g) GROUP BY doc_id",
+)
+def dup_ngram_span_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication scoring (the signal behind suffix-array
+    span dedup, Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better', recast relationally): per document, how
+    many of its distinct word 4-grams also appear in ANOTHER
+    document. Plan: one shingle explode → per-doc DISTINCT (first
+    agg, map-combinable) → corpus document-frequency agg → key-only
+    join back → per-doc counts. The duplicated-span *fraction*
+    (n_dup/n_grams) is one caller-side division; exact integer
+    outputs keep the oracle hashable. At 100 TB the DF table is the
+    big intermediate — it shuffles once on the gram hash, and high-DF
+    grams (boilerplate) are exactly the skew AQE's skew-join split
+    handles; cap or sample ndocs>K grams for a cheaper approximate
+    variant."""
+    from .functions.tokenize import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    d = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(F.split("text", " "), 4)).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = d.groupBy("g").agg(F.count("*").alias("ndocs"))
+    return (
+        d.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+
+
+@register(
+    "new_users_per_day",
+    "WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day "
+    "FROM events GROUP BY user_id), "
+    "nd AS (SELECT first_day AS day, COUNT(*) AS new_users "
+    "FROM fs GROUP BY first_day) "
+    "SELECT day, new_users, "
+    "CAST(SUM(new_users) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cumulative_users FROM nd",
+)
+def new_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-acquisition curve: first-seen day per user, daily new-user
+    counts, and the RUNNING cumulative — i.e. 'distinct users to
+    date' computed WITHOUT a quadratic running-distinct (the naive
+    per-day COUNT(DISTINCT) over growing prefixes rescans the fact
+    table per day). Plan: min-agg per user (map-combinable) → tiny
+    daily agg → unpartitioned running-sum window over ≤ #days rows —
+    the single-task window input is the daily aggregate, never raw
+    events, so the 'global window' anti-pattern doesn't apply."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    nd = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return nd.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
     )
 
 

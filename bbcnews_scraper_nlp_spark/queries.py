@@ -2698,6 +2698,24 @@ def new_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("prepare_corpus_pipeline")
+def prepare_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus preparation plan
+    (plans/corpus.py): language + quality + repetition filters →
+    exact dedup → decontamination anti-join → PII scrub →
+    deterministic split, as ONE lazy DataFrame DAG. Rows-only here
+    (every stage has its own oracle-checked query); pytest asserts
+    the composition equals applying the verified stages in sequence
+    and that the whole default plan stays a single lazy DAG."""
+    from .plans.corpus import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = prepare_training_corpus(train, bench, contamination_n=3)
+    return out.select("doc_id", "lang_detected", "quality", "n_tokens", "split")
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -179,3 +179,66 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         for i, col in enumerate(["p25", "p50", "p75"]):
             rel = abs(approxq[flag][i] - row[col]) / max(abs(row[col]), 1e-9)
             assert rel < 0.02, (flag, col, approxq[flag][i], row[col])
+
+
+def test_prepare_corpus_equals_stagewise(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.functions.text_clean import ALL_STOPWORDS
+    from bbcnews_scraper_nlp_spark.functions.tokenize import token_count
+    from bbcnews_scraper_nlp_spark.operators import textstats as TS
+    from bbcnews_scraper_nlp_spark.operators.dedup import exact_dedup
+    from bbcnews_scraper_nlp_spark.operators.traindata import (
+        contamination,
+        deterministic_split,
+        pii_scrub,
+    )
+    from bbcnews_scraper_nlp_spark.plans.corpus import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    got = prepare_training_corpus(train, bench, contamination_n=3).select(
+        "doc_id", "lang_detected", "quality", "n_tokens", "split"
+    )
+
+    # stage-by-stage twin using the individually verified operators
+    toks = F.split(F.col("text"), " ")
+    step = train.withColumn("lang_detected", TS.detect_language(toks))
+    step = step.filter(F.col("lang_detected") == "en")
+    step = step.filter(
+        TS.quality_score(F.col("text"), list(ALL_STOPWORDS)) >= 0.5
+    )
+    top_share, dup_frac = TS.repetition_stats(F.col("text"))
+    step = step.filter((top_share <= 0.5) & (dup_frac <= 0.5))
+    step = exact_dedup(step, "text", "doc_id")
+    dirty = contamination(step, bench, "doc_id", "text", n=3).filter(
+        F.col("contamination_ratio") > 0.2
+    )
+    step = step.join(
+        dirty.select(F.col("doc_id").alias("d")),
+        F.col("doc_id") == F.col("d"),
+        "left_anti",
+    )
+    step = step.withColumn("text", pii_scrub(F.col("text")))
+    step = step.withColumn(
+        "quality", TS.quality_score(F.col("text"), list(ALL_STOPWORDS))
+    ).withColumn("n_tokens", token_count(F.col("text")))
+    expect = deterministic_split(step, "doc_id").select(
+        "doc_id", "lang_detected", "quality", "n_tokens", "split"
+    )
+
+    got_rows = {tuple(r) for r in got.collect()}
+    exp_rows = {tuple(r) for r in expect.collect()}
+    assert len(got_rows) > 0
+    assert got_rows == exp_rows
+    # determinism: running the plan twice yields identical output
+    again = {
+        tuple(r)
+        for r in prepare_training_corpus(train, bench, contamination_n=3)
+        .select("doc_id", "lang_detected", "quality", "n_tokens", "split")
+        .collect()
+    }
+    assert again == got_rows

@@ -244,3 +244,59 @@ def daily_mean(df: DataFrame, ts_col: str, value_cols: list[str], extra_keys: li
     """
     keys = [F.to_date(ts_col).alias("date"), *(extra_keys or [])]
     return df.groupBy(*keys).agg(*[F.avg(v).alias(v) for v in value_cols])
+
+
+def range_join_binned(
+    left: DataFrame,
+    ts_col: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 86400,
+    key: str | None = None,
+) -> DataFrame:
+    """Keyless (or loosely-keyed) interval containment join — the
+    "range join" Spark has no native batch operator for: match every
+    left row whose ``ts_col`` lies in a right row's
+    ``[start_col, end_col)`` interval.
+
+    Naive Spark plans this as BroadcastNestedLoopJoin (quadratic —
+    dead at scale). This operator BINS time instead: each right
+    interval explodes to the 1 + (len/bin) bins it covers, each left
+    point maps to exactly one bin, and the join becomes a plain
+    equi-join on (bin [, key]) followed by the exact range predicate
+    as a post-filter — Kornacker-style partitioned range join, AQE-
+    compatible, shuffle on uniform bin keys.
+
+    Pick ``bin_seconds`` ≈ typical interval length: fan-out per right
+    row is len/bin + 1 (too small → explosion), left spill into a
+    bin stays 1 (too big → post-filter does all the work). Skewed
+    bins (hot hours) are uniform-hash bins, so AQE skew split
+    applies. Emits matched pairs (all left + right columns); callers
+    aggregate or left-join back for unmatched handling.
+    """
+    def secs(c: str):
+        # NTZ timestamps reject a direct long cast in Spark 4; route
+        # through LTZ (session-tz interpretation — consistent across
+        # all three columns, and only monotonicity matters for bins)
+        return F.col(c).cast("timestamp_ltz").cast("long")
+
+    bin_l = (secs(ts_col) / bin_seconds).cast("long")
+    bin_span = F.sequence(
+        (secs(start_col) / bin_seconds).cast("long"),
+        # end is exclusive, but a partial last bin still matches
+        (secs(end_col) / bin_seconds).cast("long"),
+    )
+    lhs = left.withColumn("__bin", bin_l)
+    rhs = right.withColumn("__bin", F.explode(bin_span))
+    on = [lhs["__bin"] == rhs["__bin"]]
+    if key is not None:
+        on.append(lhs[key] == rhs[key])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    out = lhs.join(rhs, cond).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    drop = [lhs["__bin"], rhs["__bin"]] + ([rhs[key]] if key else [])
+    return out.drop(*drop)

@@ -2716,6 +2716,77 @@ def prepare_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_detected", "quality", "n_tokens", "split")
 
 
+@register(
+    "range_join_ship_window",
+    "SELECT o_orderkey, (SELECT COUNT(*) FROM lineitem "
+    "WHERE l_shipdate >= o_orderdate "
+    "AND l_shipdate < o_orderdate + INTERVAL 7 DAY) AS n_shipped "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'",
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval-containment join (the 'range join' Spark has
+    no batch operator for): per January-1996 order, how many
+    lineitems — any order's — shipped inside that order's 7-day
+    window. Runs through `relational.range_join_binned`: intervals
+    explode to covered day-bins, points map to one bin, the match is
+    a plain equi-join on bin + exact-range post-filter — where naive
+    Spark would BroadcastNestedLoopJoin (quadratic). Unmatched
+    windows come back via left join with COUNT 0 (the oracle's
+    scalar subquery returns 0 the same way)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wins = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("w_end"),
+    )
+    pairs = R.range_join_binned(
+        li.select("l_shipdate"), "l_shipdate", wins, "w_start", "w_end"
+    )
+    counts = pairs.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    return wins.join(counts, "o_orderkey", "left").select(
+        "o_orderkey", F.coalesce("n", F.lit(0)).alias("n_shipped")
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    "SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr, "
+    "COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_scaled "
+    "FROM events GROUP BY ROLLUP(day, hr) HAVING day IS NOT NULL",
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (timescale
+    'continuous aggregate' shape): event counts and exact scaled
+    value sums at BOTH hour and day granularity in ONE pass — a
+    ROLLUP(day, hour) Expand, so the scan and shuffle happen once
+    for all granularities instead of once per materialized view
+    (the grand-total row is dropped; day-level rows carry NULL hr,
+    matching the SQL rollup contract). At 100 TB this is the
+    always-on ingest rollup: map-side partial aggs collapse each
+    scan partition to ≤ #hours×2 rows before the single Exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    val = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            val.alias("v"),
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("value_scaled"),
+        )
+        .filter(F.col("day").isNotNull())
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

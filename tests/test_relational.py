@@ -172,3 +172,66 @@ def test_grouped_quantiles_exact(spark):
     out = {r["g"]: r for r in grouped_quantiles(df, "x", ["g"], [0.5]).collect()}
     assert out["a"]["p50"] == 3.0
     assert out["b"]["p50"] == 15.0  # interpolated midpoint
+
+
+def test_range_join_binned_matches_naive(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.relational import range_join_binned
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(k, base + dt.timedelta(hours=h, minutes=m))
+         for k in ("a", "b")
+         for h in range(0, 72, 5)
+         for m in (0, 17, 59)],
+        "key string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("a", base, base + dt.timedelta(hours=7)),
+            ("a", base + dt.timedelta(hours=30),
+             base + dt.timedelta(hours=30, minutes=17)),
+            ("b", base + dt.timedelta(hours=1),
+             base + dt.timedelta(hours=49)),
+            ("b", base + dt.timedelta(hours=71),
+             base + dt.timedelta(hours=100)),
+        ],
+        "key string, w_start timestamp, w_end timestamp",
+    )
+
+    # keyless and keyed, several bin widths incl. ones smaller and
+    # larger than every interval
+    for bin_s in (3600, 6 * 3600, 86400, 7 * 86400):
+        for key in (None, "key"):
+            got = range_join_binned(
+                pts, "ts", ivs.withColumnRenamed("key", "ikey")
+                if key is None else ivs,
+                "w_start", "w_end", bin_seconds=bin_s, key=key,
+            )
+            cond = (F.col("ts") >= F.col("w_start")) & (
+                F.col("ts") < F.col("w_end")
+            )
+            if key is None:
+                naive = pts.crossJoin(
+                    ivs.withColumnRenamed("key", "ikey")
+                ).filter(cond)
+                gs = {(r["key"], r["ts"], r["ikey"], r["w_start"])
+                      for r in got.collect()}
+                ns = {(r["key"], r["ts"], r["ikey"], r["w_start"])
+                      for r in naive.collect()}
+            else:
+                naive = pts.alias("p").join(
+                    ivs.alias("i"),
+                    (F.col("p.key") == F.col("i.key")) & cond,
+                ).select(
+                    F.col("p.key").alias("key"), "ts", "w_start", "w_end"
+                )
+                gs = {(r["key"], r["ts"], r["w_start"])
+                      for r in got.select("key", "ts", "w_start").collect()}
+                ns = {(r["key"], r["ts"], r["w_start"])
+                      for r in naive.select("key", "ts", "w_start").collect()}
+            assert gs == ns, f"bin={bin_s} key={key}"
+            assert len(gs) > 0

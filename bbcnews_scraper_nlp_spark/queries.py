@@ -1903,6 +1903,34 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_single_parse_stats",
+    "WITH p AS (SELECT event_type, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+    "SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, "
+    "MIN(k) AS min_k, MAX(k) AS max_k, "
+    "COUNT(DISTINCT k) AS n_distinct_k FROM p GROUP BY event_type",
+)
+def json_single_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for semi-structured columns that
+    `json_props_stats`'s docstring points at: `from_json` with a
+    PINNED schema — the JSON is parsed ONCE into a columnar struct,
+    then every downstream expression reads struct fields (codegen
+    field access), vs `get_json_object` re-running Jackson per path
+    per row. Same exact-integer aggregation discipline; the
+    distinct-agg adds Catalyst's two-phase expand on top."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.from_json("props", "k LONG").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+@register(
     "doc_term_stats",
     "WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
     "FROM documents), "

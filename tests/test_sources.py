@@ -146,3 +146,37 @@ def test_partition_pruning_in_plan(spark, sf_dir, tmp_path):
     # round-trip correctness vs an unpartitioned filter
     expect = events.filter(F.col("day") == "2024-01-05").count()
     assert one_day.count() == expect
+
+
+def test_sitemap_datasource_reads_shards(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.sitemap import (
+        filter_news_links,
+    )
+    from bbcnews_scraper_nlp_spark.sources.sitemap_datasource import (
+        register_sitemap_source,
+    )
+
+    # two shard files -> two input partitions
+    (tmp_path / "shard-0.xml").write_text(XML)
+    (tmp_path / "shard-1.xml").write_text(
+        "<urlset><url><loc>https://www.bbc.com/news/tech-9</loc>"
+        "<lastmod>2022-07-01T00:00:00Z</lastmod></url></urlset>"
+    )
+    register_sitemap_source(spark)
+    df = (
+        spark.read.format("sitemap")
+        .option("path", str(tmp_path / "shard-*.xml"))
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    assert df.rdd.getNumPartitions() == 2  # one per shard
+    assert {r["shard_path"].rsplit("/", 1)[-1] for r in rows} == {
+        "shard-0.xml", "shard-1.xml",
+    }
+    # downstream Catalyst filters compose on the custom source
+    news = filter_news_links(df, cutoff_lastmod="2022-05-24T14:54:50Z")
+    assert sorted(r["url"] for r in news.collect()) == [
+        "https://www.bbc.com/news/tech-9",
+        "https://www.bbc.com/news/uk-1",
+    ]

@@ -235,3 +235,41 @@ def test_range_join_binned_matches_naive(spark):
                       for r in naive.select("key", "ts", "w_start").collect()}
             assert gs == ns, f"bin={bin_s} key={key}"
             assert len(gs) > 0
+
+
+def test_queries_survive_no_broadcast(spark, sf_dir):
+    """At 100 TB the dimension sides stop fitting the broadcast
+    threshold and every BroadcastHashJoin in our audited plans turns
+    into SMJ/shuffle-hash. Simulate that world (threshold -1) and
+    assert the join-heavy queries return row-identical results —
+    i.e. correctness is plan-shape-independent."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    names = [
+        "tpch_q3_top_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q22_dormant_customers",
+        "range_join_ship_window",
+        "asof_join_last_view",
+        "j_multiway_region_count",
+    ]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name in names:
+            with_bc = {
+                tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()
+            }
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            without = {
+                tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()
+            }
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            assert with_bc == without, name
+            # q7's two-nation pair set is legitimately empty at sf0.001
+            if name != "tpch_q7_volume_shipping":
+                assert len(with_bc) > 0, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

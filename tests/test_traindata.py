@@ -242,3 +242,41 @@ def test_prepare_corpus_equals_stagewise(spark, sf_dir):
         .collect()
     }
     assert again == got_rows
+
+
+def test_corpus_write_partitioned_by_split_roundtrip(spark, sf_dir, tmp_path):
+    """The full materialization path a training run uses: prepare the
+    corpus, lay it out partitioned by split, read one split back with
+    partition pruning — and get exactly the rows the plan said."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.plans.corpus import prepare_training_corpus
+    from bbcnews_scraper_nlp_spark.sources.stage_io import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = prepare_training_corpus(docs)
+    out = str(tmp_path / "corpus")
+    write_partitioned(corpus, out, ["split"])
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=test", "split=train", "split=val"]
+
+    back = read_partitioned(spark, out)
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    expect = {
+        r["doc_id"] for r in corpus.filter(F.col("split") == "train")
+        .select("doc_id").collect()
+    }
+    got = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert got == expect
+    assert len(got) > 0

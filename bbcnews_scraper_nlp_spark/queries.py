@@ -2815,6 +2815,62 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_funnel_conversion",
+    "WITH g AS (SELECT user_id, ts, event_type, CASE WHEN "
+    "epoch(ts) - lag(epoch(ts)) OVER w IS NULL OR "
+    "epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, event_type, SUM(is_new) OVER "
+    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS session_id FROM g), "
+    "f AS (SELECT user_id, session_id, MIN(ts) AS session_start, "
+    "MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click, "
+    "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase "
+    "FROM s GROUP BY user_id, session_id) "
+    "SELECT CAST(session_start AS DATE) AS day, COUNT(*) AS n_sessions, "
+    "CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_click_sessions, "
+    "CAST(SUM(CASE WHEN first_click IS NOT NULL AND first_purchase "
+    "IS NOT NULL AND first_purchase > first_click THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_converted FROM f GROUP BY day",
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics over sessionized behavior: per day, how many
+    sessions happened, how many contained a click, and how many
+    CONVERTED (a purchase strictly after the session's first click) —
+    the product-analytics composite (sessionize → per-session
+    conditional extrema → daily rollup). All three aggregations ride
+    the ONE shuffle sessionization already paid (user_id), then a
+    tiny daily agg; conditional MIN-timestamps avoid any per-session
+    sort or self-join for the ordering test."""
+    ev = load_table(spark, sf_dir, "events")
+    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    f = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return f.groupBy(F.to_date("session_start").alias("day")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).alias("n_click_sessions"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "asof_join_last_view",
     "sessionize_count",
+    "session_funnel_conversion",
+    "range_join_ship_window",
+    "time_bucket_rollup",
     "w1_rolling_trend",
     "a3_daily_mean",
     "f6_dedup_keep_first",

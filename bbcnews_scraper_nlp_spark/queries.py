@@ -2871,6 +2871,251 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q8_market_share",
+    "SELECT o_year, "
+    "CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) "
+    "AS nation_volume_scaled, "
+    "CAST(SUM(vol) AS BIGINT) AS total_volume_scaled FROM ("
+    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol, "
+    "n2.n_name AS nation "
+    "FROM part, lineitem, supplier, orders, customer, nation n1, "
+    "nation n2, region "
+    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+    "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+    "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey "
+    "AND p_type = 'PROMO') all_nations GROUP BY o_year",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the
+    suite — 8 table roles, with nation playing two (customer's region
+    gate vs supplier's label). Physical plan: every dimension chain
+    collapses to a broadcast BEFORE touching the facts — part(PROMO)
+    broadcast-SEMI-prunes the lineitem scan, supplier⋈nation is a
+    broadcast label lookup, region→nation→customer reduces to a
+    broadcast semi-join key set on o_custkey — so the only at-scale
+    shuffle is lineitem ⋈ orders on orderkey. The market-share
+    RATIO is returned as two exact scaled-integer sums (share =
+    nation/total downstream); dividing in-engine would be the one
+    nondeterministic fp op in the query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    asia_nk = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey")
+    )
+    asia_cust = customer.join(
+        F.broadcast(asia_nk),
+        customer.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    vol = price * (100 - disc)
+    return (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0))
+            .alias("nation_volume_scaled"),
+            F.sum(vol).alias("total_volume_scaled"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    "SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) AS profit_scaled "
+    "FROM (SELECT n_name AS nation, "
+    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) - "
+    "CAST(ROUND(p_retailprice * 100) AS BIGINT) * "
+    "CAST(ROUND(l_quantity * 100) AS BIGINT) AS amount "
+    "FROM part, supplier, lineitem, orders, nation "
+    "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey "
+    "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
+    "AND p_name LIKE '%widget%') profit GROUP BY nation, o_year",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    testdata has no partsupp table, so supply cost is proxied by
+    p_retailprice carried on the broadcast part side (same plan
+    shape: a per-row profit expression combining fact columns with
+    TWO broadcast-joined dimension attributes). The '%widget%'
+    infix LIKE cannot prune the scan via startswith, but the
+    filtered part set still broadcast-prunes lineitem before the
+    orders shuffle. Both product terms are in the same 1e-4-dollar
+    scale (cents × hundredths), so profit stays exact integer
+    arithmetic end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    widget = part.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    retail = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    amount = price * (100 - disc) - retail * qty
+    return (
+        li.join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(amount).alias("profit_scaled"))
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    "SELECT l_linestatus AS ship_class, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders, lineitem "
+    "WHERE o_orderkey = l_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+    "GROUP BY l_linestatus",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority audit): fact-fact join whose
+    FILTER spans both sides (shipped >30 days after order date — the
+    testdata's stand-in for commit/receipt-date lateness), then
+    priority-conditional counts per line status (stand-in for
+    shipmode). The cross-table predicate can't be pushed below the
+    join, so the plan is scan→shuffle-join on orderkey→filter→
+    2-row hash agg; both conditional sums ride one aggregate. At
+    scale the join IS the query — co-locating lineitem and orders
+    by orderkey (bucketing, see stage_io.write_bucketed) removes
+    the shuffle entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    "WITH flagged AS (SELECT l_orderkey, l_suppkey, "
+    "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "THEN 1 ELSE 0 END AS late "
+    "FROM lineitem, orders "
+    "WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'), "
+    "per_order AS (SELECT l_orderkey, "
+    "COUNT(DISTINCT l_suppkey) AS n_supp, "
+    "COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late, "
+    "MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp "
+    "FROM flagged GROUP BY l_orderkey) "
+    "SELECT s_name, COUNT(*) AS numwait "
+    "FROM per_order, supplier "
+    "WHERE n_supp > 1 AND n_late = 1 AND late_supp = s_suppkey "
+    "GROUP BY s_name",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    canonical form is a triple self-join on lineitem (EXISTS another
+    supplier on the order, NOT EXISTS another LATE supplier).
+    Re-expressed as ONE grouped aggregate per order — distinct
+    suppliers, distinct late suppliers, and the late supplier id
+    (well-defined exactly when n_late = 1, the only case kept) —
+    so the 6-scan/2-semi-join plan collapses to a single shuffle
+    on orderkey. 'Late' = shipped >60 days after order date (the
+    commit/receipt-date stand-in, as in Q12). The qualifying
+    per-order rows are tiny and broadcast-join supplier for the
+    final per-supplier count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("late_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

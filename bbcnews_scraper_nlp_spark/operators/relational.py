@@ -8,6 +8,8 @@ exact NULL semantics.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,6 +211,87 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys_df: DataFrame,
+    key: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Runtime Bloom-filter semi-join: prune the BIG side with a
+    broadcast bitmap of the key set before (or instead of) the exact
+    join — the hand-rolled version of Spark's InjectRuntimeFilter,
+    for when the key set is too large for a broadcast hash join but
+    its Bloom filter (n_bits/8 bytes) still broadcasts. At 100 TB
+    this moves the semi-join's selectivity from the shuffle to the
+    scan: only maybe-matching rows are shuffled.
+
+    Bitmap construction is fully distributed: each key explodes to
+    ``n_hashes`` bit positions (JVM xxhash64, seeded), positions
+    group to 64-bit words with BIT_OR partial aggregation, and only
+    the ≤ n_bits/64 (word_index, word) rows reach the driver — the
+    raw keys never do. The big-side probe computes the same seeded
+    hash positions JVM-side; the Python stage is a vectorized numpy
+    bitmap lookup over the broadcast array (no hashing in Python, no
+    per-row UDF).
+
+    ``exact=True`` follows the bloom pre-filter with the exact
+    left_semi join, so false positives are removed and the result is
+    row-identical to ``big.join(keys_df, key, 'left_semi')``;
+    ``exact=False`` returns the maybe-matching superset (no false
+    negatives) for cases where a downstream join re-checks anyway.
+
+    Sizing: fp-rate ≈ (1 - e^(-kn/m))^k; the 4 Mbit / k=5 default
+    holds fp < 1% to ~300k distinct keys. The reference's analog is
+    the seen-URL probe before fetch (middlewares.py:6-16) — same
+    idea, set-membership pushed upstream of the expensive stage.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+            for seed in range(n_hashes)
+        ]
+
+    words = (
+        keys_df.select(F.explode(F.array(*positions(F.col(key)))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # dynamic shift distance needs the SQL form (the Python
+            # F.shiftleft signature takes a literal int only)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def bloom_maybe(pos_s: pd.Series) -> pd.Series:
+        bm = bc.value
+        mat = np.stack(pos_s.values)
+        idx = (mat >> 6).astype(np.int64)
+        sh = (mat & 63).astype(np.uint64)
+        hit = (bm[idx] >> sh) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    pruned = big.filter(bloom_maybe(F.array(*positions(F.col(key)))))
+    if not exact:
+        return pruned
+    return pruned.join(keys_df.select(key).distinct(), key, "left_semi")
 
 
 def grouped_zscore_pandas(

@@ -3116,6 +3116,42 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_semi_join_lineitems",
+    "SELECT l_returnflag, COUNT(*) AS n_items, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS price_scaled "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) "
+    "GROUP BY l_returnflag",
+)
+def bloom_semi_join_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join via broadcast Bloom runtime filter
+    (relational.bloom_semi_join): lineitems of high-value orders.
+    The qualifying orderkey set is assumed too large for a broadcast
+    hash join at scale, so its ~0.5 MB bitmap broadcasts instead and
+    prunes the lineitem scan BEFORE the shuffle; the exact left_semi
+    join afterwards removes Bloom false positives, so the result is
+    exactly the IN-subquery semantics. The bitmap itself is built
+    distributedly (BIT_OR word aggregation — keys never reach the
+    driver)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        R.bloom_semi_join(li, keys, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(price).alias("price_scaled"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -191,3 +191,82 @@ def read_partitioned(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits_per_col: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered writer — MULTI-column data
+    skipping, the third layout tool next to ``write_partitioned``
+    (one low-cardinality column, directory pruning) and
+    ``write_bucketed`` (join co-location).
+
+    A single-column sort makes parquet row-group min/max stats
+    selective for THAT column only; a filter on any other column
+    still reads every row group. Z-ordering sorts by the interleaved
+    bits of several columns' rank positions, so rows cluster in a
+    space-filling curve: each file/row group covers a small rectangle
+    of the multi-dimensional key space, and a point or range filter
+    on ANY of the z-columns overlaps only ~N^((d-1)/d) of the files
+    instead of all of them. This is how 100 TB scan-heavy tables
+    serve selective filters on two or three dimensions without
+    duplicating the data per sort order (same mechanism as Delta
+    OPTIMIZE ZORDER BY).
+
+    Implementation is pure DataFrame ops: each column is min-max
+    scaled to ``bits_per_col`` bits (one tiny agg collect for the
+    bounds — numeric and timestamp columns supported), bits are
+    interleaved with a codegen'd shift/mask expression chain, then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the z-key
+    cluster the rows; the z-key itself is not written.
+    ``tests/test_sources.py`` asserts per-file min/max rectangles
+    shrink vs an unclustered write on BOTH dimensions.
+    """
+    import functools
+
+    def to_long(c: str):
+        f = next(fld for fld in df.schema.fields if fld.name == c)
+        col = F.col(c)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            col = col.cast("timestamp_ltz")
+        return col.cast("double")
+
+    bounds = df.agg(
+        *[F.min(to_long(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(to_long(c)).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scale = (1 << bits_per_col) - 1
+    ranked = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        ranked.append(
+            F.least(
+                F.lit(scale),
+                ((to_long(c) - F.lit(mn)) / F.lit(span) * scale).cast("long"),
+            )
+        )
+    parts = []
+    for i in range(bits_per_col):
+        for j, r in enumerate(ranked):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(r, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    zkey = functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
+    out = df.withColumn("__z", zkey)
+    n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

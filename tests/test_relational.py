@@ -273,3 +273,47 @@ def test_queries_survive_no_broadcast(spark, sf_dir):
                 assert len(with_bc) > 0, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_semi_join_exact_and_superset(spark, sf_dir):
+    """bloom_semi_join: exact mode is row-identical to the plain
+    left_semi join; bloom-only mode is a superset with NO false
+    negatives and a sane false-positive rate."""
+    from bbcnews_scraper_nlp_spark.operators import relational as R
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    exact = {
+        tuple(r)
+        for r in li.join(keys, "l_orderkey", "left_semi").collect()
+    }
+    got = {
+        tuple(r)
+        for r in R.bloom_semi_join(li, keys, "l_orderkey").collect()
+    }
+    assert got == exact
+
+    maybe = {
+        tuple(r)
+        for r in R.bloom_semi_join(
+            li, keys, "l_orderkey", exact=False
+        ).collect()
+    }
+    assert maybe >= exact  # no false negatives, ever
+    n_all = li.count()
+    # fp rate among true negatives stays small at default sizing
+    fp = (len(maybe) - len(exact)) / max(n_all - len(exact), 1)
+    assert fp < 0.02, fp
+
+    # tiny bitmap forces false positives but exact mode still holds
+    small = {
+        tuple(r)
+        for r in R.bloom_semi_join(
+            li, keys, "l_orderkey", n_bits=1 << 10
+        ).collect()
+    }
+    assert small == exact

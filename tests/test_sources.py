@@ -180,3 +180,60 @@ def test_sitemap_datasource_reads_shards(spark, tmp_path):
         "https://www.bbc.com/news/tech-9",
         "https://www.bbc.com/news/uk-1",
     ]
+
+
+def test_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
+    """write_zordered: per-file min/max rectangles are narrow on BOTH
+    z columns, while a single-column sort leaves the second column's
+    per-file range at ~full width (no skipping possible)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def frac_ranges(path):
+        files = sorted(str(p) for p in Path(path).glob("*.parquet"))
+        lo = {c: [] for c in ("l_orderkey", "l_partkey")}
+        gmin = {c: li.agg(F.min(c)).collect()[0][0] for c in lo}
+        gmax = {c: li.agg(F.max(c)).collect()[0][0] for c in lo}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for c in lo:
+                mn = min(
+                    md.row_group(g).column(cols[c]).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                mx = max(
+                    md.row_group(g).column(cols[c]).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                lo[c].append((mx - mn) / max(gmax[c] - gmin[c], 1))
+        return {c: sum(v) / len(v) for c, v in lo.items()}
+
+    zpath = str(tmp_path / "zorder")
+    stage_io.write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=8)
+    spath = str(tmp_path / "sorted")
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(spath)
+
+    zfrac = frac_ranges(zpath)
+    sfrac = frac_ranges(spath)
+    # z-order: both dims clustered (files cover small rectangles)
+    assert zfrac["l_orderkey"] <= 0.6, zfrac
+    assert zfrac["l_partkey"] <= 0.6, zfrac
+    # single-column sort: second dim unclustered -> no skipping
+    assert sfrac["l_orderkey"] <= 0.3, sfrac
+    assert sfrac["l_partkey"] >= 0.8, sfrac
+    # layout changes nothing about content
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()

@@ -194,6 +194,133 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, sha1 string, "
+    "sample_rate int, channels int, bits_per_sample int, "
+    "n_frames bigint, duration_ms bigint, format string"
+)
+
+
+def _wav_header(
+    sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    n_frames: int = 0,
+) -> bytes:
+    """Minimal canonical RIFF/WAVE header (44 bytes, PCM fmt chunk)."""
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def _parse_wav(data: bytes) -> tuple[int, int, int, int, str] | None:
+    """Parse a RIFF/WAVE container (pure Python, real format walk):
+    returns (sample_rate, channels, bits_per_sample, n_frames, 'wav').
+    Walks chunks rather than assuming the 44-byte canonical layout,
+    so LIST/fact chunks before 'data' parse correctly."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = ch = bits = None
+    n_frames = 0
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, ch, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data" and ch:
+            block_align = ch * (bits or 8) // 8
+            n_frames = size // max(block_align, 1)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        return None
+    return rate, ch or 0, bits or 0, n_frames, "wav"
+
+
+def attach_audio_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Testing aid (audio twin of attach_binary_payload): synthesize a
+    REAL RIFF/WAVE container per row — header with rate/width derived
+    from the row id, 'data' chunk filled with the UTF-8 text bytes —
+    so the audio plumbing runs on honestly-parseable payloads."""
+    rate = (F.pmod(F.col(id_col), F.lit(3)) * 8000 + 8000).cast("int")
+    header = F.udf(
+        lambda r, n: _wav_header(int(r), 1, 16, int(n) // 2), "binary"
+    )
+    body = F.col(text_col).cast("binary")
+    n = F.length(body)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(header(rate, n), body).alias("payload"),
+    )
+
+
+def make_audio_meta_extractor(strict: bool = False):
+    """mapInPandas stage: binary payload -> typed audio metadata.
+
+    Real work: RIFF chunk walk (sample rate, channels, bit depth,
+    frame count -> duration). Non-WAV payloads: strict raises (the
+    codec slot for mp3/flac/ogg demuxers); else deterministic fake
+    parameters from the payload hash, same policy as image_meta."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload or b"")
+                sha1 = hashlib.sha1(data).hexdigest()
+                parsed = _parse_wav(data)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "no audio codec for payload; plug in a demuxer "
+                            "or run with strict=False"
+                        )
+                    h = int(sha1[:8], 16)
+                    parsed = (
+                        (8000, 16000, 44100)[h % 3], h % 2 + 1, 16,
+                        h % 100000, "unknown",
+                    )
+                rate, ch, bits, n_frames, fmt = parsed
+                dur_ms = n_frames * 1000 // max(rate, 1)
+                rows.append(
+                    (doc_id, mtype, len(data), sha1, rate, ch, bits,
+                     n_frames, dur_ms, fmt)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "sha1",
+                    "sample_rate", "channels", "bits_per_sample",
+                    "n_frames", "duration_ms", "format",
+                ],
+            )
+
+    return extract
+
+
+def audio_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Run the audio metadata extractor over (doc_id, media_type,
+    payload) — same no-shuffle mapInPandas contract as image_meta."""
+    return df.mapInPandas(make_audio_meta_extractor(strict), AUDIO_META_SCHEMA)
+
+
 def make_frame_sampler(every_n: int = 10, max_frames: int = 4):
     """mapInPandas stage shaped like video frame sampling: emits
     deterministic per-'frame' rows (payload chunk hashes). A real

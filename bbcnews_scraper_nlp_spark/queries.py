@@ -1198,6 +1198,18 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta(attach_binary_payload(docs, "text", "doc_id"))
 
 
+@register("multimodal_audio_meta")
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: RIFF/WAVE payload column ->
+    Arrow-batched mapInPandas metadata extraction (chunk-walk header
+    parse real — rate/channels/bit depth/duration; non-WAV codecs
+    stubbed — see operators/multimodal.py)."""
+    from .operators.multimodal import attach_audio_payload, audio_meta
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return audio_meta(attach_audio_payload(docs, "text", "doc_id"))
+
+
 @register("s4_html_extract")
 def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F5+P1: HTML field extraction over synthesized article pages

@@ -59,3 +59,57 @@ def test_frame_sampler(spark):
     out = M.frame_samples(df, every_n=10, max_frames=3).collect()
     assert [r["frame_idx"] for r in out] == [0, 1, 2]
     assert all(len(r["frame_sha1"]) == 40 for r in out)
+
+
+def test_wav_header_parse_roundtrip():
+    hdr = M._wav_header(16000, 2, 16, 12345)
+    assert M._parse_wav(hdr) == (16000, 2, 16, 12345, "wav")
+    # chunk walk: a LIST chunk before fmt/data still parses
+    body = b"\x00\x01" * 100  # 100 16-bit mono frames
+    wav = (
+        b"RIFF" + (4 + 8 + 6 + 8 + 16 + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    assert M._parse_wav(wav) == (8000, 1, 16, 100, "wav")
+    assert M._parse_wav(b"ID3\x03mp3data") is None
+    assert M._parse_wav(b"") is None
+
+
+def test_audio_meta_over_spark(spark):
+    wav = M._wav_header(16000, 1, 16, 8000) + b"\x00\x00" * 8000
+    rows = [(1, "audio/wav", wav), (2, "audio/mp3", b"ID3 not wav")]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r["doc_id"]: r for r in M.audio_meta(df).collect()}
+    assert out[1]["format"] == "wav"
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["channels"] == 1
+    assert out[1]["n_frames"] == 8000
+    assert out[1]["duration_ms"] == 500  # 8000 frames @ 16 kHz
+    assert out[2]["format"] == "unknown"
+    # deterministic fallback
+    again = {r["doc_id"]: r for r in M.audio_meta(df).collect()}
+    assert again[2]["sample_rate"] == out[2]["sample_rate"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        M.audio_meta(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "no audio codec" in str(exc.value)
+
+
+def test_attach_audio_payload_parses_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(7, "hello world"), (8, "x" * 501)], "doc_id long, text string"
+    )
+    payloads = M.attach_audio_payload(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in M.audio_meta(payloads).collect()}
+    assert out[7]["format"] == "wav"
+    assert out[7]["sample_rate"] == 8000 + (7 % 3) * 8000
+    assert out[7]["n_frames"] == len("hello world") // 2
+    assert out[8]["n_frames"] == 501 // 2

@@ -60,3 +60,73 @@ def grouped_quantiles(
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*exprs)
+
+
+def distinct_sketches(
+    df: DataFrame, key_col: str, group_cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-group MERGEABLE distinct-count sketches (Datasketches
+    HllSketch via ``hll_sketch_agg``): one binary sketch column per
+    group, storable in a stage table.
+
+    This is the incremental-analytics contract at 100 TB: sketch each
+    ingest partition (e.g. per day) ONCE at write time, then answer
+    "distinct users over any date range" by unioning the range's
+    pre-built sketches (``merge_sketches``) — no raw re-scan, error
+    ~1.6%/sqrt(2^lg_k), fixed 2^lg_k-byte state per group regardless
+    of cardinality. approx_count_distinct gives the same estimate but
+    returns only the NUMBER — the sketch column is what makes
+    incremental maintenance and cross-table roll-ups composable.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_sketches(
+    sketch_df: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union pre-built HLL sketches (optionally re-grouped to a
+    coarser key) and estimate: register-max merge, associative and
+    commutative, so any partial aggregation order gives the same
+    estimate. Input is ``distinct_sketches`` output (or a union of
+    several stage tables of it)."""
+    keys = group_cols or []
+    agg = sketch_df.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return agg.select(
+        *keys,
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        "n_rows",
+    )
+
+
+def approx_heavy_hitters(
+    df: DataFrame, col: str, support: float = 0.01
+) -> DataFrame:
+    """Heavy hitters above a frequency threshold via Spark's
+    ``freqItems`` (Karp-Papadimitriou-Shenker streaming majority):
+    single pass, per-partition bounded state (1/support counters),
+    merge at the driver. GUARANTEE: every value with relative
+    frequency > support is returned (no false negatives); false
+    positives possible — re-check with one exact count over the
+    candidate set (returned here), which is a broadcast-semi-join
+    aggregation over a handful of keys, not a full groupBy. The
+    exact group-count twin (a2_group_count / top_bigrams) is the
+    oracle-checkable form; this is the 100 TB skim."""
+    cands = df.stat.freqItems([col], support).collect()[0][f"{col}_freqItems"]
+    spark = df.sparkSession
+    n = df.count()
+    cand_df = spark.createDataFrame(
+        [(c,) for c in cands], f"{col} {dict(df.dtypes)[col]}"
+    )
+    return (
+        df.join(F.broadcast(cand_df), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > support * n)
+        .orderBy(F.desc("cnt"), col)
+    )

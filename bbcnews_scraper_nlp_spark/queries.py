@@ -3164,6 +3164,43 @@ def bloom_semi_join_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitter_users",
+    "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
+    "HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM events) "
+    "ORDER BY cnt DESC, user_id",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (values above a relative-frequency threshold)
+    via profiling.approx_heavy_hitters: a freqItems (KPS streaming
+    majority) skim proposes candidates with NO false negatives in
+    one bounded-state pass, then one exact count over the broadcast
+    candidate set confirms — so the RESULT is exact (hence the SQL
+    oracle) while the full-table groupBy is replaced by a semi-join
+    aggregation over a handful of keys. At 100 TB this is the
+    hot-key detector feeding salted_join/skew handling."""
+    from .operators.profiling import approx_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_heavy_hitters(ev, "user_id", support=0.008)
+
+
+@register("sketch_distinct_users_daily")
+def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day HLL distinct-user sketches, unioned and
+    estimated (profiling.distinct_sketches/merge_sketches) — the
+    incremental-analytics path: sketch once at ingest, answer any
+    date-range distinct query by register-max union, no raw re-scan.
+    Rows-only check (Datasketches binary state has no DuckDB twin);
+    pytest bounds the estimate error against exact countDistinct and
+    asserts union-of-parts == whole."""
+    from .operators.profiling import distinct_sketches, merge_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = distinct_sketches(ev, "user_id", [F.to_date("ts").alias("day")])
+    return merge_sketches(sk, ["day"]).orderBy("day")
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

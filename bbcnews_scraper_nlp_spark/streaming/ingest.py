@@ -390,3 +390,61 @@ def session_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enrich_stream_static(
+    stream: DataFrame, dim: DataFrame, key_expr, payload_cols: list[str]
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension
+    table. Spark plans the static side as a broadcast (re-resolved
+    per micro-batch, so a refreshed dim parquet is picked up without
+    restarting the query); the stream side never shuffles and no
+    join state accumulates — unlike stream-stream joins, the static
+    side is always fully available, so no watermark is needed.
+    ``key_expr`` is the join condition; ``payload_cols`` the dim
+    columns carried onto the stream."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return stream.join(F.broadcast(dim), key_expr, "left").select(
+        *[stream[c] for c in stream.columns], *[dim[c] for c in payload_cols]
+    )
+
+
+def enrich_stream_static_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a stream-static enrichment: the events file-stream joined
+    to a small static user-segment dimension (broadcast per
+    micro-batch, no stream shuffle, no join state)."""
+    import tempfile
+    import uuid
+
+    from ..catalog import load_table
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("u_user_id"),
+            F.concat(
+                F.lit("seg_"), F.pmod(F.xxhash64("user_id"), F.lit(4))
+            ).alias("segment"),
+        )
+    )
+    stream = event_stream(spark, sf_dir)
+    enriched = enrich_stream_static(
+        stream,
+        users,
+        stream["user_id"] == users["u_user_id"],
+        ["segment"],
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -317,3 +317,53 @@ def test_bloom_semi_join_exact_and_superset(spark, sf_dir):
         ).collect()
     }
     assert small == exact
+
+
+def test_hll_sketches_merge_and_bound(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.profiling import (
+        distinct_sketches,
+        merge_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = distinct_sketches(ev, "user_id", [F.to_date("ts").alias("day")])
+    sk.cache()
+    exact = ev.select("user_id").distinct().count()
+    # union of per-day sketches estimates the global cardinality
+    union_est = merge_sketches(sk).collect()[0]["n_distinct_est"]
+    assert abs(union_est - exact) / exact < 0.05
+    # single global sketch agrees with the union of its parts
+    global_est = merge_sketches(
+        distinct_sketches(ev, "user_id", [])
+    ).collect()[0]["n_distinct_est"]
+    assert union_est == global_est
+    # per-day estimates bounded too
+    per_day = {r["day"]: r["n_distinct_est"] for r in merge_sketches(sk, ["day"]).collect()}
+    exact_day = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for d, n in exact_day.items():
+        assert abs(per_day[d] - n) / max(n, 1) < 0.1
+
+
+def test_heavy_hitters_exact_and_guarantee(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.profiling import approx_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.01
+    got = [(r[0], r["cnt"]) for r in approx_heavy_hitters(ev, "event_type", support).collect()]
+    n = ev.count()
+    exact = [
+        (r["event_type"], r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > support * n)
+        .orderBy(F.desc("c"), "event_type")
+        .collect()
+    ]
+    assert got == exact

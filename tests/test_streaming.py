@@ -212,3 +212,23 @@ def test_session_windows_match_batch_sessionize(spark, sf_dir):
     exp_rows = {tuple(r) for r in expect.collect()}
     assert len(exp_rows) > 0
     assert got_rows == exp_rows
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        enrich_stream_static_batch,
+    )
+
+    out = enrich_stream_static_batch(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert out.count() == ev.count()  # left join on complete dim
+    # every row got a segment, and deterministically the same one
+    segs = {r["user_id"]: r["segment"] for r in out.collect()}
+    batch = {
+        r["user_id"]: f"seg_{r['s']}"
+        for r in ev.select("user_id")
+        .distinct()
+        .select("user_id", F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("s"))
+        .collect()
+    }
+    assert segs == batch

@@ -105,7 +105,10 @@ def merge_sketches(
 
 
 def approx_heavy_hitters(
-    df: DataFrame, col: str, support: float = 0.01
+    df: DataFrame,
+    col: str,
+    support: float = 0.01,
+    times_mean: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Heavy hitters above a frequency threshold via Spark's
     ``freqItems`` (Karp-Papadimitriou-Shenker streaming majority):
@@ -116,10 +119,27 @@ def approx_heavy_hitters(
     candidate set (returned here), which is a broadcast-semi-join
     aggregation over a handful of keys, not a full groupBy. The
     exact group-count twin (a2_group_count / top_bigrams) is the
-    oracle-checkable form; this is the 100 TB skim."""
-    cands = df.stat.freqItems([col], support).collect()[0][f"{col}_freqItems"]
+    oracle-checkable form; this is the 100 TB skim.
+
+    ``times_mean=(num, den)``: SCALE-INVARIANT mode — keep values
+    whose count exceeds num/den × the mean per-value count (a fixed
+    absolute support goes empty/trivial as the value universe
+    grows). The comparison is integer cross-multiplied
+    (cnt·den·n_values > num·n_rows): exact, engine-portable. The
+    KPS support becomes 1/n_values (< the kept threshold, so the
+    no-false-negative guarantee still covers every kept value);
+    floor 1e-4 — below that the counter state exceeds what a skim
+    should hold and a plain groupBy is the honest plan."""
     spark = df.sparkSession
     n = df.count()
+    if times_mean is not None:
+        num, den = times_mean
+        n_vals = df.select(col).distinct().count()
+        support = max(1.0 / n_vals, 1e-4)
+        keep = F.col("cnt") * den * n_vals > num * n
+    else:
+        keep = F.col("cnt") > support * n
+    cands = df.stat.freqItems([col], support).collect()[0][f"{col}_freqItems"]
     cand_df = spark.createDataFrame(
         [(c,) for c in cands], f"{col} {dict(df.dtypes)[col]}"
     )
@@ -127,6 +147,6 @@ def approx_heavy_hitters(
         df.join(F.broadcast(cand_df), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > support * n)
+        .filter(keep)
         .orderBy(F.desc("cnt"), col)
     )

@@ -3167,22 +3167,26 @@ def bloom_semi_join_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "heavy_hitter_users",
     "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
-    "HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM events) "
+    "HAVING COUNT(*) * 10 * (SELECT COUNT(DISTINCT user_id) FROM events) "
+    "> 11 * (SELECT COUNT(*) FROM events) "
     "ORDER BY cnt DESC, user_id",
 )
 def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters (values above a relative-frequency threshold)
+    """Heavy hitters (users above 1.1× the mean per-user event count)
     via profiling.approx_heavy_hitters: a freqItems (KPS streaming
     majority) skim proposes candidates with NO false negatives in
     one bounded-state pass, then one exact count over the broadcast
     candidate set confirms — so the RESULT is exact (hence the SQL
     oracle) while the full-table groupBy is replaced by a semi-join
-    aggregation over a handful of keys. At 100 TB this is the
-    hot-key detector feeding salted_join/skew handling."""
+    aggregation over the candidate keys. The threshold is relative
+    to the mean (integer cross-multiplied, exact at any scale — a
+    fixed fraction empties as the user universe grows). At 100 TB
+    this is the hot-key detector feeding salted_join/skew
+    handling."""
     from .operators.profiling import approx_heavy_hitters
 
     ev = load_table(spark, sf_dir, "events")
-    return approx_heavy_hitters(ev, "user_id", support=0.008)
+    return approx_heavy_hitters(ev, "user_id", times_mean=(11, 10))
 
 
 @register("sketch_distinct_users_daily")

@@ -29,8 +29,12 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue",
     "tpch_q6_revenue_scan",
+    "tpch_q8_market_share",
     "tpch_q13_order_distribution",
     "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "bloom_semi_join_lineitems",
+    "heavy_hitter_users",
     "gapfill_hourly_counts",
     "chunk_documents",
     "asof_join_last_view",

@@ -367,3 +367,26 @@ def test_heavy_hitters_exact_and_guarantee(spark, sf_dir):
         .collect()
     ]
     assert got == exact
+
+
+def test_heavy_hitters_times_mean_mode(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.profiling import approx_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    got = [
+        (r[0], r["cnt"])
+        for r in approx_heavy_hitters(ev, "user_id", times_mean=(11, 10)).collect()
+    ]
+    n = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    exact = [
+        (r["user_id"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 10 * n_users > 11 * n)
+        .orderBy(F.desc("c"), "user_id")
+        .collect()
+    ]
+    assert got == exact
+    assert len(got) > 0  # scale-invariant threshold stays non-trivial

@@ -91,6 +91,275 @@ def umass_coherence(
     return out
 
 
+def _window_intervals(pos_arr, n_windows, window: int):
+    """Column expr: merged, sorted list of [lo, hi] window-start
+    intervals covered by a term's occurrence positions.
+
+    An occurrence at token position p is inside windows starting at
+    s ∈ [max(0, p-window+1), min(p, n_windows-1)]. Positions arrive
+    sorted, so both bounds are non-decreasing and a single
+    left-to-right fold merges overlapping/adjacent intervals. This is
+    the trick that keeps c_v relational at scale: per (doc, term) we
+    carry O(#occurrences) interval structs instead of exploding each
+    token into `window` (default 110) boolean-window rows.
+    """
+    empty = F.expr("array()").cast("array<struct<lo:bigint,hi:bigint>>")
+    return F.aggregate(
+        pos_arr,
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (
+                F.greatest(F.lit(0).cast("bigint"), p - window + 1)
+                <= F.element_at(acc, -1)["hi"] + 1
+            ),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(
+                            F.element_at(acc, -1)["hi"],
+                            F.least(p, n_windows - 1),
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        F.greatest(F.lit(0).cast("bigint"), p - window + 1).alias(
+                            "lo"
+                        ),
+                        F.least(p, n_windows - 1).alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+
+
+def _interval_total(col):
+    """Sum of interval lengths (hi - lo + 1) over a merged list."""
+    return F.aggregate(
+        col, F.lit(0).cast("bigint"), lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1
+    )
+
+
+def _merge_union_len(col):
+    """Union length of a *sorted-by-lo but possibly overlapping*
+    interval list (the concat of two merged lists)."""
+    merged = F.aggregate(
+        F.array_sort(col),
+        F.expr("array()").cast("array<struct<lo:bigint,hi:bigint>>"),
+        lambda acc, iv: F.when(
+            (F.size(acc) > 0) & (iv["lo"] <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(F.element_at(acc, -1)["hi"], iv["hi"]).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(iv))),
+    )
+    return _interval_total(merged)
+
+
+def cv_coherence(
+    docs_tokens: DataFrame,
+    topics_terms: DataFrame,
+    window: int = 110,
+    eps: float = 1e-12,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """c_v topic coherence (Röder, Both & Hinneburg 2015, "Exploring
+    the Space of Topic Coherence Measures") as pure DataFrame
+    computation — the measure the reference selects models with
+    (gensim CoherenceModel(coherence='c_v'),
+    topic_modelling.ipynb:366-372 cell 8; SURVEY §2.8 M3). UMass
+    (`umass_coherence`) remains the cheap fallback; this is the
+    faithful metric:
+
+      1. boolean sliding windows of `window` tokens (stride 1; docs
+         shorter than the window form one whole-doc window),
+      2. P(w), P(wi,wj) = fraction of windows containing the term(s),
+      3. NPMI(i,j) = log((P_ij+eps)/(P_i P_j)) / -log(P_ij+eps),
+      4. one-set segmentation: each word's context vector
+         v_i = [NPMI(i,j)]_{j∈topic} (γ=1) scored by cosine against
+         v_W = Σ_i v_i; topic coherence = mean_i cos(v_i, v_W).
+
+    Plan shape: posexplode restricted to the ≤ k·N top-term union
+    (broadcast semi-join BEFORE the shuffle), one groupBy(doc, term)
+    building merged window-interval lists, one broadcast pair probe
+    computing |cover_i ∩ cover_j| = |i| + |j| − |i ∪ j| per doc, then
+    tiny k·N² NPMI/cosine aggregations. No step materializes the
+    110× window expansion, so 100 TB cost ≈ one pass over tokens +
+    one shuffle of top-term occurrences.
+
+    Returns (topic, coherence, n_terms).
+    """
+    n_win = F.greatest(F.lit(1).cast("bigint"), F.size(tokens_col) - window + 1)
+    docs = docs_tokens.select(
+        F.col(id_col).alias("doc"),
+        F.col(tokens_col).alias("toks"),
+        n_win.cast("bigint").alias("n_windows"),
+    )
+    total_windows = docs.agg(F.sum("n_windows")).collect()[0][0] or 0
+
+    wanted = topics_terms.select("term").distinct()
+    # (doc, term) -> merged interval list + covered-window count
+    covers = (
+        docs.select(
+            "doc",
+            "n_windows",
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .join(F.broadcast(wanted), "term", "left_semi")
+        .groupBy("doc", "term")
+        .agg(
+            F.first("n_windows").alias("n_windows"),
+            F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias("pos"),
+        )
+        .select(
+            "doc",
+            "term",
+            _window_intervals(F.col("pos"), F.col("n_windows"), window).alias("ivs"),
+        )
+        .withColumn("w_cnt", _interval_total(F.col("ivs")))
+        .cache()
+    )
+
+    term_cnt = covers.groupBy("term").agg(F.sum("w_cnt").alias("cnt"))
+
+    # distinct unordered term pairs needed by any topic
+    ta = topics_terms.select("topic", F.col("term").alias("term_a"))
+    tb = topics_terms.select("topic", F.col("term").alias("term_b"))
+    pair_list = (
+        ta.join(tb, "topic")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+    )
+    co_cnt = (
+        pair_list.join(
+            covers.select(
+                F.col("term").alias("term_a"),
+                F.col("doc"),
+                F.col("ivs").alias("ivs_a"),
+                F.col("w_cnt").alias("ca"),
+            ),
+            "term_a",
+        )
+        .join(
+            covers.select(
+                F.col("term").alias("term_b"),
+                F.col("doc"),
+                F.col("ivs").alias("ivs_b"),
+                F.col("w_cnt").alias("cb"),
+            ),
+            ["term_b", "doc"],
+        )
+        .withColumn(
+            "co",
+            F.col("ca")
+            + F.col("cb")
+            - _merge_union_len(F.concat("ivs_a", "ivs_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.sum("co").alias("co_cnt"))
+    )
+
+    # full square NPMI matrix per topic: both orders of each pair
+    # plus the diagonal (P_ii = P_i, per gensim's inverted-index
+    # accumulator where co_occurrences(i,i) = occurrences(i)).
+    pairs_t = (
+        ta.join(tb, "topic")
+        .filter(F.col("term_a") != F.col("term_b"))
+        .join(
+            co_cnt.select(
+                F.least("term_a", "term_b").alias("lo_t"),
+                F.greatest("term_a", "term_b").alias("hi_t"),
+                "co_cnt",
+            ).withColumnsRenamed({"lo_t": "__lo", "hi_t": "__hi"}),
+            (F.least("term_a", "term_b") == F.col("__lo"))
+            & (F.greatest("term_a", "term_b") == F.col("__hi")),
+            "left",
+        )
+        .select("topic", "term_a", "term_b", F.coalesce("co_cnt", F.lit(0)).alias("co"))
+    )
+    diag = topics_terms.select(
+        "topic",
+        F.col("term").alias("term_a"),
+        F.col("term").alias("term_b"),
+    ).join(
+        term_cnt.select(F.col("term").alias("term_a"), F.col("cnt").alias("co")),
+        "term_a",
+        "left",
+    ).select("topic", "term_a", "term_b", F.coalesce("co", F.lit(0)).alias("co"))
+
+    w_total = float(total_windows)
+    cnt_a = term_cnt.select(F.col("term").alias("term_a"), F.col("cnt").alias("cnt_a"))
+    cnt_b = term_cnt.select(F.col("term").alias("term_b"), F.col("cnt").alias("cnt_b"))
+    npmi = (
+        pairs_t.unionByName(diag)
+        .join(cnt_a, "term_a", "left")
+        .join(cnt_b, "term_b", "left")
+        .select(
+            "topic",
+            "term_a",
+            "term_b",
+            F.when(
+                (F.coalesce("cnt_a", F.lit(0)) > 0)
+                & (F.coalesce("cnt_b", F.lit(0)) > 0),
+                F.log(
+                    (F.col("co") / w_total + eps)
+                    / ((F.col("cnt_a") / w_total) * (F.col("cnt_b") / w_total))
+                )
+                / -F.log(F.col("co") / w_total + eps),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("npmi"),
+        )
+    )
+
+    # context vectors: v_i[j] = npmi(i,j); v_W[j] = Σ_i npmi(i,j)
+    vw = npmi.groupBy("topic", "term_b").agg(F.sum("npmi").alias("wj"))
+    cos = (
+        npmi.join(vw, ["topic", "term_b"])
+        .groupBy("topic", "term_a")
+        .agg(
+            F.sum(F.col("npmi") * F.col("wj")).alias("dot"),
+            F.sum(F.col("npmi") * F.col("npmi")).alias("sq_i"),
+        )
+        .join(
+            vw.groupBy("topic").agg(F.sum(F.col("wj") * F.col("wj")).alias("sq_w")),
+            "topic",
+        )
+        .select(
+            "topic",
+            # zero-norm context vector (term absent from the corpus)
+            # scores 0 rather than NaN/divide-by-zero under ANSI mode
+            F.when(
+                (F.col("sq_i") > 0) & (F.col("sq_w") > 0),
+                F.col("dot") / (F.sqrt("sq_i") * F.sqrt("sq_w")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos_i"),
+        )
+    )
+    out = cos.groupBy("topic").agg(
+        F.avg("cos_i").alias("coherence"), F.count("*").alias("n_terms")
+    )
+    covers.unpersist()
+    return out
+
+
 def topics_terms_from_model(model, vocab: list[str], num_words: int = 10) -> DataFrame:
     """(topic, term, rank) rows from an LDAModel's describeTopics."""
     topics = model.describeTopics(num_words)

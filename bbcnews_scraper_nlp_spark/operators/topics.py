@@ -166,11 +166,18 @@ def sweep_k(
     seed: int = 42,
     min_df: float = 10.0,
     max_df: float = 0.9,
+    metric: str = "perplexity",
+    id_col: str = "doc_id",
+    coherence_words: int = 10,
 ) -> list[tuple[int, float]]:
-    """M2: hyperparameter sweep over k, scored by logPerplexity
-    (lower=better; stands in for gensim c_v — see coherence.py for
-    the UMass DataFrame metric). Mirrors topic_modelling.ipynb:347-375
-    (cell 8)."""
+    """M2: hyperparameter sweep over k. Mirrors
+    topic_modelling.ipynb:347-375 (cell 8), where the reference picks
+    argmax c_v coherence.
+
+    metric='perplexity': logPerplexity (lower=better, built-in).
+    metric='cv': mean per-topic c_v coherence (higher=better) via
+    coherence.cv_coherence — the faithful reproduction of the
+    reference's selection criterion."""
     cv_model = fit_count_vectorizer(
         df, tokens_col=tokens_col, min_df=min_df, max_df=max_df
     )
@@ -179,7 +186,20 @@ def sweep_k(
     try:
         for k in ks:
             model = fit_lda(vectorized, k=k, max_iter=max_iter, seed=seed)
-            out.append((k, model.logPerplexity(vectorized)))
+            if metric == "cv":
+                from .coherence import cv_coherence, topics_terms_from_model
+
+                terms = topics_terms_from_model(
+                    model, cv_model.vocabulary, num_words=coherence_words
+                )
+                score = (
+                    cv_coherence(df, terms, id_col=id_col, tokens_col=tokens_col)
+                    .agg(F.avg("coherence"))
+                    .collect()[0][0]
+                )
+                out.append((k, float(score)))
+            else:
+                out.append((k, model.logPerplexity(vectorized)))
     finally:
         vectorized.unpersist()
     return out

@@ -1187,6 +1187,29 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(toks, terms)
 
 
+@register("m3_coherence_cv")
+def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 faithful form: c_v coherence (sliding-window NPMI +
+    one-set indirect cosine, Röder et al. 2015) — the exact measure
+    the reference selects LDA models with
+    (topic_modelling.ipynb:366-372 cell 8). Relational plan: window
+    coverage as merged interval lists per (doc, term), so the 110×
+    boolean-window expansion is never materialized
+    (operators/coherence.py::cv_coherence)."""
+    from .functions.text_clean import clean_tokens
+    from .operators.coherence import cv_coherence, topics_terms_from_model
+    from .operators.topics import fit_count_vectorizer, fit_lda
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = docs.select(
+        "doc_id", clean_tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    cv = fit_count_vectorizer(toks, min_df=2.0)
+    model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
+    terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
+    return cv_coherence(toks, terms, window=110)
+
+
 @register("multimodal_image_meta")
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched

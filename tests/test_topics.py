@@ -103,3 +103,17 @@ def test_sweep_k_returns_scores(spark, planted):
     assert [k for k, _ in scores] == [2, 3]
     for _, s in scores:
         assert s == s  # not NaN
+
+
+def test_sweep_k_cv_metric_prefers_true_k(spark, planted):
+    # reference criterion: argmax c_v over the sweep (cell 8). With 3
+    # planted clusters, k=3 should out-cohere k=2 (a k=2 fit must
+    # merge two clusters, diluting every window co-occurrence).
+    scores = dict(
+        T.sweep_k(
+            planted, "tokens", ks=[2, 3], max_iter=15, min_df=2.0, metric="cv"
+        )
+    )
+    assert set(scores) == {2, 3}
+    assert all(s == s for s in scores.values())
+    assert scores[3] > scores[2]

@@ -2001,6 +2001,65 @@ def doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2), "
+    "dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1), "
+    "scored AS (SELECT doc_id, term, tf, df, "
+    "tf * (n_docs + 1) AS score_num, df + 1 AS score_den, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY "
+    "CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) DESC, term) AS rnk "
+    "FROM tfc JOIN dfc USING (term) CROSS JOIN n) "
+    "SELECT doc_id, rnk, term, tf, df, score_num, score_den "
+    "FROM scored WHERE rnk <= 5",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document with an EXACT rational idf —
+    the keyword-extraction / salient-term primitive of search and
+    corpus-quality work, and the reason `doc_term_stats` stops at
+    raw (tf, df): `log` is libm-rounded differently per engine, so a
+    logged idf can't value-hash across Spark and DuckDB. Here
+    idf = (N+1)/(df+1) (add-one smoothed, log-free): score
+    numerator/denominator are exact int64 products, and the ranking
+    key `score_num / score_den` is ONE correctly-rounded IEEE
+    division — bit-identical in both engines — with a term-asc tie
+    break. The log variant is the same plan with
+    `F.log((N+1)/(df+1))` substituted caller-side.
+
+    Plan: explode -> two map-side-combinable hash aggs (tf, df) ->
+    df join (term dimension; at 100 TB stays a shuffle join on term
+    — high-DF stopword terms are the skew keys, AQE skew-split
+    bounds them) -> per-doc WindowGroupLimit top-5 (no global sort).
+    The corpus count N rides in as a broadcast 1-row cross join, not
+    a driver round-trip in the plan."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_num", F.col("tf") * (F.col("n_docs") + 1))
+        .withColumn("score_den", F.col("df") + 1)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("score_num").cast("double") / F.col("score_den")).desc(),
+        F.col("term"),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_num", "score_den")
+    )
+
+
+@register(
     "top_bigrams",
     "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), "
     "b AS (SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)), "

@@ -100,6 +100,30 @@ def score_with_lexicon_join(
     )
 
 
+def full_lexicon_df(df_factory) -> DataFrame:
+    """The ~2k-entry engine lexicon (functions/lexicon_data.py) as a
+    broadcastable (word, p_milli, s_milli) DataFrame — scores
+    pre-scaled to exact integer milli-units so downstream averaging
+    is order-independent integer arithmetic (cross-engine exact, the
+    repo-wide determinism pattern). ``df_factory`` is a SparkSession.
+
+    This is the ``score_with_lexicon_join`` large-lexicon path made
+    concrete: the reference's TextBlob en-sentiment.xml slot
+    (sentiment_analysis.ipynb cell 7) filled with an engine-owned
+    deterministic word list. Swap in a real TSV (word, polarity,
+    subjectivity) the same way for full fidelity.
+    """
+    from .lexicon_data import full_lexicon
+
+    rows = [
+        (w, int(round(p * 1000)), int(round(s * 1000)))
+        for w, (p, s) in sorted(full_lexicon().items())
+    ]
+    return df_factory.createDataFrame(
+        rows, "word string, p_milli long, s_milli long"
+    )
+
+
 _SENT_SCHEMA = T.StructType(
     [
         T.StructField("polarity", T.DoubleType()),

@@ -284,6 +284,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Fully-relational n-gram Jaccard similarity join, with exact
     PPJoin-style prefix filtering (Xiao et al. 2008).
@@ -305,6 +306,20 @@ def ngram_jaccard_pairs(
     prefix keeps (1-t) of each set, so at low thresholds the filter
     prunes little and its extra joins cost more than they save
     (measured 2x slower at t=0.2, sf0.1; the win flips as t grows).
+
+    ``max_df`` bounds the low-threshold path's fanout: a shingle with
+    document frequency f yields f² candidate pairs, so ONE
+    stopword-like shingle (df=10⁶ at 100 TB) explodes 10¹² pairs.
+    Shingles with df > max_df are dropped BEFORE pair generation —
+    a cheap (shingle, count) aggregation followed by a co-partitioned
+    semi-join, so no reducer ever materializes a hot shingle's id
+    list. Recall impact: only pairs whose ENTIRE overlap is
+    corpus-stopword shingles are missed — such shingles carry no
+    similarity signal at low thresholds anyway. ``max_df=None``
+    restores the exact uncapped semantics (small/oracle inputs).
+    The prefix-filter path needs no cap: it joins only on each doc's
+    ⌊(1-t)|X|⌋+1 globally RAREST shingles, so high-df shingles never
+    generate candidates by construction.
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
@@ -363,8 +378,22 @@ def ngram_jaccard_pairs(
         # a shingle with document frequency f yields f^2 pairs; at
         # real scale high-df shingles must be pruned first — that is
         # exactly what the prefix_filter path does at threshold>=0.5.
+        paired_src = sh
+        if max_df is not None:
+            # two-phase prune: count first (map-side partials, no id
+            # lists), keep only pairable shingles under the cap, then
+            # semi-join back. The join and the following groupBy hash
+            # on the same key, so the prune adds one cheap count
+            # shuffle and saves the unbounded collect_list.
+            keep = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter((F.col("df") > 1) & (F.col("df") <= max_df))
+                .select("shingle")
+            )
+            paired_src = sh.join(keep, "shingle", "left_semi")
         grouped = (
-            sh.groupBy("shingle")
+            paired_src.groupBy("shingle")
             .agg(F.collect_list("id").alias("ids"))
             .filter(F.size("ids") > 1)
         )

@@ -14,6 +14,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: str | Column) -> Column:
+    """Epoch microseconds from ANY timestamp flavor.
+
+    Spark 4 reads tz-less parquet timestamps as TIMESTAMP_NTZ, which
+    rejects both ``unix_micros`` and a direct long cast
+    (DATATYPE_MISMATCH); routing through an LTZ cast is legal for
+    every flavor (a no-op for TIMESTAMP inputs). The session timezone
+    interprets the NTZ wall clock — pinned to UTC in
+    ``session.get_spark`` so epoch values equal DuckDB's
+    ``epoch_us`` on the same naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Truncated epoch seconds, NTZ-proof (see ``epoch_us``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("long")
+
+
 def top_n(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
     """A6: ``sort(k, desc).limit(n)``.
 
@@ -203,10 +224,17 @@ def sessionize(
 ) -> DataFrame:
     """Sessionization: new session when the gap to the previous event
     of the same key exceeds the threshold. lag + conditional cumsum —
-    one shuffle on the key; returns rows with a session_id column."""
+    one shuffle on the key; returns rows with a session_id column.
+
+    Gaps compare at FULL microsecond precision (``epoch_us``) — a
+    truncated-seconds gap would disagree with sub-second event times
+    at the exact session boundary."""
     w = Window.partitionBy(key).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    us = epoch_us(ts_col)
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -358,12 +386,7 @@ def range_join_binned(
     applies. Emits matched pairs (all left + right columns); callers
     aggregate or left-join back for unmatched handling.
     """
-    def secs(c: str):
-        # NTZ timestamps reject a direct long cast in Spark 4; route
-        # through LTZ (session-tz interpretation — consistent across
-        # all three columns, and only monotonicity matters for bins)
-        return F.col(c).cast("timestamp_ltz").cast("long")
-
+    secs = epoch_seconds
     bin_l = (secs(ts_col) / bin_seconds).cast("long")
     bin_span = F.sequence(
         (secs(start_col) / bin_seconds).cast("long"),

@@ -142,6 +142,54 @@ def make_planes(dim: int, r: int = 8, seed: int = 42) -> list[list[float]]:
     return [flat[i * dim : (i + 1) * dim] for i in range(r)]
 
 
+_SUBBUCKET_BITS = 4  # oversized buckets split 16 ways
+_SUBBUCKET_SEED_OFFSET = 7919  # decorrelate sub-planes from base planes
+
+
+def _subbucketed(
+    withb: DataFrame, vec_col: str, dim: int, r: int, seed: int, max_bucket: int
+) -> DataFrame:
+    """Bound LSH bucket width: re-hash rows of buckets larger than
+    ``max_bucket`` with ``_SUBBUCKET_BITS`` extra hyperplanes.
+
+    A degenerate region of embedding space (e.g. a mass of
+    near-identical boilerplate docs) lands in ONE sign-bucket, and a
+    bucket of width w costs w² in pair verification / w in probe scan
+    — uncapped, one hot bucket dominates the stage at 100 TB. The
+    split: bucket sizes come from a cheap (bucket, count) aggregation
+    joined back co-partitioned; oversized rows get
+    ``base·2^s + extra + 2^(r+s)`` (disjoint from the un-split id
+    space), everyone else keeps ``base``. Deterministic — no rand(),
+    replayable tasks. Recall trade: pairs crossing sub-buckets of an
+    oversized bucket are missed; high-cosine pairs agree on the extra
+    sign bits with the same probability as the base bits, so the hit
+    mirrors raising r by s for those rows only.
+
+    Expects ``withb`` to carry ``__bucket``; returns the same frame
+    with ``__bucket`` rewritten.
+    """
+    extra_planes = make_planes(
+        dim, _SUBBUCKET_BITS, seed + _SUBBUCKET_SEED_OFFSET
+    )
+    sizes = withb.groupBy("__bucket").agg(F.count("*").alias("__bsz"))
+    extra = _bucket_expr(F.col(vec_col), extra_planes)
+    split = (
+        F.col("__bucket") * F.lit(1 << _SUBBUCKET_BITS)
+        + extra
+        + F.lit(1 << (r + _SUBBUCKET_BITS))
+    )
+    return (
+        withb.join(sizes, "__bucket")
+        .withColumn(
+            "__bucket",
+            F.when(F.col("__bsz") > max_bucket, split).otherwise(
+                F.col("__bucket")
+            ),
+        )
+        .drop("__bsz")
+    )
+
+
 def rp_lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -150,21 +198,43 @@ def rp_lsh_topk(
     k: int = 10,
     r: int = 6,
     seed: int = 42,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """LSH-pruned top-k: scan only rows whose sign-bucket matches the
     query's. Approximate (recall < 1); bucket column is a narrow
     deterministic projection — at scale, persist it / partition by it
-    so queries prune at the parquet level (partition pruning)."""
+    so queries prune at the parquet level (partition pruning).
+
+    ``max_bucket`` bounds the probe scan when the query lands in a
+    degenerate hot bucket: oversized buckets are sub-split with extra
+    hyperplanes (see ``_subbucketed``) and only the query's sub-bucket
+    is scanned. ``None`` disables the cap (exact legacy behavior)."""
     planes = make_planes(len(query), r, seed)
     qbucket = 0
     for i, p in enumerate(planes):
         if sum(x * y for x, y in zip(query, p)) >= 0:
             qbucket |= 1 << i
     q = F.lit(query).cast("array<double>")
-    scored = (
-        df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
-        .filter(F.col("__bucket") == qbucket)
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+    withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+    probe = [qbucket]
+    if max_bucket is not None:
+        withb = _subbucketed(withb, vec_col, len(query), r, seed, max_bucket)
+        # the query's bucket id under the split scheme (driver-side
+        # twin of the executor expression)
+        extra_planes = make_planes(
+            len(query), _SUBBUCKET_BITS, seed + _SUBBUCKET_SEED_OFFSET
+        )
+        qextra = 0
+        for i, p in enumerate(extra_planes):
+            if sum(x * y for x, y in zip(query, p)) >= 0:
+                qextra |= 1 << i
+        probe.append(
+            qbucket * (1 << _SUBBUCKET_BITS)
+            + qextra
+            + (1 << (r + _SUBBUCKET_BITS))
+        )
+    scored = withb.filter(F.col("__bucket").isin(probe)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
@@ -222,6 +292,7 @@ def cosine_pairs(
     dim: int | None = None,
     seed: int = 42,
     brute_force: bool = False,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """All-pairs embedding near-dup: (id_1, id_2, cosine >= threshold).
 
@@ -231,6 +302,13 @@ def cosine_pairs(
     ``brute_force=True`` computes all O(n^2) pairs — the correctness
     oracle path for small inputs (and exactly what the DuckDB twin
     does).
+
+    ``max_bucket`` caps the bucket² verify cost: buckets wider than
+    the cap are deterministically sub-split with extra hyperplanes
+    (``_subbucketed``), bounding any single bucket's pair fanout to
+    ~(max_bucket·split)² instead of letting one degenerate embedding
+    region own the stage. ``None`` disables (exact legacy behavior;
+    the oracle path uses ``brute_force=True`` anyway).
     """
     a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
@@ -241,6 +319,8 @@ def cosine_pairs(
             dim = len(df.select(vec_col).first()[0])
         planes = make_planes(dim, r, seed)
         withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+        if max_bucket is not None:
+            withb = _subbucketed(withb, vec_col, dim, r, seed, max_bucket)
         a = withb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"), "__bucket")
         b = withb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"), "__bucket")
         cand = a.join(b, "__bucket").filter(F.col("id_1") < F.col("id_2"))

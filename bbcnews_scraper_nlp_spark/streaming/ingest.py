@@ -33,24 +33,9 @@ def stream_events(
     """Streaming dedup source over the events table.
 
     File-source streams need an explicit schema; we take it (and the
-    NANOS-timestamp fix-up) from the batch reader in catalog.py.
+    NANOS/NTZ timestamp fix-ups) from ``event_stream``.
     """
-    from ..catalog import load_table
-
-    batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-stream sources need a directory; glob-filter to the one
-    # table inside the sf dir
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
-    del batch
+    stream = event_stream(spark, sf_dir, ts_col=ts_col)
     return stream.withWatermark(ts_col, watermark).dropDuplicates([key])
 
 
@@ -114,15 +99,7 @@ def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = event_stream(spark, sf_dir)
     name = f"user_stats_{uuid.uuid4().hex[:8]}"
     q = (
         running_user_stats(stream)
@@ -168,15 +145,7 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = event_stream(spark, sf_dir)
     name = f"win_counts_{uuid.uuid4().hex[:8]}"
     q = (
         windowed_event_counts(stream)
@@ -210,7 +179,13 @@ def incremental_dedup_batch(
 def event_stream(spark: SparkSession, sf_dir: str, ts_col: str = "ts") -> DataFrame:
     """Streaming reader for the events table (schema pinned from the
     parquet footer; NANOS ts normalized to micros exactly as the
-    batch reader does)."""
+    batch reader does).
+
+    The event-time column is normalized to TIMESTAMP (LTZ):
+    watermarks REQUIRE it (`withWatermark` on TIMESTAMP_NTZ throws
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and tz-less parquet reads
+    as NTZ in Spark 4. Session timezone is pinned UTC
+    (session.get_spark), so the cast relabels the same wall clock."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -222,6 +197,8 @@ def event_stream(spark: SparkSession, sf_dir: str, ts_col: str = "ts") -> DataFr
         stream = stream.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return stream
 
 

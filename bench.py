@@ -89,32 +89,41 @@ def main() -> None:
     # 1.5-2x from JIT/GC/AQE noise in one JVM; the min measures the
     # plan. Each run re-executes end to end (operator-internal caches
     # are per-invocation DataFrames, never reused across runs).
+    # Per-query fault isolation: one red query must never zero out
+    # the round's perf evidence (rounds 2-3 produced NO bench JSON
+    # because the runner died at the first failing query). Failures
+    # are reported in an "errors" key; timing totals cover the
+    # queries that ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY.get(name)
         if q is None:
             continue
         best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED ({errors[name][:120]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

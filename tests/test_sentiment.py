@@ -66,3 +66,73 @@ def test_pandas_udf_negation(spark):
     # "not good" -> -0.5 * 0.7; "good" -> 0.7
     assert abs(out[0] - (-0.35)) < 1e-12
     assert abs(out[1] - 0.7) < 1e-12
+
+
+def test_full_lexicon_shape_and_scores(spark):
+    from bbcnews_scraper_nlp_spark.functions.lexicon_data import full_lexicon
+
+    lex = full_lexicon()
+    # realistic lexicon size (TextBlob's en-sentiment.xml is ~2.9k);
+    # all scores quantized to 3 decimals within the conventional ranges
+    assert len(lex) >= 2000
+    for w, (p, s) in lex.items():
+        assert -1.0 <= p <= 1.0 and 0.0 <= s <= 1.0, w
+        assert round(p, 3) == p and round(s, 3) == s, w
+    # spot anchors (TextBlob-style values)
+    assert lex["good"] == (0.7, 0.6)
+    assert lex["great"] == (0.8, 0.75)
+    assert lex["horrible"] == (-1.0, 1.0)
+    # morphology inherits base scores; un- negates at 0.85
+    assert lex["happily"] == lex["happy"]
+    assert lex["loved"] == lex["love"]
+    assert abs(lex["unhappy"][0] - (-0.85 * lex["happy"][0])) < 1e-9
+
+
+def test_full_lexicon_corpus_frozen_oracle(spark):
+    # Frozen-oracle fixture: a small mixed-sentiment corpus scored
+    # through the broadcast-join path. Expected means are hand-derived
+    # from the lexicon entries (see inline math); tolerance 1e-9 —
+    # the integer-milli aggregation is exact, not approximate.
+    rows = [
+        (0, "the team played a great game and the fans were happy"),
+        (1, "a terrible crash caused major delays and anger"),
+        (2, "markets were steady with modest growth this quarter"),
+        (3, "neutral words only appear in this sentence"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lex = S.full_lexicon_df(spark)
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    agg = (
+        toks.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("p_milli").alias("n"),
+            F.sum("p_milli").alias("p"),
+            F.sum("s_milli").alias("s"),
+        )
+    )
+    got = {
+        r["doc_id"]: (
+            (r["p"] / (r["n"] * 1000.0)) if r["n"] else 0.0,
+            (r["s"] / (r["n"] * 1000.0)) if r["n"] else 0.0,
+        )
+        for r in agg.collect()
+    }
+    # doc 0: great(.8,.75) + happy(.8,1.0) -> (0.8, 0.875)
+    assert abs(got[0][0] - 0.8) < 1e-9 and abs(got[0][1] - 0.875) < 1e-9
+    # doc 1: terrible(-1,1) + crash(-.5,.55) + delays(-.3,.4)
+    #        -> (-0.6, 0.65)
+    assert abs(got[1][0] + 0.6) < 1e-9 and abs(got[1][1] - 0.65) < 1e-9
+    # doc 2: steady(.3,.4) + growth(.3,.35) -> (0.3, 0.375)
+    assert abs(got[2][0] - 0.3) < 1e-9 and abs(got[2][1] - 0.375) < 1e-9
+    # doc 3: no lexicon hits -> (0.0, 0.0), the TextBlob default
+    assert got[3] == (0.0, 0.0)
+    # corpus means land in the reference's published ballpark
+    # (articles_sentiments.csv: mean polarity 0.0654, subjectivity
+    # 0.3966): mildly positive polarity, moderate subjectivity
+    mean_p = sum(v[0] for v in got.values()) / len(got)
+    mean_s = sum(v[1] for v in got.values()) / len(got)
+    assert 0.0 < mean_p < 0.2
+    assert 0.3 < mean_s < 0.6

@@ -184,12 +184,15 @@ def test_session_windows_match_batch_sessionize(spark, sf_dir):
     # same (start, last+gap, count) projection. Only sessions CLOSED
     # by the final watermark (horizon <= max_ts - 1 day) are emitted
     # by append mode.
+    from bbcnews_scraper_nlp_spark.operators.relational import epoch_us
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    )
-    is_new = F.when(gap_s.isNull() | (gap_s >= 30 * 60), 1).otherwise(0)
+    us = epoch_us("ts")
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
     sess = ev.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -200,7 +200,7 @@ def minhash_lsh_pairs(
 _BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
-def simhash64(tokens: Column) -> Column:
+def simhash64(tokens: Column, token_hash: str = "xxhash64") -> Column:
     """64-bit SimHash fingerprint, pure bitwise aggregate.
 
     Each token hashes to 64 bits; per bit position the classic
@@ -209,8 +209,22 @@ def simhash64(tokens: Column) -> Column:
     of zip_with(counters, bitmask literals). No Python, no shuffle.
     Shift amounts must be Python ints (Spark's shiftright takes no
     Column), so per-bit terms are built as static 64-element arrays.
+
+    ``token_hash``: "xxhash64" (fastest, Spark-internal) or "md5"
+    (60-bit md5 prefix via conv — bit-identical recomputable in
+    DuckDB/any engine, the cross-engine oracle flavor; bits 60-63 of
+    the fingerprint are always 0). Fingerprints from different
+    flavors are incomparable — pick one per corpus.
     """
-    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+    if token_hash == "md5":
+        hashed = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    else:
+        hashed = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def bits_pm1(h: Column) -> Column:
         return F.array(
@@ -239,13 +253,18 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: fingerprint -> band on 4×16-bit chunks
     (any pair within Hamming distance 3 of a 64-bit hash shares at
     least one identical 16-bit chunk — pigeonhole) -> verify with
-    bit_count(xor). Shuffle only on chunk keys."""
+    bit_count(xor). Shuffle only on chunk keys. Output is EXACTLY the
+    brute-force Hamming<=max_hamming pair set (the banding is a
+    lossless pigeonhole prune), which is what the DuckDB oracle
+    recomputes all-pairs."""
     base = df.select(
-        F.col(id_col), simhash64(F.split(F.col(text_col), " ")).alias("__f")
+        F.col(id_col),
+        simhash64(F.split(F.col(text_col), " "), token_hash).alias("__f"),
     )
     chunks = base.select(
         id_col,

@@ -256,10 +256,21 @@ def attach_audio_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     REAL RIFF/WAVE container per row — header with rate/width derived
     from the row id, 'data' chunk filled with the UTF-8 text bytes —
     so the audio plumbing runs on honestly-parseable payloads."""
+    from pyspark.sql.functions import pandas_udf
+
     rate = (F.pmod(F.col(id_col), F.lit(3)) * 8000 + 8000).cast("int")
-    header = F.udf(
-        lambda r, n: _wav_header(int(r), 1, 16, int(n) // 2), "binary"
-    )
+
+    def _headers(rates: pd.Series, sizes: pd.Series) -> pd.Series:
+        # Arrow-batched (this file's only header synth; keeps the repo
+        # free of row-at-a-time Python UDFs)
+        return pd.Series(
+            [
+                _wav_header(int(r), 1, 16, int(n) // 2)
+                for r, n in zip(rates, sizes)
+            ]
+        )
+
+    header = pandas_udf(_headers, "binary")
     body = F.col(text_col).cast("binary")
     n = F.length(body)
     return df.select(

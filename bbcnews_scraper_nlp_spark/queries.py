@@ -1160,19 +1160,100 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+# The oracle recomputes SimHash from scratch in SQL: md5-prefix token
+# hash (60 usable bits — identical in both engines), per-bit ±1
+# majority vote, then ALL-PAIRS Hamming via bit_count(xor). The Spark
+# side bands on 4x16-bit chunks instead of all-pairs, but banding is
+# a lossless pigeonhole prune at Hamming<=3, so the outputs are
+# set-identical.
+_SIMHASH_ORACLE = """
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ') AS text
+  FROM documents WHERE (doc_id + 1000000) % 5 = 0
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM alldocs),
+th AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h
+       FROM tok),
+bitcnt AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, (SELECT unnest(range(60)) AS j) bits
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 0 THEN (1::UBIGINT << j) ELSE 0 END)
+              AS BIGINT) AS f
+  FROM bitcnt GROUP BY doc_id
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a, fp b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints)
-    over documents with planted dups."""
+    over documents with planted dups. Uses the md5 token-hash flavor
+    so the fingerprints are engine-independent and the DuckDB oracle
+    can recompute them bit-for-bit (the xxhash64 flavor is the
+    default for production corpora)."""
     from .operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_near_dups(spark, sf_dir), "doc_id", "text")
+    return simhash_pairs(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text",
+        token_hash="md5",
+    )
 
 
-@register("similarity_lsh_topk")
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB twin of rp_lsh_topk (r=6, seed=42, dim=64): recompute
+    the sign-pattern bucket of every vector AND of the query (vec_id
+    0) from the same deterministic LCG hyperplanes inlined as
+    literals, filter to the query's bucket, brute-force cosine top-k
+    inside it. The sub-bucket cap never triggers at driver scale
+    (bucket sizes << max_bucket), so the uncapped bucket id is the
+    one to match."""
+    from .operators.similarity import make_planes
+
+    planes = make_planes(64, 6, 42)
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id != 0), "
+        f"b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e), "
+        f"qb AS (SELECT {bucket_expr('v')} AS bucket FROM q) "
+        "SELECT vec_id, "
+        "ROUND(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine "
+        "FROM b WHERE bucket = (SELECT bucket FROM qb) "
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+@register("similarity_lsh_topk", _lsh_topk_oracle_sql())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-pruned cosine top-k (the ANN scale path;
-    brute-force twin ann_topk_cosine is the oracle-checked baseline)."""
+    brute-force twin ann_topk_cosine is the oracle-checked baseline).
+    Oracle-checked too: the DuckDB twin recomputes the deterministic
+    LCG hyperplane buckets in SQL and scans the query's bucket."""
     from .operators.similarity import rp_lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings", widen=True)

@@ -65,11 +65,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def hashed_shingles(col: Column, mode: str = "word", n: int = 3) -> Column:
-    """Distinct shingles of a text column, hashed into [0, 2^31-1)."""
+def hashed_shingles(
+    col: Column, mode: str = "word", n: int = 3, shingle_hash: str = "xxhash64"
+) -> Column:
+    """Distinct shingles of a text column, hashed into [0, 2^31-1).
+
+    ``shingle_hash="md5"`` uses a 60-bit md5-prefix base hash instead
+    of Spark-internal xxhash64 — bit-identical recomputable in any
+    engine with md5 (the DuckDB-oracle flavor, same convention as
+    ``simhash64``)."""
     sh = word_shingles(F.split(col, " "), n) if mode == "word" else char_shingles(col, n)
+    if shingle_hash == "md5":
+        base = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        base = F.xxhash64
     return F.array_distinct(
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+        F.transform(sh, lambda s: F.pmod(base(s), F.lit(MERSENNE31)))
     )
 
 
@@ -102,6 +113,7 @@ def minhash_lsh_pairs(
     shingle_mode: str = "word",
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pair finder.
 
@@ -127,7 +139,9 @@ def minhash_lsh_pairs(
     # semantics-preserving.)
     exploded = df.select(
         F.col(id_col),
-        F.explode(hashed_shingles(F.col(text_col), shingle_mode, shingle_n)).alias("__h"),
+        F.explode(
+            hashed_shingles(F.col(text_col), shingle_mode, shingle_n, shingle_hash)
+        ).alias("__h"),
     )
     min_aggs = [
         F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(MERSENNE31))).alias(

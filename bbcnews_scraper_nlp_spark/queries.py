@@ -1143,11 +1143,81 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-@register("dedup_minhash_lsh")
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of minhash_lsh_pairs on the planted-dups fixture.
+
+    Recomputes the whole pipeline from first principles: md5-prefix
+    shingle hash (mod 2^31-1), the same LCG affine coefficients, the
+    64 signature minima as plain MIN aggregates, band membership as
+    explicit 4-way tuple equality over an all-pairs join (fine at
+    oracle scale; the Spark side's banded shuffle exists precisely to
+    avoid this at real scale), and exact Jaccard verification on the
+    hashed shingle sets."""
+    from .operators.dedup import MERSENNE31, _coeffs
+
+    coeffs = _coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_clauses = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{i} = b.m{i}"
+            for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+        )
+        + ")"
+        for bnd in range(bands)
+    )
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ') AS text
+  FROM documents WHERE (doc_id + 1000000) % 5 = 0
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+shingle AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(t[j:j+2], ' ')), 1, 15))
+              AS UBIGINT) % {MERSENNE31} AS h
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS j) s
+  WHERE len(t) >= 3
+),
+sig AS (SELECT doc_id, {mins} FROM shingle GROUP BY doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_clauses}
+),
+inter AS (
+  SELECT c.id_1, c.id_2, COUNT(*) AS i
+  FROM cand c
+  JOIN shingle s1 ON s1.doc_id = c.id_1
+  JOIN shingle s2 ON s2.doc_id = c.id_2 AND s2.h = s1.h
+  GROUP BY c.id_1, c.id_2
+)
+SELECT id_1, id_2,
+       ROUND(CAST(i AS DOUBLE) / (z1.n + z2.n - i), 6) AS jaccard
+FROM inter
+JOIN sz z1 ON z1.doc_id = id_1
+JOIN sz z2 ON z2.doc_id = id_2
+WHERE CAST(i AS DOUBLE) / (z1.n + z2.n - i) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents with planted dups.
-    Engine-internal xxhash64 -> no SQL oracle; pytest checks recall
-    of planted pairs and precision vs exact Jaccard."""
+    """MinHash+LSH near-dup pairs over documents with planted dups,
+    in the md5 shingle-hash flavor so the DuckDB oracle can recompute
+    signatures bit-for-bit (xxhash64 stays the production default).
+    pytest additionally checks recall of planted pairs and precision
+    vs exact Jaccard."""
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -1157,6 +1227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
         jaccard_threshold=0.5,
+        shingle_hash="md5",
     )
 
 

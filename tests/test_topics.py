@@ -117,3 +117,43 @@ def test_sweep_k_cv_metric_prefers_true_k(spark, planted):
     assert set(scores) == {2, 3}
     assert all(s == s for s in scores.values())
     assert scores[3] > scores[2]
+
+
+def test_topics_html_sink(spark, tmp_path):
+    # S11: the pyLDAvis artifact slot — train a tiny model, write the
+    # self-contained HTML, assert the data feed landed in it
+    from bbcnews_scraper_nlp_spark.operators.topics import (
+        fit_count_vectorizer,
+        fit_lda,
+    )
+    from bbcnews_scraper_nlp_spark.sources.topics_html import (
+        topic_viz_data,
+        write_topics_html,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ["alpha", "beta", "gamma"] if i % 2 else ["delta", "eps", "zeta"])
+            for i in range(40)
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    cv = fit_count_vectorizer(docs, "tokens", min_df=1.0)
+    vocab = cv.vocabulary
+    vectorized = cv.transform(docs)
+    model = fit_lda(vectorized, k=2, max_iter=5)
+    transformed = model.transform(vectorized)
+
+    data = topic_viz_data(model, vocab, transformed, num_words=5)
+    assert data["k"] == 2
+    assert abs(sum(data["topic_share"]) - 1.0) < 1e-6
+    assert all(len(t["terms"]) == 5 for t in data["topics"])
+
+    out = tmp_path / "ldaplot_topics_2.html"
+    write_topics_html(model, vocab, transformed, str(out), num_words=5)
+    text = out.read_text()
+    assert text.startswith("<!DOCTYPE html>")
+    assert "Topic 0" in text and "Topic 1" in text
+    # every top term of topic 0 appears in the document
+    for word, _ in data["topics"][0]["terms"]:
+        assert word in text

@@ -1488,15 +1488,131 @@ def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("p13_lemmatize")
+def _lemmatize_oracle_sql() -> str:
+    """DuckDB twin of the rule lemmatizer: the SAME branch-ordered
+    suffix/exception logic as ``lemmatize.heuristic_pos`` /
+    ``rule_lemma``, generated as CASE chains (token order preserved
+    via an explicit subscript; docs whose every token is filtered
+    keep an empty string through the left join)."""
+    from .functions.lemmatize import (
+        _COMMON_VERBS,
+        IRREGULAR_ADJS,
+        IRREGULAR_NOUNS,
+        IRREGULAR_VERBS,
+        POS_WHITELIST,
+    )
+
+    verbs_sql = _sql_str_list(sorted(_COMMON_VERBS))
+
+    def in_keys(d: dict) -> str:
+        return "w IN (" + ", ".join(f"'{k}'" for k in sorted(d)) + ")"
+
+    def map_case(d: dict) -> str:
+        whens = " ".join(
+            f"WHEN '{k}' THEN '{v}'" for k, v in sorted(d.items())
+        )
+        return f"CASE w {whens} ELSE w END"
+
+    def ends(*sfx: str) -> str:
+        return "(" + " OR ".join(f"w LIKE '%{s}'" for s in sfx) + ")"
+
+    pos = f"""CASE
+      WHEN w = '' THEN 'NN'
+      WHEN list_contains({verbs_sql}, w) THEN 'VB'
+      WHEN {in_keys(IRREGULAR_VERBS)} THEN 'VBD'
+      WHEN {in_keys(IRREGULAR_NOUNS)} THEN 'NNS'
+      WHEN {in_keys(IRREGULAR_ADJS)} THEN 'JJR'
+      WHEN w LIKE '%ly' THEN 'RB'
+      WHEN {ends('er', 'est')} AND len(w) > 4 THEN
+        CASE WHEN w LIKE '%er' THEN 'JJR' ELSE 'JJS' END
+      WHEN {ends('ous', 'ful', 'ive', 'able', 'ible', 'al', 'ic', 'ish')} THEN 'JJ'
+      WHEN w LIKE '%ing' AND len(w) > 5 THEN 'VBG'
+      WHEN w LIKE '%ed' AND len(w) > 4 THEN 'VBD'
+      WHEN {ends('ion', 'ment', 'ness', 'ity', 'ship', 'hood')} THEN 'NN'
+      WHEN w LIKE '%s' AND NOT {ends('ss', 'us', 'is')} THEN 'NNS'
+      ELSE 'NN' END"""
+
+    ing_stem = "substr(w, 1, len(w) - 3)"
+    ed_stem = "substr(w, 1, len(w) - 2)"
+
+    def lastc(stem: str, i: int) -> str:
+        return f"substr({stem}, len({stem}) - {i - 1}, 1)"
+
+    vowels = "('a', 'e', 'i', 'o', 'u')"
+    ing = f"""CASE
+        WHEN len({ing_stem}) > 2
+             AND {lastc(ing_stem, 1)} = {lastc(ing_stem, 2)}
+          THEN substr({ing_stem}, 1, len({ing_stem}) - 1)
+        WHEN len({ing_stem}) > 2
+             AND {lastc(ing_stem, 1)} NOT IN {vowels}
+             AND {lastc(ing_stem, 2)} IN {vowels}
+          THEN CASE WHEN {ends('ating', 'izing', 'osing', 'iving')}
+                    THEN {ing_stem} || 'e' ELSE {ing_stem} END
+        ELSE {ing_stem} END"""
+    ed = f"""CASE
+        WHEN len({ed_stem}) > 2
+             AND {lastc(ed_stem, 1)} = {lastc(ed_stem, 2)}
+          THEN substr({ed_stem}, 1, len({ed_stem}) - 1)
+        ELSE {ed_stem} END"""
+
+    lemma = f"""CASE
+      WHEN pos LIKE 'N%' THEN CASE
+        WHEN {in_keys(IRREGULAR_NOUNS)} THEN {map_case(IRREGULAR_NOUNS)}
+        WHEN w LIKE '%ies' AND len(w) > 4 THEN substr(w, 1, len(w) - 3) || 'y'
+        WHEN {ends('ses', 'xes', 'zes', 'ches', 'shes')} AND len(w) > 4
+          THEN substr(w, 1, len(w) - 2)
+        WHEN w LIKE '%s' AND NOT {ends('ss', 'us', 'is')} AND len(w) > 3
+          THEN substr(w, 1, len(w) - 1)
+        ELSE w END
+      WHEN pos LIKE 'V%' THEN CASE
+        WHEN {in_keys(IRREGULAR_VERBS)} THEN {map_case(IRREGULAR_VERBS)}
+        WHEN w LIKE '%ing' AND len(w) > 5 THEN {ing}
+        WHEN w LIKE '%ied' AND len(w) > 4 THEN substr(w, 1, len(w) - 3) || 'y'
+        WHEN w LIKE '%ed' AND len(w) > 4 THEN {ed}
+        ELSE w END
+      WHEN pos LIKE 'R%' THEN
+        CASE WHEN w LIKE '%ly' AND len(w) > 4
+             THEN substr(w, 1, len(w) - 2) ELSE w END
+      WHEN pos LIKE 'J%' THEN CASE
+        WHEN {in_keys(IRREGULAR_ADJS)} THEN {map_case(IRREGULAR_ADJS)}
+        WHEN w LIKE '%est' AND len(w) > 5 THEN substr(w, 1, len(w) - 3)
+        WHEN w LIKE '%er' AND len(w) > 4 THEN substr(w, 1, len(w) - 2)
+        ELSE w END
+      ELSE w END"""
+
+    whitelist = ", ".join(f"'{p}'" for p in POS_WHITELIST)
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, j AS ord, lower(arr[j]) AS w
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS j) s
+  WHERE arr[j] != ''
+),
+tagged AS (SELECT doc_id, ord, w, {pos} AS pos FROM tok),
+lemmas AS (
+  SELECT doc_id, string_agg({lemma}, ' ' ORDER BY ord) AS t
+  FROM tagged WHERE pos IN ({whitelist}) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(l.t, '') AS text_lemma
+FROM documents d LEFT JOIN lemmas l ON d.doc_id = l.doc_id
+"""
+
+
+@register("p13_lemmatize", _lemmatize_oracle_sql())
 def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13/F10: POS-filter + rule lemmatization pandas UDF (the NLTK
-    WordNet slot; kernel is engine-owned, plumbing is the contract)."""
-    from .functions.lemmatize import POS_WHITELIST, make_lemmatize_udf
+    """P13/F10: POS-filter + rule lemmatization via the pure-Catalyst
+    expression (zero Python, codegen; pytest proves it token-equal to
+    the pandas-UDF kernel, which remains the NLTK/WordNet model
+    mount point)."""
+    from .functions.lemmatize import POS_WHITELIST, lemmatize_text_expr
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    lem = make_lemmatize_udf(POS_WHITELIST)
-    return docs.select("doc_id", lem(F.col("text")).alias("text_lemma"))
+    return docs.select(
+        "doc_id",
+        lemmatize_text_expr(F.col("text"), POS_WHITELIST).alias("text_lemma"),
+    )
 
 
 @register("streaming_user_stats")

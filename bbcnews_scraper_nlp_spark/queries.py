@@ -3639,19 +3639,19 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_ORDER = [
     # reference-core filters / projections / joins / aggs / windows
     "f1_contains_filter",
-    "f4_min_word_count",
+    "p13_lemmatize",
     "f6_dedup_keep_first",
     "f7_anti_join_unseen",
     "p1_strip_last_segment",
     "p4_p12_clean_text",
     "p15_p16_day_cast",
     "j1_broadcast_enrich",
-    "a2_group_count",
+    "sentiment_full_lexicon",
     "a3_daily_mean",
     "a6_top_orders",
     "w1_rolling_trend",
-    "w3_argmax_vector",
-    "union_dedup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "s2_sitemap_parse",
     "m6_m7_sentiment_scores",
     "a4_vocab_prune",
@@ -3668,7 +3668,7 @@ _WINDOW_ORDER = [
     # TPC-H spine
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue",
-    "tpch_q4_priority_check",
+    "similarity_lsh_topk",
     "tpch_q5_local_supplier_revenue",
     "tpch_q6_revenue_scan",
     "tpch_q7_volume_shipping",

@@ -1155,6 +1155,36 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
     hashed shingle sets."""
     from .operators.dedup import MERSENNE31, _coeffs
 
+    return (
+        f"WITH {_PLANTED_DOCS_CTE},\n"
+        + _minhash_pair_ctes("alldocs", num_hashes, bands)
+        + f"\n{_MINHASH_PAIR_SELECT}"
+    )
+
+
+_PLANTED_DOCS_CTE = """alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ') AS text
+  FROM documents WHERE (doc_id + 1000000) % 5 = 0
+)"""
+
+_MINHASH_PAIR_SELECT = """SELECT id_1, id_2,
+       ROUND(CAST(i AS DOUBLE) / (z1.n + z2.n - i), 6) AS jaccard
+FROM inter
+JOIN sz z1 ON z1.doc_id = id_1
+JOIN sz z2 ON z2.doc_id = id_2
+WHERE CAST(i AS DOUBLE) / (z1.n + z2.n - i) >= 0.5"""
+
+
+def _minhash_pair_ctes(source: str, num_hashes: int = 64, bands: int = 16) -> str:
+    """The shared CTE chain (shingle → sig → cand → inter) of the
+    MinHash oracle, over any (doc_id, text) CTE named ``source``."""
+    from .operators.dedup import MERSENNE31, _coeffs
+
     coeffs = _coeffs(num_hashes)
     rows_per_band = num_hashes // bands
     mins = ", ".join(
@@ -1170,17 +1200,7 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
         + ")"
         for bnd in range(bands)
     )
-    return f"""
-WITH alldocs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(
-           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
-           ' ') AS text
-  FROM documents WHERE (doc_id + 1000000) % 5 = 0
-),
-tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
 shingle AS (
   SELECT DISTINCT doc_id,
          CAST(('0x' || substr(md5(array_to_string(t[j:j+2], ' ')), 1, 15))
@@ -1201,14 +1221,7 @@ inter AS (
   JOIN shingle s1 ON s1.doc_id = c.id_1
   JOIN shingle s2 ON s2.doc_id = c.id_2 AND s2.h = s1.h
   GROUP BY c.id_1, c.id_2
-)
-SELECT id_1, id_2,
-       ROUND(CAST(i AS DOUBLE) / (z1.n + z2.n - i), 6) AS jaccard
-FROM inter
-JOIN sz z1 ON z1.doc_id = id_1
-JOIN sz z2 ON z2.doc_id = id_2
-WHERE CAST(i AS DOUBLE) / (z1.n + z2.n - i) >= 0.5
-"""
+)"""
 
 
 @register("dedup_minhash_lsh", _minhash_oracle_sql())
@@ -1625,7 +1638,20 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_stats_batch(spark, sf_dir)
 
 
-@register("streaming_windowed_counts")
+@register(
+    "streaming_windowed_counts",
+    # append mode emits exactly the windows the final watermark
+    # (max ts - 1 day) has closed — a deterministic function of the
+    # drained input, so the batch aggregate + cutoff IS the oracle
+    # CAST: DuckDB's date_trunc('day') yields DATE, Spark's window
+    # start is TIMESTAMP — align the string forms for the value hash
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
+    "CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end, "
+    "event_type, COUNT(*) AS n FROM events "
+    "GROUP BY 1, 2, 3 "
+    "HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= "
+    "(SELECT MAX(ts) - INTERVAL 1 DAY FROM events)",
+)
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: watermarked tumbling-window aggregation in append mode —
     daily event counts emitted only once the watermark closes the
@@ -1636,19 +1662,45 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_batch(spark, sf_dir)
 
 
-@register("streaming_session_windows")
+@register(
+    "streaming_session_windows",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 "
+    "THEN 1 ELSE 0 END AS is_new FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, SUM(is_new) OVER "
+    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS sid FROM g), "
+    "f AS (SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid) "
+    "SELECT session_start, session_end, user_id, n_events FROM f "
+    "WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)",
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 extension: streaming sessionization (`session_window`) —
     dynamic gap-merged windows per user, closed by the watermark and
-    emitted once in append mode. Rows-only; pytest checks exact
-    equality with a batch lag+cumsum sessionization twin (including
-    the half-open boundary semantics)."""
+    emitted once in append mode. Oracle = the batch lag+cumsum twin
+    (half-open gap boundary, i.e. `>=`, at full micros precision)
+    with the final-watermark cutoff; pytest additionally checks
+    equality against the Spark batch twin."""
     from .streaming.ingest import session_counts_batch
 
     return session_counts_batch(spark, sf_dir)
 
 
-@register("streaming_interval_join")
+@register(
+    "streaming_interval_join",
+    # the watermarked stream-stream join emits exactly the batch
+    # interval-join result once drained (watermarks only bound state,
+    # pytest proves the equality) — so the batch join is the oracle
+    "SELECT c.event_id AS click_id, c.user_id AS c_user_id, "
+    "c.ts AS click_ts, v.ts AS view_ts, v.value AS view_value "
+    "FROM events c JOIN events v ON c.event_type = 'click' "
+    "AND v.event_type = 'view' AND c.user_id = v.user_id "
+    "AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts",
+)
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: clicks pick up the
     same user's views within a 30-minute lookback, both sides
@@ -1660,7 +1712,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_batch(spark, sf_dir)
 
 
-@register("streaming_dedup")
+@register(
+    "streaming_dedup",
+    # watermarked dropDuplicates over a unique-key source is the
+    # identity on the driver's data (event_id is unique there); the
+    # actual dup-dropping behavior is pytest-checked with planted
+    # duplicate files (test_streaming / test_ntz)
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: incremental ingest as Structured Streaming — watermarked
     dropDuplicates drained with Trigger.AvailableNow (the reference's
@@ -2147,19 +2206,47 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_rep")
 
 
-@register("dedup_minhash_clusters")
+def _minhash_clusters_oracle_sql() -> str:
+    """Recursive-CTE twin of pairs → connected components → keep the
+    min-id canonical: label propagation to a fixpoint (UNION dedup
+    terminates it), min reachable id per node = cluster rep; docs in
+    no pair keep themselves via the left join."""
+    return (
+        "WITH RECURSIVE docs_src AS (SELECT doc_id, text FROM documents),\n"
+        + _minhash_pair_ctes("docs_src")
+        + f""",
+pairs AS ({_MINHASH_PAIR_SELECT.replace(chr(10), ' ')}),
+edges AS (
+  SELECT id_1 AS src, id_2 AS dst FROM pairs
+  UNION ALL SELECT id_2, id_1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+lab AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN lab ON lab.node = d.doc_id
+WHERE lab.node IS NULL OR lab.root = d.doc_id"""
+    )
+
+
+@register("dedup_minhash_clusters", _minhash_clusters_oracle_sql())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pair finding -> connected
     components -> keep the min-id canonical per duplicate cluster.
     The full 100 TB dedup path (pairs alone under-delete transitive
-    duplicate chains: A~B, B~C must drop two docs, not one).
-    Rows-only check (LSH banding is engine-defined); the CC kernel
-    and the pair stage have their own oracles."""
+    duplicate chains: A~B, B~C must drop two docs, not one). md5
+    shingle-hash flavor, so the DuckDB oracle recomputes the pairs
+    and resolves the clusters with a recursive label-propagation
+    CTE; the distributed CC kernel additionally has a union-find
+    pytest twin."""
     from .operators.dedup import keep_cluster_canonical, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", jaccard_threshold=0.5
+        docs, "doc_id", "text", jaccard_threshold=0.5, shingle_hash="md5"
     ).select("id_1", "id_2")
     return keep_cluster_canonical(docs.select("doc_id", "text"), "doc_id", pairs).select(
         "doc_id"
@@ -3157,15 +3244,119 @@ def new_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("prepare_corpus_pipeline")
+def _corpus_pipeline_oracle_sql() -> str:
+    """Composite oracle for the end-to-end corpus plan: every stage's
+    already-verified SQL twin chained in the pipeline's order
+    (en-filter → quality ≥ 0.5 → repetition caps → md5 min-id dedup →
+    3-gram decontamination > 0.2 anti-join → PII scrub → post-scrub
+    quality/token provenance → hash split)."""
+    from .operators.traindata import pii_scrub_sql
+
+    def lang_ratios(src: str) -> str:
+        cols = ", ".join(
+            f"{_sql_lang_ratio(lg)} AS r_{lg}" for lg in TS.LANG_MARKERS
+        )
+        return f"SELECT doc_id, text, {cols} FROM {src}"
+
+    lang_case = (
+        "CASE WHEN greatest("
+        + ", ".join(f"r_{lg}" for lg in TS.LANG_MARKERS)
+        + ") > 0.01 THEN (CASE "
+        + " ".join(
+            f"WHEN r_{lg} = greatest("
+            + ", ".join(f"r_{m}" for m in TS.LANG_MARKERS)
+            + f") THEN '{lg}'"
+            for lg in TS.LANG_MARKERS
+        )
+        + " END) ELSE 'und' END"
+    )
+
+    punct = TS.ASCII_PUNCT_CHARS.replace(chr(39), chr(39) * 2)
+
+    def quality_expr(t: str) -> str:
+        n = f"len(string_split({t}, ' '))"
+        sw = (
+            f"CAST(len(list_filter(string_split({t}, ' '), "
+            f"w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE) "
+            f"/ greatest({n}, 1)"
+        )
+        mwl = (
+            f"CAST(list_aggregate(list_transform(string_split({t}, ' '), "
+            f"w -> len(w)), 'sum') AS DOUBLE) / greatest({n}, 1)"
+        )
+        pr = (
+            f"CAST(len(regexp_replace({t}, '[^{punct}]', '', 'g')) AS DOUBLE)"
+            f" / greatest(len({t}), 1)"
+        )
+        return (
+            f"ROUND("
+            f"0.3 * (CASE WHEN {n} >= 20 AND {n} <= 10000 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+            f"0.3 * (CASE WHEN {sw} >= 0.05 AND {sw} <= 0.6 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+            f"0.2 * (CASE WHEN {mwl} >= 2.5 AND {mwl} <= 10.0 THEN 1.0::DOUBLE ELSE 0.0 END) + "
+            f"0.2 * (CASE WHEN {pr} <= 0.2 THEN 1.0::DOUBLE ELSE 0.0 END), 2)"
+        )
+
+    tws = (
+        "CASE WHEN len(string_split(text, ' ')) > 0 THEN "
+        "CAST(list_max(list_transform(list_distinct(string_split(text, ' ')), "
+        "d -> len(list_filter(string_split(text, ' '), x -> x = d)))) AS DOUBLE)"
+        " / len(string_split(text, ' ')) ELSE 0.0 END"
+    )
+    dbf = (
+        "CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
+        "1.0 - CAST(len(list_distinct(list_transform("
+        "range(0, len(string_split(text, ' ')) - 1), "
+        "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')))) "
+        "AS DOUBLE) / (len(string_split(text, ' ')) - 1) ELSE 0.0 END"
+    )
+
+    shingles3 = (
+        "list_distinct(list_transform("
+        "range(0, greatest(len(string_split(text, ' ')) - 2, 0)), "
+        "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))"
+    )
+
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+lr AS ({lang_ratios('base')}),
+lang AS (SELECT doc_id, text, {lang_case} AS lang_detected FROM lr),
+lfil AS (SELECT * FROM lang WHERE lang_detected = 'en'),
+qfil AS (SELECT * FROM lfil WHERE {quality_expr('text')} >= 0.5),
+rfil AS (SELECT doc_id, text, lang_detected FROM qfil
+         WHERE {tws} <= 0.5 AND {dbf} <= 0.5),
+dd AS (SELECT r.* FROM rfil r
+       JOIN (SELECT MIN(doc_id) AS doc_id FROM rfil GROUP BY md5(text)) k
+       USING (doc_id)),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM
+          (SELECT {shingles3} AS sh FROM documents WHERE doc_id % 97 = 0)),
+dsh AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s FROM
+        (SELECT doc_id, {shingles3} AS sh FROM dd)),
+dirty AS (SELECT doc_id FROM dsh JOIN bench USING (s)
+          GROUP BY doc_id, total
+          HAVING CAST(COUNT(*) AS DOUBLE) / total > 0.2),
+kept AS (SELECT dd.* FROM dd LEFT JOIN dirty USING (doc_id)
+         WHERE dirty.doc_id IS NULL),
+scr AS (SELECT doc_id, lang_detected, {pii_scrub_sql('text')} AS text FROM kept)
+SELECT doc_id, lang_detected,
+       {quality_expr('text')} AS quality,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 1)) AS INT) AS n_tokens,
+       CASE WHEN {_BUCKET_SQL} % 100 < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM scr
+"""
+
+
+@register("prepare_corpus_pipeline", _corpus_pipeline_oracle_sql())
 def prepare_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus preparation plan
     (plans/corpus.py): language + quality + repetition filters →
     exact dedup → decontamination anti-join → PII scrub →
-    deterministic split, as ONE lazy DataFrame DAG. Rows-only here
-    (every stage has its own oracle-checked query); pytest asserts
-    the composition equals applying the verified stages in sequence
-    and that the whole default plan stays a single lazy DAG."""
+    deterministic split, as ONE lazy DataFrame DAG. Oracle = every
+    stage's verified SQL twin composed in the same order; pytest
+    additionally asserts the composition equals applying the stages
+    in sequence and that the whole default plan stays a single lazy
+    DAG."""
     from .plans.corpus import prepare_training_corpus
 
     docs = load_table(spark, sf_dir, "documents", widen=True)

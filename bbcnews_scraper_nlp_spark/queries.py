@@ -3849,7 +3849,7 @@ _WINDOW_ORDER = [
     # LLM-pipeline: dedup / similarity / text analysis
     "dedup_exact_content",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "prepare_corpus_pipeline",
     "dedup_cc_clusters",
     "ann_topk_cosine",
     "lang_id",
@@ -3864,8 +3864,8 @@ _WINDOW_ORDER = [
     "tpch_q6_revenue_scan",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_shipments",
+    "streaming_windowed_counts",
+    "streaming_session_windows",
     "tpch_q13_order_distribution",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",

@@ -102,7 +102,9 @@ def make_image_meta_extractor(strict: bool = False):
                             "no codec available for payload; install a "
                             "decoder or run with strict=False"
                         )
-                    h = int(sha1[:8], 16)
+                    # fake dims keyed to md5 (the repo's cross-engine
+                    # hash), so the DuckDB oracle can recompute them
+                    h = int(hashlib.md5(data).hexdigest()[:8], 16)
                     parsed = (h % 1920 + 1, h // 1920 % 1080 + 1, "unknown")
                 w, hgt, fmt = parsed
                 rows.append((doc_id, mtype, len(data), sha1, w, hgt, fmt))
@@ -303,7 +305,7 @@ def make_audio_meta_extractor(strict: bool = False):
                             "no audio codec for payload; plug in a demuxer "
                             "or run with strict=False"
                         )
-                    h = int(sha1[:8], 16)
+                    h = int(hashlib.md5(data).hexdigest()[:8], 16)
                     parsed = (
                         (8000, 16000, 44100)[h % 3], h % 2 + 1, 16,
                         h % 100000, "unknown",

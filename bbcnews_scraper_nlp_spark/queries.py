@@ -1443,7 +1443,20 @@ def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cv_coherence(toks, terms, window=110)
 
 
-@register("multimodal_image_meta")
+@register(
+    "multimodal_image_meta",
+    # payloads are the raw UTF-8 text bytes (no container magic), so
+    # the extractor's deterministic fallback fires: fake dims keyed to
+    # md5(payload) — recomputable in SQL, making the whole Arrow
+    # binary-column round trip hash-checkable (the sha1 content-id
+    # column stays pytest-checked; DuckDB lacks sha1)
+    "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+    "CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS hv FROM documents) "
+    "SELECT doc_id, 'image/png' AS media_type, n_bytes, "
+    "CAST(hv % 1920 + 1 AS INT) AS width, "
+    "CAST((hv // 1920) % 1080 + 1 AS INT) AS height, "
+    "'unknown' AS format FROM h",
+)
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     mapInPandas metadata extraction (header parsing real, codec
@@ -1451,26 +1464,65 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_binary_payload, image_meta
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    return image_meta(attach_binary_payload(docs, "text", "doc_id"))
+    return image_meta(attach_binary_payload(docs, "text", "doc_id")).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "format"
+    )
 
 
-@register("multimodal_audio_meta")
+@register(
+    "multimodal_audio_meta",
+    # the WAV payloads are synthesized with rate/width derived from
+    # doc_id and the text bytes as the data chunk, so the chunk-walk
+    # parse is verifiable against ground truth: n_bytes = 44-byte
+    # header + body, n_frames = body_bytes // block_align(2),
+    # duration = frames*1000 // rate (integer math in both engines)
+    "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS body, "
+    "CAST(doc_id % 3 * 8000 + 8000 AS INT) AS rate FROM documents) "
+    "SELECT doc_id, 'audio/wav' AS media_type, 44 + body AS n_bytes, "
+    "rate AS sample_rate, 1 AS channels, 16 AS bits_per_sample, "
+    "CAST(body // 2 AS BIGINT) AS n_frames, "
+    "CAST((body // 2) * 1000 // rate AS BIGINT) AS duration_ms, "
+    "'wav' AS format FROM b",
+)
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio plumbing: RIFF/WAVE payload column ->
     Arrow-batched mapInPandas metadata extraction (chunk-walk header
     parse real — rate/channels/bit depth/duration; non-WAV codecs
-    stubbed — see operators/multimodal.py)."""
+    stubbed — see operators/multimodal.py). Oracle = the synthesis
+    parameters recomputed (parse must recover exactly what the WAV
+    writer embedded); the sha1 content id stays pytest-checked."""
     from .operators.multimodal import attach_audio_payload, audio_meta
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    return audio_meta(attach_audio_payload(docs, "text", "doc_id"))
+    return audio_meta(attach_audio_payload(docs, "text", "doc_id")).select(
+        "doc_id", "media_type", "n_bytes", "sample_rate", "channels",
+        "bits_per_sample", "n_frames", "duration_ms", "format"
+    )
 
 
-@register("s4_html_extract")
+@register(
+    "s4_html_extract",
+    # the article pages are synthesized from (doc_id, source, text),
+    # so the GROUND-TRUTH extraction output is computable directly —
+    # an end-to-end check that the stdlib HTML parser + paragraph
+    # join + menu derivation recover exactly what was embedded
+    "WITH t AS (SELECT doc_id, source, text, "
+    "string_split(source || '-' || CAST(doc_id AS VARCHAR), '-') AS toks "
+    "FROM documents) "
+    "SELECT 'https://www.bbc.com/news/' || source || '-' || "
+    "CAST(doc_id AS VARCHAR) AS url, "
+    "'2022-08-01T00:00:00Z' AS date, "
+    "'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+    "'Summary of doc' AS subtitle, text, "
+    "array_to_string(toks[1:len(toks) - 1], '-') AS menu_submenu "
+    "FROM t",
+)
 def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F5+P1: HTML field extraction over synthesized article pages
     (fields per ArticlesSpider.py:18-33), then empty-title drop and
-    menu_submenu derivation."""
+    menu_submenu derivation. Oracle = the embedded ground truth
+    recomputed from the source columns (text is HTML-safe synthetic
+    prose, so parser recovery must be exact)."""
     from .sources.html_extract import derive_menu_submenu, extract_article_fields
 
     docs = load_table(spark, sf_dir, "documents", widen=True)

@@ -3914,13 +3914,13 @@ _WINDOW_ORDER = [
     "similarity_lsh_topk",
     "tpch_q5_local_supplier_revenue",
     "tpch_q6_revenue_scan",
-    "tpch_q7_volume_shipping",
+    "multimodal_image_meta",
     "tpch_q8_market_share",
     "streaming_windowed_counts",
     "streaming_session_windows",
     "tpch_q13_order_distribution",
     "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
+    "s4_html_extract",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     # time-series / sessions / scale operators

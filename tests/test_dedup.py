@@ -184,3 +184,35 @@ def test_keep_cluster_canonical_one_per_cluster(spark):
         r["doc_id"] for r in keep_cluster_canonical(df, "doc_id", pairs).collect()
     )
     assert kept == [1, 10, 20, 21]
+
+
+def test_md5_flavor_semantics_match(spark):
+    # the md5 hash flavor (used by the oracled driver queries) must
+    # deliver the same RECALL semantics as the xxhash64 production
+    # default — different hash family, same algorithm
+    df, n_dups = _corpus(spark)
+    planted = {(j, 1000 + j) for j in range(n_dups)}
+
+    mh = D.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5, shingle_hash="md5",
+    ).collect()
+    found = {(r["id_1"], r["id_2"]) for r in mh}
+    assert len(found & planted) / n_dups >= 0.9
+
+    sh = D.simhash_pairs(
+        df, "doc_id", "text", max_hamming=8, token_hash="md5"
+    ).collect()
+    sfound = {(r["id_1"], r["id_2"]) for r in sh}
+    assert len(sfound & planted) >= n_dups * 0.7
+
+    # flavors are deterministic but mutually incomparable: same query
+    # twice gives identical output
+    again = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=64, bands=16,
+            jaccard_threshold=0.5, shingle_hash="md5",
+        ).collect()
+    }
+    assert again == found

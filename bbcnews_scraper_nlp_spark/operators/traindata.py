@@ -271,3 +271,78 @@ def deterministic_shuffle(
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic data-mixing: keep each source at its configured
+    sampling rate (the pretraining-mixture knob — e.g. upweight books
+    by keeping 100%, downweight crawl to 30%).
+
+    Per-row Bernoulli via salted hash-bucketing of the key, so the
+    decision is a pure projection — reproducible on any engine/
+    partitioning (no rand()), stable across reruns, and independent
+    across salts (changing ``salt`` redraws the subsample). Sources
+    absent from ``weights`` fall back to ``default_weight``. Rates
+    are quantized to 1/buckets (10k buckets -> 0.01% granularity).
+
+    Scale: no shuffle, no state; the filter pushes into the scan
+    stage alongside any other narrow predicate.
+    """
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(buckets)
+    )
+    expr = None
+    for src, w in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        t = F.lit(int(round(w * buckets)))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = (
+        expr.otherwise(F.lit(int(round(default_weight * buckets))))
+        if expr is not None
+        else F.lit(int(round(default_weight * buckets)))
+    )
+    return df.filter(bucket < thr)
+
+
+def select_token_budget(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str,
+    key_col: str,
+    budget: int,
+) -> DataFrame:
+    """Fill a token budget with the best documents: rank by
+    ``order_col`` DESC (quality score, dedup priority, ...) with
+    ``key_col`` as the deterministic tie-break, keep rows while the
+    running token total stays within ``budget`` (the first row is
+    always kept, so one over-budget giant can't zero the corpus).
+
+    The running total is a single ordered-window cumsum. NOTE: an
+    unpartitioned ordered window is a one-task stage — correct but
+    serial. At real scale pre-aggregate per quality band: bucket
+    order_col, sum tokens per bucket (one tiny agg), pick the cutoff
+    band on the driver, and window-only within the boundary band.
+    This operator is the exact semantics those plans approximate.
+    """
+    w = Window.orderBy(F.desc(order_col), key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = F.sum(F.col(n_tokens_col)).over(w)
+    prev = running - F.col(n_tokens_col)
+    return (
+        df.withColumn("__run", running)
+        .withColumn("__prev", prev)
+        .filter((F.col("__run") <= budget) | (F.col("__prev") == 0))
+        .drop("__run", "__prev")
+    )

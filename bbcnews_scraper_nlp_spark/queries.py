@@ -2337,6 +2337,67 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_BUCKET = (
+    "CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) % 10000"
+)
+
+
+@register(
+    "mix_sources_weighted",
+    f"SELECT doc_id, source FROM documents WHERE {_MIX_BUCKET} < "
+    "(CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(round(w * 10_000))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    + " ELSE 1000 END)",
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing: per-source deterministic sampling
+    rates (keep all of src0, half of src1, a quarter of src2, 10% of
+    everything else) via salted hash-bucket Bernoulli — a pure
+    projection, reproducible on any engine/partitioning."""
+    from .operators.traindata import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return mix_sources(
+        docs, "source", "doc_id", _MIX_WEIGHTS, default_weight=0.1
+    ).select("doc_id", "source")
+
+
+@register(
+    "select_token_budget",
+    "WITH d AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "len(text) AS order_key FROM documents), "
+    "r AS (SELECT doc_id, n_tokens, "
+    "SUM(n_tokens) OVER (ORDER BY order_key DESC, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+    "FROM d) "
+    "SELECT doc_id, n_tokens FROM r "
+    "WHERE run <= 20000 OR run - n_tokens = 0",
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill a 20k-token budget with
+    the highest-priority documents (here: longest first — the
+    order column is pluggable), running cumsum cutoff with a
+    first-row guarantee. The exact-semantics anchor for the banded
+    approximation used at 100 TB (see operator docstring)."""
+    from .operators.traindata import select_token_budget as op
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").alias("order_key"),
+    )
+    return op(d, "n_tokens", "order_key", "doc_id", budget=20_000).select(
+        "doc_id", "n_tokens"
+    )
+
+
 @register(
     "deterministic_shuffle_order",
     "WITH h AS (SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS hh "

@@ -280,3 +280,41 @@ def test_corpus_write_partitioned_by_split_roundtrip(spark, sf_dir, tmp_path):
     got = {r["doc_id"] for r in train.select("doc_id").collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from bbcnews_scraper_nlp_spark.operators.traindata import mix_sources
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(
+        df, "source", "doc_id", {"src0": 1.0, "src1": 0.5}, default_weight=0.0
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_src.get("src0") == 1000          # weight 1.0 keeps all
+    assert 400 <= by_src.get("src1", 0) <= 600  # ~0.5 of 1000
+    assert "src2" not in by_src and "src3" not in by_src  # default 0
+    # deterministic: second run identical
+    again = mix_sources(
+        df, "source", "doc_id", {"src0": 1.0, "src1": 0.5}, default_weight=0.0
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_select_token_budget_cutoff_and_first_row(spark):
+    from bbcnews_scraper_nlp_spark.operators.traindata import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 50, 9.0), (2, 40, 8.0), (3, 30, 7.0), (4, 100, 6.0)],
+        "doc_id long, n_tokens long, score double",
+    )
+    kept = select_token_budget(df, "n_tokens", "score", "doc_id", budget=100)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]  # 50+40<=100, +30 overflows
+    # first-row guarantee: a single doc larger than the budget is kept
+    one = spark.createDataFrame([(9, 500, 1.0)], "doc_id long, n_tokens long, score double")
+    assert [r["doc_id"] for r in select_token_budget(one, "n_tokens", "score", "doc_id", 100).collect()] == [9]

@@ -1103,6 +1103,31 @@ _Z_SQL = (
 )
 
 
+@register(
+    "salted_join_skewed",
+    # salted_join's contract: row-identical to the plain equi-join —
+    # the salt only rewrites the shuffle key. The oracle IS the plain
+    # join, so the determinism contract is hash-checked end to end.
+    "SELECT e.event_id, e.user_id, e.event_type, "
+    "CAST(EXTRACT(hour FROM e.ts) AS INT) AS hr "
+    "FROM events e JOIN (SELECT DISTINCT event_type FROM events) d "
+    "USING (event_type)",
+)
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join on a genuinely skewed key
+    (event_type: 5 distinct values over the whole table — every key
+    is a hot key). The salt spreads each hot key across 16 shuffle
+    partitions; output is row-identical to the unsalted join, which
+    is exactly what the oracle checks."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct()
+    joined = R.salted_join(events, dim, "event_type", n_salts=16)
+    return joined.select(
+        "event_id", "user_id", "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+    )
+
+
 @register("zscore_per_type", _Z_SQL)
 def zscore_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped normalization (z-score per event_type) via unordered

@@ -3125,6 +3125,96 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_interpolate",
+    # exactness: hourly means are integer-scaled sums divided once;
+    # the interpolation formula is written with IDENTICAL operation
+    # order in both engines (prev + (next-prev)*(frac)), and the
+    # fraction is a single int/int division — bit-equal doubles, no
+    # rounding anywhere
+    "WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
+    "b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM ev), "
+    "spine AS (SELECT event_type, "
+    "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr "
+    "FROM (SELECT DISTINCT event_type FROM ev), b), "
+    "hourly AS (SELECT event_type, hr, "
+    "CAST(SUM(v) AS BIGINT) / (100.0 * COUNT(*)) AS val "
+    "FROM ev GROUP BY 1, 2), "
+    "j AS (SELECT s.event_type, s.hr, val, epoch(s.hr) AS hs "
+    "FROM spine s LEFT JOIN hourly h "
+    "ON s.event_type = h.event_type AND s.hr = h.hr), "
+    "w AS (SELECT event_type, hr, val, "
+    "last_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
+    "last_value(CASE WHEN val IS NOT NULL THEN hs END IGNORE NULLS) "
+    "OVER (PARTITION BY event_type ORDER BY hr "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps, "
+    "first_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+    "first_value(CASE WHEN val IS NOT NULL THEN hs END IGNORE NULLS) "
+    "OVER (PARTITION BY event_type ORDER BY hr "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns, hs "
+    "FROM j) "
+    "SELECT event_type, hr, "
+    "CASE WHEN val IS NOT NULL THEN val "
+    "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+    "ELSE pv + (nv - pv) * ((hs - ps) / (ns - ps)) END AS value_interp "
+    "FROM w",
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean VALUE per event type with LINEAR
+    INTERPOLATION across empty buckets (timescale `interpolate`;
+    edges carry the nearest observed value). Same scale shape as the
+    zero-fill variant — engine-side spine, one (key, hr) shuffle —
+    plus two ordered windows per key (forward/backward nearest
+    observation); per-key hour counts are bounded (spine length), so
+    the window input is small by construction. Means are exact
+    scaled-integer sums divided once; the interpolation arithmetic is
+    the identical IEEE expression in both engines — no rounding."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bounds = ev.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        (F.sum("v") / (100.0 * F.count("*"))).alias("val")
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "hs", R.epoch_seconds("hr")
+    )
+    back = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_hs = F.when(F.col("val").isNotNull(), F.col("hs"))
+    pv = F.last("val", ignorenulls=True).over(back)
+    ps = F.last(obs_hs, ignorenulls=True).over(back)
+    nv = F.first("val", ignorenulls=True).over(fwd)
+    ns = F.first(obs_hs, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * ((F.col("hs") - ps) / (ns - ps)))
+    )
+    return j.select("event_type", "hr", interp.alias("value_interp"))
+
+
+@register(
     "histogram_totalprice",
     "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket, "
     "COUNT(*) AS n_orders FROM orders GROUP BY bucket",

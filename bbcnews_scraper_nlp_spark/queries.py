@@ -3125,6 +3125,47 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_weighted_avg",
+    # exactness: value scaled to int cents, interval widths are exact
+    # integer micros, so numerator/denominator are exact integer sums
+    # and the average is ONE double division (identical both engines)
+    "WITH o AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v, "
+    "epoch_us(ts) AS us, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) "
+    "AS nxt FROM events) "
+    "SELECT event_type, "
+    "CAST(SUM(v * (nxt - us)) AS BIGINT) / "
+    "(100.0 * CAST(SUM(nxt - us) AS BIGINT)) AS twa "
+    "FROM o WHERE nxt IS NOT NULL GROUP BY event_type",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (timescale
+    `time_weight('LOCF')`): each observation weighted by how long it
+    was the latest one. Irregular sampling makes plain AVG wrong —
+    a value that held for an hour must count 3600x a value that held
+    a second. lead() gives the holding interval; the window and the
+    aggregation share one event_type shuffle. Exact integer
+    numerator/denominator (scaled cents x micros), one final fp
+    division."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = R.epoch_us("ts")
+    o = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return o.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v") * (F.col("nxt") - F.col("us")))
+            / (100.0 * F.sum(F.col("nxt") - F.col("us")))
+        ).alias("twa")
+    )
+
+
+@register(
     "gapfill_interpolate",
     # exactness: hourly means are integer-scaled sums divided once;
     # the interpolation formula is written with IDENTICAL operation

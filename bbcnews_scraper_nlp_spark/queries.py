@@ -3125,6 +3125,59 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_daily_value",
+    # recursive smoothing done EXACTLY: the daily series per type is
+    # tiny (≤ #days), so it folds as an ordered list — DuckDB
+    # list_reduce seeds with the first element and folds left,
+    # mirrored by Spark's slice+aggregate; daily means are exact
+    # scaled-int sums; 0.2*x + 0.8*acc is the identical IEEE
+    # expression in both engines, so no rounding is needed
+    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+    "/ (100.0 * COUNT(*)) AS x FROM events GROUP BY 1, 2), "
+    "l AS (SELECT event_type, list(x ORDER BY d) AS xs "
+    "FROM daily GROUP BY event_type) "
+    "SELECT event_type, len(xs) AS n_days, "
+    "list_reduce(xs, (acc, v) -> 0.2 * v + 0.8 * acc) AS ewma "
+    "FROM l",
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily mean value
+    per event type (alpha=0.2) — the trend-smoothing shape pandas
+    ``ewm`` gives the reference's sentiment trends, recursive and so
+    inexpressible as a plain window. Made exact AND scalable by the
+    two-level shape: the raw table reduces to a per-(type, day)
+    aggregate first (one shuffle, partial-combined), and ONLY the
+    tiny daily series (≤ #days rows per type) is collected into an
+    ordered array and folded deterministically — the fold order is
+    pinned, so the fp result is bit-identical across engines and
+    partitionings. Never fold raw events this way."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count("*"))
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("sx")
+    )
+    xs = F.col("sx.x")
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, v: F.lit(0.2) * v + F.lit(0.8) * acc,
+    )
+    return series.select(
+        "event_type",
+        F.size(xs).alias("n_days"),
+        ewma.alias("ewma"),
+    )
+
+
+@register(
     "time_weighted_avg",
     # exactness: value scaled to int cents, interval widths are exact
     # integer micros, so numerator/denominator are exact integer sums

@@ -3125,6 +3125,42 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_cohorts",
+    "WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day "
+    "FROM events GROUP BY user_id), "
+    "act AS (SELECT DISTINCT e.user_id, f.cohort_day, "
+    "CAST(ts AS DATE) - cohort_day AS day_n "
+    "FROM events e JOIN first f ON e.user_id = f.user_id) "
+    "SELECT cohort_day, CAST(day_n AS INT) AS day_n, "
+    "COUNT(*) AS n_active FROM act "
+    "WHERE day_n IN (0, 1, 7, 14) GROUP BY 1, 2",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (product analytics): users grouped by
+    first-seen day, counted again when active on day 0/1/7/14 after
+    it. Two shuffles total — the first-seen MIN aggregation and the
+    distinct — and the events↔cohort join co-partitions on user_id
+    with both; integer day arithmetic end to end."""
+    events = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    first = events.groupBy("user_id").agg(F.min(d).alias("cohort_day"))
+    act = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(d, F.col("cohort_day")).alias("day_n"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("day_n").isin(0, 1, 7, 14))
+        .groupBy("cohort_day", F.col("day_n").cast("int").alias("day_n"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
     "ewma_daily_value",
     # recursive smoothing done EXACTLY: the daily series per type is
     # tiny (≤ #days), so it folds as an ordered list — DuckDB

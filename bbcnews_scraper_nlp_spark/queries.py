@@ -4190,14 +4190,11 @@ _WINDOW_ORDER = [
     "f1_contains_filter",
     "p13_lemmatize",
     "f6_dedup_keep_first",
-    "f7_anti_join_unseen",
     "p1_strip_last_segment",
     "p4_p12_clean_text",
     "p15_p16_day_cast",
     "j1_broadcast_enrich",
-    "sentiment_full_lexicon",
     "a3_daily_mean",
-    "a6_top_orders",
     "w1_rolling_trend",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -4205,37 +4202,41 @@ _WINDOW_ORDER = [
     "m6_m7_sentiment_scores",
     "a4_vocab_prune",
     # LLM-pipeline: dedup / similarity / text analysis
-    "dedup_exact_content",
     "dedup_ngram_jaccard",
+    "dedup_minhash_clusters",
     "prepare_corpus_pipeline",
-    "dedup_cc_clusters",
     "ann_topk_cosine",
+    "similarity_lsh_topk",
     "lang_id",
     "quality_score",
-    "token_count_bpe",
-    "doc_fingerprint",
-    # TPC-H spine
+    "tfidf_top_terms",
+    # TPC-H spine (r5 rotation: q2/q7/q9/q16/q20 first-ever driver checks)
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_top_revenue",
-    "similarity_lsh_topk",
-    "tpch_q5_local_supplier_revenue",
-    "tpch_q6_revenue_scan",
-    "multimodal_image_meta",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "streaming_windowed_counts",
-    "streaming_session_windows",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "s4_html_extract",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # time-series / sessions / scale operators
+    # multimodal / sources / streaming
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "s4_html_extract",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    # time-series / sessions / scale operators (r5 rotation)
     "sessionize_count",
-    "session_funnel_conversion",
-    "event_interarrival_stats",
     "asof_join_last_view",
     "range_join_ship_window",
     "time_bucket_rollup",
+    "retention_cohorts",
+    "ewma_daily_value",
+    "time_weighted_avg",
+    "gapfill_interpolate",
+    "zscore_per_type",
+    "salted_join_skewed",
     "heavy_hitter_users",
     "bloom_semi_join_lineitems",
     "contamination_check",

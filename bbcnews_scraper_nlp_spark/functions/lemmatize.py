@@ -330,7 +330,12 @@ def lemmatize_text_expr(
     for a real WordNet/Spark-NLP model; this expression IS the
     deterministic rule kernel, compiled.
     """
-    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    # coalesce: NULL text must yield "" (matching the pandas kernel's
+    # (text or '').split() and the DuckDB oracles); split on ANY
+    # whitespace run like str.split(), not just single spaces.
+    toks = F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != ""
+    )
     tagged = F.transform(
         toks,
         lambda t: F.struct(

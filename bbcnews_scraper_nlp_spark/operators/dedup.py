@@ -345,11 +345,18 @@ def ngram_jaccard_pairs(
     stopword-like shingle (df=10⁶ at 100 TB) explodes 10¹² pairs.
     Shingles with df > max_df are dropped BEFORE pair generation —
     a cheap (shingle, count) aggregation followed by a co-partitioned
-    semi-join, so no reducer ever materializes a hot shingle's id
-    list. Recall impact: only pairs whose ENTIRE overlap is
-    corpus-stopword shingles are missed — such shingles carry no
-    similarity signal at low thresholds anyway. ``max_df=None``
-    restores the exact uncapped semantics (small/oracle inputs).
+    join, so no reducer ever materializes a hot shingle's id list.
+    With the cap active, Jaccard is computed EXACTLY over the KEPT
+    shingle universe (df <= max_df): both the intersection AND the
+    set sizes exclude capped shingles, so the reported score is the
+    well-defined stopword-filtered Jaccard — never a deflated mix of
+    pruned numerator over full-universe denominator. Consequences:
+    pairs whose entire overlap is corpus-stopword shingles produce no
+    candidate and are not returned (such shingles carry no similarity
+    signal at low thresholds anyway), and a returned pair's score can
+    differ from the full-universe Jaccard exactly when the pair
+    shares capped shingles. ``max_df=None`` restores the exact
+    uncapped full-universe semantics (small/oracle inputs).
     The prefix-filter path needs no cap: it joins only on each doc's
     ⌊(1-t)|X|⌋+1 globally RAREST shingles, so high-df shingles never
     generate candidates by construction.
@@ -414,17 +421,20 @@ def ngram_jaccard_pairs(
         paired_src = sh
         if max_df is not None:
             # two-phase prune: count first (map-side partials, no id
-            # lists), keep only pairable shingles under the cap, then
-            # semi-join back. The join and the following groupBy hash
-            # on the same key, so the prune adds one cheap count
-            # shuffle and saves the unbounded collect_list.
-            keep = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter((F.col("df") > 1) & (F.col("df") <= max_df))
-                .select("shingle")
-            )
-            paired_src = sh.join(keep, "shingle", "left_semi")
+            # lists), keep only shingles under the cap, then join
+            # back. The join and the following groupBy hash on the
+            # same key, so the prune adds one cheap count shuffle and
+            # saves the unbounded collect_list. Set sizes are
+            # recomputed over the SAME kept universe so the final
+            # jaccard is exact over it (numerator and denominator
+            # agree on which shingles exist) — one extra groupBy(id)
+            # shuffle, capped path only.
+            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            kept = sh.join(dfreq.filter(F.col("df") <= max_df), "shingle")
+            sizes = kept.groupBy("id").agg(F.count("*").alias("sz"))
+            # df=1 kept shingles count toward sizes but can never
+            # intersect — drop them from pair generation only.
+            paired_src = kept.filter(F.col("df") > 1).select("id", "shingle")
         grouped = (
             paired_src.groupBy("shingle")
             .agg(F.collect_list("id").alias("ids"))

@@ -316,7 +316,14 @@ def cosine_pairs(
         cand = a.crossJoin(b).filter(F.col("id_1") < F.col("id_2"))
     else:
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            # ArrayType carries no length in the schema, and probing
+            # the data (df.first()) would launch a hidden Spark job
+            # during plan CONSTRUCTION — a per-call scan at 100 TB.
+            raise ValueError(
+                "cosine_pairs: pass the embedding dimension explicitly "
+                "(dim=...); it cannot be derived from an array<float> "
+                "schema without running a job"
+            )
         planes = make_planes(dim, r, seed)
         withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
         if max_bucket is not None:

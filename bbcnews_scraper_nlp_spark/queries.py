@@ -534,7 +534,9 @@ def _full_lexicon_values_sql() -> str:
     from .functions.lexicon_data import full_lexicon
 
     return ", ".join(
-        f"('{w}', {int(round(p * 1000))}, {int(round(s * 1000))})"
+        "('{}', {}, {})".format(
+            w.replace("'", "''"), int(round(p * 1000)), int(round(s * 1000))
+        )
         for w, (p, s) in sorted(full_lexicon().items())
     )
 
@@ -1594,12 +1596,15 @@ def _lemmatize_oracle_sql() -> str:
 
     verbs_sql = _sql_str_list(sorted(_COMMON_VERBS))
 
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
     def in_keys(d: dict) -> str:
-        return "w IN (" + ", ".join(f"'{k}'" for k in sorted(d)) + ")"
+        return "w IN (" + ", ".join(f"'{esc(k)}'" for k in sorted(d)) + ")"
 
     def map_case(d: dict) -> str:
         whens = " ".join(
-            f"WHEN '{k}' THEN '{v}'" for k, v in sorted(d.items())
+            f"WHEN '{esc(k)}' THEN '{esc(v)}'" for k, v in sorted(d.items())
         )
         return f"CASE w {whens} ELSE w END"
 

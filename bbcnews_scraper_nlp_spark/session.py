@@ -16,14 +16,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Disk-backed streaming state: at 100 TB the watermarked-dedup and
+# session-window state stores outgrow executor heaps (the default
+# HDFSBackedStateStoreProvider keeps every version in memory);
+# RocksDB spills to local SSD with incremental checkpointing. It is a
+# per-QUERY-START conf, so it can also be flipped at runtime via
+# spark.conf.set before .start().
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
 
 def get_spark(
     app_name: str = "bbcnews_scraper_nlp_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``state_store``: streaming state-store provider class; pass
+    ``ROCKSDB_STATE_STORE`` for the disk-backed provider (production
+    default at scale; smoke-tested in tests/test_streaming.py).
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -57,6 +74,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    if state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", state_store
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

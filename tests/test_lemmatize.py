@@ -52,6 +52,9 @@ _FIXTURE = [
     "",
     "word",
     "Taxes rise as economies grew stronger last year",
+    None,  # NULL text: both paths must yield "" (oracle parity)
+    "tabs\tbetween\twords",
+    "newlines\nsplit\ntokens  and   double  spaces",
 ]
 
 

@@ -60,3 +60,59 @@ def test_q6_predicates_pushed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q6_revenue_scan")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "GreaterThanOrEqual" in m.group(1) and "LessThan" in m.group(1)
+
+
+# ---- expensive-tier contracts (round 5) --------------------------------
+
+
+def test_minhash_signature_stage_is_codegen_hashagg(spark, sf_dir):
+    # The signature stage must be min(pmod(a*h+b, P)) hash aggregation
+    # with MAP-SIDE partials (whole-stage-codegen), never an
+    # interpreted aggregate() HOF fold over shingle arrays (3.5x
+    # measured regression), and never a Python eval node.
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert re.search(r"partial_min\(pmod\(", plan), (
+        "signature stage lost its map-side partial min"
+    )
+    assert "aggregate(" not in plan, "interpreted HOF fold reappeared"
+    assert "EvalPython" not in plan
+
+
+def test_bloom_semi_join_gather_is_only_python(spark, sf_dir):
+    # Bitmap build is a distributed BIT_OR aggregate (relational.py:
+    # bloom build — keys never reach the driver; only <= n_bits/64
+    # bitmap words do). The probe side is ONE vectorized Arrow gather
+    # plus an exact LeftSemi cleanup — any BatchEvalPython
+    # (row-at-a-time) or loss of the semi join is a regression.
+    plan = _plan(spark, sf_dir, "bloom_semi_join_lineitems")
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python reappeared"
+    assert "ArrowEvalPython" in plan  # the vectorized gather
+    assert "LeftSemi" in plan  # exact cleanup join survives
+    assert "xxhash64" in plan  # JVM-side hash positions, not Python
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    # The ship-window range join must stay an equi-join on the
+    # coarse time bucket + residual range filter — never degrade to
+    # BroadcastNestedLoopJoin / CartesianProduct (O(n*m) at scale).
+    plan = _plan(spark, sf_dir, "range_join_ship_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
+    # The benchmark (contaminant) side is tiny relative to the
+    # corpus: it must broadcast; a shuffle join here moves the whole
+    # corpus n-gram table at 100 TB.
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_time_bucket_rollup_single_expand(spark, sf_dir):
+    # ROLLUP grouping sets must compile to exactly ONE Expand node
+    # feeding one aggregation — re-expressing it as a union of
+    # per-level aggregates would rescan the fact table per level.
+    plan = _plan(spark, sf_dir, "time_bucket_rollup")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1

@@ -82,6 +82,26 @@ def test_ngram_maxdf_identical_on_normal_corpus(spark):
     assert len(capped) >= 2  # (1,2) partial + (1,4) exact
 
 
+def test_ngram_maxdf_jaccard_exact_over_kept_universe(spark):
+    # docs 1/2 share a HOT shingle ("x y z", df=62 > cap=50) plus a
+    # rare one ("y z p", df=2). Kept universe per doc: {"y z p",
+    # "z p q|r"} -> jaccard = 1/(2+2-1) = 1/3. A deflated
+    # pruned-numerator/full-denominator mix would give 1/(3+3-1)=0.2
+    # and wrongly drop the pair at threshold 0.3.
+    rows = [(1, "x y z p q"), (2, "x y z p r")] + [
+        (100 + i, "x y z") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_df=50,
+        prefix_filter=False,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_1, r.id_2) == (1, 2)
+    assert abs(r.jaccard - round(1 / 3, 6)) < 1e-9
+
+
 @pytest.fixture(scope="module")
 def skewed_vectors(spark):
     # 120 vectors: 100 nearly identical (one degenerate LSH bucket,
@@ -130,9 +150,9 @@ def test_cosine_pairs_capped_matches_uncapped_normal(spark):
         (5, [-1.0, -1.0, -1.0]),
     ]
     df = spark.createDataFrame(rows, "id long, vec array<double>")
-    capped = cosine_pairs(df, "vec", "id", threshold=0.9).collect()
+    capped = cosine_pairs(df, "vec", "id", threshold=0.9, dim=3).collect()
     uncapped = cosine_pairs(
-        df, "vec", "id", threshold=0.9, max_bucket=None
+        df, "vec", "id", threshold=0.9, max_bucket=None, dim=3
     ).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
     assert {(r["id_1"], r["id_2"]) for r in capped} == {(1, 2), (3, 4)}
@@ -144,7 +164,7 @@ def test_cosine_pairs_cap_still_finds_true_dups_in_hot_bucket(
     # with the hot bucket split, near-identical rows still pair up
     # (they agree on the extra sign bits)
     out = cosine_pairs(
-        skewed_vectors, "vec", "id", threshold=0.999999, max_bucket=30
+        skewed_vectors, "vec", "id", threshold=0.999999, max_bucket=30, dim=4
     )
     n = out.filter((F.col("id_1") < 100) & (F.col("id_2") < 100)).count()
     assert n == 100 * 99 // 2

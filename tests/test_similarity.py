@@ -75,6 +75,29 @@ def test_cosine_pairs_bruteforce_vs_lsh(spark):
     assert {(r["id_1"], r["id_2"]) for r in lsh} == {(0, 1)}
 
 
+def test_cosine_pairs_construction_runs_no_job(spark):
+    # plan CONSTRUCTION must be lazy: no hidden df.first() scan.
+    # Tag a job group and assert no Spark job lands in it while the
+    # DataFrame is being built (jobs would only run on an action).
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    df.count()  # materialize the local-relation conversion outside the probe
+    sc = spark.sparkContext
+    sc.setJobGroup("construction-probe", "cosine_pairs lazy-construction probe")
+    try:
+        out = S.cosine_pairs(df, "embedding", "vec_id", threshold=0.5, dim=8)
+        jobs = sc.statusTracker().getJobIdsForGroup("construction-probe")
+        assert list(jobs) == [], f"construction launched Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    assert out.count() >= 1  # ...and the plan still executes
+    with pytest.raises(ValueError, match="dim"):
+        S.cosine_pairs(df, "embedding", "vec_id", threshold=0.5)
+
+
 def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
     from bbcnews_scraper_nlp_spark.catalog import load_table
     from bbcnews_scraper_nlp_spark.operators.similarity import (

@@ -235,3 +235,39 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         .collect()
     }
     assert segs == batch
+
+
+def test_rocksdb_state_store_results_identical(spark, sf_dir):
+    # 100 TB path: watermarked dedup + session windows must produce
+    # the same output under the disk-backed RocksDB provider as under
+    # the default in-memory HDFSBacked one. providerClass is read at
+    # query start, so a runtime conf flip covers the shared session.
+    from bbcnews_scraper_nlp_spark.session import ROCKSDB_STATE_STORE
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        session_counts_batch,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_dedup = {
+        tuple(r) for r in incremental_dedup_batch(spark, sf_dir).collect()
+    }
+    default_sessions = {
+        tuple(r) for r in session_counts_batch(spark, sf_dir).collect()
+    }
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    try:
+        assert spark.conf.get(key) == ROCKSDB_STATE_STORE
+        rocks_dedup = {
+            tuple(r) for r in incremental_dedup_batch(spark, sf_dir).collect()
+        }
+        rocks_sessions = {
+            tuple(r) for r in session_counts_batch(spark, sf_dir).collect()
+        }
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    assert rocks_dedup == default_dedup and len(rocks_dedup) > 0
+    assert rocks_sessions == default_sessions and len(rocks_sessions) > 0

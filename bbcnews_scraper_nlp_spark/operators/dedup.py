@@ -421,20 +421,41 @@ def ngram_jaccard_pairs(
         paired_src = sh
         if max_df is not None:
             # two-phase prune: count first (map-side partials, no id
-            # lists), keep only shingles under the cap, then join
-            # back. The join and the following groupBy hash on the
-            # same key, so the prune adds one cheap count shuffle and
-            # saves the unbounded collect_list. Set sizes are
-            # recomputed over the SAME kept universe so the final
-            # jaccard is exact over it (numerator and denominator
-            # agree on which shingles exist) — one extra groupBy(id)
-            # shuffle, capped path only.
+            # lists), keep only pairable shingles under the cap, then
+            # semi-join back. The join and the following groupBy hash
+            # on the same key, so the prune adds one cheap count
+            # shuffle and saves the unbounded collect_list.
             dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            kept = sh.join(dfreq.filter(F.col("df") <= max_df), "shingle")
-            sizes = kept.groupBy("id").agg(F.count("*").alias("sz"))
-            # df=1 kept shingles count toward sizes but can never
-            # intersect — drop them from pair generation only.
-            paired_src = kept.filter(F.col("df") > 1).select("id", "shingle")
+            keep = (
+                dfreq.filter((F.col("df") > 1) & (F.col("df") <= max_df))
+                .select("shingle")
+            )
+            paired_src = sh.join(keep, "shingle", "left_semi")
+            # Set sizes over the SAME kept universe (df <= max_df) so
+            # the final jaccard is exact over it — numerator and
+            # denominator agree on which shingles exist. Computed by
+            # SUBTRACTION (kept = full - capped per doc): the only
+            # re-aggregated rows are instances of the few hot
+            # (df > max_df) shingles — bounded by N/max_df distinct —
+            # not the whole shingle table, so the exactness fix costs
+            # ~nothing when no shingle is capped (the common case and
+            # every fixture).
+            hot = dfreq.filter(F.col("df") > max_df).select("shingle")
+            capped_cnt = (
+                sh.join(hot, "shingle", "left_semi")
+                .groupBy("id")
+                .agg(F.count("*").alias("__capped"))
+            )
+            sizes = (
+                sizes.join(capped_cnt, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("sz") - F.coalesce(F.col("__capped"), F.lit(0))
+                    ).alias("sz"),
+                )
+                .filter(F.col("sz") > 0)
+            )
         grouped = (
             paired_src.groupBy("shingle")
             .agg(F.collect_list("id").alias("ids"))

@@ -600,6 +600,69 @@ def sentiment_full_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pattern_rules_sql() -> str:
+    from .functions.sentiment import MODIFIER_INTENSITY, NEGATIONS
+
+    mods = " ".join(
+        f"WHEN '{w}' THEN {float(i)!r}"
+        for w, i in sorted(MODIFIER_INTENSITY.items())
+    )
+    negs = ", ".join(f"'{n}'" for n in NEGATIONS)
+    # mirrors sentiment.pattern_scores expression-for-expression:
+    # identical IEEE op order, micro-quantized assessments, exact
+    # integer re-aggregation.
+    return f"""
+WITH lex(word, p_milli, s_milli) AS (VALUES {_full_lexicon_values_sql()}),
+t AS (SELECT doc_id,
+      list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                  x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS word FROM t),
+att AS (SELECT tok.doc_id, tok.idx, tok.word, l.p_milli, l.s_milli,
+               l.word IS NOT NULL AS is_hit,
+               CASE tok.word {mods} ELSE NULL END AS self_mod
+        FROM tok LEFT JOIN lex l ON tok.word = l.word),
+ctx AS (SELECT doc_id, p_milli, s_milli, is_hit, self_mod,
+               COALESCE(LAG(self_mod, 1) OVER w, 1.0) AS mi,
+               CASE WHEN LAG(self_mod, 1) OVER w IS NOT NULL
+                    THEN LAG(word, 2) OVER w
+                    ELSE LAG(word, 1) OVER w END AS neg_word,
+               COALESCE(LEAD(is_hit, 1) OVER w, false) AS next_hit
+        FROM att WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+assess AS (
+  SELECT doc_id,
+    CAST(ROUND(GREATEST(-1.0, LEAST(1.0, (p_milli / 1000.0) *
+        (CASE WHEN neg THEN 1.0 / mi ELSE mi END))) *
+        (CASE WHEN neg THEN -0.5 ELSE 1.0 END) * 1000000.0) AS BIGINT)
+      AS p_micro,
+    CAST(ROUND(GREATEST(0.0, LEAST(1.0, (s_milli / 1000.0) *
+        (CASE WHEN neg THEN 1.0 / mi ELSE mi END))) * 1000000.0) AS BIGINT)
+      AS s_micro
+  FROM (SELECT *, COALESCE(neg_word IN ({negs}), false) AS neg FROM ctx)
+  WHERE is_hit AND NOT (self_mod IS NOT NULL AND next_hit))
+SELECT d.doc_id,
+  COALESCE(CAST(a.sp AS BIGINT) / (a.n * 1000000.0), 0.0) AS polarity,
+  COALESCE(CAST(a.ss AS BIGINT) / (a.n * 1000000.0), 0.0) AS subjectivity
+FROM documents d LEFT JOIN
+  (SELECT doc_id, SUM(p_micro) AS sp, SUM(s_micro) AS ss, COUNT(*) AS n
+   FROM assess GROUP BY doc_id) a ON d.doc_id = a.doc_id
+"""
+
+
+@register("sentiment_pattern_rules", _pattern_rules_sql())
+def sentiment_pattern_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7 fidelity path: PatternAnalyzer's negation + intensifier
+    chunk rules (TextBlob's actual scorer, sentiment_analysis.ipynb
+    cell 7; algorithm per Pattern's public Sentiment.assessments,
+    BSD) as one relational plan — posexplode + broadcast lexicon join
+    + LAG/LEAD chunk context + exact integer re-aggregation. The
+    canonical TextBlob values ("very good" -> 0.91, "not good" ->
+    -0.35, "not very good" -> -0.269230...) are pinned by
+    tests/test_sentiment.py."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return sent.pattern_scores(spark, docs, "text", ["doc_id"])
+
+
 @register(
     "a4_vocab_prune",
     "WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) "
@@ -4202,7 +4265,7 @@ _WINDOW_ORDER = [
     "a3_daily_mean",
     "w1_rolling_trend",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "sentiment_pattern_rules",
     "s2_sitemap_parse",
     "m6_m7_sentiment_scores",
     "a4_vocab_prune",

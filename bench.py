@@ -25,7 +25,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from bbcnews_scraper_nlp_spark.queries import REGISTRY  # noqa: E402
 from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
+# The round-1..4 anchor set (BENCH_r01 total 25.96 s at sf0.1 is the
+# continuity baseline) — keep membership and order frozen so the
+# legacy subtotal stays comparable across rounds.
+LEGACY_34 = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_revenue",
     "tpch_q6_revenue_scan",
@@ -61,6 +64,25 @@ BENCH_QUERIES = [
     "pack_sequences_bins",
     "lda_topics",
 ]
+
+# Round-5 widening: perf evidence for the operators added since the
+# anchor set was frozen (time-series, skew join, scrape, streaming
+# drain, multimodal, tf-idf, centroids, PatternAnalyzer sentiment).
+NEW_R5 = [
+    "ewma_daily_value",
+    "retention_cohorts",
+    "time_weighted_avg",
+    "gapfill_interpolate",
+    "salted_join_skewed",
+    "s4_html_extract",
+    "streaming_windowed_counts",
+    "multimodal_image_meta",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "sentiment_pattern_rules",
+]
+
+BENCH_QUERIES = LEGACY_34 + NEW_R5
 
 
 def main() -> None:
@@ -114,12 +136,15 @@ def main() -> None:
             print(f"# {name}: FAILED ({errors[name][:120]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    legacy34 = round(sum(timings.get(n, 0.0) for n in LEGACY_34), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # continuity vs the round-1 anchor (25.96 s over these 34)
+        "legacy34_value": legacy34,
     }
     if errors:
         out["errors"] = errors

@@ -136,3 +136,114 @@ def test_full_lexicon_corpus_frozen_oracle(spark):
     mean_s = sum(v[1] for v in got.values()) / len(got)
     assert 0.0 < mean_p < 0.2
     assert 0.3 < mean_s < 0.6
+
+
+# ----- PatternAnalyzer chunk rules (round 5) -------------------------
+
+# Canonically-documented TextBlob outputs (public docs / PatternAnalyzer
+# examples). The engine lexicon carries the Pattern-exact entries for
+# these words (good 0.7/0.6, great 0.8/0.75, very 0.2/0.3), so the rule
+# engine must land within micro-quantization (5e-7) of TextBlob here.
+_CANONICAL = [
+    ("good", 0.7, 0.6),
+    ("great", 0.8, 0.75),
+    ("very", 0.2, 0.3),
+    ("very good", 0.91, 0.78),  # modifier: p*1.3, s*1.3
+    ("very great", 1.0, 0.975),  # clamp(0.8*1.3) -> 1.0
+    ("not good", -0.35, 0.6),  # negation: -0.5*p, s unchanged
+    ("not very good", -0.26923076923076916, 0.46153846153846145),
+    ("good and bad", 0.0, 0.6335),  # mean of two assessments
+    ("", 0.0, 0.0),
+    ("xyzzy plugh", 0.0, 0.0),  # no lexicon hit -> (0, 0) like TextBlob
+]
+# lexicon-quantization-limited rows (engine stores 3-decimal milli
+# scores: bad = -0.7/0.667 vs TextBlob's sense-average 0.6666...):
+_QUANTIZED = [
+    ("bad", -0.6999999999999998, 0.6666666666666666),
+    ("not bad", 0.3499999999999999, 0.6666666666666666),
+]
+
+
+def test_pattern_rules_canonical_textblob_values(spark):
+    rows = [(i, t) for i, (t, _, _) in enumerate(_CANONICAL + _QUANTIZED)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["polarity"], r["subjectivity"])
+        for r in S.pattern_scores(spark, df, "text", ["doc_id"]).collect()
+    }
+    for i, (text, p, s) in enumerate(_CANONICAL):
+        gp, gs = got[i]
+        assert abs(gp - p) <= 5e-7, (text, gp, p)
+        assert abs(gs - s) <= 5e-7, (text, gs, s)
+    for j, (text, p, s) in enumerate(_QUANTIZED):
+        gp, gs = got[len(_CANONICAL) + j]
+        assert abs(gp - p) <= 5e-4, (text, gp, p)
+        assert abs(gs - s) <= 5e-4, (text, gs, s)
+
+
+def test_pattern_rules_modifier_absorption_and_chunks(spark):
+    # "very" directly before a hit is absorbed (one assessment, not
+    # two); a trailing "very" scores alone; negation window reaches
+    # across one modifier only.
+    rows = [
+        (0, "very good very"),  # assessments: [very+good 0.91, very 0.2]
+        (1, "never very good"),  # negation across modifier
+        (2, "not xyzzy good"),  # negation does NOT skip a non-chunk word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["polarity"], r["subjectivity"])
+        for r in S.pattern_scores(spark, df, "text", ["doc_id"]).collect()
+    }
+    assert abs(got[0][0] - (0.91 + 0.2) / 2) <= 5e-7
+    assert abs(got[0][1] - (0.78 + 0.3) / 2) <= 5e-7
+    assert abs(got[1][0] - (-0.26923076923076916)) <= 5e-7
+    # "not" two back with no modifier between -> not a negation chunk
+    assert abs(got[2][0] - 0.7) <= 5e-7
+
+
+def test_pattern_yearly_trend_matches_pandas_on_golden_csv(spark):
+    # The reference publishes per-article TextBlob scores
+    # (data/articles_sentiments.csv; notebooks/sentiment_analysis.ipynb
+    # cell 7 produced them, cell 14 aggregates by date). The article
+    # TEXT is not in the published artifacts (it lived in Mongo), so
+    # per-article regeneration is impossible offline — but the
+    # downstream trend aggregation IS checkable end-to-end: our Spark
+    # aggregation over the golden inputs must match the notebook's
+    # pandas groupby().mean() exactly.
+    import os
+
+    import pandas as pd
+    import pytest
+
+    golden = "/root/reference/data/articles_sentiments.csv"
+    if not os.path.exists(golden):
+        pytest.skip("reference golden CSV not available")
+    pdf = pd.read_csv(golden)
+    pdf["year"] = pd.to_datetime(
+        pdf["date"], format="mixed", utc=True
+    ).dt.year
+    expect = pdf.groupby("year")[["polarity", "subjectivity"]].mean()
+
+    df = (
+        spark.read.option("header", True)
+        .csv(golden)
+        .select(
+            F.year(F.to_timestamp("date")).alias("year"),
+            F.col("polarity").cast("double"),
+            F.col("subjectivity").cast("double"),
+        )
+    )
+    got = {
+        r["year"]: (r["p"], r["s"])
+        for r in df.groupBy("year")
+        .agg(F.avg("polarity").alias("p"), F.avg("subjectivity").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect.index)
+    for year, row in expect.iterrows():
+        assert abs(got[year][0] - row["polarity"]) < 1e-9, year
+        assert abs(got[year][1] - row["subjectivity"]) < 1e-9, year
+    # and the reference's overall means reproduce from the golden data
+    assert abs(pdf["polarity"].mean() - 0.0654) < 5e-3
+    assert abs(pdf["subjectivity"].mean() - 0.3966) < 5e-3

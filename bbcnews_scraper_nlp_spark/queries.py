@@ -1458,6 +1458,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_FIXED_SQL = """
+WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings),
+a AS (SELECT vid,
+             -struct_extract(
+                 max((ROUND(list_cosine_similarity(ev, cv), 6), -cell)), 2)
+             AS cell
+      FROM e, cent GROUP BY vid),
+probe AS (SELECT cell FROM cent, q
+          ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, cell
+          LIMIT 3)
+SELECT e.vid AS vec_id, ROUND(list_cosine_similarity(e.ev, q.qv), 6) AS cosine
+FROM a JOIN e ON a.vid = e.vid, q
+WHERE a.cell IN (SELECT cell FROM probe) AND e.vid <> 0
+ORDER BY cosine DESC, e.vid LIMIT 10
+"""
+
+
+@register("similarity_ivf_fixed_topk", _IVF_FIXED_SQL)
+def similarity_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic (first-16-by-id) centroids — the
+    hash-oracled twin of similarity_ivf_topk: argmax-cosine cell
+    assignment on ROUND-6 similarities (engine-portable, id
+    tie-break), probe the 3 cells nearest the query, brute-force
+    top-10 within. KMeans centroids stay the quality path
+    (rows-only); this pins the whole IVF probe/score machinery to a
+    cross-engine value hash."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return S.ivf_fixed_topk(
+        emb, "embedding", "vec_id", query_id=0, k=10, n_centroids=16, n_probe=3
+    )
+
+
 @register("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (KMeans cells, probe nearest 3 of 16) —
@@ -2539,6 +2576,52 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_share.alias("top_word_share"),
         dup_frac.alias("dup_bigram_frac"),
     )
+
+
+_PPL_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS word FROM t),
+uni AS (SELECT word, COUNT(*) AS c_a FROM tok GROUP BY word),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok),
+big AS (SELECT doc_id, word AS a,
+               LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+        FROM tok),
+bg AS (SELECT doc_id, a, b FROM big WHERE b IS NOT NULL),
+bi AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+scored AS (SELECT bi.a, bi.b,
+        CAST(ROUND(ln((CAST(c_ab AS DOUBLE) + 1.0) /
+                      (CAST(c_a AS DOUBLE) + (SELECT v FROM v)))
+                   * 1000.0) AS BIGINT) AS mn
+        FROM bi JOIN uni ON bi.a = uni.word),
+doc AS (SELECT bg.doc_id, SUM(s.mn) AS sm, COUNT(*) AS m
+        FROM bg JOIN scored s ON bg.a = s.a AND bg.b = s.b
+        GROUP BY bg.doc_id),
+sc AS (SELECT doc_id, m AS n_bigrams,
+              -CAST(sm AS BIGINT) / (m * 1000.0) AS cross_entropy
+       FROM doc),
+cut AS (SELECT quantile_cont(cross_entropy, 1.0 / 3.0) AS q1,
+               quantile_cont(cross_entropy, 2.0 / 3.0) AS q2 FROM sc)
+SELECT doc_id, n_bigrams, cross_entropy,
+  CASE WHEN cross_entropy <= (SELECT q1 FROM cut) THEN 'head'
+       WHEN cross_entropy <= (SELECT q2 FROM cut) THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM sc
+"""
+
+
+@register("perplexity_buckets", _PPL_SQL)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filtering (Wenzek et al. 2020):
+    per-doc cross-entropy under an add-one bigram LM fit on the
+    corpus, bucketed head/middle/tail at exact tercile cutpoints
+    (one percentile aggregate broadcast back — never a global ntile
+    window). Millinat-quantized NLL terms make the per-doc mean exact
+    integer arithmetic and absorb Java-vs-libm ln ulp skew."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return TS.perplexity_quality(docs, "doc_id", "text")
 
 
 # --------------------------------------------------------------------
@@ -4276,7 +4359,7 @@ _WINDOW_ORDER = [
     "ann_topk_cosine",
     "similarity_lsh_topk",
     "lang_id",
-    "quality_score",
+    "perplexity_buckets",
     "tfidf_top_terms",
     # TPC-H spine (r5 rotation: q2/q7/q9/q16/q20 first-ever driver checks)
     "tpch_q1_pricing_summary",

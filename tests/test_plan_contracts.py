@@ -110,6 +110,19 @@ def test_contamination_check_broadcasts_benchmark(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_pattern_sentiment_single_shuffle_no_python(spark, sf_dir):
+    # pattern_scores: lexicon broadcast + ONE doc-key shuffle shared
+    # by the LAG/LEAD window and the re-aggregation (Exchange reuse),
+    # zero Python, no rejoin for zero-hit docs (conditional agg).
+    plan = _plan(spark, sf_dir, "sentiment_pattern_rules")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # 2.1k-row lexicon broadcast
+    assert len(re.findall(r"\(\d+\) (?:SortMerge|ShuffledHash)Join", plan)) == 0
+    # exchanges: widen-scan repartition + broadcast + the single
+    # window/agg shuffle — a lost partitioning reuse would add more
+    assert len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)) <= 3
+
+
 def test_time_bucket_rollup_single_expand(spark, sf_dir):
     # ROLLUP grouping sets must compile to exactly ONE Expand node
     # feeding one aggregation — re-expressing it as a union of

@@ -113,3 +113,27 @@ def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
     assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in arrow]
     for a, b in zip(jvm, arrow):
         assert abs(a["cosine"] - b["cosine"]) <= 1e-6
+
+
+def test_ivf_fixed_topk_deterministic_and_recall(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    got = S.ivf_fixed_topk(emb, "embedding", "vec_id", query_id=0).collect()
+    again = S.ivf_fixed_topk(emb, "embedding", "vec_id", query_id=0).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert len(got) == 10
+    # recall vs brute force: probing 3/16 cells must still find a
+    # majority of the true top-10 on the synthetic embeddings
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    brute = {
+        r["vec_id"]
+        for r in S.cosine_topk(
+            emb.filter(F.col("vec_id") != 0),
+            "embedding",
+            "vec_id",
+            [float(x) for x in q],
+        ).collect()
+    }
+    ivf = {r["vec_id"] for r in got}
+    assert len(ivf & brute) >= 5, (ivf, brute)

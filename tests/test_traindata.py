@@ -318,3 +318,35 @@ def test_select_token_budget_cutoff_and_first_row(spark):
     # first-row guarantee: a single doc larger than the budget is kept
     one = spark.createDataFrame([(9, 500, 1.0)], "doc_id long, n_tokens long, score double")
     assert [r["doc_id"] for r in select_token_budget(one, "n_tokens", "score", "doc_id", 100).collect()] == [9]
+
+
+def test_perplexity_buckets_semantics(spark):
+    from bbcnews_scraper_nlp_spark.operators.textstats import (
+        perplexity_quality,
+    )
+
+    # 9 docs of corpus-typical text + 3 of unique gibberish: the
+    # gibberish bigrams are all singletons -> highest cross-entropy ->
+    # tail bucket; typical docs head/middle. One-token doc excluded.
+    typical = [(i, "the cat sat on the mat and the cat sat") for i in range(9)]
+    rare = [
+        (100, "zyx wvu tsr qpo nml"),
+        (101, "abc bcd cde def efg"),
+        (102, "qq ww ee rr tt yy"),
+    ]
+    df = spark.createDataFrame(
+        typical + rare + [(200, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in perplexity_quality(df, "doc_id", "text").collect()}
+    assert 200 not in out  # no bigram, no LM signal
+    assert len(out) == 12
+    for i in range(9):
+        assert out[i]["n_bigrams"] == 9
+        assert out[i]["ppl_bucket"] in ("head", "middle")
+    for i in (100, 101, 102):
+        assert out[i]["ppl_bucket"] == "tail"
+        assert out[i]["cross_entropy"] > out[0]["cross_entropy"]
+    # terciles: 12 docs -> 4 per bucket under distinct scores; the 9
+    # identical typical docs tie, so head+middle absorbs all 9 here
+    buckets = [r["ppl_bucket"] for r in out.values()]
+    assert buckets.count("tail") == 3

@@ -652,3 +652,92 @@ def keep_cluster_canonical(
     canonical) per duplicate cluster."""
     clustered = duplicate_clusters(df, id_col, pairs)
     return clustered.filter(F.col(id_col) == F.col("cluster_rep")).drop("cluster_rep")
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL (Lee et al. 2022, the
+    transform behind `dup_ngram_span_score`'s signal): delete every
+    token covered by a word n-gram that occurs at least ``min_count``
+    times in the corpus (all occurrences counted, so within-document
+    repeats qualify too), and reassemble the surviving tokens in
+    order.
+
+    Plan: per-doc position-grams from one array slice projection (no
+    self-join); ONE corpus-wide gram-count shuffle; duplicated
+    positions explode to covered token indices (n rows per dup gram,
+    bounded); an anti-join drops covered tokens; ordered reassembly
+    is a max-struct-free sort-in-array aggregate (array_sort of
+    (idx, word) structs), exact in any aggregation order. High-count
+    grams (boilerplate) are the natural skew — they fan out n covered
+    indices per INSTANCE (linear, not quadratic like pair joins), so
+    no cap is needed.
+
+    Returns (id, clean_text, n_removed).
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    tok = base.select(
+        "__id", F.posexplode("__toks").alias("idx", "word")
+    )
+    gram_arr = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(n)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(
+                    F.slice("__toks", i + F.lit(1), F.lit(n)), " "
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    g = base.select("__id", F.explode(gram_arr).alias("g")).select(
+        "__id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram", "left_semi")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    keep = tok.join(cov, ["__id", "idx"], "left_anti")
+    clean = keep.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__nk"),
+    )
+    return (
+        base.select("__id", F.size("__toks").alias("__nt"))
+        .join(clean, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__nt") - F.coalesce(F.col("__nk"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

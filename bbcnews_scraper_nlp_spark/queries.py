@@ -2578,6 +2578,46 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_REMOVE_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 4], ' ')
+             AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 3, 0))) AS pos
+            FROM t)),
+dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
+        WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + u AS idx
+        FROM (SELECT g.doc_id, g.pos, unnest(range(0, 4)) AS u
+              FROM g SEMI JOIN dup ON g.gram = dup.gram)),
+tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS idx,
+               unnest(toks) AS word FROM t),
+keep AS (SELECT tok.doc_id, tok.idx, tok.word FROM tok
+         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
+clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+                 COUNT(*) AS nk FROM keep GROUP BY doc_id)
+SELECT t.doc_id, coalesce(c.ct, '') AS clean_text,
+       CAST(len(t.toks) - coalesce(c.nk, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVE_SQL)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span removal (Lee et al. 2022 — the
+    transform behind dup_ngram_span_score's signal): every token
+    covered by a word 4-gram occurring >= 2 times in the corpus is
+    deleted and the survivors reassembled in order. One gram-count
+    shuffle + linear coverage fanout (n rows per duplicated gram
+    instance, never pairwise)."""
+    from .operators.dedup import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return remove_dup_spans(docs, "doc_id", "text", n=4, min_count=2)
+
+
 _PPL_SQL = """
 WITH t AS (SELECT doc_id,
         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),

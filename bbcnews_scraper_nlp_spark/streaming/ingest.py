@@ -93,6 +93,47 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """Spark 4 twin of ``running_user_stats`` on the
+    transformWithStateInPandas API (SPARK-49564): the successor to
+    applyInPandasWithState with composite state types, timers, and
+    initial-state handover. Same semantics here — per-user running
+    (count, total) in a ValueState, one row per updated key per
+    micro-batch — so both APIs stay covered and results must match
+    (tests/test_streaming.py; the equivalence test skips where the
+    python ``protobuf`` package is absent — TWS's state-server wire
+    protocol requires it). At scale this is the API that pairs with
+    the RocksDB provider (session.ROCKSDB_STATE_STORE): column-family
+    state layout + changelog checkpointing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the stateful per-user stats over all available input and
     return the final micro-batch output as a batch DataFrame."""

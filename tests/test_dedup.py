@@ -216,3 +216,33 @@ def test_md5_flavor_semantics_match(spark):
         ).collect()
     }
     assert again == found
+
+
+def test_remove_dup_spans_planted(spark):
+    from bbcnews_scraper_nlp_spark.operators.dedup import remove_dup_spans
+
+    # docs 1 and 2 share an exact 6-token span ("one two three four
+    # five six"): every token covered by a duplicated 4-gram is
+    # removed FROM BOTH docs; unique prefixes/suffixes survive.
+    rows = [
+        (1, "alpha beta one two three four five six gamma"),
+        (2, "delta one two three four five six epsilon zeta"),
+        (3, "nothing here repeats at all today friends"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_dup_spans(df, "doc_id", "text", n=4, min_count=2).collect()
+    }
+    assert out[1] == ("alpha beta gamma", 6)
+    assert out[2] == ("delta epsilon zeta", 6)
+    assert out[3] == ("nothing here repeats at all today friends", 0)
+    assert out[4] == ("", 0)
+    # within-doc repetition also counts toward min_count
+    rep = spark.createDataFrame(
+        [(9, "a b c d x y a b c d")], "doc_id long, text string"
+    )
+    got = remove_dup_spans(rep, "doc_id", "text", n=4, min_count=2).collect()[0]
+    assert got["clean_text"] == "x y"
+    assert got["n_removed"] == 8

@@ -271,3 +271,50 @@ def test_rocksdb_state_store_results_identical(spark, sf_dir):
             spark.conf.set(key, before)
     assert rocks_dedup == default_dedup and len(rocks_dedup) > 0
     assert rocks_sessions == default_sessions and len(rocks_sessions) > 0
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
+    # Spark 4 transformWithStateInPandas twin must reproduce the
+    # applyInPandasWithState results key-for-key (final state after a
+    # full AvailableNow drain). The TWS state-server protocol needs
+    # the python protobuf package; skip (not fail) where it is absent
+    # — the operator itself is pure public-API code.
+    import tempfile
+    import uuid
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf not available: TWS state server unusable")
+
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        event_stream,
+        running_user_stats_tws,
+        user_stats_batch,
+    )
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats_tws(event_stream(spark, sf_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tws = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table(name).orderBy("n_events").collect()
+    }
+    legacy = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in user_stats_batch(spark, sf_dir).orderBy("n_events").collect()
+    }
+    assert set(tws) == set(legacy) and len(tws) > 0
+    for u, (n, t) in legacy.items():
+        assert tws[u][0] == n
+        assert abs(tws[u][1] - t) < 1e-6

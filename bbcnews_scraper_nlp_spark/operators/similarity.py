@@ -415,3 +415,112 @@ def ivf_fixed_topk(
         )
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    max_cell: int | None = 100_000,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    in embedding space — cluster, then drop any vector whose cosine to
+    a LOWER-id vector in the SAME cluster meets the threshold
+    (keep-first policy; the paper keeps the point farthest from the
+    centroid — keep-first is the deterministic, oracle-able twin and
+    the standard corpus-pipeline convention, matching this repo's
+    minhash/exact dedup semantics).
+
+    Cells are the deterministic Forgy-style centroids of
+    ``ivf_fixed_topk`` (vectors of the ``n_centroids`` smallest ids,
+    argmax ROUND-6 cosine assignment with id tie-break) so the whole
+    operator is bit-stable across engines; at production scale swap
+    the centroid table for seeded KMeans centers — everything
+    downstream is unchanged.
+
+    Returns one row per input vector: (id, cell, is_dup).
+
+    Scale shape: the centroid table broadcasts; assignment is one
+    map-side-combined argmax agg; the within-cell self-join shuffles
+    ONCE on the cell key. Cell width drives the pair fanout (w² per
+    cell), so ``max_cell`` re-splits oversized cells with extra
+    deterministic hyperplanes (``_subbucketed`` — requires ``dim``,
+    same contract as ``cosine_pairs``): near-identical vectors agree
+    on the extra sign bits with high probability, so the recall hit
+    is the documented LSH trade, not a blind partition. ``None``
+    disables the cap (the oracle path; never triggers at test scale).
+    """
+    if max_cell is not None and dim is None:
+        raise ValueError(
+            "semdedup: pass the embedding dimension explicitly (dim=...) "
+            "when max_cell capping is enabled; it cannot be derived from "
+            "an array<float> schema without running a job"
+        )
+    cent = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    emb = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    sim = F.round(cosine(F.col("ev"), F.col("cv")), 6)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
+            ).alias("m")
+        )
+        .select("vid", (-F.col("m.negc")).alias("cell"))
+    )
+    cells = assigned.join(emb, "vid").select("vid", "cell", "ev")
+    pair_cells = cells
+    if max_cell is not None:
+        # cell ids are the n_centroids smallest input ids; r sized so
+        # _subbucketed's split id space (starting at 2^(r+4)) clears
+        # them for any dense id assignment
+        r_bits = max(int(n_centroids - 1).bit_length(), 1)
+        pair_cells = (
+            _subbucketed(
+                cells.withColumnRenamed("cell", "__bucket"),
+                "ev",
+                dim,
+                r_bits,
+                seed,
+                max_cell,
+            )
+            .withColumnRenamed("__bucket", "cell")
+            .select("vid", "cell", "ev")
+        )
+    a = pair_cells.select(
+        F.col("vid").alias("id_1"),
+        F.col("cell").alias("c1"),
+        F.col("ev").alias("v1"),
+    )
+    b = pair_cells.select(
+        F.col("vid").alias("id_2"),
+        F.col("cell").alias("c2"),
+        F.col("ev").alias("v2"),
+    )
+    dups = (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id_1") < F.col("id_2")))
+        .filter(F.round(cosine(F.col("v1"), F.col("v2")), 6) >= threshold)
+        .select(F.col("id_2").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dups, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -346,3 +346,106 @@ def select_token_budget(
         .filter((F.col("__run") <= budget) | (F.col("__prev") == 0))
         .drop("__run", "__prev")
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) data selection:
+    importance weight per document from hashed-n-gram likelihood
+    ratios. Features are unigrams + bigrams hashed into ``n_buckets``
+    md5 buckets; the target distribution is the subset matching
+    ``target_pred`` (e.g. lang = 'en'), the raw distribution is the
+    whole corpus; weight(doc) = sum over its grams of
+    ln(p_target(bucket) / p_raw(bucket)) with add-1 smoothing.
+    Sampling the corpus proportional to exp(weight) reproduces the
+    paper's selection; here the weights themselves are emitted so the
+    ranking is oracle-checkable.
+
+    Cross-engine determinism: the per-bucket log-ratio is rounded and
+    integer-scaled (ROUND(ln(r)*1e6)::BIGINT) before the per-doc SUM,
+    so the aggregation is exact integer arithmetic in any order — the
+    one float op per bucket happens once, not once per doc.
+
+    Scale shape: one explode over grams feeding (a) a map-side-
+    combined bucket count (n_buckets rows — tiny) and (b) a broadcast
+    join back to the gram stream + per-doc sum. Documents never
+    shuffle; the only wide exchange is the groupBy(doc) partial sum.
+    Returns (id, n_grams, weight) — one row per input document.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        target_pred.alias("__tgt"),
+        toks.alias("__t"),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__t"), i),
+                F.element_at(F.col("__t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "__id",
+        "__tgt",
+        F.explode(F.concat(F.col("__t"), bigrams)).alias("__g"),
+    ).select(
+        "__id", "__tgt", hash_bucket(F.col("__g"), n_buckets).alias("__b")
+    )
+    tot = grams.agg(
+        F.count("*").alias("__raw_total"),
+        F.count_if(F.col("__tgt")).alias("__tgt_total"),
+    )
+    stats = (
+        grams.groupBy("__b")
+        .agg(
+            F.count("*").alias("__raw_cnt"),
+            F.count_if(F.col("__tgt")).alias("__tgt_cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    ((F.col("__tgt_cnt") + 1.0) * (F.col("__raw_total") + n_buckets))
+                    / ((F.col("__raw_cnt") + 1.0) * (F.col("__tgt_total") + n_buckets))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__lrs"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(stats), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("__lrs").alias("__ws"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce(F.col("__ws"), F.lit(0)) / 1e6, 6).alias("weight"),
+        )
+    )

@@ -1510,6 +1510,41 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_SQL = """
+WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings),
+a AS (SELECT vid,
+             -struct_extract(
+                 max((ROUND(list_cosine_similarity(ev, cv), 6), -cell)), 2)
+             AS cell
+      FROM e, cent GROUP BY vid),
+c AS (SELECT a.vid, a.cell, e.ev FROM a JOIN e ON a.vid = e.vid),
+d AS (SELECT DISTINCT y.vid
+      FROM c x JOIN c y ON x.cell = y.cell AND x.vid < y.vid
+      WHERE ROUND(list_cosine_similarity(x.ev, y.ev), 6) >= 0.4)
+SELECT c.vid AS vec_id, c.cell,
+       (c.vid IN (SELECT vid FROM d)) AS is_dup
+FROM c
+"""
+
+
+@register("semdedup_embeddings", _SEMDEDUP_SQL)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: deterministic-
+    centroid cells (ivf_fixed_topk's Forgy init, argmax ROUND-6
+    cosine) + within-cell keep-first cosine dedup at 0.4 — one row
+    per vector with its cell and dup flag. Hash-oracled end to end;
+    the production path swaps KMeans centroids in and enables the
+    max_cell hyperplane re-split (operators/similarity.semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return S.semdedup(
+        emb, "embedding", "vec_id",
+        n_centroids=16, threshold=0.4, max_cell=None,
+    )
+
+
 @register("lda_topics")
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M4/M5/W3: CountVectorizer -> LDA(k=4, seed=42) -> dominant
@@ -2525,6 +2560,52 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return op(d, "n_tokens", "order_key", "doc_id", budget=20_000).select(
         "doc_id", "n_tokens"
+    )
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, tgt, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)),
+b AS (SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS bkt
+      FROM grams),
+tot AS (SELECT count(*) AS raw_total,
+               count(*) FILTER (tgt) AS tgt_total FROM b),
+lr AS (SELECT bkt,
+              CAST(ROUND(LN(((count(*) FILTER (tgt) + 1.0) * (raw_total + 4096))
+                          / ((count(*) + 1.0) * (tgt_total + 4096))) * 1e6)
+                   AS BIGINT) AS lrs
+       FROM b, tot
+       GROUP BY bkt, raw_total, tgt_total)
+SELECT d.doc_id,
+       count(lr.bkt) AS n_grams,
+       ROUND(COALESCE(SUM(lr.lrs), 0) / 1e6, 6) + 0.0 AS weight
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN lr ON b.bkt = lr.bkt
+GROUP BY d.doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight from hashed unigram+bigram likelihood ratios, target
+    distribution = English documents, raw = whole corpus. Integer-
+    scaled per-bucket log-ratios make the per-doc sum exact in any
+    aggregation order — hash-oracled end to end."""
+    from .operators.traindata import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return dsir_weights(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=4096
     )
 
 

@@ -137,3 +137,56 @@ def test_ivf_fixed_topk_deterministic_and_recall(spark, sf_dir):
     }
     ivf = {r["vec_id"] for r in got}
     assert len(ivf & brute) >= 5, (ivf, brute)
+
+
+def test_semdedup_planted_dups(spark):
+    # centroid seeds = ids 0,1 (n_centroids=2). Vectors 10/11 are
+    # near-identical and near vec 0's direction -> same cell, cosine
+    # ~1 -> 11 (higher id) flagged dup, 10 kept. Vector 20 is
+    # orthogonal -> its own cell, never a dup.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.9, 0.1001, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in S.semdedup(
+            df, "embedding", "vec_id", n_centroids=2, threshold=0.999,
+            max_cell=None,
+        ).collect()
+    }
+    assert len(out) == 5
+    assert not out[10]["is_dup"]
+    assert out[11]["is_dup"]
+    assert not out[20]["is_dup"]
+    assert out[10]["cell"] == out[11]["cell"] == 0
+    # keep-first is transitive within the cell: 0 itself kept
+    assert not out[0]["is_dup"]
+
+
+def test_semdedup_max_cell_split_keeps_near_identical_pairs(spark):
+    # force the cell cap to trigger (max_cell=2 on a 4-wide cell):
+    # near-identical vectors agree on the extra hyperplane signs, so
+    # the planted dup survives the re-split
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])] + [
+        (10 + i, [0.9, 0.1 + i * 1e-4, 0.0, 0.0]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        r["vec_id"]: r["is_dup"]
+        for r in S.semdedup(
+            df, "embedding", "vec_id", n_centroids=2, threshold=0.999,
+            max_cell=2, dim=4,
+        ).collect()
+    }
+    assert not capped[10]
+    assert all(capped[11 + i] for i in range(3)), capped
+    # dim is mandatory when capping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.semdedup(df, "embedding", "vec_id", max_cell=2)

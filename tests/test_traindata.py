@@ -350,3 +350,37 @@ def test_perplexity_buckets_semantics(spark):
     # identical typical docs tie, so head+middle absorbs all 9 here
     buckets = [r["ppl_bucket"] for r in out.values()]
     assert buckets.count("tail") == 3
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.traindata import dsir_weights
+
+    tgt = [(i, "alpha beta gamma alpha beta", "en") for i in range(5)]
+    raw = [(10 + i, "zeta eta theta zeta eta", "de") for i in range(5)]
+    mixed = [(20, "alpha beta zeta eta", "de"), (21, "", "de")]
+    df = spark.createDataFrame(
+        tgt + raw + mixed, "doc_id long, text string, lang string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert len(out) == 12
+    # 5 tokens -> 5 unigrams + 4 bigrams
+    assert out[0]["n_grams"] == 9
+    assert out[21]["n_grams"] == 0 and out[21]["weight"] == 0.0
+    # target-distinctive grams score high, raw-only grams low, the
+    # mixed doc in between
+    assert out[0]["weight"] > out[20]["weight"] > out[10]["weight"]
+    # deterministic: integer-scaled sums reproduce exactly
+    again = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(
+            df, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert {k: v["weight"] for k, v in out.items()} == again

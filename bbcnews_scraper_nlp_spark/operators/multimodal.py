@@ -361,3 +361,186 @@ def frame_samples(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
     return df.select("doc_id", "payload").mapInPandas(
         make_frame_sampler(every_n, max_frames), FRAME_SAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# video (RIFF/AVI container)
+# ---------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, sha1 string, "
+    "width int, height int, us_per_frame int, n_frames bigint, "
+    "duration_ms bigint, format string"
+)
+
+
+def _avi_payload(
+    us_per_frame: int, total_frames: int, width: int, height: int,
+    data: bytes,
+) -> bytes:
+    """Minimal but REAL RIFF/AVI container: LIST-hdrl with a 56-byte
+    'avih' main header (MicroSecPerFrame/TotalFrames/Width/Height at
+    their spec offsets), LIST-movi carrying the payload bytes,
+    word-aligned chunks. Total size = 100 + len(data) + pad."""
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0, total_frames, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi" + data
+    pad = b"\x00" if len(data) % 2 else b""
+    riff_body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi) + len(pad)) + movi + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _parse_avi(data: bytes) -> tuple[int, int, int, int, str] | None:
+    """RIFF/AVI chunk walk (pure Python, real format walk): returns
+    (width, height, us_per_frame, total_frames, 'avi') from the avih
+    main header, or None if the payload is not an AVI container."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            j = 4
+            while j + 8 <= len(body):
+                sid = body[j : j + 4]
+                ssize = struct.unpack("<I", body[j + 4 : j + 8])[0]
+                if sid == b"avih" and ssize >= 56:
+                    fields = struct.unpack(
+                        "<14I", body[j + 8 : j + 8 + 56]
+                    )
+                    return fields[8], fields[9], fields[0], fields[4], "avi"
+                j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    return None
+
+
+def attach_video_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Testing aid (video twin of attach_audio_payload): synthesize a
+    REAL RIFF/AVI container per row — avih header with frame timing /
+    dimensions derived from the row id and byte length, text bytes as
+    the movi body — so the demux plumbing runs on honestly-parseable
+    payloads. Derivations (the oracle's ground truth):
+    us_per_frame = doc_id % 3 * 8334 + 33333 (30/24/20 fps),
+    width = doc_id % 3 * 160 + 320, height = width * 3 // 4,
+    n_frames = body_bytes % 240 + 24."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _containers(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            body = (t or "").encode("utf-8")
+            upf = int(i) % 3 * 8334 + 33333
+            w = int(i) % 3 * 160 + 320
+            out.append(
+                _avi_payload(upf, len(body) % 240 + 24, w, w * 3 // 4, body)
+            )
+        return pd.Series(out)
+
+    container = pandas_udf(_containers, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("video/avi").alias("media_type"),
+        container(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+def make_video_meta_extractor(strict: bool = False):
+    """mapInPandas stage: binary payload -> typed video metadata.
+
+    Real work: RIFF/AVI chunk walk (dimensions, frame timing, frame
+    count -> duration). Non-AVI payloads: strict raises (the codec
+    slot for mp4/mkv/webm demuxers); else deterministic fake
+    parameters from the payload hash, same policy as image/audio."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload or b"")
+                sha1 = hashlib.sha1(data).hexdigest()
+                parsed = _parse_avi(data)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "no video demuxer for payload; plug in a "
+                            "decoder or run with strict=False"
+                        )
+                    h = int(hashlib.md5(data).hexdigest()[:8], 16)
+                    parsed = (
+                        (320, 640, 1280)[h % 3], (240, 480, 720)[h % 3],
+                        33333, h % 3600, "unknown",
+                    )
+                w, hgt, upf, n_frames, fmt = parsed
+                dur_ms = n_frames * upf // 1000
+                rows.append(
+                    (doc_id, mtype, len(data), sha1, w, hgt, upf,
+                     n_frames, dur_ms, fmt)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "sha1", "width",
+                    "height", "us_per_frame", "n_frames", "duration_ms",
+                    "format",
+                ],
+            )
+
+    return extract
+
+
+def video_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Run the video metadata extractor over (doc_id, media_type,
+    payload) — same no-shuffle mapInPandas contract as image/audio."""
+    return df.mapInPandas(make_video_meta_extractor(strict), VIDEO_META_SCHEMA)
+
+
+def make_video_frame_sampler(every_n: int = 10):
+    """mapInPandas stage: demux-driven frame sampling — the avih
+    header's TotalFrames drives a 1->N fan-out of every ``every_n``-th
+    frame index; the per-frame 'decode' is stubbed as a deterministic
+    content hash of (payload, frame_idx). A real decoder replaces the
+    hash with pixel extraction; the Spark contract (declared schema,
+    inherited partitioning, Arrow batching) is identical."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                parsed = _parse_avi(data)
+                if parsed is None:
+                    continue
+                n_frames = parsed[3]
+                for idx in range(0, n_frames, max(every_n, 1)):
+                    out.append(
+                        (
+                            doc_id,
+                            idx,
+                            hashlib.sha1(
+                                data + struct.pack("<I", idx)
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_sha1"]
+            )
+
+    return sample
+
+
+def video_frame_samples(df: DataFrame, every_n: int = 10) -> DataFrame:
+    return df.select("doc_id", "payload").mapInPandas(
+        make_video_frame_sampler(every_n), FRAME_SAMPLE_SCHEMA
+    )

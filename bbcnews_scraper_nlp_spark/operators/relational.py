@@ -277,19 +277,39 @@ def bloom_semi_join(
     the seen-URL probe before fetch (middlewares.py:6-16) — same
     idea, set-membership pushed upstream of the expensive stage.
     """
-    from pyspark.sql.pandas.functions import pandas_udf
+    words = _bloom_words(keys_df, key, n_bits, n_hashes).collect()
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    pruned = big.filter(
+        _bloom_maybe_col(big, key, bitmap, n_bits, n_hashes)
+    )
+    if not exact:
+        return pruned
+    return pruned.join(keys_df.select(key).distinct(), key, "left_semi")
 
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+        for seed in range(n_hashes)
+    ]
+
+
+def _bloom_words(
+    keys_df: DataFrame, key: str, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Distributed Bloom bitmap as (word_index, word) rows — the
+    mergeable, saveable representation (≤ n_bits/64 rows; keys never
+    leave the executors)."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-
-    def positions(col):
-        return [
-            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
-            for seed in range(n_hashes)
-        ]
-
-    words = (
-        keys_df.select(F.explode(F.array(*positions(F.col(key)))).alias("pos"))
+    return (
+        keys_df.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col(key), n_bits, n_hashes))
+            ).alias("pos")
+        )
         .select(
             (F.col("pos") / 64).cast("long").alias("w"),
             # dynamic shift distance needs the SQL form (the Python
@@ -300,12 +320,17 @@ def bloom_semi_join(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
-        .collect()
     )
-    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
-    for r in words:
-        bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
-    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+
+
+def _bloom_maybe_col(
+    df: DataFrame, key: str, bitmap: "np.ndarray", n_bits: int, n_hashes: int
+) -> Column:
+    """Boolean 'maybe in set' column: JVM-side seeded hash positions,
+    one vectorized numpy bitmap gather per Arrow batch."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")
     def bloom_maybe(pos_s: pd.Series) -> pd.Series:
@@ -316,10 +341,91 @@ def bloom_semi_join(
         hit = (bm[idx] >> sh) & np.uint64(1)
         return pd.Series(hit.all(axis=1))
 
-    pruned = big.filter(bloom_maybe(F.array(*positions(F.col(key)))))
-    if not exact:
-        return pruned
-    return pruned.join(keys_df.select(key).distinct(), key, "left_semi")
+    return bloom_maybe(
+        F.array(*_bloom_positions(F.col(key), n_bits, n_hashes))
+    )
+
+
+def save_bloom(
+    keys_df: DataFrame,
+    key: str,
+    path: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+) -> None:
+    """Persist a key set's Bloom filter as parquet (w, word, n_bits,
+    n_hashes) — the cross-run seen-set for incremental corpus builds.
+    The bitmap is built fully distributed (``_bloom_words``) and the
+    parquet holds ≤ n_bits/64 skinny rows regardless of key count;
+    the parameter columns ride along so a later run can't probe with
+    mismatched hashing."""
+    (
+        _bloom_words(keys_df, key, n_bits, n_hashes)
+        .select(
+            "w", "word",
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def merge_bloom(spark, path: str, keys_df: DataFrame, key: str) -> None:
+    """Fold a new batch's keys into a saved Bloom filter: OR-merge of
+    the (w, word) rows — Bloom bitmaps are unions, so incremental
+    ingest never rebuilds the filter. The merged word list (≤
+    n_bits/64 rows) rides through the driver because parquet can't be
+    overwritten while being read lazily — bounded by construction,
+    same policy as bloom_semi_join's collect."""
+    old = spark.read.parquet(path)
+    meta = old.select("n_bits", "n_hashes").first()
+    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
+    merged = (
+        old.select("w", "word")
+        .unionByName(_bloom_words(keys_df, key, n_bits, n_hashes))
+        .groupBy("w")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    spark.createDataFrame(
+        [(int(r["w"]), int(r["word"])) for r in merged], "w long, word long"
+    ).select(
+        "w", "word",
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def filter_unseen(
+    big: DataFrame,
+    key: str,
+    path: str,
+    exact_seen: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-dedup gate: keep rows whose key is NOT in the saved
+    Bloom filter (definitely new — Bloom has no false negatives), the
+    cross-run twin of the reference's seen-URL probe
+    (middlewares.py:6-16). Rows the filter flags 'maybe seen' are
+    false positives at the documented fp rate; pass the exact seen-key
+    store as ``exact_seen`` to recover them with an anti-join over
+    only the maybe subset — the full store is never joined against
+    the whole batch."""
+    spark = big.sparkSession
+    saved = spark.read.parquet(path)
+    meta = saved.select("n_bits", "n_hashes").first()
+    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in saved.select("w", "word").collect():
+        bitmap[r["w"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    maybe = _bloom_maybe_col(big, key, bitmap, n_bits, n_hashes)
+    definitely_new = big.filter(~maybe)
+    if exact_seen is None:
+        return definitely_new
+    recovered = big.filter(maybe).join(
+        exact_seen.select(key).distinct(), key, "left_anti"
+    )
+    return definitely_new.unionByName(recovered)
 
 
 def grouped_zscore_pandas(

@@ -524,3 +524,96 @@ def semdedup(
         F.col("cell"),
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int = 0,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, TPAMI — the PQ
+    half of IVFADC): split each vector into ``m`` subvectors of
+    ``dsub`` dims, quantize each against a ``ksub``-entry per-subspace
+    codebook, then answer top-k by Asymmetric Distance Computation —
+    the query's exact per-(subspace, code) distance table is summed
+    over each vector's codes instead of touching the raw vectors.
+
+    Codebooks here are deterministic Forgy inits (subvectors of the
+    ``ksub`` smallest ids — same convention as ``ivf_fixed_topk``), so
+    encode + ADC are bit-stable across engines and the whole operator
+    is hash-oracled; production swaps per-subspace seeded KMeans
+    codewords in without touching the plan.
+
+    Cross-engine determinism: every squared distance is built from
+    ROUND-6 dot products, integer-scaled (ROUND(d2*1e6)::BIGINT)
+    before any argmin or sum, so code assignment (min-struct with
+    code tie-break) and the ADC sum are exact integer arithmetic in
+    any aggregation order.
+
+    Scale shape — the reason PQ exists at 100 TB: the codes table is
+    ``m`` small ints per vector (64 doubles -> 8 codes here, a 64x
+    index shrink), built with ONE broadcast join + map-side-combined
+    argmin; the query's distance table (m*ksub rows) broadcasts; the
+    scan is a broadcast hash join over codes + one integer groupBy —
+    raw vectors are never shuffled and never rescanned per query.
+    """
+    emb = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    jcol = F.explode(F.array([F.lit(j) for j in range(m)])).alias("j")
+
+    def _subs(frame):
+        return frame.select("vid", jcol, "v").select(
+            "vid",
+            "j",
+            F.slice("v", F.col("j") * dsub + 1, dsub).alias("sv"),
+        )
+
+    def _d2s(a, b):
+        d2 = (
+            F.round(dot(a, a), 6)
+            + F.round(dot(b, b), 6)
+            - 2 * F.round(dot(a, b), 6)
+        )
+        return F.round(d2 * F.lit(1e6)).cast("long")
+
+    cb = _subs(emb.orderBy("vid").limit(ksub)).select(
+        F.col("vid").alias("code"), "j", F.col("sv").alias("cw")
+    )
+    codes = (
+        _subs(emb)
+        .join(F.broadcast(cb), "j")
+        .groupBy("vid", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    _d2s(F.col("sv"), F.col("cw")).alias("ds"),
+                    F.col("code").alias("code"),
+                )
+            ).alias("mn")
+        )
+        .select("vid", "j", F.col("mn.code").alias("code"))
+    )
+    qdist = (
+        _subs(emb.filter(F.col("vid") == query_id))
+        .join(F.broadcast(cb), "j")
+        .select("j", "code", _d2s(F.col("sv"), F.col("cw")).alias("ds"))
+    )
+    return (
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(qdist), ["j", "code"])
+        .groupBy("vid")
+        .agg(F.sum("ds").alias("ss"))
+        .select(
+            F.col("vid").alias(id_col),
+            (F.col("ss") / F.lit(1e6)).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

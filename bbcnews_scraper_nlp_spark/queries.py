@@ -1495,6 +1495,52 @@ def similarity_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ADC_SQL = """
+WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cent AS (SELECT vid, v FROM e ORDER BY vid LIMIT 16),
+js AS (SELECT unnest(range(0, 8)) AS j),
+cb AS (SELECT cent.vid AS code, j, v[j*8+1 : j*8+8] AS cw FROM cent, js),
+sub AS (SELECT vid, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+enc AS (SELECT vid, j,
+               struct_extract(min((
+                   CAST(ROUND((ROUND(list_dot_product(sv, sv), 6)
+                             + ROUND(list_dot_product(cw, cw), 6)
+                             - 2 * ROUND(list_dot_product(sv, cw), 6)) * 1e6)
+                        AS BIGINT),
+                   code)), 2) AS code
+        FROM sub JOIN cb USING (j) GROUP BY vid, j),
+qd AS (SELECT j, code,
+              CAST(ROUND((ROUND(list_dot_product(sv, sv), 6)
+                        + ROUND(list_dot_product(cw, cw), 6)
+                        - 2 * ROUND(list_dot_product(sv, cw), 6)) * 1e6)
+                   AS BIGINT) AS ds
+       FROM sub JOIN cb USING (j) WHERE vid = 0)
+SELECT enc.vid AS vec_id,
+       CAST(SUM(qd.ds) AS BIGINT) / 1e6 AS adc_dist
+FROM enc JOIN qd USING (j, code)
+WHERE enc.vid <> 0
+GROUP BY enc.vid
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_pq_adc_topk", _PQ_ADC_SQL)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 8 subspaces x 16
+    deterministic Forgy codewords, integer-scaled ROUND-6 distances,
+    Asymmetric Distance Computation top-10 for query vec_id 0 — the
+    compressed-index ANN tier beside brute force / LSH / IVF, fully
+    hash-oracled. See operators/similarity.pq_adc_topk for the 100 TB
+    shape (codes = m small ints per vector, broadcast distance
+    table, no raw-vector shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return S.pq_adc_topk(
+        emb, "embedding", "vec_id", query_id=0, m=8, dsub=8, ksub=16, k=10
+    )
+
+
 @register("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (KMeans cells, probe nearest 3 of 16) —
@@ -1660,6 +1706,66 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "sample_rate", "channels",
         "bits_per_sample", "n_frames", "duration_ms", "format"
     )
+
+
+@register(
+    "multimodal_video_meta",
+    # the AVI payloads are synthesized with timing/dimensions derived
+    # from doc_id and the text bytes as the movi body, so the RIFF
+    # chunk-walk demux is verifiable against ground truth: n_bytes =
+    # 100-byte container + body (+1 word-align pad when odd),
+    # duration = frames * us_per_frame // 1000 (integer math in both
+    # engines); the sha1 content id stays pytest-checked
+    "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS body, "
+    "CAST(doc_id % 3 * 8334 + 33333 AS INT) AS upf, "
+    "CAST(doc_id % 3 * 160 + 320 AS INT) AS w FROM documents) "
+    "SELECT doc_id, 'video/avi' AS media_type, "
+    "CAST(100 + body + body % 2 AS INT) AS n_bytes, "
+    "w AS width, CAST(w * 3 // 4 AS INT) AS height, "
+    "upf AS us_per_frame, "
+    "CAST(body % 240 + 24 AS BIGINT) AS n_frames, "
+    "CAST((body % 240 + 24) * upf // 1000 AS BIGINT) AS duration_ms, "
+    "'avi' AS format FROM b",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: RIFF/AVI payload column ->
+    Arrow-batched mapInPandas metadata extraction (chunk-walk avih
+    demux real — dimensions/frame timing/duration; non-AVI codecs
+    stubbed — see operators/multimodal.py). Oracle = the synthesis
+    parameters recomputed (demux must recover exactly what the AVI
+    writer embedded)."""
+    from .operators.multimodal import attach_video_payload, video_meta
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return video_meta(attach_video_payload(docs, "text", "doc_id")).select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        "us_per_frame", "n_frames", "duration_ms", "format"
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    # the demux-driven 1->N fan-out is the Spark-side logic under
+    # test: every 10th frame index of the avih TotalFrames count.
+    # The stub per-frame hash (sha1 over payload+idx — a codec slot)
+    # stays pytest-checked; DuckDB lacks sha1
+    "WITH b AS (SELECT doc_id, "
+    "octet_length(encode(text)) % 240 + 24 AS nf FROM documents) "
+    "SELECT doc_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx "
+    "FROM b",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: AVI container demux drives a 1->N row
+    fan-out (every 10th frame index), per-frame decode stubbed as a
+    deterministic content hash. The fan-out (doc_id, frame_idx) is
+    hash-oracled against the synthesis ground truth; frame_sha1 is
+    pytest-checked (operators/multimodal.py)."""
+    from .operators.multimodal import attach_video_payload, video_frame_samples
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return video_frame_samples(
+        attach_video_payload(docs, "text", "doc_id"), every_n=10
+    ).select("doc_id", "frame_idx")
 
 
 @register(
@@ -4470,16 +4576,16 @@ _WINDOW_ORDER = [
     "w1_rolling_trend",
     "dedup_minhash_lsh",
     "sentiment_pattern_rules",
-    "s2_sitemap_parse",
+    "similarity_pq_adc_topk",
     "m6_m7_sentiment_scores",
     "a4_vocab_prune",
     # LLM-pipeline: dedup / similarity / text analysis
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
-    "prepare_corpus_pipeline",
-    "ann_topk_cosine",
+    "dsir_importance_weights",
+    "semdedup_embeddings",
     "similarity_lsh_topk",
-    "lang_id",
+    "dedup_span_removal",
     "perplexity_buckets",
     "tfidf_top_terms",
     # TPC-H spine (r5 rotation: q2/q7/q9/q16/q20 first-ever driver checks)
@@ -4493,7 +4599,7 @@ _WINDOW_ORDER = [
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
     # multimodal / sources / streaming
-    "multimodal_image_meta",
+    "multimodal_video_meta",
     "multimodal_audio_meta",
     "s4_html_extract",
     "streaming_windowed_counts",

@@ -80,6 +80,14 @@ NEW_R5 = [
     "tfidf_top_terms",
     "embedding_centroids",
     "sentiment_pattern_rules",
+    # round-5 session 2: semantic dedup / data selection / PQ ANN /
+    # video demux / span removal / perplexity filtering
+    "semdedup_embeddings",
+    "dsir_importance_weights",
+    "similarity_pq_adc_topk",
+    "multimodal_video_meta",
+    "dedup_span_removal",
+    "perplexity_buckets",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

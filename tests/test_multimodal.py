@@ -113,3 +113,63 @@ def test_attach_audio_payload_parses_end_to_end(spark):
     assert out[7]["sample_rate"] == 8000 + (7 % 3) * 8000
     assert out[7]["n_frames"] == len("hello world") // 2
     assert out[8]["n_frames"] == 501 // 2
+
+
+def test_video_meta_parses_avi_and_stubs_unknown(spark):
+    from bbcnews_scraper_nlp_spark.operators.multimodal import _avi_payload
+
+    rows = [
+        (1, _avi_payload(33333, 120, 640, 480, b"framedata")),
+        (2, b"\x00\x01 not a container"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "video/avi", p) for i, p in rows],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.video_meta(df).collect()}
+    assert out[1]["format"] == "avi"
+    assert out[1]["width"] == 640 and out[1]["height"] == 480
+    assert out[1]["us_per_frame"] == 33333
+    assert out[1]["n_frames"] == 120
+    assert out[1]["duration_ms"] == 120 * 33333 // 1000
+    assert out[2]["format"] == "unknown"
+    again = {r["doc_id"]: r for r in M.video_meta(df).collect()}
+    assert again[2]["n_frames"] == out[2]["n_frames"]  # deterministic stub
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        M.video_meta(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "no video demuxer" in str(
+        exc.value
+    )
+
+
+def test_attach_video_payload_demux_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(4, "hello world"), (5, "y" * 300)], "doc_id long, text string"
+    )
+    payloads = M.attach_video_payload(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in M.video_meta(payloads).collect()}
+    assert out[4]["format"] == "avi"
+    assert out[4]["width"] == 320 + (4 % 3) * 160
+    assert out[4]["height"] == out[4]["width"] * 3 // 4
+    assert out[4]["n_frames"] == len("hello world") % 240 + 24
+    assert out[5]["n_frames"] == 300 % 240 + 24
+    assert out[5]["n_bytes"] == 100 + 300  # even body, no pad
+
+    frames = M.video_frame_samples(payloads, every_n=10).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[4]) == (out[4]["n_frames"] + 9) // 10
+    idxs = sorted(r["frame_idx"] for r in by_doc[4])
+    assert idxs == list(range(0, out[4]["n_frames"], 10))
+    # stub decode hash: deterministic, 40-hex, distinct across frames
+    shas = [r["frame_sha1"] for r in by_doc[4]]
+    assert all(len(s) == 40 for s in shas) and len(set(shas)) == len(shas)
+    again = {
+        (r["doc_id"], r["frame_idx"]): r["frame_sha1"]
+        for r in M.video_frame_samples(payloads, every_n=10).collect()
+    }
+    assert all(again[(r["doc_id"], r["frame_idx"])] == r["frame_sha1"] for r in frames)

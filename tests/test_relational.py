@@ -390,3 +390,41 @@ def test_heavy_hitters_times_mean_mode(spark, sf_dir):
     ]
     assert got == exact
     assert len(got) > 0  # scale-invariant threshold stays non-trivial
+
+
+def test_bloom_persistence_incremental_dedup(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        filter_unseen,
+        merge_bloom,
+        save_bloom,
+    )
+
+    path = str(tmp_path / "seen_bloom")
+    run1 = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    save_bloom(run1, "k", path, n_bits=1 << 16, n_hashes=5)
+
+    run2 = spark.createDataFrame([(i,) for i in range(150, 350)], "k long")
+    # without the exact store: no false negatives — every returned key
+    # is truly new, and seen keys never leak through
+    got = {r["k"] for r in filter_unseen(run2, "k", path).collect()}
+    true_new = set(range(200, 350))
+    assert got <= true_new
+    # with the exact store: exact recovery of fp-flagged rows
+    exact = {
+        r["k"] for r in filter_unseen(run2, "k", path, exact_seen=run1).collect()
+    }
+    assert exact == true_new
+
+    # fold run2 into the filter: now both runs' keys are 'seen'
+    merge_bloom(spark, path, run2, "k")
+    run3 = spark.createDataFrame([(i,) for i in range(300, 400)], "k long")
+    both = run1.unionByName(run2)
+    exact3 = {
+        r["k"] for r in filter_unseen(run3, "k", path, exact_seen=both).collect()
+    }
+    assert exact3 == set(range(350, 400))
+    # bloom_semi_join contract intact after the refactor
+    from bbcnews_scraper_nlp_spark.operators.relational import bloom_semi_join
+
+    semi = bloom_semi_join(run2, run1, "k", n_bits=1 << 16).collect()
+    assert {r["k"] for r in semi} == set(range(150, 200))

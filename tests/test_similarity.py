@@ -190,3 +190,65 @@ def test_semdedup_max_cell_split_keeps_near_identical_pairs(spark):
 
     with _pytest.raises(ValueError):
         S.semdedup(df, "embedding", "vec_id", max_cell=2)
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    # vectors that ARE codewords in every subspace quantize with zero
+    # error, so ADC distance == true squared L2 and the ranking is
+    # exact. 4 base vectors (the ksub=4 codebook) + 2 exact copies.
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),  # copy of 0
+        (11, [0.0, 1.0, 0.0, 0.0]),  # copy of 1
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    got = S.pq_adc_topk(
+        df, "embedding", "vec_id", query_id=0, m=2, dsub=2, ksub=4, k=6
+    ).collect()
+    assert [r["vec_id"] for r in got][0] == 10  # the exact copy first
+    d = {r["vec_id"]: r["adc_dist"] for r in got}
+    assert d[10] == 0.0
+    # orthogonal unit vectors: squared L2 = 2
+    assert d[1] == d[11] == d[2] == d[3] == 2.0
+    again = S.pq_adc_topk(
+        df, "embedding", "vec_id", query_id=0, m=2, dsub=2, ksub=4, k=6
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_pq_adc_recall_on_synthetic(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    pq = {
+        r["vec_id"]
+        for r in S.pq_adc_topk(emb, "embedding", "vec_id", query_id=0).collect()
+    }
+    # true L2 top-10 (same normalization-free metric ADC approximates)
+    v0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = F.lit([float(x) for x in v0]).cast("array<double>")
+    true = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    q,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    # 16 coarse codewords per subspace: expect meaningful but not
+    # perfect overlap with the exact top-10
+    assert len(pq & true) >= 3, (pq, true)

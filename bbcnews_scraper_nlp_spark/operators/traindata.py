@@ -408,17 +408,18 @@ def dsir_weights(
     ).select(
         "__id", "__tgt", hash_bucket(F.col("__g"), n_buckets).alias("__b")
     )
-    tot = grams.agg(
-        F.count("*").alias("__raw_total"),
-        F.count_if(F.col("__tgt")).alias("__tgt_total"),
+    counts = grams.groupBy("__b").agg(
+        F.count("*").alias("__raw_cnt"),
+        F.count_if(F.col("__tgt")).alias("__tgt_cnt"),
     )
+    # corpus totals fold from the n_buckets-row count table via one
+    # global window (single partition of <= n_buckets skinny rows) —
+    # the gram stream is scanned exactly twice (stats pass + scoring
+    # pass), never a third time for a scalar
+    wall = Window.partitionBy()
     stats = (
-        grams.groupBy("__b")
-        .agg(
-            F.count("*").alias("__raw_cnt"),
-            F.count_if(F.col("__tgt")).alias("__tgt_cnt"),
-        )
-        .crossJoin(F.broadcast(tot))
+        counts.withColumn("__raw_total", F.sum("__raw_cnt").over(wall))
+        .withColumn("__tgt_total", F.sum("__tgt_cnt").over(wall))
         .select(
             "__b",
             F.round(

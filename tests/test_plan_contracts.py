@@ -129,3 +129,46 @@ def test_time_bucket_rollup_single_expand(spark, sf_dir):
     # per-level aggregates would rescan the fact table per level.
     plan = _plan(spark, sf_dir, "time_bucket_rollup")
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+
+
+# ---- round-5 session-2 contracts ---------------------------------------
+
+
+def test_semdedup_no_cartesian_and_no_python(spark, sf_dir):
+    # the only nested-loop joins allowed are the broadcast x 16-row
+    # centroid table (cell assignment); the within-cell pair pass must
+    # be a hash/merge join on the cell key, never CartesianProduct;
+    # the whole operator stays JVM-side
+    plan = _plan(spark, sf_dir, "semdedup_embeddings")
+    assert "CartesianProduct" not in plan, "pair pass lost its cell key"
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan  # centroid table broadcast
+
+
+def test_pq_adc_broadcast_and_topk(spark, sf_dir):
+    # codebook + query distance table must broadcast (codes side never
+    # shuffles for the joins) and the final top-k must be per-partition
+    # heaps, not a global sort
+    plan = _plan(spark, sf_dir, "similarity_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_stats_join_broadcast_pure_jvm(spark, sf_dir):
+    # the 4096-row bucket-stats table must broadcast onto the gram
+    # stream (documents never shuffle for the join); the op is pure
+    # Catalyst — no Python eval nodes anywhere
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_video_meta_is_map_only(spark, sf_dir):
+    # attach + demux are projection/mapInPandas stages: no key shuffle
+    # anywhere (the widen repartition is round-robin, not a join/agg
+    # exchange)
+    plan = _plan(spark, sf_dir, "multimodal_video_meta")
+    assert "hashpartitioning" not in plan, "video meta gained a key shuffle"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _M31 = 2_147_483_647
 
@@ -483,7 +484,15 @@ def semdedup(
         )
         .select("vid", (-F.col("m.negc")).alias("cell"))
     )
-    cells = assigned.join(emb, "vid").select("vid", "cell", "ev")
+    # one row per vector (id, semantic cell, vector) — persisted
+    # because the self-join's two branches and the output projection
+    # would otherwise each recompute the assignment agg (same policy
+    # as the MinHash LSH index)
+    cells = (
+        assigned.join(emb, "vid")
+        .select("vid", "cell", "ev")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pair_cells = cells
     if max_cell is not None:
         # cell ids are the n_centroids smallest input ids; r sized so
@@ -519,7 +528,7 @@ def semdedup(
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
-    return assigned.join(dups, "vid", "left").select(
+    return cells.select("vid", "cell").join(dups, "vid", "left").select(
         F.col("vid").alias(id_col),
         F.col("cell"),
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),

@@ -450,3 +450,48 @@ def dsir_weights(
             F.round(F.coalesce(F.col("__ws"), F.lit(0)) / 1e6, 6).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_bands: int = 4,
+    salt: str = "curriculum-v1",
+) -> DataFrame:
+    """Curriculum ordering for training corpora: quality bands from
+    best to worst (ntile over score DESC, key tie-break), with a
+    deterministic content-independent hash shuffle WITHIN each band —
+    the standard easy-to-hard schedule where band boundaries carry the
+    curriculum and intra-band order is decorrelated from the score.
+
+    Returns (key, band, band_pos): feed band-major (band, band_pos)
+    order to the shard writer.
+
+    NOTE: exact ntile is an unpartitioned window — a one-task stage,
+    correct but serial (same policy as select_token_budget). At real
+    scale compute band edges with approx percentiles (one tiny agg)
+    and band by comparison; this operator is the exact-semantics
+    anchor those plans approximate. The intra-band shuffle is already
+    scale-clean: hash ordering partitioned by band.
+    """
+    band = F.ntile(n_bands).over(
+        Window.orderBy(F.desc(score_col), F.col(key_col))
+    )
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    banded = df.select(
+        F.col(key_col), F.col(score_col), band.alias("band"), h.alias("__h")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("band").orderBy("__h", key_col)
+    )
+    return banded.select(
+        key_col, "band", pos.alias("band_pos")
+    )

@@ -2716,6 +2716,86 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_frame_trailing_sum",
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "/ 100.0 AS trailing_1h_sum "
+    "FROM events",
+)
+def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-valued frame bound — the §2.6 frame
+    flavor ROWS frames can't express): per user, trailing-1-hour
+    event-value sum over the epoch-microsecond order. Values ride as
+    scaled ints so the frame sum is exact in any order; the range
+    bound is a literal in identical units (micros) on both engines.
+    One shuffle on user_id; each partition's frame scan is linear
+    (two-pointer), never O(n²)."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        R.epoch_us("ts").alias("__us"),
+        F.round(F.col("value") * 100).cast("long").alias("__v100"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (F.sum("__v100").over(w) / F.lit(100.0)).alias("trailing_1h_sum"),
+    )
+
+
+@register(
+    "curriculum_order_bands",
+    "WITH b AS (SELECT doc_id, n_chars, "
+    "CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS band, "
+    "md5('curriculum-v1:' || CAST(doc_id AS VARCHAR)) AS h "
+    "FROM documents) "
+    "SELECT doc_id, band, "
+    "CAST(row_number() OVER (PARTITION BY band ORDER BY h, doc_id) AS INT) "
+    "AS band_pos FROM b",
+)
+def curriculum_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: 4 quality bands (here: length-scored,
+    best first) with a deterministic hash shuffle within each band —
+    the easy-to-hard training schedule. Exact-ntile anchor of the
+    banded percentile approximation used at 100 TB (see operator
+    docstring)."""
+    from .operators.traindata import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return curriculum_order(docs, "n_chars", "doc_id", n_bands=4)
+
+
+@register(
+    "value_histogram",
+    "SELECT event_type, "
+    "CAST(least(floor(value / 25), 19) AS INT) AS bin, "
+    "count(*) AS n FROM events GROUP BY event_type, bin",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (profiling family):
+    bin = clamp(floor(value/25), 0..19) — one map-side-combined
+    hash agg, ≤ types×20 rows shuffled."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 25), F.lit(19))
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "deterministic_shuffle_order",
     "WITH h AS (SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS hh "
     "FROM documents), "

@@ -270,3 +270,45 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_stage(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a stage table so its parquet
+    files approach ``target_file_bytes`` — the maintenance pass every
+    long-lived 100 TB table needs (streaming sinks and incremental
+    appends accrete kilobyte files; scan throughput then dies on
+    open/footer costs and the driver on file-listing).
+
+    File count = ceil(current_bytes / target); the rewrite is one
+    round-robin repartition (no key shuffle, no skew sensitivity) to
+    a temp location, then an atomic-as-practical swap. Returns the
+    new file count. At real scale run per partition-directory so one
+    compaction never rewrites the whole table (pair with
+    write_partitioned); bucketed tables must NOT pass through here —
+    recompact those with write_bucketed to preserve bucket metadata.
+    """
+    import math
+    import shutil
+
+    src = os.path.join(root, name)
+    cur_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(cur_bytes / target_file_bytes))
+    tmp = os.path.join(root, f"__compact_{name}")
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = os.path.join(root, f"__old_{name}")
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return n_files

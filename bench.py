@@ -88,6 +88,7 @@ NEW_R5 = [
     "multimodal_video_meta",
     "dedup_span_removal",
     "perplexity_buckets",
+    "range_frame_trailing_sum",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -237,3 +237,26 @@ def test_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
     # layout changes nothing about content
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
+
+
+def test_compact_stage_reduces_file_count(spark, tmp_path):
+    import os
+
+    from bbcnews_scraper_nlp_spark.sources.stage_io import compact_stage
+
+    root = str(tmp_path)
+    # simulate streaming-sink accretion: 64 tiny files
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(os.path.join(root, "accreted"))
+    src = os.path.join(root, "accreted")
+    before = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert before >= 32
+
+    n = compact_stage(spark, root, "accreted", target_file_bytes=1 << 30)
+    assert n == 1
+    after = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(after) == 1
+    # data survives the swap byte-for-byte (count + checksum)
+    got = spark.read.parquet(src)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))

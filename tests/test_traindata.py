@@ -384,3 +384,34 @@ def test_dsir_weights_ranks_target_like_docs_higher(spark):
         ).collect()
     }
     assert {k: v["weight"] for k, v in out.items()} == again
+
+
+def test_curriculum_order_band_monotone_and_deterministic(spark):
+    from bbcnews_scraper_nlp_spark.operators.traindata import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(40)], "doc_id long, score double"
+    )
+    out = curriculum_order(df, "score", "doc_id", n_bands=4).collect()
+    assert len(out) == 40
+    by_band: dict[int, list] = {}
+    score = {i: float(100 - i) for i in range(40)}
+    for r in out:
+        by_band.setdefault(r["band"], []).append(r)
+    assert sorted(by_band) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_band.values())
+    # bands are score-monotone: every band-k score >= every band-k+1
+    for k in (1, 2, 3):
+        lo = min(score[r["doc_id"]] for r in by_band[k])
+        hi = max(score[r["doc_id"]] for r in by_band[k + 1])
+        assert lo >= hi
+    # band_pos is a permutation of 1..10 within each band, and the
+    # intra-band order is decorrelated from the score (hash order)
+    for k, rows in by_band.items():
+        assert sorted(r["band_pos"] for r in rows) == list(range(1, 11))
+    ordered_ids = [
+        r["doc_id"] for r in sorted(by_band[1], key=lambda r: r["band_pos"])
+    ]
+    assert ordered_ids != sorted(ordered_ids)  # not id order
+    again = curriculum_order(df, "score", "doc_id", n_bands=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -238,3 +238,57 @@ def perplexity_quality(df, id_col: str, text_col: str):
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def build_inverted_index(
+    docs,
+    text_col: str,
+    id_col: str,
+    block_size: int = 2000,
+):
+    """Blocked inverted index: term -> sorted posting blocks of
+    "doc:pos" entries plus exact per-term df/tf — the text-retrieval
+    layout (Lucene-style posting blocks) as a pure Catalyst plan.
+
+    Scale shape: positions come from ONE posexplode projection; the
+    only wide exchanges are the term-keyed window (block numbering)
+    and the (term, block) agg — a hot term (corpus stopword) lands in
+    MANY bounded blocks instead of one giant postings row, so no
+    single task materializes an unbounded array and block rows
+    parallelize across executors. Term stats are a separate skinny
+    agg joined back (broadcast at small vocab; term-keyed AQE join at
+    web vocab). Entries format as "doc:pos" strings so the index is
+    engine-portable and oracle-checkable.
+
+    Returns (term, block, df, tf, postings: array<string>).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(docs, DataFrame)
+    tok = docs.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__p", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("term").orderBy("__d", "__p")
+    blocked = (
+        tok.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "block",
+            ((F.col("__rn") - 1) / F.lit(block_size)).cast("int"),
+        )
+        .groupBy("term", "block")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.format_string("%d:%d", F.col("__d"), F.col("__p"))
+                )
+            ).alias("postings")
+        )
+    )
+    stats = tok.groupBy("term").agg(
+        F.countDistinct("__d").alias("df"),
+        F.count("*").alias("tf"),
+    )
+    return blocked.join(stats, "term").select(
+        "term", "block", "df", "tf", "postings"
+    )

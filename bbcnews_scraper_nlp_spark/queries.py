@@ -2716,6 +2716,76 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ohlc_resample_hourly",
+    "WITH b AS (SELECT event_type, "
+    "epoch_us(ts) // 3600000000 AS hr, "
+    "epoch_us(ts) AS us, event_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events) "
+    "SELECT event_type, hr, "
+    "struct_extract(min((us, event_id, v100)), 3) / 100.0 AS open, "
+    "CAST(max(v100) AS BIGINT) / 100.0 AS high, "
+    "CAST(min(v100) AS BIGINT) / 100.0 AS low, "
+    "struct_extract(max((us, event_id, v100)), 3) / 100.0 AS close, "
+    "count(*) AS n FROM b GROUP BY event_type, hr",
+)
+def ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample (financial-style resample): per event type and
+    hour, open/high/low/close/count — open/close via min/max-struct
+    argmin/argmax on (epoch_us, event_id) so ties are deterministic;
+    values ride as scaled ints. ONE map-side-combined hash agg; the
+    struct min/max partials collapse per map task, so the exchange
+    carries ≤ types×hours skinny rows."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    us = R.epoch_us("ts")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    b = ev.select(
+        "event_type",
+        us.alias("__us"),
+        "event_id",
+        v100.alias("__v"),
+        # integer division (div), never float `/` + cast: epoch micros
+        # exceed double's exact-integer range after division rounding
+    ).withColumn("hr", F.expr("__us div 3600000000"))
+    return b.groupBy("event_type", "hr").agg(
+        (F.min(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("open"),
+        (F.max("__v") / F.lit(100.0)).alias("high"),
+        (F.min("__v") / F.lit(100.0)).alias("low"),
+        (F.max(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+_INVIDX_SQL = """
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+t AS (SELECT doc_id AS d, i - 1 AS p, arr[i] AS term
+      FROM a, unnest(range(1, len(arr) + 1)) AS r(i)
+      WHERE arr[i] <> ''),
+rn AS (SELECT term, d, p,
+              row_number() OVER (PARTITION BY term ORDER BY d, p) AS rn
+       FROM t),
+b AS (SELECT term, CAST((rn - 1) // 2000 AS INT) AS block,
+             list_sort(list(CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)))
+             AS postings
+      FROM rn GROUP BY term, block),
+s AS (SELECT term, count(DISTINCT d) AS df, count(*) AS tf
+      FROM t GROUP BY term)
+SELECT b.term, b.block, s.df, s.tf, b.postings
+FROM b JOIN s USING (term)
+"""
+
+
+@register("inverted_index_blocks", _INVIDX_SQL)
+def inverted_index_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked inverted index (Lucene-style posting blocks): term ->
+    bounded sorted "doc:pos" blocks + exact df/tf. Hot terms span
+    many blocks instead of one unbounded postings row — see
+    operators/textstats.build_inverted_index for the scale shape.
+    Hash-oracled end to end."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return TS.build_inverted_index(docs, "text", "doc_id", block_size=2000)
+
+
+@register(
     "range_frame_trailing_sum",
     "SELECT event_id, user_id, "
     "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("

@@ -312,3 +312,55 @@ def compact_stage(
     os.rename(tmp, src)
     shutil.rmtree(old)
     return n_files
+
+
+def upsert_replace(
+    spark: SparkSession, df: DataFrame, root: str, name: str, key: str
+) -> None:
+    """Unique-key MERGE with last-writer-wins (SCD1): incoming rows
+    REPLACE existing rows with the same key; unmatched existing rows
+    survive; duplicate keys within the batch collapse to one
+    (deterministic arbitrary-but-stable pick via dropDuplicates after
+    a key sort — same convention as upsert_skip).
+
+    Plain-parquet engine, so the merge is a rewrite: existing
+    left-anti incoming (drop superseded) union incoming, staged to a
+    temp dir and swapped — the reason Delta/Iceberg exist is to turn
+    exactly this into a metadata-only MERGE; the logical plan here is
+    the same one their MERGE executes. At real scale pair with
+    write_partitioned and rewrite only the partitions the batch
+    touches (partition-pruned anti-join).
+    """
+    import shutil
+
+    path = os.path.join(root, name)
+    incoming = df.dropDuplicates([key])
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        incoming.write.mode("overwrite").parquet(path)
+        return
+    merged = existing.join(
+        incoming.select(key), key, "left_anti"
+    ).unionByName(incoming)
+    tmp = os.path.join(root, f"__merge_{name}")
+    merged.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(root, f"__old_{name}")
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def read_stage_evolving(
+    spark: SparkSession, root: str, name: str
+) -> DataFrame:
+    """Schema-drift-tolerant stage read: ``mergeSchema`` unions the
+    column sets of every parquet footer (new columns appear as NULL in
+    old files) — the read path for long-lived stage tables whose
+    producers add fields over time. Costs a footer scan per file (so
+    compact first — see compact_stage); pinned-schema readers should
+    keep using read_stage, which casts to the declared contract."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, name))
+    )

@@ -260,3 +260,47 @@ def test_compact_stage_reduces_file_count(spark, tmp_path):
     got = spark.read.parquet(src)
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_upsert_replace_last_writer_wins(spark, tmp_path):
+    import os
+
+    from bbcnews_scraper_nlp_spark.sources.stage_io import upsert_replace
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    upsert_replace(spark, v1, root, "t", "k")
+    v2 = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    upsert_replace(spark, v2, root, "t", "k")
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(os.path.join(root, "t")).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # idempotent re-run
+    upsert_replace(spark, v2, root, "t", "k")
+    again = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(os.path.join(root, "t")).collect()
+    }
+    assert again == got
+
+
+def test_read_stage_evolving_merges_drifted_schema(spark, tmp_path):
+    import os
+
+    from bbcnews_scraper_nlp_spark.sources.stage_io import read_stage_evolving
+
+    root = str(tmp_path)
+    path = os.path.join(root, "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(path)
+    got = {r["k"]: r for r in read_stage_evolving(spark, root, "t").collect()}
+    assert set(got[1].asDict()) == {"k", "v", "score"}
+    assert got[1]["score"] is None and got[2]["score"] == 9.5

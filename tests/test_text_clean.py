@@ -99,3 +99,29 @@ def test_word_count(spark):
     df = spark.createDataFrame([("a b c",), ("one",), ("",)], "text string")
     got = [r[0] for r in df.select(word_count(F.col("text"))).collect()]
     assert got == [3, 1, 1]  # len(''.split(' ')) == 1, matching pandas
+
+
+def test_inverted_index_blocks_planted(spark):
+    from bbcnews_scraper_nlp_spark.operators.textstats import (
+        build_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a"),
+            (2, "b a"),
+            (3, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = build_inverted_index(df, "text", "doc_id", block_size=3).collect()
+    by = {(r["term"], r["block"]): r for r in out}
+    # 'a': positions (1,0) (1,2) (2,1) (3,0) (3,1) (3,2) -> tf=6 df=3,
+    # split into two blocks of 3 in (doc, pos) order
+    assert by[("a", 0)]["df"] == 3 and by[("a", 0)]["tf"] == 6
+    assert sorted(by[("a", 0)]["postings"]) == ["1:0", "1:2", "2:1"]
+    assert sorted(by[("a", 1)]["postings"]) == ["3:0", "3:1", "3:2"]
+    # 'b': (1,1) (2,0) -> one block
+    assert by[("b", 0)]["df"] == 2 and by[("b", 0)]["tf"] == 2
+    assert sorted(by[("b", 0)]["postings"]) == ["1:1", "2:0"]
+    assert set(by) == {("a", 0), ("a", 1), ("b", 0)}

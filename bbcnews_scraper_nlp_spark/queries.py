@@ -2716,6 +2716,42 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_distinct_users_7d",
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id "
+    "FROM events), "
+    "days AS (SELECT DISTINCT day FROM du) "
+    "SELECT d.day, count(DISTINCT u.user_id) AS users_7d "
+    "FROM days d JOIN du u "
+    "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+    "GROUP BY d.day",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — COUNT DISTINCT over a
+    sliding window, which no window frame can express (distinct isn't
+    decomposable). Exact form: day-grain dedup first (events collapse
+    to ≤ days×users rows), then a 7-wide day-range join + distinct
+    count. This is the exact-semantics anchor; the sketch path
+    (profiling.distinct_sketches + merge_sketches over the same day
+    range) replaces the distinct count with register-max HLL merges at
+    100 TB — `sketch_distinct_users_daily` covers those mechanics."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("d").alias("day"), "users_7d")
+    )
+
+
+@register(
     "ohlc_resample_hourly",
     "WITH b AS (SELECT event_type, "
     "epoch_us(ts) // 3600000000 AS hr, "
@@ -4718,9 +4754,9 @@ _WINDOW_ORDER = [
     "f1_contains_filter",
     "p13_lemmatize",
     "f6_dedup_keep_first",
-    "p1_strip_last_segment",
+    "inverted_index_blocks",
     "p4_p12_clean_text",
-    "p15_p16_day_cast",
+    "ohlc_resample_hourly",
     "j1_broadcast_enrich",
     "a3_daily_mean",
     "w1_rolling_trend",

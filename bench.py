@@ -89,6 +89,9 @@ NEW_R5 = [
     "dedup_span_removal",
     "perplexity_buckets",
     "range_frame_trailing_sum",
+    "inverted_index_blocks",
+    "ohlc_resample_hourly",
+    "rolling_distinct_users_7d",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

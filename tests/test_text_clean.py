@@ -125,3 +125,25 @@ def test_inverted_index_blocks_planted(spark):
     assert by[("b", 0)]["df"] == 2 and by[("b", 0)]["tf"] == 2
     assert sorted(by[("b", 0)]["postings"]) == ["1:1", "2:0"]
     assert set(by) == {("a", 0), ("a", 1), ("b", 0)}
+
+
+def test_chunk_doc_udtf_matches_native_plan(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.functions.udtfs import register_udtfs
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    register_udtfs(spark)
+    native = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in REGISTRY["chunk_documents"].fn(spark, sf_dir).collect()
+    }
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    via_udtf = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in spark.sql(
+            "SELECT doc_id, c.chunk_idx, c.chunk_text "
+            "FROM __docs_udtf, LATERAL chunk_doc(text, 500, 400) c"
+        ).collect()
+    }
+    assert via_udtf == native

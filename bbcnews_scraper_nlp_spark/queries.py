@@ -4360,6 +4360,92 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    "WITH p AS (SELECT user_id, event_type, "
+    "lead(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts), event_id) AS next_type FROM events), "
+    "t AS (SELECT event_type, next_type, count(*) AS n_ab FROM p "
+    "WHERE next_type IS NOT NULL GROUP BY event_type, next_type) "
+    "SELECT event_type, next_type, n_ab, "
+    "CAST(n_ab * 1000000 // SUM(n_ab) OVER (PARTITION BY event_type) "
+    "AS BIGINT) AS prob_ppm FROM t",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | current) as parts-per-million via pure
+    integer division — exact in both engines, no fractional rounding.
+    One user-keyed window (deterministic (epoch_us, event_id) order),
+    one tiny types² agg, one types-keyed window over ≤ types² rows."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    w = Window.partitionBy("user_id").orderBy(
+        R.epoch_us("ts"), F.col("event_id")
+    )
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    t = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_ab")
+    )
+    return t.select(
+        "event_type",
+        "next_type",
+        "n_ab",
+        F.expr("CAST(n_ab * 1000000 div SUM(n_ab) OVER "
+               "(PARTITION BY event_type) AS BIGINT)").alias("prob_ppm"),
+    )
+
+
+@register(
+    "session_paths_top",
+    "WITH g AS (SELECT user_id, ts, event_id, event_type, CASE WHEN "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END "
+    "AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, event_id, event_type, SUM(is_new) OVER "
+    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS session_id FROM g), "
+    "p AS (SELECT user_id, session_id, "
+    "array_to_string(list(event_type ORDER BY epoch_us(ts), event_id), '>') "
+    "AS path FROM s GROUP BY user_id, session_id) "
+    "SELECT path, count(*) AS n FROM p GROUP BY path "
+    "ORDER BY n DESC, path LIMIT 20",
+)
+def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common per-session event-type
+    sequences ('view>click>purchase'). Rides the ONE sessionization
+    shuffle; per-session paths via array_sort(collect_list(struct)) —
+    no per-session re-sort stage, the sort is per-row over bounded
+    session arrays; top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            R.epoch_us("ts").alias("u"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
     "session_funnel_conversion",
     "WITH g AS (SELECT user_id, ts, event_type, CASE WHEN "
     "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "

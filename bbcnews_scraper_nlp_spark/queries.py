@@ -4877,8 +4877,8 @@ _WINDOW_ORDER = [
     "streaming_windowed_counts",
     "streaming_dedup",
     # time-series / sessions / scale operators (r5 rotation)
-    "sessionize_count",
-    "asof_join_last_view",
+    "session_paths_top",
+    "event_transition_matrix",
     "range_join_ship_window",
     "time_bucket_rollup",
     "retention_cohorts",

@@ -154,3 +154,33 @@ def test_watermark_path_both_flavors(spark, tmp_path, flavor):
     )
     q.awaitTermination()
     assert spark.table(f"ntz_wm_{flavor}").count() == 5
+
+
+@pytest.mark.parametrize("flavor", FLAVORS)
+def test_range_frame_and_ohlc_both_flavors(spark, flavor):
+    from pyspark.sql import Window
+
+    df = _events(spark, flavor).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    # range-frame trailing sum over epoch micros (the
+    # range_frame_trailing_sum shape)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(R.epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    sums = df.select(
+        "user_id", F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("s")
+    )
+    got = sorted(r["s"] for r in sums.collect())
+    assert got == sorted([100, 300, 600, 400, 900])  # cumulative within 1h
+    # ohlc hour bucketing via integer div on epoch micros
+    b = df.select(
+        R.epoch_us("ts").alias("__us"), "value"
+    ).withColumn("hr", F.expr("__us div 3600000000"))
+    hrs = {r["hr"] for r in b.collect()}
+    assert hrs == {473352}  # 1704067200 // 3600: 2024-01-01T00 UTC
+    # day-grain cast used by rolling_distinct_users_7d
+    days = {r["d"] for r in df.select(F.col("ts").cast("date").alias("d")).collect()}
+    assert len(days) == 1 and str(next(iter(days))) == "2024-01-01"

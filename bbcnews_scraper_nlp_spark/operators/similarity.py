@@ -626,3 +626,131 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int = 0,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): the production ANN index shape —
+    coarse inverted-file cells prune the scan, product quantization
+    over CELL RESIDUALS (v - centroid) compresses what remains, and
+    Asymmetric Distance Computation scores candidates from a per-cell
+    query distance table without touching raw vectors.
+
+    Deterministic twin conventions throughout (Forgy centroids =
+    smallest-id vectors, residual codebooks = residual subvectors of
+    the ksub smallest ids, ROUND-6 integer-scaled distances, id
+    tie-breaks) so the whole index build + probe is hash-oracled;
+    production swaps seeded KMeans coarse/PQ codebooks in without
+    touching the plan.
+
+    Scale shape: centroids and codebooks broadcast; the persisted
+    index is (vid, cell, m codes) — a few bytes per vector; a query
+    touches only n_probe/n_centroids of the codes (cell semi-join =
+    partition pruning when codes are written partitioned by cell),
+    scores via a broadcast (cell, j, code) distance table of
+    n_probe·m·ksub rows, and reduces with one integer groupBy. No
+    raw-vector shuffle anywhere after the one-time encode.
+    """
+    emb = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        emb.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cell"), F.col("v").alias("cv"))
+    )
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vid")
+        .agg(
+            F.max(F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))).alias("mx")
+        )
+        .select("vid", (-F.col("mx.negc")).alias("cell"))
+    )
+    resid = (
+        assigned.join(emb, "vid")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "vid",
+            "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    jcol = F.explode(F.array([F.lit(j) for j in range(m)])).alias("j")
+
+    def _subs(frame, arr):
+        return frame.select("*", jcol).select(
+            frame.columns[0],
+            *(c for c in frame.columns[1:] if c != arr),
+            "j",
+            F.slice(arr, F.col("j") * dsub + 1, dsub).alias("sv"),
+        )
+
+    def _d2s(a, b):
+        d2 = (
+            F.round(dot(a, a), 6)
+            + F.round(dot(b, b), 6)
+            - 2 * F.round(dot(a, b), 6)
+        )
+        return F.round(d2 * F.lit(1e6)).cast("long")
+
+    cb = _subs(
+        resid.orderBy("vid").limit(ksub).select("vid", "rv"), "rv"
+    ).select(F.col("vid").alias("code"), "j", F.col("sv").alias("cw"))
+    codes = (
+        _subs(resid.select("vid", "cell", "rv"), "rv")
+        .join(F.broadcast(cb), "j")
+        .groupBy("vid", "cell", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    _d2s(F.col("sv"), F.col("cw")).alias("ds"),
+                    F.col("code").alias("code"),
+                )
+            ).alias("mn")
+        )
+        .select("vid", "cell", "j", F.col("mn.code").alias("code"))
+    )
+    q = emb.filter(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "cell", "cv",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qs"),
+        )
+        .orderBy(F.desc("qs"), F.col("cell"))
+        .limit(n_probe)
+    )
+    qres = probe.crossJoin(F.broadcast(q)).select(
+        "cell", F.zip_with("qv", "cv", lambda a, b: a - b).alias("qr")
+    )
+    qdist = (
+        _subs(qres.select("cell", "qr"), "qr")
+        .join(F.broadcast(cb), "j")
+        .select("cell", "j", "code", _d2s(F.col("sv"), F.col("cw")).alias("ds"))
+    )
+    return (
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(qdist), ["cell", "j", "code"])
+        .groupBy("vid")
+        .agg(F.sum("ds").alias("ss"))
+        .select(
+            F.col("vid").alias(id_col),
+            (F.col("ss") / F.lit(1e6)).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -1541,6 +1541,67 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfadc_oracle_sql() -> str:
+    d2s = (
+        "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "
+        "+ ROUND(list_dot_product({b}, {b}), 6) "
+        "- 2 * ROUND(list_dot_product({a}, {b}), 6)) * 1e6) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cent AS (SELECT vid AS cell, v AS cv FROM e ORDER BY vid LIMIT 16),
+a AS (SELECT vid,
+             -struct_extract(
+                 max((ROUND(list_cosine_similarity(v, cv), 6), -cell)), 2)
+             AS cell
+      FROM e, cent GROUP BY vid),
+r AS (SELECT a.vid, a.cell,
+             list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] - cent.cv[i]) AS rv
+      FROM a JOIN e ON a.vid = e.vid JOIN cent ON a.cell = cent.cell),
+js AS (SELECT unnest(range(0, 8)) AS j),
+cbase AS (SELECT vid, rv FROM r ORDER BY vid LIMIT 16),
+cb AS (SELECT cbase.vid AS code, j, rv[j*8+1 : j*8+8] AS cw
+       FROM cbase, js),
+sub AS (SELECT vid, cell, j, rv[j*8+1 : j*8+8] AS sv FROM r, js),
+enc AS (SELECT vid, cell, j,
+               struct_extract(min(({d2s.format(a='sv', b='cw')}, code)), 2)
+               AS code
+        FROM sub JOIN cb USING (j) GROUP BY vid, cell, j),
+q AS (SELECT v AS qv FROM e WHERE vid = 0),
+probe AS (SELECT cell, cv FROM cent, q
+          ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, cell
+          LIMIT 4),
+qr AS (SELECT cell,
+              list_transform(range(1, len(qv) + 1),
+                             i -> qv[i] - cv[i]) AS qres
+       FROM probe, q),
+qsub AS (SELECT cell, j, qres[j*8+1 : j*8+8] AS sv FROM qr, js),
+qd AS (SELECT cell, j, code, {d2s.format(a='sv', b='cw')} AS ds
+       FROM qsub JOIN cb USING (j))
+SELECT enc.vid AS vec_id, CAST(SUM(qd.ds) AS BIGINT) / 1e6 AS adc_dist
+FROM enc JOIN qd USING (cell, j, code)
+WHERE enc.vid <> 0
+GROUP BY enc.vid ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@register("similarity_ivfadc_topk", _ivfadc_oracle_sql())
+def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) — the production faiss index shape:
+    coarse cells prune (4 of 16 probed), PQ over cell residuals
+    compresses (8×16 codebook), ADC scores from a broadcast per-cell
+    distance table. Deterministic Forgy coarse/PQ inits make the
+    whole build + probe hash-oracled; see
+    operators/similarity.ivfadc_topk for the 100 TB shape."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return S.ivfadc_topk(
+        emb, "embedding", "vec_id",
+        query_id=0, n_centroids=16, n_probe=4, m=8, dsub=8, ksub=16, k=10,
+    )
+
+
 @register("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (KMeans cells, probe nearest 3 of 16) —
@@ -4856,7 +4917,7 @@ _WINDOW_ORDER = [
     "dedup_minhash_clusters",
     "dsir_importance_weights",
     "semdedup_embeddings",
-    "similarity_lsh_topk",
+    "similarity_ivfadc_topk",
     "dedup_span_removal",
     "perplexity_buckets",
     "tfidf_top_terms",

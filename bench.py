@@ -92,6 +92,7 @@ NEW_R5 = [
     "inverted_index_blocks",
     "ohlc_resample_hourly",
     "rolling_distinct_users_7d",
+    "similarity_ivfadc_topk",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

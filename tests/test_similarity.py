@@ -252,3 +252,39 @@ def test_pq_adc_recall_on_synthetic(spark, sf_dir):
     # 16 coarse codewords per subspace: expect meaningful but not
     # perfect overlap with the exact top-10
     assert len(pq & true) >= 3, (pq, true)
+
+
+def test_ivfadc_deterministic_and_probed_recall(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    got = S.ivfadc_topk(emb, "embedding", "vec_id", query_id=0).collect()
+    again = S.ivfadc_topk(emb, "embedding", "vec_id", query_id=0).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert len(got) == 10
+    assert all(r["adc_dist"] >= 0 for r in got)
+    # probing 4/16 cells with residual-PQ scoring must still overlap
+    # the exact L2 top-10 (the IVF prune and the PQ quantization each
+    # cost recall; together they should keep a meaningful share)
+    v0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = F.lit([float(x) for x in v0]).cast("array<double>")
+    true = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), q,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    ivfadc = {r["vec_id"] for r in got}
+    assert len(ivfadc & true) >= 2, (ivfadc, true)

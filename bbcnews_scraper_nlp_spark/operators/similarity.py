@@ -754,3 +754,43 @@ def ivfadc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Batched brute-force ANN: top-k for MANY query vectors in one
+    plan — the serving shape (embedding lookup tables answer batches,
+    not single probes). The query table broadcasts onto the corpus
+    scan (corpus never shuffles for the join); per-query top-k is a
+    rank-filtered window partitioned by query id, so the only wide
+    exchange carries (query, id, score) triples already cut down by
+    the scan-side scoring.
+
+    At 100 TB pair with rp_lsh/ivfadc pruning per query (join on the
+    query's bucket/cell instead of broadcast-all); this operator is
+    the exact baseline those batched probes approximate. Returns
+    (qid, id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col).alias("__qid"),
+        F.col(qvec_col).cast("array<double>").alias("__qv"),
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1541,6 +1541,36 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_topk_batch",
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 4), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "s AS (SELECT q.qid, e.vec_id, "
+    "ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine "
+    "FROM e, q), "
+    "r AS (SELECT qid, vec_id, cosine, "
+    "CAST(row_number() OVER (PARTITION BY qid "
+    "ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s) "
+    "SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5",
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: top-5 neighbors for a 4-query batch in
+    ONE plan — broadcast query table onto the corpus scan (corpus
+    never shuffles for the join), per-query rank-filtered window.
+    The exact baseline the batched LSH/IVFADC probes approximate."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    # self-match rides along (rank 1 == the query itself at cosine
+    # 1.0) — the standard serving sanity row, identical in the oracle
+    return S.cosine_topk_batch(
+        emb, "embedding", "vec_id", queries, "qid", "embedding", k=5
+    ).select("qid", "vec_id", "cosine", "rank")
+
+
 def _ivfadc_oracle_sql() -> str:
     d2s = (
         "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "

@@ -172,3 +172,14 @@ def test_video_meta_is_map_only(spark, sf_dir):
     # exchange)
     plan = _plan(spark, sf_dir, "multimodal_video_meta")
     assert "hashpartitioning" not in plan, "video meta gained a key shuffle"
+
+
+def test_ivfadc_broadcast_index_and_topk(spark, sf_dir):
+    # centroids/codebooks/distance table all broadcast; candidate
+    # scoring joins codes on (cell, j, code) — no CartesianProduct,
+    # no Python nodes, top-k via per-partition heaps
+    plan = _plan(spark, sf_dir, "similarity_ivfadc_topk")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

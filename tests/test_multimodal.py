@@ -173,3 +173,25 @@ def test_attach_video_payload_demux_end_to_end(spark):
         for r in M.video_frame_samples(payloads, every_n=10).collect()
     }
     assert all(again[(r["doc_id"], r["frame_idx"])] == r["frame_sha1"] for r in frames)
+
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    upf=st.integers(min_value=1, max_value=1_000_000),
+    frames=st.integers(min_value=0, max_value=1 << 31 - 1),
+    w=st.integers(min_value=1, max_value=8192),
+    h=st.integers(min_value=1, max_value=8192),
+    data=st.binary(max_size=256),
+)
+def test_avi_container_roundtrip_property(upf, frames, w, h, data):
+    from bbcnews_scraper_nlp_spark.operators.multimodal import (
+        _avi_payload,
+        _parse_avi,
+    )
+
+    p = _avi_payload(upf, frames, w, h, data)
+    assert _parse_avi(p) == (w, h, upf, frames, "avi")
+    assert len(p) == 100 + len(data) + (len(data) % 2)

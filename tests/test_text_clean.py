@@ -147,3 +147,28 @@ def test_chunk_doc_udtf_matches_native_plan(spark, sf_dir):
         ).collect()
     }
     assert via_udtf == native
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=2000,
+    ),
+    size=st.integers(min_value=2, max_value=600),
+    stride_frac=st.floats(min_value=0.1, max_value=1.0),
+)
+def test_chunk_udtf_kernel_covers_text_property(text, size, stride_frac):
+    from bbcnews_scraper_nlp_spark.functions.udtfs import ChunkDoc
+
+    stride = max(1, int(size * stride_frac))
+    chunks = list(ChunkDoc.func().eval(text, size, stride))
+    # every chunk is the exact substring at its stride offset
+    for i, c in chunks:
+        assert c == text[i * stride : i * stride + size]
+    # chunks jointly cover the full text
+    covered = set()
+    for i, _ in chunks:
+        covered.update(range(i * stride, min(i * stride + size, len(text))))
+    assert covered == set(range(len(text)))
+    # indices are dense from 0
+    assert [i for i, _ in chunks] == list(range(len(chunks)))

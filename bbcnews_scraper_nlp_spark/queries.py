@@ -2127,6 +2127,38 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_outer",
+    # LEFT OUTER adds watermark semantics to the oracle: matched rows
+    # = the batch join; unmatched clicks appear null-padded ONLY when
+    # the final global watermark (min of the two sides' max event
+    # time, minus the 1h delay) passed their timestamp — later
+    # unmatched clicks are still buffered at drain end by design
+    "WITH c AS (SELECT event_id AS click_id, user_id AS c_user_id, "
+    "ts AS click_ts FROM events WHERE event_type = 'click'), "
+    "v AS (SELECT user_id AS v_user_id, ts AS view_ts, "
+    "value AS view_value FROM events WHERE event_type = 'view'), "
+    "mx AS (SELECT least((SELECT max(click_ts) FROM c), "
+    "(SELECT max(view_ts) FROM v)) - INTERVAL 1 HOUR AS wm), "
+    "m AS (SELECT click_id, c_user_id, click_ts, view_ts, view_value "
+    "FROM c LEFT JOIN v ON c_user_id = v_user_id "
+    "AND view_ts BETWEEN click_ts - INTERVAL 30 MINUTE AND click_ts) "
+    "SELECT click_id, c_user_id, click_ts, view_ts, view_value "
+    "FROM m, mx WHERE view_ts IS NOT NULL OR click_ts < wm",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join — the §2.10 shape
+    where watermark semantics are OBSERVABLE in the result: null-
+    padded unmatched rows emit exactly when the global watermark
+    passes them (no more matches possible), so the oracle is the
+    batch left join with the final-watermark cutoff applied to the
+    unmatched side. Hash-oracled — the strongest driver-checkable
+    evidence that watermark bookkeeping is correct."""
+    from .streaming.ingest import interval_join_left_outer_batch
+
+    return interval_join_left_outer_batch(spark, sf_dir)
+
+
+@register(
     "streaming_dedup",
     # watermarked dropDuplicates over a unique-key source is the
     # identity on the driver's data (event_id is unique there); the
@@ -4965,7 +4997,7 @@ _WINDOW_ORDER = [
     "multimodal_video_meta",
     "multimodal_audio_meta",
     "s4_html_extract",
-    "streaming_windowed_counts",
+    "streaming_interval_join_outer",
     "streaming_dedup",
     # time-series / sessions / scale operators (r5 rotation)
     "session_paths_top",

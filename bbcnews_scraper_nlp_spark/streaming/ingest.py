@@ -466,3 +466,57 @@ def enrich_stream_static_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join_left_outer_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the LEFT OUTER watermarked stream-stream interval join:
+    matched rows emit immediately; unmatched clicks emit null-padded
+    only once the global watermark (min of both sides' max event time
+    minus the delay) passes their timestamp — state for them can then
+    never match. Tail clicks above the final watermark stay withheld
+    at drain end: that is the API's contract, and the oracle encodes
+    exactly this cutoff."""
+    import tempfile
+    import uuid
+
+    def side(event_type: str, ts_alias: str, cols: list) -> DataFrame:
+        s = event_stream(spark, sf_dir)
+        return s.filter(F.col("event_type") == event_type).select(
+            *cols, F.col("ts").alias(ts_alias)
+        )
+
+    clicks = side(
+        "click",
+        "click_ts",
+        [F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id")],
+    )
+    views = side(
+        "view",
+        "view_ts",
+        [F.col("user_id").alias("v_user_id"), F.col("value").alias("view_value")],
+    )
+    c = clicks.withWatermark("click_ts", "1 hour")
+    v = views.withWatermark("view_ts", "1 hour")
+    joined = c.join(
+        v,
+        F.expr(
+            "c_user_id = v_user_id AND "
+            "view_ts BETWEEN click_ts - INTERVAL 30 minutes AND click_ts"
+        ),
+        "left_outer",
+    )
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "click_id", "c_user_id", "click_ts", "view_ts", "view_value"
+    )

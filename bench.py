@@ -93,6 +93,7 @@ NEW_R5 = [
     "ohlc_resample_hourly",
     "rolling_distinct_users_7d",
     "similarity_ivfadc_topk",
+    "ann_topk_batch",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

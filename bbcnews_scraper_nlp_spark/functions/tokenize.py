@@ -52,3 +52,88 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     idx = F.sequence(F.lit(1), F.length(col) - k + 1)
     grams = F.transform(idx, lambda i: F.substring(col, i, k))
     return F.when(F.length(col) >= k, grams).otherwise(empty)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules from a corpus (Sennrich et al. 2016) —
+    tokenizer TRAINING, distributed the way real trainers scale:
+
+    1. ONE corpus pass builds the word-frequency vocabulary (the only
+       big aggregation — words explode, counts map-side combine).
+    2. Merge learning iterates over the VOCAB (thousands of rows, not
+       billions): per round, adjacent symbol pairs weighted by word
+       count -> argmax pair (deterministic tie-break: count desc,
+       pair lexicographic) -> fold the merge into every word's symbol
+       array. The per-round jobs touch only the tiny vocab table —
+       the driver loop is inherent to BPE (merges are sequential by
+       definition) and costs k small jobs, never k corpus scans.
+
+    Returns the ordered merge list [(left, right), ...]. The
+    interpreted HOF fold is confined to the vocab table by design —
+    the corpus never sees it.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            # limit=-1 split keeps the trailing empty match of the
+            # lookahead pattern — drop it, symbols are never ''
+            F.filter(
+                F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")
+            ).alias("syms"),
+            F.col("n"),
+        )
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    cur = vocab
+    for _ in range(n_merges):
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i).alias("a"),
+                                F.element_at(F.col("syms"), i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+                F.col("n"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        ab = a + b
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select(merged.alias("syms"), "n").persist()
+    return merges

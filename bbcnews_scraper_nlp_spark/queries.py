@@ -1571,6 +1571,25 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "cosine", "rank")
 
 
+@register("bpe_learned_merges")
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    8 merge rules from the corpus — one corpus pass builds the word
+    vocab, merges iterate over the tiny vocab table only (the
+    sequential driver loop is inherent to BPE; it never rescans the
+    corpus). Rows-only by nature (iterative, not SQL-expressible);
+    pytest pins the merge sequence to a literal-Python BPE reference
+    on the same corpus."""
+    from .functions.tokenize import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    merges = learn_bpe_merges(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def _ivfadc_oracle_sql() -> str:
     d2s = (
         "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "

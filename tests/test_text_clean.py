@@ -172,3 +172,60 @@ def test_chunk_udtf_kernel_covers_text_property(text, size, stride_frac):
     assert covered == set(range(len(text)))
     # indices are dense from 0
     assert [i for i, _ in chunks] == list(range(len(chunks)))
+
+
+def _ref_bpe(word_counts, k):
+    vocab = [(list(w), n) for w, n in word_counts]
+    merges = []
+    for _ in range(k):
+        pc = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                pc[pair] = pc.get(pair, 0) + n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = []
+        for syms, n in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, n))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_literal_reference_small(spark):
+    from bbcnews_scraper_nlp_spark.functions.tokenize import learn_bpe_merges
+
+    rows = [(0, "low low low lower lower newest newest newest newest widest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = learn_bpe_merges(df, "text", n_merges=6)
+    words = {}
+    for w in rows[0][1].split():
+        words[w] = words.get(w, 0) + 1
+    want = _ref_bpe(list(words.items()), 6)
+    assert got == want, (got, want)
+
+
+def test_bpe_merges_match_literal_reference_corpus(spark, sf_dir):
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.functions.tokenize import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = learn_bpe_merges(docs, "text", n_merges=8)
+    wc = duckdb.sql(
+        f"SELECT w, count(*) AS n FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w "
+        f"FROM '{sf_dir}/documents.parquet') WHERE w <> '' GROUP BY w"
+    ).fetchall()
+    want = _ref_bpe(wc, 8)
+    assert got == want, (got, want)

@@ -495,3 +495,57 @@ def curriculum_order(
     return banded.select(
         key_col, "band", pos.alias("band_pos")
     )
+
+
+# ---------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Exact-size weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES): rank rows by u^(1/w) with u a DETERMINISTIC
+    md5-uniform of the key, keep the top ``k`` (per stratum when
+    ``strata_cols`` given). The reproducible form of "sample the
+    corpus proportional to quality weight into a fixed budget" — no
+    rand(), so the sample is stable across runs, engines, partitioning
+    and backfills, like deterministic_split.
+
+    Rank key is ln(u)/w (monotone in u^(1/w), avoids pow underflow at
+    large w), ROUND-6 with the id as tie-break. One shuffle (the
+    per-stratum rank window); at a global k with billions of rows,
+    swap the window for a per-partition top-k + driver merge
+    (TakeOrdered shape) — the window form is the oracle-able anchor.
+    Rows with weight <= 0 never sample.
+    """
+    strata_cols = strata_cols or []
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float((1 << 52) + 1))
+    rk = F.round(F.log(u) / F.col(weight_col), 6)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.desc("__rk"), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rk", rk)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rk", "__rn")
+    )

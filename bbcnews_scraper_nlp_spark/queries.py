@@ -1571,6 +1571,32 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "cosine", "rank")
 
 
+@register(
+    "weighted_sample_by_length",
+    "WITH b AS (SELECT lang, doc_id, n_chars, "
+    "ROUND(LN((CAST('0x' || substr(md5('wsample-v1:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0) "
+    "/ 4503599627370497.0) / n_chars, 6) AS rk "
+    "FROM documents WHERE n_chars > 0), "
+    "r AS (SELECT lang, doc_id, n_chars, "
+    "row_number() OVER (PARTITION BY lang ORDER BY rk DESC, doc_id) AS rn "
+    "FROM b) "
+    "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20",
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+    top-20 per language by u^(1/w) rank with md5-uniform u and
+    length weights — exact-size, weight-proportional, reproducible
+    across runs/engines (no rand()). See traindata.weighted_sample
+    for the TakeOrdered swap at global-k scale."""
+    from .operators.traindata import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return weighted_sample(
+        docs, "n_chars", "doc_id", k=20, strata_cols=["lang"]
+    ).select("lang", "doc_id", "n_chars")
+
+
 @register("bpe_learned_merges")
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first

@@ -415,3 +415,23 @@ def test_curriculum_order_band_monotone_and_deterministic(spark):
     assert ordered_ids != sorted(ordered_ids)  # not id order
     again = curriculum_order(df, "score", "doc_id", n_bands=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from bbcnews_scraper_nlp_spark.operators.traindata import weighted_sample
+
+    # 100 heavy (w=50) + 100 light (w=1) rows: a k=40 A-ES sample
+    # must be dominated by heavy rows (E[heavy] ≈ 39)
+    rows = [(i, 50.0) for i in range(100)] + [(100 + i, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = weighted_sample(df, "w", "k", k=40).collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["k"] < 100)
+    assert heavy >= 30, heavy
+    again = weighted_sample(df, "w", "k", k=40).collect()
+    assert sorted(r["k"] for r in got) == sorted(r["k"] for r in again)
+    # zero/negative weights never sample
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "k long, w double"
+    )
+    assert [r["k"] for r in weighted_sample(df2, "w", "k", k=5).collect()] == [3]

@@ -1572,6 +1572,57 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives_topk",
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label, "
+    "b.vec_id AS neg_id, "
+    "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+    "FROM e a JOIN e b ON a.label <> b.label), "
+    "r AS (SELECT anchor_id, anchor_label, neg_id, cosine, "
+    "CAST(row_number() OVER (PARTITION BY anchor_id "
+    "ORDER BY cosine DESC, neg_id) AS INT) AS rank FROM p) "
+    "SELECT anchor_id, anchor_label, neg_id, cosine, rank "
+    "FROM r WHERE rank <= 3",
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    3 most-similar vectors of a DIFFERENT label (the negatives that
+    actually move the loss). Brute-force pair scoring is the oracle
+    baseline at this sf; at 100 TB the pair generation swaps to the
+    LSH/IVFADC candidate join (same downstream rank window), exactly
+    like cosine_pairs' documented scale path."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, F.col("anchor_label") != F.col("neg_label")).select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("neg_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "anchor_label", "neg_id", "cosine", "rank")
+    )
+
+
+@register(
     "weighted_sample_by_length",
     "WITH b AS (SELECT lang, doc_id, n_chars, "
     "ROUND(LN((CAST('0x' || substr(md5('wsample-v1:' || "

@@ -1,0 +1,98 @@
+"""Graph analytics over edge DataFrames.
+
+Complements the connected-components operator in ``dedup.py`` (used
+there for duplicate clustering) with node-importance scoring. The
+reference has no graph surface; this extends the engine the same way
+the dedup/similarity operators do — a first-class capability a
+100 TB training-data pipeline needs (e.g. ranking crawl frontiers or
+weighting documents by link centrality, cf. the Common Crawl harmonic
+centrality ranks used by CCNet-style curation).
+
+Design constraints shared with the rest of the engine:
+- fixed, small iteration counts unrolled into ONE lazy DAG (no
+  driver-side convergence loop reading results back);
+- integer-scaled rank arithmetic so every aggregation is exact
+  integer math — partial-aggregation order cannot change the result,
+  and a DuckDB oracle reproduces it bit-for-bit;
+- every shuffle keys on a node id (uniform by construction here;
+  power-law graphs want the salted-join pattern from
+  ``relational.salted_join`` on the hottest hubs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # rank mass carried as integer micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with exact integer arithmetic.
+
+    ``edges`` is a directed edge list (symmetrize beforehand for an
+    undirected graph). Ranks are integers in units of ``1/scale``:
+    each node starts at ``scale div N``; an iteration sends
+    ``rank div out_degree`` along every out-edge, and the new rank is
+    ``teleport + (damping_pct * inbound_sum) div 100`` with
+    ``teleport = ((100 - damping_pct) * scale) div (100 * N)``.
+    All divisions are integral (`div`), all sums are BIGINT sums —
+    no floating point anywhere, so the result is independent of
+    partial-aggregation order and exactly reproducible in any engine
+    (the driver's DuckDB oracle unrolls the same iterations with
+    ``//``). Truncation loses < 1 micro-unit per edge per iteration —
+    ranking-irrelevant at scale=1e12.
+
+    Plan shape per iteration: one hash join (ranks ⋈ out-edges, both
+    keyed on the node id) + one hash aggregation (sum by dst) + one
+    left join back onto the node set for teleport-only nodes. N and
+    the teleport constant ride along as 1-row broadcast aggregates —
+    no driver-side action during plan construction.
+
+    Returns (node, pr_scaled BIGINT), all nodes.
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    # out-edges with the sender's degree attached, reused every
+    # iteration — one shuffle on __src, then cached by Spark's shuffle
+    # reuse across the unrolled joins.
+    ed = e.join(deg, "__src")
+    n1 = nodes.agg(F.count("*").alias("__n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr(f"{scale} div __n").alias("__r")
+    )
+    teleport = F.expr(f"({100 - damping_pct} * {scale}) div (100 * __n)")
+    for _ in range(iters):
+        inbound = (
+            ed.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .select(F.col("__dst"), F.expr("__r div __deg").alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(inbound.withColumnRenamed("__dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__s, 0L)) div 100"
+                    )
+                ).alias("__r"),
+            )
+        )
+    return ranks.select("node", F.col("__r").alias("pr_scaled"))

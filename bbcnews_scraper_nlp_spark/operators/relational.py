@@ -512,3 +512,63 @@ def range_join_binned(
     )
     drop = [lhs["__bin"], rhs["__bin"]] + ([rhs[key]] if key else [])
     return out.drop(*drop)
+
+
+def prefix_sum_two_level(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Scale-safe global exclusive prefix sum over a numeric ordering
+    key — the classic two-level scan, as one lazy DAG.
+
+    A naive ``SUM() OVER (ORDER BY k)`` has an empty partition spec:
+    Spark moves EVERY row into a single task — the canonical
+    silent-scale-killer (it works at sf0.01 and dies at 100 TB).
+    Instead: range-bucket the key into ``buckets`` contiguous
+    buckets (bucket = key div width, width from a 1-row broadcast
+    max-aggregate — integral `div`, no float rounding); aggregate
+    per-bucket totals; run the tiny window over the ``buckets``-row
+    totals table to get each bucket's exclusive base offset; join the
+    base back (broadcast — it is `buckets` rows by construction) and
+    finish with a per-bucket window partitioned BY bucket. The only
+    single-task window scans `buckets` rows, a constant; every
+    full-data shuffle keys on the bucket id (uniform when the key is
+    dense; pick `buckets` >> cores for AQE to balance stragglers).
+
+    The canonical use: assigning global token offsets to documents of
+    a packed training corpus (megatron-style index building) without
+    ever funnelling the corpus through one task.
+
+    Returns df's (order_col, val_col) plus ``prefix`` = sum of
+    val_col over all rows with strictly smaller order_col.
+    Ties on order_col within a bucket are broken deterministically by
+    order_col itself (equal keys see an arbitrary-but-stable split of
+    their groupmates' values; use a unique key for full determinism).
+    """
+    mx = df.agg(F.max(F.col(order_col)).alias("__mx"))
+    b = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("__w", F.expr(f"(__mx div {buckets}) + 1"))
+        .withColumn("__bucket", F.expr(f"{order_col} div __w"))
+        .drop("__mx", "__w")
+    )
+    totals = b.groupBy("__bucket").agg(F.sum(F.col(val_col)).alias("__t"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = totals.select(
+        "__bucket", F.coalesce(F.sum("__t").over(wb), F.lit(0)).alias("__base")
+    )
+    wi = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(base), "__bucket")
+        .withColumn(
+            "prefix",
+            F.col("__base") + F.coalesce(F.sum(F.col(val_col)).over(wi), F.lit(0)),
+        )
+        .drop("__bucket", "__base")
+    )

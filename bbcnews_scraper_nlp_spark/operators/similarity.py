@@ -240,6 +240,69 @@ def rp_lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def rp_lsh_topk_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    dim: int,
+    k: int = 10,
+    r: int = 6,
+    seed: int = 42,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Batched LSH-pruned top-k: the approximate twin of
+    ``cosine_topk_batch`` for MANY queries in one plan.
+
+    The corpus is sign-bucketed ONCE; each query row is expanded to
+    its probe-bucket ids (base bucket, plus its sub-split id so
+    probes still land when a hot bucket was re-split — see
+    ``_subbucketed``) and the probe set equi-joins the bucketed
+    corpus on the bucket id. That keeps the join a hash join (an
+    OR-condition would degenerate to a nested-loop), and the corpus
+    never shuffles wider than its bucket key. Per-query top-k is a
+    rank-filtered window on (qid), fed only by bucket-pruned
+    candidates — the 100 TB serving shape where broadcast-all
+    scoring (``cosine_topk_batch``) stops being affordable.
+
+    ``dim`` is required explicitly: deriving it from data would
+    trigger a hidden Spark job during plan construction.
+    Returns (qid, id, cosine, rank) with rank <= k per query.
+    """
+    from pyspark.sql import Window
+
+    planes = make_planes(dim, r, seed)
+    withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+    if max_bucket is not None:
+        withb = _subbucketed(withb, vec_col, dim, r, seed, max_bucket)
+    extra_planes = make_planes(dim, _SUBBUCKET_BITS, seed + _SUBBUCKET_SEED_OFFSET)
+    qv = F.col(qvec_col).cast("array<double>")
+    qbase = _bucket_expr(qv, planes)
+    qsplit = (
+        qbase * F.lit(1 << _SUBBUCKET_BITS)
+        + _bucket_expr(qv, extra_planes)
+        + F.lit(1 << (r + _SUBBUCKET_BITS))
+    )
+    probes = [qbase] if max_bucket is None else [qbase, qsplit]
+    q = queries.select(
+        F.col(qid_col).alias("__qid"),
+        qv.alias("__qv"),
+        F.explode(F.array(*probes)).alias("__bucket"),
+    )
+    scored = withb.join(q, "__bucket").select(
+        F.col("__qid").alias(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

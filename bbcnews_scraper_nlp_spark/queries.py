@@ -5043,6 +5043,293 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# graph analytics / ANN evaluation / scan primitives / CDC (round 5)
+# --------------------------------------------------------------------
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank twin of operators.graph.pagerank:
+    same teleport/damping integral arithmetic with DuckDB's `//`."""
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"i{i} AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst), "
+            f"r{i} AS (SELECT nodes.node, "
+            f"(15 * {scale}) // (100 * n.n) + (85 * COALESCE(i{i}.s, 0)) // 100 "
+            f"AS r FROM nodes CROSS JOIN n "
+            f"LEFT JOIN i{i} ON nodes.node = i{i}.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH pairs AS (SELECT DISTINCT "
+        "'c' || CAST(o_custkey AS VARCHAR) AS c, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s AS src, c AS dst FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
+        "n AS (SELECT COUNT(*) AS n FROM nodes), "
+        f"r0 AS (SELECT node, {scale} // n.n AS r FROM nodes CROSS JOIN n), "
+        + ", ".join(its)
+        + f" SELECT node, r AS pr_scaled FROM {prev} "
+        "ORDER BY pr_scaled DESC, node LIMIT 20"
+    )
+
+
+@register("pagerank_copurchase", _pagerank_oracle_sql())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node importance over the customer↔supplier co-purchase graph:
+    3 fixed PageRank iterations (operators/graph.py), top-20 hubs.
+
+    The graph surface the dedup connected-components operator
+    (dedup.py:505) doesn't cover: iterative rank propagation as ONE
+    lazy DAG — per iteration one node-keyed hash join + one hash agg,
+    the canonical Pregel-style shape. Integer-scaled rank units make
+    every SUM exact integer math, so the result is independent of
+    partial-agg order and the DuckDB oracle unrolls the identical
+    iterations. At 100 TB: edges shuffle on node ids (uniform here;
+    power-law hubs take the salted_join path), no driver-side state."""
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, "src", "dst", iters=3)
+    return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@10 of the batched LSH probe vs batched brute force —
+    both sides recomputed in SQL from the same deterministic LCG
+    hyperplanes (see _lsh_topk_oracle_sql; the sub-bucket cap never
+    triggers at driver scale, so base buckets are the ones to match).
+    """
+    planes = S.make_planes(64, 6, 42)
+
+    def bexpr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 4), "
+        f"b AS (SELECT vec_id, v, {bexpr('v')} AS bucket FROM e), "
+        f"qb AS (SELECT qid, qv, {bexpr('qv')} AS bucket FROM q), "
+        "s AS (SELECT qb.qid, b.vec_id, "
+        "ROUND(list_cosine_similarity(b.v, qb.qv), 6) AS cosine "
+        "FROM b JOIN qb USING (bucket)), "
+        "ar AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cosine DESC, vec_id) AS rk FROM s), "
+        "a AS (SELECT qid, vec_id FROM ar WHERE rk <= 10), "
+        "xs AS (SELECT q.qid, e.vec_id, "
+        "ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine FROM e, q), "
+        "xr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cosine DESC, vec_id) AS rk FROM xs), "
+        "x AS (SELECT qid, vec_id FROM xr WHERE rk <= 10), "
+        "h AS (SELECT a.qid, COUNT(*) AS n FROM a JOIN x "
+        "USING (qid, vec_id) GROUP BY a.qid) "
+        "SELECT q.qid, CAST(COALESCE(h.n, 0) AS INT) AS n_hits, "
+        "ROUND(COALESCE(h.n, 0) / 10.0, 6) AS recall_at_10 "
+        "FROM q LEFT JOIN h ON q.qid = h.qid"
+    )
+
+
+@register("ann_recall_eval", _ann_recall_oracle_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@10 of the batched LSH probe
+    (rp_lsh_topk_batch — bucket-join, corpus never broadcast-scored)
+    against the batched exact baseline (cosine_topk_batch), per
+    query. The measurement loop a production corpus runs before
+    trusting an approximate index; both sides and the recall join are
+    one lazy DAG, fully SQL-expressible, so the driver hash-checks
+    the whole evaluation end to end."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = S.rp_lsh_topk_batch(
+        emb, "embedding", "vec_id", queries, "qid", "embedding",
+        dim=64, k=10, r=6,
+    )
+    exact = S.cosine_topk_batch(
+        emb, "embedding", "vec_id", queries, "qid", "embedding", k=10
+    )
+    hits = (
+        approx.select("qid", "vec_id")
+        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("__n"))
+    )
+    return queries.select("qid").join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_hits"),
+        F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(10.0), 6).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
+    "vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 100), "
+    "per AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+    "SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov "
+    "FROM tok LEFT JOIN vocab ON tok.w = vocab.w GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+    "CAST(n_oov AS INT) AS n_oov, "
+    "ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate FROM per",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document OOV rate against
+    the corpus top-100 vocabulary (count desc, word asc tie-break).
+    The pre-training sanity gate for a fixed tokenizer vocab: docs
+    with high OOV are noise/wrong-language candidates. Vocab is
+    bounded top-K by construction — TakeOrderedAndProject then a
+    broadcast join, so the corpus token table shuffles once (the
+    count agg) and never for the membership probe."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(100)
+        .select("w", F.lit(1).alias("__in"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "corpus_token_offsets",
+    "WITH t AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents) "
+    "SELECT doc_id, n_tokens, "
+    "CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS token_offset "
+    "FROM t",
+)
+def corpus_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offset per document (megatron-style corpus index
+    building: where each doc's tokens start in the packed stream).
+    Semantically a SUM() OVER (ORDER BY doc_id) — which Spark would
+    execute as a SINGLE task — so the implementation is the two-level
+    prefix sum (relational.prefix_sum_two_level): range-bucket,
+    per-bucket totals, window over the 256-row totals table, then
+    per-bucket windows. The only single-task window touches 256 rows
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    t = docs.select(
+        "doc_id", word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = R.prefix_sum_two_level(t, "doc_id", "n_tokens", buckets=256)
+    return out.select(
+        "doc_id", "n_tokens", F.col("prefix").cast("long").alias("token_offset")
+    )
+
+
+@register(
+    "snapshot_delta_cdc",
+    "WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders "
+    "WHERE o_orderkey % 97 <> 0), "
+    "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 13 = 0 "
+    "THEN o_totalprice + 10.0 ELSE o_totalprice END AS p FROM orders "
+    "WHERE o_orderkey % 89 <> 0), "
+    "j AS (SELECT COALESCE(old.k, new.k) AS k, old.p AS op, new.p AS np, "
+    "CASE WHEN old.k IS NULL THEN 'added' "
+    "WHEN new.k IS NULL THEN 'removed' "
+    "WHEN old.p <> new.p THEN 'changed' ELSE 'unchanged' END "
+    "AS change_class FROM old FULL JOIN new ON old.k = new.k) "
+    "SELECT change_class, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN change_class = 'changed' "
+    "THEN CAST(ROUND((np - op) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS delta_cents FROM j GROUP BY change_class",
+)
+def snapshot_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC classification: full-outer join an old and
+    a new snapshot of a keyed table, classify every key as
+    added / removed / changed / unchanged, and report per-class counts
+    plus the integer-scaled (cents) net price delta of changed rows.
+    The audit step between incremental pipeline runs (the batch twin
+    of the SCD1 merge sink in stage_io). Snapshots are simulated from
+    `orders` by deterministic key filters + a price bump. At 100 TB:
+    ONE key-partitioned full-outer shuffle join (AQE skew-split
+    applies), then a 4-group hash agg — no driver state."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("op")
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("np"),
+    )
+    j = old.join(new, "k", "full_outer").select(
+        F.when(F.col("op").isNull(), F.lit("added"))
+        .when(F.col("np").isNull(), F.lit("removed"))
+        .when(F.col("op") != F.col("np"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_class"),
+        "op",
+        "np",
+    )
+    return j.groupBy("change_class").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("change_class") == "changed",
+                F.round((F.col("np") - F.col("op")) * 100, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("delta_cents"),
+    )
+
+
+# --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------
 

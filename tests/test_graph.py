@@ -1,0 +1,59 @@
+"""PageRank: exact integer arithmetic on known graphs."""
+
+from __future__ import annotations
+
+from bbcnews_scraper_nlp_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _pr(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank(df, "src", "dst", iters=iters).collect()
+    }
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    # directed 3-cycle: out-degree 1 everywhere -> ranks stay equal
+    got = _pr(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert len(set(got.values())) == 1
+    # mass stays ~1.0 (integral truncation loses <1 unit per div)
+    assert abs(sum(got.values()) - PR_SCALE) < 100
+
+
+def test_star_hub_dominates(spark):
+    # undirected star: hub h <-> leaves x/y/z
+    pairs = [("h", "x"), ("h", "y"), ("h", "z")]
+    edges = pairs + [(b, a) for a, b in pairs]
+    got = _pr(spark, edges)
+    assert got["h"] > got["x"] == got["y"] == got["z"]
+
+
+def test_matches_reference_float_pagerank(spark):
+    # vs a literal float implementation of the same truncating updates
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    deg = {s: sum(1 for a, _ in edges if a == s) for s in nodes if any(a == s for a, _ in edges)}
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(3):
+        inbound = {v: 0 for v in nodes}
+        for s, d in edges:
+            inbound[d] += r[s] // deg[s]
+        r = {v: (15 * PR_SCALE) // (100 * n) + (85 * inbound[v]) // 100 for v in nodes}
+    got = _pr(spark, edges)
+    assert got == r
+
+
+def test_deterministic_across_partitionings(spark):
+    edges = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)]
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    a = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank(df1, "src", "dst").collect()
+    }
+    b = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank(df1.repartition(7), "src", "dst").collect()
+    }
+    assert a == b

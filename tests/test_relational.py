@@ -428,3 +428,34 @@ def test_bloom_persistence_incremental_dedup(spark, tmp_path):
 
     semi = bloom_semi_join(run2, run1, "k", n_bits=1 << 16).collect()
     assert {r["k"] for r in semi} == set(range(150, 200))
+
+
+def test_prefix_sum_two_level_matches_naive_window(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        prefix_sum_two_level,
+    )
+
+    rows = [(i * 3 + 1, (i * 17) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["prefix"]
+        for r in prefix_sum_two_level(df, "k", "v", buckets=4).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    assert got == want
+
+
+def test_prefix_sum_two_level_single_bucket_degenerate(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        prefix_sum_two_level,
+    )
+
+    df = spark.createDataFrame([(5, 10), (9, 1), (2, 7)], "k long, v long")
+    got = {
+        r["k"]: r["prefix"]
+        for r in prefix_sum_two_level(df, "k", "v", buckets=256).collect()
+    }
+    assert got == {2: 0, 5: 7, 9: 17}

@@ -288,3 +288,34 @@ def test_ivfadc_deterministic_and_probed_recall(spark, sf_dir):
     }
     ivfadc = {r["vec_id"] for r in got}
     assert len(ivfadc & true) >= 2, (ivfadc, true)
+
+
+def test_lsh_batch_matches_single_query_probe(spark):
+    df, mat = _emb_df(spark, n=120, dim=16)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = S.rp_lsh_topk_batch(
+        df, "embedding", "vec_id", queries, "qid", "embedding",
+        dim=16, k=8, r=4,
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in range(5):
+        q = [float(x) for x in mat[qid]]
+        single = S.rp_lsh_topk(df, "embedding", "vec_id", q, k=8, r=4).collect()
+        want = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(single)]
+        assert sorted(by_q.get(qid, [])) == sorted(want)
+
+
+def test_lsh_batch_no_action_during_construction(spark):
+    df, _ = _emb_df(spark, n=40, dim=16)
+    queries = df.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    S.rp_lsh_topk_batch(
+        df, "embedding", "vec_id", queries, "qid", "embedding", dim=16
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # plan construction runs zero Spark jobs

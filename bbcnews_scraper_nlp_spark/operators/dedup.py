@@ -421,40 +421,25 @@ def ngram_jaccard_pairs(
         paired_src = sh
         if max_df is not None:
             # two-phase prune: count first (map-side partials, no id
-            # lists), keep only pairable shingles under the cap, then
-            # semi-join back. The join and the following groupBy hash
-            # on the same key, so the prune adds one cheap count
-            # shuffle and saves the unbounded collect_list.
+            # lists), then ONE inner join sh ⋈ dfreq on the shingle —
+            # the join lands on the exchange the count agg already
+            # produced, so it adds no new shuffle of the shingle
+            # table. Both consumers read the joined frame:
+            #   - paired_src keeps pairable shingles (1 < df <= cap),
+            #   - sizes counts each doc's df <= cap shingles — the
+            #     kept-universe set size, so the final jaccard is
+            #     exact over it (numerator and denominator agree on
+            #     which shingles exist; never a pruned numerator over
+            #     a full-universe denominator).
             dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            keep = (
-                dfreq.filter((F.col("df") > 1) & (F.col("df") <= max_df))
-                .select("shingle")
-            )
-            paired_src = sh.join(keep, "shingle", "left_semi")
-            # Set sizes over the SAME kept universe (df <= max_df) so
-            # the final jaccard is exact over it — numerator and
-            # denominator agree on which shingles exist. Computed by
-            # SUBTRACTION (kept = full - capped per doc): the only
-            # re-aggregated rows are instances of the few hot
-            # (df > max_df) shingles — bounded by N/max_df distinct —
-            # not the whole shingle table, so the exactness fix costs
-            # ~nothing when no shingle is capped (the common case and
-            # every fixture).
-            hot = dfreq.filter(F.col("df") > max_df).select("shingle")
-            capped_cnt = (
-                sh.join(hot, "shingle", "left_semi")
-                .groupBy("id")
-                .agg(F.count("*").alias("__capped"))
-            )
+            shj = sh.join(dfreq, "shingle")
+            paired_src = shj.filter(
+                (F.col("df") > 1) & (F.col("df") <= max_df)
+            ).select("id", "shingle")
             sizes = (
-                sizes.join(capped_cnt, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.col("sz") - F.coalesce(F.col("__capped"), F.lit(0))
-                    ).alias("sz"),
-                )
-                .filter(F.col("sz") > 0)
+                shj.filter(F.col("df") <= max_df)
+                .groupBy("id")
+                .agg(F.count("*").alias("sz"))
             )
         grouped = (
             paired_src.groupBy("shingle")

@@ -58,17 +58,23 @@ def pagerank(
 
     Returns (node, pr_scaled BIGINT), all nodes.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
-    # out-edges with the sender's degree attached, reused every
-    # iteration — one shuffle on __src, then cached by Spark's shuffle
-    # reuse across the unrolled joins.
-    ed = e.join(deg, "__src")
+    # out-edges with the sender's degree attached — referenced once
+    # per iteration, so persist it (the standard iterative-graph move,
+    # cf. GraphX): without it Spark re-derives the whole edge subtree
+    # (often an expensive upstream join) for every iteration, since
+    # exchange reuse only applies within structurally identical
+    # subtrees. Lazy persist: no job runs at construction time.
+    ed = e.join(deg, "__src").persist(StorageLevel.MEMORY_AND_DISK)
     n1 = nodes.agg(F.count("*").alias("__n"))
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

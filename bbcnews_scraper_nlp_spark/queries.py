@@ -5343,19 +5343,24 @@ def snapshot_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
     # reference-core filters / projections / joins / aggs / windows
-    "f1_contains_filter",
+    # (r5 rotation #2: five r4-certified near-duplicates — f1, j1,
+    # a3, w1, m6_m7 — displaced for the round's new flagships; their
+    # families stay represented by f6/p4_p12, snapshot_delta/salted/
+    # range/bloom joins, time_bucket_rollup, ohlc/ewma windows, and
+    # sentiment_pattern_rules respectively)
+    "pagerank_copurchase",
     "p13_lemmatize",
     "f6_dedup_keep_first",
     "inverted_index_blocks",
     "p4_p12_clean_text",
     "ohlc_resample_hourly",
-    "j1_broadcast_enrich",
-    "a3_daily_mean",
-    "w1_rolling_trend",
+    "snapshot_delta_cdc",
+    "corpus_token_offsets",
+    "vocab_oov_rate",
     "dedup_minhash_lsh",
     "sentiment_pattern_rules",
     "similarity_pq_adc_topk",
-    "m6_m7_sentiment_scores",
+    "ann_recall_eval",
     "a4_vocab_prune",
     # LLM-pipeline: dedup / similarity / text analysis
     "dedup_ngram_jaccard",

@@ -94,6 +94,13 @@ NEW_R5 = [
     "rolling_distinct_users_7d",
     "similarity_ivfadc_topk",
     "ann_topk_batch",
+    # round-5 session 3: graph analytics / ANN evaluation / prefix
+    # scan / vocab coverage / CDC diff
+    "pagerank_copurchase",
+    "ann_recall_eval",
+    "corpus_token_offsets",
+    "vocab_oov_rate",
+    "snapshot_delta_cdc",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

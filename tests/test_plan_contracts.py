@@ -183,3 +183,56 @@ def test_ivfadc_broadcast_index_and_topk(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_batch_join_is_hash_not_nested_loop(spark, sf_dir):
+    # probe-bucket explode keeps the query join a hash join; an
+    # OR-condition (base-or-split bucket) would silently degenerate
+    # to BroadcastNestedLoopJoin and score the whole corpus per query
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    df = S.rp_lsh_topk_batch(
+        emb, "embedding", "vec_id", q, "qid", "embedding", dim=64
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+    # the full ann_recall_eval plan keeps exactly the ONE intended
+    # nested-loop: the exact baseline's broadcast crossJoin
+    full = _plan(spark, sf_dir, "ann_recall_eval")
+    assert full.count("BroadcastNestedLoopJoin") <= 2  # node + detail
+
+
+def test_pagerank_edges_reused_across_iterations(spark, sf_dir):
+    # the iteration joins must read the persisted edge/node tables,
+    # not re-derive the orders-x-lineitem subtree per iteration
+    plan = _plan(spark, sf_dir, "pagerank_copurchase")
+    assert "InMemoryTableScan" in plan, "edge persist lost"
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    # the full-data window must be partitioned by the range bucket;
+    # a single-partition exchange may only feed the 256-row totals
+    # window (and the final collect), never the full corpus
+    plan = _plan(spark, sf_dir, "corpus_token_offsets")
+    assert re.search(r"hashpartitioning\(__bucket", plan), plan[:1500]
+    full_windows = re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert len(full_windows) == 2, full_windows
+
+
+def test_vocab_probe_is_broadcast(spark, sf_dir):
+    # the top-100 vocab membership probe must broadcast — the corpus
+    # token table never shuffles for the join
+    plan = _plan(spark, sf_dir, "vocab_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K vocab, no full sort

@@ -726,3 +726,38 @@ def remove_dup_spans(
             .alias("n_removed"),
         )
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs via blocking + edit distance
+    (the classic record-linkage shape: Fellegi-Sunter blocking pass).
+
+    An all-pairs string-distance join is O(n²) and unshippable at
+    scale; blocking compares only rows that agree on a cheap
+    deterministic key (here ``block_col`` — e.g. the name's head
+    noun, a soundex code, or a length band). The join is a plain
+    equi-HASH join on the block key, so the fanout is Σ block_size²
+    — bounded by construction when the blocking key is selective;
+    a hot block takes the same max_df-style cap as the n-gram
+    Jaccard path. Distance is JVM-side ``levenshtein`` (identical
+    semantics in DuckDB, so the pairs are hash-oracle-able).
+
+    Returns (key_1, key_2, dist) with key_1 < key_2, dist <= max_dist.
+    """
+    a = df.select(F.col(block_col).alias("__blk"), F.col(key_col).alias("key_1"))
+    b = df.select(F.col(block_col).alias("__blk"), F.col(key_col).alias("key_2"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("key_1") < F.col("key_2"))
+        .select(
+            "key_1",
+            "key_2",
+            F.levenshtein("key_1", "key_2").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

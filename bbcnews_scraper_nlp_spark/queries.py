@@ -5329,6 +5329,139 @@ def snapshot_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_name_pairs",
+    "WITH names AS (SELECT DISTINCT p_name AS n FROM part), "
+    "b AS (SELECT n, string_split(n, ' ')[-1] AS blk FROM names) "
+    "SELECT a.n AS key_1, c.n AS key_2, "
+    "CAST(levenshtein(a.n, c.n) AS INT) AS dist "
+    "FROM b a JOIN b c ON a.blk = c.blk AND a.n < c.n "
+    "WHERE levenshtein(a.n, c.n) <= 3",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate pairs over distinct part names:
+    block on the head noun (last word), edit-distance <= 3 within
+    blocks (dedup.blocked_fuzzy_pairs). The entity-resolution shape
+    an all-pairs string join can't ship at scale — the block key
+    bounds the fanout and keeps the join a hash join; levenshtein
+    evaluates identically JVM-side and in DuckDB, so the candidate
+    set is hash-oracled."""
+    from .operators.dedup import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("n")).distinct()
+    blocked = names.withColumn(
+        "blk", F.substring_index(F.col("n"), " ", -1)
+    )
+    return blocked_fuzzy_pairs(blocked, "n", "blk", max_dist=3).select(
+        F.col("key_1"), F.col("key_2"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    # oracle: the DIRECT aggregate over the new snapshot — the engine
+    # side must reproduce it from base + delta without rescanning
+    "WITH new AS (SELECT o_orderkey AS k, o_orderpriority AS pri, "
+    "CAST(ROUND((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0 "
+    "ELSE o_totalprice END) * 100) AS BIGINT) AS cents FROM orders "
+    "WHERE o_orderkey % 89 <> 0) "
+    "SELECT pri, COUNT(*) AS n_orders, "
+    "CAST(SUM(cents) AS BIGINT) AS total_cents FROM new GROUP BY pri",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic incremental view maintenance: refresh a per-priority
+    (count, cents-sum) aggregate using ONLY the old aggregate plus
+    the CDC delta — the 100 TB move where re-aggregating the base
+    table per refresh is unaffordable. The engine side computes
+    base = agg(old snapshot), folds the classified delta
+    (added: +row, removed: -row, changed: +new-old) into per-group
+    adjustments, and outer-merges them; the oracle aggregates the new
+    snapshot directly, so the hash check proves base+delta == direct.
+    Counts and cents are integers, so the maintenance arithmetic is
+    exact in any fold order. Snapshots reuse the snapshot_delta_cdc
+    simulation (orders, key filters + price bump)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents_old = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents_new = F.round(
+        (
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice"))
+        )
+        * 100,
+        0,
+    ).cast("long")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        cents_old.alias("cents"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        cents_new.alias("cents"),
+    )
+    base = old.groupBy("pri").agg(
+        F.count("*").alias("bn"), F.sum("cents").alias("bc")
+    )
+    # CDC delta from ONE full-outer key join; each genuinely-changed
+    # key emits a retract row in its OLD group and an upsert row in
+    # its NEW group (so group-moving updates are handled, and
+    # unchanged keys contribute nothing — the true IVM delta stream)
+    joined = old.select(
+        "k", F.col("pri").alias("op_pri"), F.col("cents").alias("oc")
+    ).join(
+        new.select("k", F.col("pri").alias("np_pri"), F.col("cents").alias("nc")),
+        "k",
+        "full_outer",
+    )
+    diff = (
+        F.col("oc").isNull()
+        | F.col("nc").isNull()
+        | (F.col("oc") != F.col("nc"))
+        | (F.col("op_pri") != F.col("np_pri"))
+    )
+    delta = (
+        joined.filter(diff)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("op_pri").alias("pri"),
+                        F.lit(-1).alias("dn"),
+                        (-F.col("oc")).alias("dc"),
+                    ),
+                    F.struct(
+                        F.col("np_pri").alias("pri"),
+                        F.lit(1).alias("dn"),
+                        F.col("nc").alias("dc"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .filter(F.col("pri").isNotNull())
+        .groupBy("pri")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    return (
+        base.join(delta, "pri", "full_outer")
+        .select(
+            "pri",
+            (
+                F.coalesce(F.col("bn"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("bc"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

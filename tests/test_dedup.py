@@ -246,3 +246,44 @@ def test_remove_dup_spans_planted(spark):
     got = remove_dup_spans(rep, "doc_id", "text", n=4, min_count=2).collect()[0]
     assert got["clean_text"] == "x y"
     assert got["n_removed"] == 8
+
+
+def test_blocked_fuzzy_pairs_within_block_only(spark):
+    from bbcnews_scraper_nlp_spark.operators.dedup import blocked_fuzzy_pairs
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("red widget", "widget"),
+        ("rad widget", "widget"),   # dist 1 from red widget
+        ("ride widget", "widget"),  # dist 2 from red, 3 from rad
+        ("red gadget", "gadget"),   # other block — never compared
+        ("blue widget", "widget"),  # dist 4 from red widget — cut
+        ("turquoise widget", "widget"),  # dist > 3 from all — cut
+    ]
+    df = spark.createDataFrame(rows, "n string, blk string")
+    got = {
+        (r["key_1"], r["key_2"]): r["dist"]
+        for r in blocked_fuzzy_pairs(df, "n", "blk", max_dist=3).collect()
+    }
+    # cross-check every expected distance with a literal DP oracle
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = [n for n, blk in rows if blk == "widget"]
+    want = {
+        (a, b): lev(a, b)
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 3
+    }
+    assert got == want
+    assert ("red gadget", "red widget") not in got  # cross-block never compared
+    assert all(d <= 3 for d in got.values())

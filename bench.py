@@ -105,6 +105,8 @@ NEW_R5 = [
     "incremental_agg_maintenance",
     "link_prediction_suppliers",
     "unpivot_returnflag_metrics",
+    "triangle_count_suppliers",
+    "data_quality_audit",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -57,3 +57,39 @@ def test_deterministic_across_partitionings(spark):
         for r in pagerank(df1.repartition(7), "src", "dst").collect()
     }
     assert a == b
+
+
+def test_triangle_query_counts_k3_correctly(spark):
+    # the ordered 3-way self-join counts each triangle once per node:
+    # a K4 has 4 triangles, each node participates in exactly 3
+    from pyspark.sql import functions as F
+
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    e = spark.createDataFrame(edges, "s1 string, s2 string")
+    ab = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    bc = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    ac = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    assert tri.count() == 4
+    pern = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    assert {r["node"]: r["n"] for r in pern.collect()} == {
+        n: 3 for n in nodes
+    }
+
+
+def test_data_quality_audit_clean_on_testdata(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in REGISTRY["data_quality_audit"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == 6
+    assert all(v == 0 for v in got.values()), got  # testdata is clean

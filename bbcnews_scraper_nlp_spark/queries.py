@@ -5742,7 +5742,10 @@ _WINDOW_ORDER = [
     "sentiment_pattern_rules",
     "similarity_pq_adc_topk",
     "ann_recall_eval",
-    "a4_vocab_prune",
+    # rotation #3: a4/q3/q8/q21/time_bucket/contamination (all
+    # r4-certified, families still anchored by q1/range_join/
+    # pack_sequences/tfidf) displaced for never-checked queries
+    "data_quality_audit",
     # LLM-pipeline: dedup / similarity / text analysis
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
@@ -5755,13 +5758,13 @@ _WINDOW_ORDER = [
     # TPC-H spine (r5 rotation: q2/q7/q9/q16/q20 first-ever driver checks)
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
-    "tpch_q3_top_revenue",
+    "tpch_q10_returned_items",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+    "tpch_q12_late_shipments",
     "tpch_q9_product_profit",
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
+    "tpch_q19_disjunctive_pred",
     # multimodal / sources / streaming
     "multimodal_video_meta",
     "multimodal_audio_meta",
@@ -5772,7 +5775,7 @@ _WINDOW_ORDER = [
     "session_paths_top",
     "event_transition_matrix",
     "range_join_ship_window",
-    "time_bucket_rollup",
+    "link_prediction_suppliers",
     "retention_cohorts",
     "ewma_daily_value",
     "time_weighted_avg",
@@ -5781,7 +5784,7 @@ _WINDOW_ORDER = [
     "salted_join_skewed",
     "heavy_hitter_users",
     "bloom_semi_join_lineitems",
-    "contamination_check",
+    "triangle_count_suppliers",
     "pack_sequences_bins",
 ]
 

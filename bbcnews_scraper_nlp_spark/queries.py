@@ -5710,6 +5710,109 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "table", "stream")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+_BM25_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT COUNT(*) AS n, SUM(len) AS total FROM dl), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    f"WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w), "
+    "dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
+    "idf AS (SELECT w, CAST(ROUND(1000 * ln(1 + "
+    "(n - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_milli "
+    "FROM dfreq, stats), "
+    "scored AS (SELECT tf.doc_id, CAST(ROUND(idf_milli * "
+    f"(tf * ({_BM25_K1} + 1.0)) / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + "
+    f"{_BM25_B} * (CAST(len AS DOUBLE) * n / total)))) AS BIGINT) "
+    "AS s_milli FROM tf JOIN dl USING (doc_id) "
+    "JOIN idf USING (w) CROSS JOIN stats) "
+    "SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli "
+    "FROM scored GROUP BY doc_id "
+    "ORDER BY score_milli DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval: top-10 documents for a fixed 3-term
+    query (Robertson/Sparck-Jones Okapi BM25, k1=1.2 b=0.75) — the
+    lexical search primitive that pairs with the inverted-index
+    layout (`inverted_index_blocks`) the way ANN pairs with the
+    embedding index. Cross-engine exactness follows the
+    perplexity_buckets recipe: idf and each per-(doc,term) partial
+    are quantized to integer MILLI-units before any aggregation, so
+    the only float ops are identical-input IEEE arithmetic (ln's
+    1-ulp Java/libm disagreement is absorbed by the milli rounding)
+    and the score sum is exact integer math in any fold order.
+    Plan: term-filtered tf (the IN-list prunes the token explode at
+    the scan), doc-length agg, 1-row corpus stats broadcast, 3-row
+    idf broadcast join, TakeOrderedAndProject top-10. At 100 TB the
+    tf/df tables come precomputed from the inverted index partition
+    layout instead of a raw-text scan."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("len").alias("total")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.round(
+            F.lit(1000)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_milli")
+                * (F.col("tf") * F.expr(f"{_BM25_K1} + 1.0"))
+                / (
+                    F.col("tf")
+                    + F.expr(_BM25_K1)
+                    * (
+                        F.expr(f"1.0 - {_BM25_B}")
+                        + F.expr(_BM25_B)
+                        * (
+                            F.col("len").cast("double")
+                            * F.col("n")
+                            / F.col("total")
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s_milli"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.sum("s_milli").alias("score_milli")
+    )
+    return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -107,6 +107,7 @@ NEW_R5 = [
     "unpivot_returnflag_metrics",
     "triangle_count_suppliers",
     "data_quality_audit",
+    "bm25_topk_docs",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

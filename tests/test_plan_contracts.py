@@ -236,3 +236,20 @@ def test_vocab_probe_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-K vocab, no full sort
+
+
+def test_link_prediction_pairs_via_codegen_join(spark, sf_dir):
+    # pair generation must be the customer-keyed equi join (codegen,
+    # AQE-skew-splittable) — never a nested loop, never an
+    # interpreted HOF pair explosion
+    plan = _plan(spark, sf_dir, "link_prediction_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_bm25_idf_broadcasts_and_prunes_terms(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_topk_docs")
+    assert "BroadcastHashJoin" in plan  # 3-row idf side broadcasts
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -520,7 +520,7 @@ def prefix_sum_two_level(
     val_col: str,
     buckets: int = 256,
 ) -> DataFrame:
-    """Scale-safe global exclusive prefix sum over a numeric ordering
+    """Scale-safe global exclusive prefix sum over an INTEGRAL ordering
     key — the classic two-level scan, as one lazy DAG.
 
     A naive ``SUM() OVER (ORDER BY k)`` has an empty partition spec:
@@ -571,4 +571,66 @@ def prefix_sum_two_level(
             F.col("__base") + F.coalesce(F.sum(F.col(val_col)).over(wi), F.lit(0)),
         )
         .drop("__bucket", "__base")
+    )
+
+
+def cdc_delta_contributions(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-group incremental-maintenance delta from two keyed
+    snapshots: each genuinely-changed key emits a retract row in its
+    OLD group and an upsert row in its NEW group, so (count, sum)
+    aggregates refresh as ``base + delta`` even when an update moves
+    a key between groups; unchanged keys contribute nothing — the
+    true IVM delta stream. ONE key-partitioned full-outer join
+    (AQE-skew eligible) followed by a group-keyed aggregation; exact
+    when ``val_col`` is integral.
+
+    Returns (group_col, dn, dv): row-count and value adjustments.
+    """
+    joined = old.select(
+        F.col(key).alias("__k"),
+        F.col(group_col).alias("__og"),
+        F.col(val_col).alias("__ov"),
+    ).join(
+        new.select(
+            F.col(key).alias("__k"),
+            F.col(group_col).alias("__ng"),
+            F.col(val_col).alias("__nv"),
+        ),
+        "__k",
+        "full_outer",
+    )
+    diff = (
+        F.col("__ov").isNull()
+        | F.col("__nv").isNull()
+        | (F.col("__ov") != F.col("__nv"))
+        | (F.col("__og") != F.col("__ng"))
+    )
+    return (
+        joined.filter(diff)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__og").alias(group_col),
+                        F.lit(-1).alias("dn"),
+                        (-F.col("__ov")).alias("dv"),
+                    ),
+                    F.struct(
+                        F.col("__ng").alias(group_col),
+                        F.lit(1).alias("dn"),
+                        F.col("__nv").alias("dv"),
+                    ),
+                )
+            ).alias("__c")
+        )
+        .select("__c.*")
+        .filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )

@@ -275,17 +275,19 @@ def rp_lsh_topk_batch(
 
     planes = make_planes(dim, r, seed)
     withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
-    if max_bucket is not None:
-        withb = _subbucketed(withb, vec_col, dim, r, seed, max_bucket)
-    extra_planes = make_planes(dim, _SUBBUCKET_BITS, seed + _SUBBUCKET_SEED_OFFSET)
     qv = F.col(qvec_col).cast("array<double>")
     qbase = _bucket_expr(qv, planes)
-    qsplit = (
-        qbase * F.lit(1 << _SUBBUCKET_BITS)
-        + _bucket_expr(qv, extra_planes)
-        + F.lit(1 << (r + _SUBBUCKET_BITS))
-    )
-    probes = [qbase] if max_bucket is None else [qbase, qsplit]
+    probes = [qbase]
+    if max_bucket is not None:
+        withb = _subbucketed(withb, vec_col, dim, r, seed, max_bucket)
+        extra_planes = make_planes(
+            dim, _SUBBUCKET_BITS, seed + _SUBBUCKET_SEED_OFFSET
+        )
+        probes.append(
+            qbase * F.lit(1 << _SUBBUCKET_BITS)
+            + _bucket_expr(qv, extra_planes)
+            + F.lit(1 << (r + _SUBBUCKET_BITS))
+        )
     q = queries.select(
         F.col(qid_col).alias("__qid"),
         qv.alias("__qv"),

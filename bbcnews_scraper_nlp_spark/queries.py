@@ -5047,6 +5047,26 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+# the ONE customer↔supplier bipartite edge set shared by the three
+# graph queries (pagerank / link prediction / triangle count) — Spark
+# build and oracle-SQL fragment kept in lockstep here so the graphs
+# can never drift apart
+_BIPROJ_SQL = (
+    "SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+
+
+def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     """Unrolled integer-PageRank twin of operators.graph.pagerank:
     same teleport/damping integral arithmetic with DuckDB's `//`."""
@@ -5064,10 +5084,9 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
         )
         prev = f"r{i}"
     return (
-        "WITH pairs AS (SELECT DISTINCT "
-        "'c' || CAST(o_custkey AS VARCHAR) AS c, "
-        "'s' || CAST(l_suppkey AS VARCHAR) AS s "
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        f"WITH e0 AS ({_BIPROJ_SQL}), "
+        "pairs AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS c, "
+        "'s' || CAST(s AS VARCHAR) AS s FROM e0), "
         "edges AS (SELECT c AS src, s AS dst FROM pairs "
         "UNION ALL SELECT s AS src, c AS dst FROM pairs), "
         "nodes AS (SELECT DISTINCT src AS node FROM edges), "
@@ -5095,15 +5114,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law hubs take the salted_join path), no driver-side state."""
     from .operators.graph import pagerank
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    pairs = _supplier_projection(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("c")).alias("c"),
+        F.concat(F.lit("s"), F.col("s")).alias("s"),
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -5167,9 +5180,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
+    # max_bucket=None: the oracle joins base buckets only, and this
+    # eval measures the UNCAPPED probe's recall — with the default
+    # cap the certified hash would silently depend on no sign-bucket
+    # ever exceeding 100k rows (the capped flavor's plan shape is
+    # contract-locked separately)
     approx = S.rp_lsh_topk_batch(
         emb, "embedding", "vec_id", queries, "qid", "embedding",
-        dim=64, k=10, r=6,
+        dim=64, k=10, r=6, max_bucket=None,
     )
     exact = S.cosine_topk_batch(
         emb, "embedding", "vec_id", queries, "qid", "embedding", k=10
@@ -5270,6 +5288,43 @@ def corpus_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_snapshot_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE old/new snapshot simulation shared by
+    snapshot_delta_cdc and incremental_agg_maintenance (their oracle
+    SQL mirrors these exact filters/bump): old = orders with
+    key%97!=0; new = orders with key%89!=0 and price+10.0 for
+    key%13==0. Returns (old, new) with (k, pri, price)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return old, new
+
+
+def _cdc_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-cents flavor of the shared CDC snapshots (exact
+    maintenance arithmetic): (k, pri, cents)."""
+    old, new = _cdc_snapshot_frames(spark, sf_dir)
+    cents = F.round(F.col("price") * 100, 0).cast("long").alias("cents")
+    return (
+        old.select("k", "pri", cents),
+        new.select("k", "pri", cents),
+    )
+
+
 @register(
     "snapshot_delta_cdc",
     "WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders "
@@ -5297,18 +5352,9 @@ def snapshot_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     `orders` by deterministic key filters + a price bump. At 100 TB:
     ONE key-partitioned full-outer shuffle join (AQE skew-split
     applies), then a 4-group hash agg — no driver state."""
-    orders = load_table(spark, sf_dir, "orders")
-    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("op")
-    )
-    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.when(
-            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("np"),
-    )
+    old_f, new_f = _cdc_snapshot_frames(spark, sf_dir)
+    old = old_f.select("k", F.col("price").alias("op"))
+    new = new_f.select("k", F.col("price").alias("np"))
     j = old.join(new, "k", "full_outer").select(
         F.when(F.col("op").isNull(), F.lit("added"))
         .when(F.col("np").isNull(), F.lit("removed"))
@@ -5381,70 +5427,11 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts and cents are integers, so the maintenance arithmetic is
     exact in any fold order. Snapshots reuse the snapshot_delta_cdc
     simulation (orders, key filters + price bump)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cents_old = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    cents_new = F.round(
-        (
-            F.when(
-                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
-            ).otherwise(F.col("o_totalprice"))
-        )
-        * 100,
-        0,
-    ).cast("long")
-    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderpriority").alias("pri"),
-        cents_old.alias("cents"),
-    )
-    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderpriority").alias("pri"),
-        cents_new.alias("cents"),
-    )
+    old, new = _cdc_snapshots(spark, sf_dir)
     base = old.groupBy("pri").agg(
         F.count("*").alias("bn"), F.sum("cents").alias("bc")
     )
-    # CDC delta from ONE full-outer key join; each genuinely-changed
-    # key emits a retract row in its OLD group and an upsert row in
-    # its NEW group (so group-moving updates are handled, and
-    # unchanged keys contribute nothing — the true IVM delta stream)
-    joined = old.select(
-        "k", F.col("pri").alias("op_pri"), F.col("cents").alias("oc")
-    ).join(
-        new.select("k", F.col("pri").alias("np_pri"), F.col("cents").alias("nc")),
-        "k",
-        "full_outer",
-    )
-    diff = (
-        F.col("oc").isNull()
-        | F.col("nc").isNull()
-        | (F.col("oc") != F.col("nc"))
-        | (F.col("op_pri") != F.col("np_pri"))
-    )
-    delta = (
-        joined.filter(diff)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("op_pri").alias("pri"),
-                        F.lit(-1).alias("dn"),
-                        (-F.col("oc")).alias("dc"),
-                    ),
-                    F.struct(
-                        F.col("np_pri").alias("pri"),
-                        F.lit(1).alias("dn"),
-                        F.col("nc").alias("dc"),
-                    ),
-                )
-            ).alias("c")
-        )
-        .select("c.*")
-        .filter(F.col("pri").isNotNull())
-        .groupBy("pri")
-        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
-    )
+    delta = R.cdc_delta_contributions(old, new, "k", "pri", "cents")
     return (
         base.join(delta, "pri", "full_outer")
         .select(
@@ -5455,7 +5442,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_orders"),
             (
                 F.coalesce(F.col("bc"), F.lit(0))
-                + F.coalesce(F.col("dc"), F.lit(0))
+                + F.coalesce(F.col("dv"), F.lit(0))
             ).alias("total_cents"),
         )
         .filter(F.col("n_orders") > 0)
@@ -5464,8 +5451,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "link_prediction_suppliers",
-    "WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    f"WITH e AS ({_BIPROJ_SQL}), "
     "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s), "
     "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
     "FROM e a JOIN e b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2) "
@@ -5487,13 +5473,7 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the join is AQE-skew-splittable; extreme hubs take an
     ngram_jaccard-style df cap) → pair-count agg → two degree joins
     → TakeOrderedAndProject top-20."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e = _supplier_projection(spark, sf_dir)
     deg = e.groupBy("s").agg(F.count("*").alias("d"))
     a = e.select("c", F.col("s").alias("s1"))
     b = e.select("c", F.col("s").alias("s2"))
@@ -5553,8 +5533,7 @@ _TRIANGLE_SQL = (
     # scale; top-M keeps the triangle join bounded AND non-trivial
     # at every sf), then the canonical ordered 3-way self-join
     # a<b<c counting closed triangles
-    "WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    f"WITH e0 AS ({_BIPROJ_SQL}), "
     "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
     "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
     "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
@@ -5586,13 +5565,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids so every shuffle is uniform; at 100 TB the standard
     refinement is degree-ordered orientation, which this ordering
     already approximates). Top-20 by count."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e0 = _supplier_projection(spark, sf_dir)
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
     cn = (
         e0.select("c", F.col("s").alias("s1"))

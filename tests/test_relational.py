@@ -486,8 +486,13 @@ def test_incremental_agg_maintenance_handles_group_moves(spark):
     }
     assert got == want
 
-    # synthetic group-move: key 1 moves from group a to group b
+    # synthetic group-move: key 1 moves from group a to group b —
+    # exercised through the SHARED operator the production query uses
     from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        cdc_delta_contributions,
+    )
 
     old = spark.createDataFrame(
         [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, pri string, cents long"
@@ -495,42 +500,7 @@ def test_incremental_agg_maintenance_handles_group_moves(spark):
     new = spark.createDataFrame(
         [(1, "b", 11), (2, "a", 20), (4, "b", 40)], "k long, pri string, cents long"
     )
-    joined = old.select(
-        "k", F.col("pri").alias("op_pri"), F.col("cents").alias("oc")
-    ).join(
-        new.select("k", F.col("pri").alias("np_pri"), F.col("cents").alias("nc")),
-        "k",
-        "full_outer",
-    )
-    diff = (
-        F.col("oc").isNull()
-        | F.col("nc").isNull()
-        | (F.col("oc") != F.col("nc"))
-        | (F.col("op_pri") != F.col("np_pri"))
-    )
-    delta = (
-        joined.filter(diff)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("op_pri").alias("pri"),
-                        F.lit(-1).alias("dn"),
-                        (-F.col("oc")).alias("dc"),
-                    ),
-                    F.struct(
-                        F.col("np_pri").alias("pri"),
-                        F.lit(1).alias("dn"),
-                        F.col("nc").alias("dc"),
-                    ),
-                )
-            ).alias("c")
-        )
-        .select("c.*")
-        .filter(F.col("pri").isNotNull())
-        .groupBy("pri")
-        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
-    )
+    delta = cdc_delta_contributions(old, new, "k", "pri", "cents")
     base = old.groupBy("pri").agg(
         F.count("*").alias("bn"), F.sum("cents").alias("bc")
     )
@@ -540,7 +510,7 @@ def test_incremental_agg_maintenance_handles_group_moves(spark):
         .select(
             "pri",
             (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
-            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dv", F.lit(0))).alias("c"),
         )
         .filter(F.col("n") > 0)
         .collect()

@@ -634,3 +634,66 @@ def cdc_delta_contributions(
         .groupBy(group_col)
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row, where q dominates p iff q minimizes ``min_col`` at least as
+    well AND maximizes ``max_col`` at least as well, with one strict.
+
+    The 2-D case needs no dominance JOIN (the O(n²) trap): sort by
+    ``min_col`` and a row survives iff its ``max_col`` (a) strictly
+    exceeds the running max over STRICTLY smaller ``min_col`` values
+    and (b) equals the max within its own ``min_col`` tie group.
+    The running max is the same two-level scan as
+    ``prefix_sum_two_level`` — a naive RANGE window over the global
+    order would single-task the table. Equal ``min_col`` values land
+    in the same range bucket by construction, so the strict-preceding
+    semantics survive the bucket split: the cross-bucket part of the
+    running max is a bucket-granularity prefix (all strictly
+    cheaper), the within-bucket part is a RANGE frame ending at
+    1 PRECEDING. ``min_col`` must be integral (use cents scaling).
+
+    Exact duplicates on both dims are all kept (neither dominates).
+    Returns the input rows of the frontier.
+    """
+    mx = df.agg(F.max(F.col(min_col)).alias("__mx"))
+    b = (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("__w", F.expr(f"(__mx div {buckets}) + 1"))
+        .withColumn("__bucket", F.expr(f"{min_col} div __w"))
+        .drop("__mx", "__w")
+    )
+    totals = b.groupBy("__bucket").agg(F.max(F.col(max_col)).alias("__t"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = totals.select(
+        "__bucket", F.max("__t").over(wb).alias("__base")
+    )
+    win = (
+        Window.partitionBy("__bucket")
+        .orderBy(min_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wtie = Window.partitionBy("__bucket", min_col)
+    out = (
+        b.join(F.broadcast(base), "__bucket")
+        .withColumn(
+            # greatest() skips NULL args, so this is NULL only when
+            # there is no strictly-cheaper row anywhere
+            "__mxc",
+            F.greatest(F.max(F.col(max_col)).over(win), F.col("__base")),
+        )
+        .withColumn("__mxs", F.max(F.col(max_col)).over(wtie))
+    )
+    return (
+        out.filter(
+            (F.col("__mxc").isNull() | (F.col(max_col) > F.col("__mxc")))
+            & (F.col(max_col) == F.col("__mxs"))
+        )
+        .drop("__bucket", "__base", "__mxc", "__mxs")
+    )

@@ -5786,6 +5786,83 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
 
 
+@register(
+    "skyline_pareto_parts",
+    "WITH t AS (SELECT p_partkey, "
+    "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents, p_size "
+    "FROM part), "
+    "m AS (SELECT *, MAX(p_size) OVER (ORDER BY cents RANGE BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxc, "
+    "MAX(p_size) OVER (PARTITION BY cents) AS mxs FROM t) "
+    "SELECT p_partkey, cents, p_size FROM m "
+    "WHERE (mxc IS NULL OR p_size > mxc) AND p_size = mxs",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: minimize price, maximize
+    size — no part on the frontier is dominated by a cheaper-and-
+    bigger one. The naive formulation is an O(n²) dominance
+    anti-join; the 2-D skyline collapses to a running max over the
+    price order (relational.skyline_2d), executed as the same
+    two-level scan as corpus_token_offsets so no task ever sees the
+    global order. Price integer-scaled to cents; exact dominance
+    semantics incl. tie groups are pinned by the oracle's RANGE-frame
+    twin."""
+    part = load_table(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+        "p_size",
+    )
+    return R.skyline_2d(t, "cents", "p_size").select(
+        "p_partkey", "cents", "p_size"
+    )
+
+
+def _fuzzy_entity_oracle_sql() -> str:
+    """Recursive label-propagation twin of fuzzy pairs → connected
+    components → min-name canonical (same pattern as
+    _minhash_clusters_oracle_sql)."""
+    return (
+        "WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part), "
+        "b AS (SELECT n, string_split(n, ' ')[-1] AS blk FROM names), "
+        "pairs AS (SELECT a.n AS n1, c.n AS n2 FROM b a "
+        "JOIN b c ON a.blk = c.blk AND a.n < c.n "
+        "WHERE levenshtein(a.n, c.n) <= 3), "
+        "edges AS (SELECT n1 AS src, n2 AS dst FROM pairs "
+        "UNION ALL SELECT n2, n1 FROM pairs), "
+        "reach(node, lbl) AS (SELECT src, src FROM edges "
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r "
+        "ON r.node = e.dst), "
+        "lab AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node) "
+        "SELECT nm.n AS name, COALESCE(lab.root, nm.n) AS entity_rep "
+        "FROM names nm LEFT JOIN lab ON lab.node = nm.n"
+    )
+
+
+@register("fuzzy_entity_clusters", _fuzzy_entity_oracle_sql())
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy pair finding
+    (blocked_fuzzy_pairs, edit distance <= 3 within head-noun
+    blocks) → distributed connected components → min-name canonical
+    per entity. The record-linkage twin of dedup_minhash_clusters:
+    pairs alone under-merge transitive variant chains (A~B, B~C must
+    resolve to ONE entity). Oracle resolves the same clusters with a
+    recursive label-propagation CTE."""
+    from .operators.dedup import blocked_fuzzy_pairs, duplicate_clusters
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.withColumn(
+        "blk", F.substring_index(F.col("name"), " ", -1)
+    )
+    pairs = blocked_fuzzy_pairs(blocked, "name", "blk", max_dist=3).select(
+        F.col("key_1").alias("src"), F.col("key_2").alias("dst")
+    )
+    return duplicate_clusters(names, "name", pairs, "src", "dst").select(
+        "name", F.col("cluster_rep").alias("entity_rep")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

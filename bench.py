@@ -108,6 +108,8 @@ NEW_R5 = [
     "triangle_count_suppliers",
     "data_quality_audit",
     "bm25_topk_docs",
+    "skyline_pareto_parts",
+    "fuzzy_entity_clusters",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -522,3 +522,33 @@ def test_incremental_agg_maintenance_handles_group_moves(spark):
         .collect()
     }
     assert merged == direct  # a: (1,20); b: (2,51)
+
+
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import skyline_2d
+
+    rows = [
+        (i, (i * 37) % 101, (i * 61) % 53)  # ids with pseudo-random dims
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, c long, s long").repartition(7)
+    got = {r["id"] for r in skyline_2d(df, "c", "s", buckets=8).collect()}
+    want = {
+        i
+        for i, c, s in rows
+        if not any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s))
+            for _, c2, s2 in rows
+        )
+    }
+    assert got == want and got  # non-empty frontier, exact match
+
+
+def test_skyline_2d_keeps_exact_duplicates(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 5), (3, 20, 4)], "id long, c long, s long"
+    )
+    got = {r["id"] for r in skyline_2d(df, "c", "s").collect()}
+    assert got == {1, 2}  # duplicates both kept; (3) dominated

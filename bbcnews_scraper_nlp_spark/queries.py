@@ -5863,6 +5863,85 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_decompose_daily",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
+    "FROM events GROUP BY 1), "
+    "tr AS (SELECT day, v_cents, "
+    "SUM(v_cents) OVER w AS s7, COUNT(*) OVER w AS c7 FROM daily "
+    "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+    "dt AS (SELECT day, v_cents, (s7 * 1000) // 7 AS trend_milli, "
+    "v_cents * 1000 - (s7 * 1000) // 7 AS d, "
+    "(day - DATE '1970-01-01') % 7 AS dow FROM tr WHERE c7 = 7), "
+    "seas AS (SELECT dow, CAST(SUM(d) AS BIGINT) AS sd, COUNT(*) AS cd "
+    "FROM dt GROUP BY dow) "
+    "SELECT day, v_cents, CAST(trend_milli AS BIGINT) AS trend_milli, "
+    "CAST(_div_floor(sd, cd) AS BIGINT) AS seasonal_milli, "
+    "CAST(d - _div_floor(sd, cd) AS BIGINT) AS residual_milli "
+    "FROM dt JOIN seas USING (dow) ORDER BY day".replace(
+        "_div_floor(sd, cd)", "(sd // cd)"
+    ),
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    value series: trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = remainder —
+    all in integer milli-cents (sums exact in any fold order,
+    divisions integral `div`//`//`), so the decomposition is
+    bit-identical cross-engine. Day-of-week via epoch-day mod 7 (both
+    engines' DOW builtins disagree on week start). Scale shape: the
+    raw events collapse to <= #days rows FIRST (one hash agg); every
+    window thereafter runs over the tiny daily series, so the
+    global-order frames are bounded by the calendar, not the data.
+    Edge days without a full 7-day window are excluded
+    (min_periods=7 semantics, same convention as w1_rolling_trend)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("v_cents")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v_cents",
+        F.sum("v_cents").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dt = (
+        tr.filter(F.col("c7") == 7)
+        .select(
+            "day",
+            "v_cents",
+            F.expr("(s7 * 1000) div 7").alias("trend_milli"),
+            (F.col("v_cents") * 1000 - F.expr("(s7 * 1000) div 7")).alias("d"),
+            (
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+            ).alias("dow"),
+        )
+    )
+    seas = dt.groupBy("dow").agg(
+        F.sum("d").alias("sd"), F.count("*").alias("cd")
+    )
+    return (
+        dt.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "v_cents",
+            F.col("trend_milli").cast("long").alias("trend_milli"),
+            F.expr("sd div cd").cast("long").alias("seasonal_milli"),
+            (F.col("d") - F.expr("sd div cd")).cast("long").alias(
+                "residual_milli"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -110,6 +110,7 @@ NEW_R5 = [
     "bm25_topk_docs",
     "skyline_pareto_parts",
     "fuzzy_entity_clusters",
+    "seasonal_decompose_daily",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -5942,6 +5942,71 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ols_trend_per_type",
+    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y "
+    "FROM events GROUP BY 1, 2), "
+    "mn AS (SELECT MIN(day) AS d0 FROM daily), "
+    "pts AS (SELECT event_type, (day - d0) AS x, y FROM daily, mn), "
+    "s AS (SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts GROUP BY event_type) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n_days, "
+    "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
+    "AS BIGINT) AS slope_ppm, "
+    "CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000) "
+    "// (n * (n * sxx - sx * sx)) AS BIGINT) AS intercept_milli "
+    "FROM s WHERE n * sxx - sx * sx <> 0 ORDER BY event_type",
+)
+def ols_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS: per event type, the least-squares
+    linear trend of daily value (cents) against the day index —
+    slope in ppm-cents/day and intercept in milli-cents, both exact
+    integer rationals (numerator·scale div denominator over BIGINT
+    moment sums), so the regression is bit-identical cross-engine
+    with no floating point anywhere. The regression-family primitive
+    the engine otherwise lacks; at 100 TB it is ONE hash aggregation
+    of five moment sums per group (map-side partials) after the
+    daily pre-aggregation — no iteration, no solver. x is normalized
+    to days-since-corpus-start (a 1-row broadcast min) to keep every
+    product within int64. Groups with a degenerate x spread (single
+    day) are excluded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type", F.datediff("day", "d0").cast("long").alias("x"), "y"
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        s.filter(F.expr("n * sxx - sx * sx") != 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            ).alias("slope_ppm"),
+            F.expr(
+                "((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) "
+                "* 1000) div (n * (n * sxx - sx * sx))"
+            ).alias("intercept_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

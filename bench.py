@@ -111,6 +111,7 @@ NEW_R5 = [
     "skyline_pareto_parts",
     "fuzzy_entity_clusters",
     "seasonal_decompose_daily",
+    "ols_trend_per_type",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -6007,6 +6007,76 @@ def ols_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mad_outliers_per_type",
+    "WITH v AS (SELECT event_type, event_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "med AS (SELECT event_type, quantile_cont(cents, 0.5) AS m "
+    "FROM v GROUP BY event_type), "
+    "dev AS (SELECT v.event_type, event_id, cents, "
+    "ABS(cents - m) AS ad FROM v JOIN med USING (event_type)), "
+    "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad "
+    "FROM dev GROUP BY event_type) "
+    "SELECT d.event_type, "
+    "CAST(COUNT(*) FILTER (WHERE ad > 10 * mad) AS BIGINT) AS n_outliers, "
+    "COUNT(*) AS n_events, "
+    "CAST(FLOOR(m) AS BIGINT) AS median_cents, "
+    "CAST(FLOOR(mad) AS BIGINT) AS mad_cents "
+    "FROM dev d JOIN mad USING (event_type) JOIN med USING (event_type) "
+    "GROUP BY d.event_type, m, mad ORDER BY d.event_type",
+)
+def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-group median absolute deviation
+    (MAD) outlier flags — the std-dev-free outlier rule that a
+    heavy-tailed 100 TB metric stream needs (variance is itself
+    corrupted by the outliers it should find). Exact per-group
+    median and MAD via `percentile` (interpolates identically to
+    DuckDB's quantile_cont — same convention as perplexity_buckets'
+    terciles) over integer cents, two grouped aggregates + two
+    broadcast joins back; an event is an outlier when its absolute
+    deviation exceeds 10x the MAD. Output: per-type outlier counts
+    plus the floored median/MAD (explicit FLOOR: DuckDB CAST(double AS BIGINT) rounds while Spark's cast truncates — a .5 interpolated median splits them). At 100 TB swap
+    `percentile` for `approx_percentile` — the plan shape is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("m")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.abs(F.col("cents") - F.col("m")).alias("ad"),
+        "m",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("ad") > 10 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_outliers",
+            "n_events",
+            F.floor(F.col("m")).cast("long").alias("median_cents"),
+            F.floor(F.col("mad")).cast("long").alias("mad_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -112,6 +112,7 @@ NEW_R5 = [
     "fuzzy_entity_clusters",
     "seasonal_decompose_daily",
     "ols_trend_per_type",
+    "mad_outliers_per_type",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -6077,6 +6077,67 @@ def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "concurrent_sessions_sweep",
+    # sweep line over session intervals: +1 at start, -1 at end,
+    # running sum = concurrency. Closed intervals: at equal
+    # timestamps starts order before ends (k = us*2 for starts,
+    # us*2+1 for ends), so a length-0 session still counts as 1 and
+    # an end-meets-start instant counts both.
+    "WITH g AS (SELECT user_id, ts, CASE WHEN "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS is_new "
+    "FROM events), "
+    "s AS (SELECT user_id, ts, SUM(is_new) OVER "
+    "(PARTITION BY user_id ORDER BY ts) AS sid FROM g), "
+    "iv AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS a, "
+    "MAX(epoch_us(ts)) AS b FROM s GROUP BY 1, 2), "
+    "d AS (SELECT a * 2 AS k, 1 AS delta FROM iv "
+    "UNION ALL SELECT b * 2 + 1, -1 FROM iv), "
+    "dk AS (SELECT k, CAST(SUM(delta) AS BIGINT) AS dv FROM d GROUP BY k), "
+    "r AS (SELECT k, SUM(dv) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS conc FROM dk) "
+    "SELECT CAST((k // 2) // 86400000000 AS BIGINT) AS day_idx, "
+    "CAST(MAX(conc) AS BIGINT) AS max_concurrent "
+    "FROM r GROUP BY 1 ORDER BY 1",
+)
+def concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day via a sweep line: sessionize
+    (30-min gap), reduce each session to a [start, end] interval,
+    emit +1/-1 boundary deltas, and take the running sum over the
+    boundary order — the occupancy/gantt analytic (concurrent users,
+    open connections, room occupancy) that interval self-joins get
+    quadratically wrong. The running sum is the third reuse of the
+    two-level prefix scan (prefix_sum_two_level): boundaries are
+    first collapsed per unique instant key (us·2 + start/end bit, so
+    same-instant starts order before ends — closed intervals), so
+    the scan's unique-key determinism contract holds and NO task
+    ever sorts the full boundary stream. Output: (epoch day, max
+    concurrency)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min(R.epoch_us("ts")).alias("a"), F.max(R.epoch_us("ts")).alias("b")
+    )
+    d = iv.select(
+        (F.col("a") * 2).alias("k"), F.lit(1).alias("delta")
+    ).union(
+        iv.select((F.col("b") * 2 + 1).alias("k"), F.lit(-1).alias("delta"))
+    )
+    dk = d.groupBy("k").agg(F.sum("delta").cast("long").alias("dv"))
+    r = R.prefix_sum_two_level(dk, "k", "dv", buckets=256).select(
+        "k", (F.col("prefix") + F.col("dv")).alias("conc")
+    )
+    return (
+        r.groupBy(
+            F.expr("(k div 2) div 86400000000").alias("day_idx")
+        )
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .orderBy("day_idx")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -113,6 +113,7 @@ NEW_R5 = [
     "seasonal_decompose_daily",
     "ols_trend_per_type",
     "mad_outliers_per_type",
+    "concurrent_sessions_sweep",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

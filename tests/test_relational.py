@@ -552,3 +552,33 @@ def test_skyline_2d_keeps_exact_duplicates(spark):
     )
     got = {r["id"] for r in skyline_2d(df, "c", "s").collect()}
     assert got == {1, 2}  # duplicates both kept; (3) dominated
+
+
+def test_ols_trend_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+    import duckdb
+
+    rows = REGISTRY["ols_trend_per_type"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    pts = con.execute(
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y FROM events "
+        "GROUP BY 1, 2), mn AS (SELECT MIN(day) AS d0 FROM daily) "
+        "SELECT event_type, (day - d0) AS x, y FROM daily, mn"
+    ).fetchall()
+    for r in rows:
+        xs = np.array([x for t, x, y in pts if t == r["event_type"]], float)
+        ys = np.array([y for t, x, y in pts if t == r["event_type"]], float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        # integer-rational result truncates toward zero at ppm/milli
+        assert abs(r["slope_ppm"] / 1e6 - slope) < 1e-3, r
+        assert abs(r["intercept_milli"] / 1e3 - intercept) < 1e-2, r

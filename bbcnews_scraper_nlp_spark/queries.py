@@ -5877,11 +5877,9 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seas AS (SELECT dow, CAST(SUM(d) AS BIGINT) AS sd, COUNT(*) AS cd "
     "FROM dt GROUP BY dow) "
     "SELECT day, v_cents, CAST(trend_milli AS BIGINT) AS trend_milli, "
-    "CAST(_div_floor(sd, cd) AS BIGINT) AS seasonal_milli, "
-    "CAST(d - _div_floor(sd, cd) AS BIGINT) AS residual_milli "
-    "FROM dt JOIN seas USING (dow) ORDER BY day".replace(
-        "_div_floor(sd, cd)", "(sd // cd)"
-    ),
+    "CAST((sd // cd) AS BIGINT) AS seasonal_milli, "
+    "CAST(d - (sd // cd) AS BIGINT) AS residual_milli "
+    "FROM dt JOIN seas USING (dow) ORDER BY day",
 )
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily event
@@ -6136,6 +6134,150 @@ def concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("long").alias("max_concurrent"))
         .orderBy("day_idx")
     )
+
+
+# fixed literal weights for the quality classifier (intercept,
+# n_tokens/100, mean_word_len, stopword_ratio·1000 — an engine-owned
+# toy model; a trained one drops in as the same broadcast row)
+_LOGREG_W = ("-1.5", "0.8", "0.3", "0.002")
+
+_LOGREG_SQL = (
+    "WITH f AS (SELECT doc_id, "
+    "len(string_split(text, ' ')) AS n_tok, "
+    "CAST(len(replace(text, ' ', '')) AS DOUBLE) "
+    "/ greatest(len(string_split(text, ' ')), 1) AS mwl, "
+    "CAST(len(list_filter(string_split(text, ' '), "
+    f"w -> list_contains({{stop}}, w))) AS DOUBLE) * 1000 "
+    "/ greatest(len(string_split(text, ' ')), 1) AS swr "
+    "FROM documents), "
+    f"z AS (SELECT doc_id, {_LOGREG_W[0]} + {_LOGREG_W[1]} * (n_tok / 100.0) "
+    f"+ {_LOGREG_W[2]} * mwl + {_LOGREG_W[3]} * swr AS z FROM f) "
+    "SELECT doc_id, "
+    "CAST(ROUND(1000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_milli, "
+    "CAST(1000.0 / (1.0 + exp(-z)) >= 500 AS BOOLEAN) AS keep "
+    "FROM z"
+).format(stop=STOPWORDS_SQL)
+
+
+@register("quality_logreg_score", _LOGREG_SQL)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-serving: logistic-regression quality scoring as ONE
+    codegen projection — broadcast(able) literal weights over
+    engineered features (token count, mean word length, stopword
+    ratio), sigmoid, milli-quantized score + keep flag. The shape
+    every learned quality/fastText-style filter deploys at 100 TB:
+    inference is a map-only stage, no shuffle, no Python; a real
+    trained model replaces the weight literals (or a 1-row broadcast
+    join). exp()'s 1-ulp Java/libm disagreement is absorbed by the
+    milli rounding (perplexity_buckets convention); the keep
+    threshold compares the UNROUNDED score identically on both
+    sides."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    mwl = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    swr = (
+        F.size(
+            F.filter(
+                toks,
+                lambda w: F.array_contains(
+                    F.array(*[F.lit(s) for s in ALL_STOPWORDS]), w
+                ),
+            )
+        ).cast("double")
+        * 1000
+        / F.greatest(n_tok, F.lit(1))
+    )
+    z = (
+        F.expr(_LOGREG_W[0])
+        + F.expr(_LOGREG_W[1]) * (n_tok / F.lit(100.0))
+        + F.expr(_LOGREG_W[2]) * mwl
+        + F.expr(_LOGREG_W[3]) * swr
+    )
+    score = F.lit(1000.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score).cast("long").alias("score_milli"),
+        (score >= 500).alias("keep"),
+    )
+
+
+@register(
+    "pr_curve_quality_filter",
+    # model-eval harness: precision/recall of the n_chars-based
+    # filter against the lang=='en' weak label at 9 thresholds,
+    # all-integer counts and ppm ratios
+    "WITH d AS (SELECT doc_id, n_chars, "
+    "CAST(lang = 'en' AS INT) AS y FROM documents), "
+    "t AS (SELECT unnest(range(1, 10)) * 100 AS thr), "
+    "c AS (SELECT thr, "
+    "SUM(CASE WHEN n_chars >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp, "
+    "SUM(CASE WHEN n_chars >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp, "
+    "SUM(CASE WHEN n_chars < thr AND y = 1 THEN 1 ELSE 0 END) AS fn "
+    "FROM d, t GROUP BY thr) "
+    "SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp, "
+    "CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, "
+    "CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) "
+    "ELSE 0 END AS BIGINT) AS precision_ppm, "
+    "CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) "
+    "ELSE 0 END AS BIGINT) AS recall_ppm "
+    "FROM c ORDER BY thr",
+)
+def pr_curve_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation harness: the precision/recall curve of a
+    candidate filter (n_chars >= threshold) against a weak label
+    (lang == 'en') at 9 thresholds in ONE pass — the
+    threshold-tuning loop every quality/dedup filter runs before a
+    100 TB rollout. The threshold table broadcasts onto the scan
+    (9× row multiplier on a 3-column projection, then map-side
+    combined counts); precision/recall come out as integer ppm —
+    zero floats end to end."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    d = docs.select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    t = spark.range(1, 10).select((F.col("id") * 100).alias("thr"))
+    c = (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("n_chars") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("n_chars") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("n_chars") < F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return c.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 div (tp + fp)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 div (tp + fn)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+    ).orderBy("thr")
 
 
 # --------------------------------------------------------------------

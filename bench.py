@@ -114,6 +114,8 @@ NEW_R5 = [
     "ols_trend_per_type",
     "mad_outliers_per_type",
     "concurrent_sessions_sweep",
+    "quality_logreg_score",
+    "pr_curve_quality_filter",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

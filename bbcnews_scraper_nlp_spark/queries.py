@@ -6280,6 +6280,40 @@ def pr_curve_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+@register(
+    "grouping_sets_day_type",
+    "SELECT CAST(ts AS DATE) AS day, event_type, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
+    "FROM events GROUP BY GROUPING SETS ((CAST(ts AS DATE)), "
+    "(event_type), ()) ORDER BY day NULLS FIRST, event_type NULLS FIRST",
+)
+def grouping_sets_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-day totals, per-type totals, and
+    the grand total from ONE scan (completing the reshape family
+    next to ROLLUP/CUBE/pivot/unpivot). Catalyst compiles the three
+    sets to a single Expand feeding one hash aggregation — a
+    union-of-aggregates formulation would rescan the fact table per
+    set. Integer-cents sums keep the multi-set totals exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupingSets(
+            [["day"], ["event_type"], []], "day", "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("v_cents"))
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

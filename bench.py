@@ -116,6 +116,7 @@ NEW_R5 = [
     "concurrent_sessions_sweep",
     "quality_logreg_score",
     "pr_curve_quality_filter",
+    "grouping_sets_day_type",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -514,6 +514,26 @@ def range_join_binned(
     return out.drop(*drop)
 
 
+def _range_bucket(df: DataFrame, col: str, buckets: int) -> DataFrame:
+    """Contiguous range-bucket an INTEGRAL key into ``buckets``
+    buckets: ``(key - min) div width`` with ``width`` derived from
+    the broadcast (min, max) SPAN. Normalizing by the min matters:
+    bucketing on the raw key with a max-derived width degenerates to
+    ONE bucket whenever the key span is small relative to its
+    magnitude (epoch-microsecond keys: span hours, magnitude 10^15)
+    — which silently rebuilds the single-task scan the two-level
+    pattern exists to avoid. Adds ``__bucket``."""
+    bounds = df.agg(
+        F.min(F.col(col)).alias("__mn"), F.max(F.col(col)).alias("__mx")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__w", F.expr(f"((__mx - __mn) div {buckets}) + 1"))
+        .withColumn("__bucket", F.expr(f"({col} - __mn) div __w"))
+        .drop("__mn", "__mx", "__w")
+    )
+
+
 def prefix_sum_two_level(
     df: DataFrame,
     order_col: str,
@@ -547,13 +567,7 @@ def prefix_sum_two_level(
     order_col itself (equal keys see an arbitrary-but-stable split of
     their groupmates' values; use a unique key for full determinism).
     """
-    mx = df.agg(F.max(F.col(order_col)).alias("__mx"))
-    b = (
-        df.crossJoin(F.broadcast(mx))
-        .withColumn("__w", F.expr(f"(__mx div {buckets}) + 1"))
-        .withColumn("__bucket", F.expr(f"{order_col} div __w"))
-        .drop("__mx", "__w")
-    )
+    b = _range_bucket(df, order_col, buckets)
     totals = b.groupBy("__bucket").agg(F.sum(F.col(val_col)).alias("__t"))
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     base = totals.select(
@@ -662,13 +676,7 @@ def skyline_2d(
     Exact duplicates on both dims are all kept (neither dominates).
     Returns the input rows of the frontier.
     """
-    mx = df.agg(F.max(F.col(min_col)).alias("__mx"))
-    b = (
-        df.crossJoin(F.broadcast(mx))
-        .withColumn("__w", F.expr(f"(__mx div {buckets}) + 1"))
-        .withColumn("__bucket", F.expr(f"{min_col} div __w"))
-        .drop("__mx", "__w")
-    )
+    b = _range_bucket(df, min_col, buckets)
     totals = b.groupBy("__bucket").agg(F.max(F.col(max_col)).alias("__t"))
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     base = totals.select(

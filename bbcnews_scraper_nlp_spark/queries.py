@@ -6091,8 +6091,13 @@ def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(PARTITION BY user_id ORDER BY ts) AS sid FROM g), "
     "iv AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS a, "
     "MAX(epoch_us(ts)) AS b FROM s GROUP BY 1, 2), "
+    "bb AS (SELECT MIN(a // 86400000000) AS mn, "
+    "MAX(b // 86400000000) AS mx FROM iv), "
+    "mids AS (SELECT unnest(range(mn, mx + 1)) * 86400000000 * 2 AS k, "
+    "0 AS delta FROM bb), "
     "d AS (SELECT a * 2 AS k, 1 AS delta FROM iv "
-    "UNION ALL SELECT b * 2 + 1, -1 FROM iv), "
+    "UNION ALL SELECT b * 2 + 1, -1 FROM iv "
+    "UNION ALL SELECT k, delta FROM mids), "
     "dk AS (SELECT k, CAST(SUM(delta) AS BIGINT) AS dv FROM d GROUP BY k), "
     "r AS (SELECT k, SUM(dv) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
     "PRECEDING AND CURRENT ROW) AS conc FROM dk) "
@@ -6111,17 +6116,35 @@ def concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     first collapsed per unique instant key (us·2 + start/end bit, so
     same-instant starts order before ends — closed intervals), so
     the scan's unique-key determinism contract holds and NO task
-    ever sorts the full boundary stream. Output: (epoch day, max
-    concurrency)."""
+    ever sorts the full boundary stream. Zero-delta sample keys at
+    every midnight of the observed span capture concurrency carried
+    ACROSS days (a day living entirely inside one long session still
+    reports it), so every day in [first start, last end] gets a row.
+    Output: (epoch day, max concurrency)."""
     ev = load_table(spark, sf_dir, "events")
     s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
     iv = s.groupBy("user_id", "session_id").agg(
         F.min(R.epoch_us("ts")).alias("a"), F.max(R.epoch_us("ts")).alias("b")
     )
-    d = iv.select(
-        (F.col("a") * 2).alias("k"), F.lit(1).alias("delta")
-    ).union(
-        iv.select((F.col("b") * 2 + 1).alias("k"), F.lit(-1).alias("delta"))
+    # zero-delta sample keys at every midnight in the observed span:
+    # without them a day whose only activity is carried IN from
+    # earlier days (long sessions crossing midnight) would have no
+    # boundary row and its peak would be missed entirely
+    bounds = iv.agg(
+        F.expr("min(a div 86400000000)").alias("mn"),
+        F.expr("max(b div 86400000000)").alias("mx"),
+    )
+    mids = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("di")
+    ).select(
+        (F.col("di") * 86400000000 * 2).alias("k"), F.lit(0).alias("delta")
+    )
+    d = (
+        iv.select((F.col("a") * 2).alias("k"), F.lit(1).alias("delta"))
+        .union(
+            iv.select((F.col("b") * 2 + 1).alias("k"), F.lit(-1).alias("delta"))
+        )
+        .union(mids)
     )
     dk = d.groupBy("k").agg(F.sum("delta").cast("long").alias("dv"))
     r = R.prefix_sum_two_level(dk, "k", "dv", buckets=256).select(

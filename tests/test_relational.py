@@ -582,3 +582,59 @@ def test_ols_trend_matches_numpy_lstsq(spark):
         # integer-rational result truncates toward zero at ppm/milli
         assert abs(r["slope_ppm"] / 1e6 - slope) < 1e-3, r
         assert abs(r["intercept_milli"] / 1e3 - intercept) < 1e-2, r
+
+
+def test_range_bucket_spreads_high_magnitude_keys(spark):
+    # epoch-microsecond-scale keys with a small span must still
+    # spread across buckets (raw-key bucketing degenerates to ONE)
+    from bbcnews_scraper_nlp_spark.operators.relational import _range_bucket
+
+    base = 3_408_134_422_344_850
+    df = spark.createDataFrame(
+        [(base + i * 1_000_000,) for i in range(1000)], "k long"
+    )
+    n = _range_bucket(df, "k", 256).select("__bucket").distinct().count()
+    assert n > 200, f"only {n} buckets used"
+
+
+def test_concurrency_sweep_counts_midnight_carry_in(spark):
+    """A day living entirely inside long sessions must report the
+    carried-in concurrency, not miss it (no boundary falls inside)."""
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day_idx"]: r["max_concurrent"]
+        for r in REGISTRY["concurrent_sessions_sweep"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    ivs = con.execute(
+        f"WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM "
+        f"'{sf}/events.parquet'), "
+        "g AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) IS NULL OR us - lag(us) "
+        "OVER (PARTITION BY user_id ORDER BY us) > 1800000000 "
+        "THEN 1 ELSE 0 END AS is_new FROM e), "
+        "s AS (SELECT user_id, us, SUM(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY us) AS sid FROM g) "
+        "SELECT MIN(us), MAX(us) FROM s GROUP BY user_id, sid"
+    ).fetchall()
+    DAY = 86_400_000_000
+    events = sorted(
+        [(a, 1) for a, _ in ivs] + [(b + 1, -1) for _, b in ivs]
+    )  # end offset +1us emulates the end-after-start tie rule closely
+    # literal sweep: walk boundaries, track per-day peak incl. carry-in
+    want: dict[int, int] = {}
+    conc = 0
+    prev_us = None
+    for us, delta in events:
+        if prev_us is not None:
+            d0, d1 = prev_us // DAY, us // DAY
+            for d in range(d0 + 1, d1 + 1):  # midnights crossed at conc
+                want[d] = max(want.get(d, 0), conc)
+        conc += delta
+        want[us // DAY] = max(want.get(us // DAY, 0), conc)
+        prev_us = us
+    assert got == want

@@ -6337,6 +6337,48 @@ def grouping_sets_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_normalize_scores",
+    "WITH r AS (SELECT doc_id, source, n_chars, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY n_chars, doc_id) AS rk, "
+    "COUNT(*) OVER (PARTITION BY source) AS cnt FROM documents) "
+    "SELECT doc_id, source, "
+    "CAST(CASE WHEN cnt > 1 THEN (rk - 1) * 1000000 // (cnt - 1) "
+    "ELSE 0 END AS BIGINT) AS pct_ppm FROM r",
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: replace each document's raw
+    quality signal (n_chars here) with its within-source percentile
+    rank in exact integer ppm — the standard fix when sources score
+    on incomparable scales and a global threshold would over-prune
+    one source (quantile normalization / rank transform). Ties break
+    deterministically on doc_id; a single-doc source maps to 0. One
+    source-keyed window shuffle; a pathologically hot source
+    range-partitions within the key at 100 TB (same playbook as
+    pack_sequences' shards)."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("cnt") > 1,
+            F.expr("(rk - 1) * 1000000 div (cnt - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_ppm"),
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

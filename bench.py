@@ -117,6 +117,7 @@ NEW_R5 = [
     "quality_logreg_score",
     "pr_curve_quality_filter",
     "grouping_sets_day_type",
+    "quantile_normalize_scores",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -5067,6 +5067,25 @@ def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_hot_keys(df: DataFrame, key_col: str, max_df: int) -> DataFrame:
+    """Drop ALL rows of keys whose group exceeds ``max_df`` rows —
+    the ngram_jaccard max_df playbook for self-join pair generation:
+    a key with f rows fans out f² pairs, so ONE hot hub (a customer
+    touching 10⁶ suppliers at 100 TB) dominates the stage. The prune
+    is a cheap (key, count) aggregation + co-partitioned left-semi
+    join; no reducer ever materializes a hot key's row list. With
+    ``max_df`` above every observed group size (the test-scale case)
+    the output is row-identical to the input — pinned by an
+    adversarial pytest either way."""
+    keep = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select(key_col)
+    )
+    return df.join(keep, key_col, "left_semi")
+
+
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     """Unrolled integer-PageRank twin of operators.graph.pagerank:
     same teleport/damping integral arithmetic with DuckDB's `//`."""
@@ -5470,10 +5489,13 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ONE exchange, reused for both sides; whole-stage codegen — the
     group-explode alternative pays interpreted HOF lambdas, measured
     2.2× slower, and a hot customer's collect_list can OOM a task
-    where the join is AQE-skew-splittable; extreme hubs take an
-    ngram_jaccard-style df cap) → pair-count agg → two degree joins
+    where the join is AQE-skew-splittable; extreme hubs ARE df-capped
+    via cap_hot_keys before pair generation) → pair-count agg → two degree joins
     → TakeOrderedAndProject top-20."""
-    e = _supplier_projection(spark, sf_dir)
+    # hot-basket cap (never binds at test scale — adversarial pytest
+    # pins both the bound and the no-op case); degrees computed on
+    # the same capped universe so Jaccard stays exact over it
+    e = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e.groupBy("s").agg(F.count("*").alias("d"))
     a = e.select("c", F.col("s").alias("s1"))
     b = e.select("c", F.col("s").alias("s2"))
@@ -5565,7 +5587,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids so every shuffle is uniform; at 100 TB the standard
     refinement is degree-ordered orientation, which this ordering
     already approximates). Top-20 by count."""
-    e0 = _supplier_projection(spark, sf_dir)
+    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
     cn = (
         e0.select("c", F.col("s").alias("s1"))

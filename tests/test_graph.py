@@ -93,3 +93,27 @@ def test_data_quality_audit_clean_on_testdata(spark, sf_dir):
     }
     assert len(got) == 6
     assert all(v == 0 for v in got.values()), got  # testdata is clean
+
+
+def test_cap_hot_keys_bounds_fanout_and_noop_below_cap(spark):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.queries import cap_hot_keys
+
+    rows = [("hot", i) for i in range(500)] + [
+        (f"k{i}", j) for i in range(20) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "c string, s long")
+    capped = cap_hot_keys(df, "c", 100)
+    # the hot key vanishes entirely; normal keys untouched
+    assert capped.filter(F.col("c") == "hot").count() == 0
+    assert capped.count() == 60
+    # pair fanout after the cap is bounded by 20 * C(3,2) = 60
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "c")
+        .filter(F.col("a.s") < F.col("b.s"))
+    )
+    assert pairs.count() == 60
+    # cap above every group size -> row-identical passthrough
+    assert cap_hot_keys(df, "c", 10_000).count() == df.count()

@@ -6401,6 +6401,56 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_report_by_source",
+    "WITH h AS (SELECT doc_id, source, "
+    "len(string_split(text, ' ')) AS n_tok, md5(text) AS hh "
+    "FROM documents), "
+    "dups AS (SELECT hh, COUNT(*) AS cnt FROM h GROUP BY hh) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_exact_dup, "
+    "CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000 "
+    "// COUNT(*) AS BIGINT) AS dup_ppm "
+    "FROM h JOIN dups USING (hh) GROUP BY source ORDER BY source",
+)
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per source, document and token
+    counts plus the exact-duplicate rate (docs whose content hash
+    collides with ANY other doc, corpus-wide) in integer ppm — the
+    per-ingest health dashboard a curation pipeline publishes next
+    to the data-quality audit. Two hash aggregations (md5 count +
+    per-source rollup) and one hash-keyed join; the md5 key is
+    uniform so neither shuffle can skew."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    h = docs.select(
+        "source",
+        word_count(F.col("text")).cast("long").alias("n_tok"),
+        F.md5("text").alias("hh"),
+    )
+    dups = h.groupBy("hh").agg(F.count("*").alias("cnt"))
+    return (
+        h.join(dups, "hh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_exact_dup",
+            F.expr("n_exact_dup * 1000000 div n_docs").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -118,6 +118,7 @@ NEW_R5 = [
     "pr_curve_quality_filter",
     "grouping_sets_day_type",
     "quantile_normalize_scores",
+    "corpus_report_by_source",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -364,3 +364,26 @@ def read_stage_evolving(
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(root, name))
     )
+
+
+def export_jsonl_sharded(
+    df: DataFrame, path: str, rows_per_shard: int = 100_000
+) -> int:
+    """Training-data handoff sink: newline-delimited JSON in evenly
+    sized shards — the format LLM data loaders consume (one shard
+    per worker, resumable by file). Shard count is derived from ONE
+    count action (ceil(n / rows_per_shard)), then a round-robin
+    repartition spreads rows evenly; compression and row format ride
+    Spark's native JSON writer (whole-stage codegen serialization,
+    no Python). Returns the shard count. At 100 TB prefer
+    rows_per_shard sized so a shard ~ a few hundred MB compressed —
+    small enough to retry, big enough to amortize open/close."""
+    n = df.count()
+    shards = max(1, -(-n // rows_per_shard))
+    (
+        df.repartition(shards)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    return shards

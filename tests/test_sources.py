@@ -304,3 +304,23 @@ def test_read_stage_evolving_merges_drifted_schema(spark, tmp_path):
     got = {r["k"]: r for r in read_stage_evolving(spark, root, "t").collect()}
     assert set(got[1].asDict()) == {"k", "v", "score"}
     assert got[1]["score"] is None and got[2]["score"] == 9.5
+
+
+def test_export_jsonl_sharded_round_trip(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.stage_io import (
+        export_jsonl_sharded,
+    )
+
+    df = spark.range(250).selectExpr("id", "concat('doc-', id) AS text")
+    out = str(tmp_path / "jsonl")
+    shards = export_jsonl_sharded(df, out, rows_per_shard=100)
+    assert shards == 3
+    import glob
+
+    files = glob.glob(f"{out}/part-*.json.gz")
+    assert len(files) == 3
+    back = spark.read.json(out)
+    assert back.count() == 250
+    assert {r["text"] for r in back.collect()} == {
+        f"doc-{i}" for i in range(250)
+    }

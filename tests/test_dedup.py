@@ -287,3 +287,50 @@ def test_blocked_fuzzy_pairs_within_block_only(spark):
     assert got == want
     assert ("red gadget", "red widget") not in got  # cross-block never compared
     assert all(d <= 3 for d in got.values())
+
+
+def test_lsh_index_save_query_append_lifecycle(spark, tmp_path):
+    import random
+
+    from bbcnews_scraper_nlp_spark.operators.dedup import (
+        append_lsh_index,
+        query_lsh_index,
+        save_lsh_index,
+    )
+
+    rng = random.Random(11)
+
+    def fresh_doc():
+        return " ".join(rng.choice(VOCAB) for _ in range(60))
+
+    def mutate(text, k=2):
+        words = text.split()
+        for j in range(k):
+            words[7 * j + 3] = "changed%d" % j
+        return " ".join(words)
+
+    path = str(tmp_path / "lshidx")
+    b1_rows = [(i, fresh_doc()) for i in range(30)]
+    batch1 = spark.createDataFrame(b1_rows, "doc_id long, text string")
+    save_lsh_index(batch1, "doc_id", "text", path, bands=16)
+
+    # batch2: doc 100 mutates batch1's doc 3 -> cross-batch near-dup
+    d101 = fresh_doc()
+    batch2 = spark.createDataFrame(
+        [(100, mutate(b1_rows[3][1])), (101, d101)], "doc_id long, text string"
+    )
+    hits = query_lsh_index(batch2, "doc_id", "text", path, 0.5).collect()
+    assert {(r["new_id"], r["index_id"]) for r in hits} == {(100, 3)}
+    assert all(r["jaccard"] >= 0.5 for r in hits)
+
+    # append batch2; a batch3 mutation of doc 101 must hit the index
+    # WITHOUT any recompute of batch1/batch2 signatures
+    append_lsh_index(batch2, "doc_id", "text", path)
+    batch3 = spark.createDataFrame(
+        [(200, mutate(d101, k=1))], "doc_id long, text string"
+    )
+    hits3 = {
+        (r["new_id"], r["index_id"])
+        for r in query_lsh_index(batch3, "doc_id", "text", path, 0.5).collect()
+    }
+    assert (200, 101) in hits3

@@ -520,3 +520,71 @@ def interval_join_left_outer_batch(
     return spark.table(name).select(
         "click_id", "c_user_id", "click_ts", "view_ts", "view_value"
     )
+
+
+def near_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming NEAR-dedup with persistent LSH state: each
+    micro-batch (a) probes the on-disk MinHash-LSH index for
+    near-duplicates of anything already accepted, (b) drops intra-
+    batch near-dups (min-id canonical via the one-shot pair finder),
+    (c) appends the survivors' signatures to the index and their
+    rows to the accepted sink. The approximate twin of the exact
+    cross-run Bloom dedup (relational.filter_unseen): state lives in
+    parquet — restart-safe, shared across pipelines, never
+    recomputed. foreachBatch is idempotent per epoch only if the
+    sink dir is partitioned by batch; for exactly-once pair it with
+    upsert_foreach_batch's key-dedup sink. Returns the started query
+    (AvailableNow: drains what exists, then stops)."""
+    import os
+
+    from ..operators.dedup import (
+        append_lsh_index,
+        minhash_lsh_pairs,
+        query_lsh_index,
+        save_lsh_index,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        have_index = os.path.exists(f"{index_path}/meta")
+        kept = batch
+        # (b) intra-batch near-dedup: keep min-id per duplicate pair
+        pairs = minhash_lsh_pairs(
+            kept, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+        losers = pairs.select(F.col("id_2").alias(id_col)).distinct()
+        kept = kept.join(losers, id_col, "left_anti")
+        if have_index:
+            # (a) cross-run near-dedup against everything accepted
+            hits = query_lsh_index(
+                kept, id_col, text_col, index_path, jaccard_threshold
+            )
+            dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+            kept = kept.join(dup_ids, id_col, "left_anti")
+            kept.persist()
+            append_lsh_index(kept, id_col, text_col, index_path)
+        else:
+            kept.persist()
+            save_lsh_index(kept, id_col, text_col, index_path)
+        kept.write.mode("append").parquet(out_path)
+        kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -318,3 +318,50 @@ def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
     for u, (n, t) in legacy.items():
         assert tws[u][0] == n
         assert abs(tws[u][1] - t) < 1e-6
+
+
+def test_near_dedup_stream_cross_run_lsh_state(spark, tmp_path):
+    """Two streaming runs over a growing docs dir: run 2 must drop a
+    near-duplicate of a doc ACCEPTED IN RUN 1 purely via the on-disk
+    LSH index (no recompute of run-1 text)."""
+    import random
+
+    from bbcnews_scraper_nlp_spark.streaming.ingest import near_dedup_stream
+
+    vocab = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+    )
+    rng = random.Random(5)
+
+    def fresh():
+        return " ".join(rng.choice(vocab) for _ in range(60))
+
+    def mutate(t):
+        w = t.split()
+        w[4], w[19] = "changed", "altered"
+        return " ".join(w)
+
+    docs_dir = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [(i, fresh()) for i in range(8)]
+    # batch file 1: 8 fresh docs + one intra-batch near-dup of doc 2
+    spark.createDataFrame(
+        base + [(50, mutate(base[2][1]))], "doc_id long, text string"
+    ).write.mode("append").parquet(docs_dir)
+    q = near_dedup_stream(spark, docs_dir, idx, out, ckpt, 0.5)
+    q.awaitTermination()
+    accepted1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert accepted1 == set(range(8))  # 50 dropped intra-batch
+
+    # batch file 2: near-dup of run-1 doc 5 + one genuinely new doc
+    spark.createDataFrame(
+        [(60, mutate(base[5][1])), (61, fresh())], "doc_id long, text string"
+    ).write.mode("append").parquet(docs_dir)
+    q2 = near_dedup_stream(spark, docs_dir, idx, out, ckpt, 0.5)
+    q2.awaitTermination()
+    accepted2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert accepted2 == set(range(8)) | {61}  # 60 dropped via the index

@@ -292,3 +292,32 @@ def build_inverted_index(
     return blocked.join(stats, "term").select(
         "term", "block", "df", "tf", "postings"
     )
+
+
+# engine-owned toy logreg weights (intercept, n_tokens/100,
+# mean_word_len, stopword_ratio*1000) — a trained model drops in as
+# the same four numbers (or a broadcast 1-row table)
+LOGREG_WEIGHTS = (-1.5, 0.8, 0.3, 0.002)
+
+
+def logreg_quality_score(
+    col: Column, stopwords: list[str], weights: tuple = LOGREG_WEIGHTS
+) -> Column:
+    """Logistic-regression quality score in [0, 1000] milli-units:
+    sigmoid over engineered features as ONE codegen projection (the
+    map-only model-serving shape — no shuffle, no Python). Same
+    kernel as the oracled ``quality_logreg_score`` query."""
+    toks = F.split(col, " ")
+    n_tok = F.size(toks)
+    mwl = F.length(F.regexp_replace(col, " ", "")).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    swr = (
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double")
+        * 1000
+        / F.greatest(n_tok, F.lit(1))
+    )
+    w0, w1, w2, w3 = weights
+    z = F.lit(w0) + F.lit(w1) * (n_tok / F.lit(100.0)) + F.lit(w2) * mwl + F.lit(w3) * swr
+    return F.lit(1000.0) / (F.lit(1.0) + F.exp(-z))

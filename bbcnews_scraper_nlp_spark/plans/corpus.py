@@ -56,6 +56,8 @@ def prepare_training_corpus(
     max_top_word_share: float = 0.5,
     max_dup_bigram_frac: float = 0.5,
     near_dup: bool = False,
+    classifier_keep: bool = False,
+    min_score_milli: float = 500.0,
     contamination_n: int = 5,
     max_contamination: float = 0.2,
     split_weights: dict[str, float] | None = None,
@@ -65,7 +67,8 @@ def prepare_training_corpus(
     Returns the kept documents with ``lang_detected``, ``quality``
     (post-scrub), ``n_tokens`` and ``split`` columns, ``text_col``
     scrubbed in place. Lazy end to end unless ``near_dup=True``
-    (connected components checkpoints).
+    (connected components checkpoints). ``classifier_keep=True`` adds
+    the learned logreg quality gate after the heuristic filters.
     """
     tokens = F.split(F.col(text_col), " ")
 
@@ -82,6 +85,13 @@ def prepare_training_corpus(
     out = out.filter(
         (top_share <= max_top_word_share) & (dup_frac <= max_dup_bigram_frac)
     )
+    # 1.5 optional learned-filter gate (map-only codegen inference;
+    # default-off so the certified default plan is unchanged)
+    if classifier_keep:
+        out = out.filter(
+            TS.logreg_quality_score(F.col(text_col), list(ALL_STOPWORDS))
+            >= min_score_milli
+        )
 
     # 2. exact dedup (content-hash shuffle, min-id keeps determinism)
     out = exact_dedup(out, text_col, id_col)

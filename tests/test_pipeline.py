@@ -117,3 +117,28 @@ def test_sentiments_and_trend(stages):
             assert r["rolling_polarity"] is None
         else:
             assert r["rolling_polarity"] is not None
+
+
+def test_corpus_classifier_gate_subsets_default(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.plans.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    default = {
+        r["doc_id"] for r in prepare_training_corpus(docs).select("doc_id").collect()
+    }
+    gated = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs, classifier_keep=True)
+        .select("doc_id")
+        .collect()
+    }
+    assert gated <= default  # the gate only removes
+    strict = {
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            docs, classifier_keep=True, min_score_milli=990.0
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert strict <= gated

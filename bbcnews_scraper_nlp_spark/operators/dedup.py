@@ -104,7 +104,7 @@ def minhash_signature(hashed: Column, num_hashes: int = 64) -> Column:
     return F.array(*parts)
 
 
-def _lsh_base(
+def lsh_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -137,7 +137,7 @@ def _lsh_base(
     )
 
 
-def _lsh_banded(
+def lsh_banded(
     base: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, bhash) rows from a _lsh_base frame: band key =
@@ -195,7 +195,7 @@ def minhash_lsh_pairs(
     # probed three times (band explode + two candidate set fetches);
     # without it each probe re-runs tokenize+shingle+hash end to end.
     # MEMORY_AND_DISK so a 10^9-doc index degrades to spill, not OOM.
-    base = _lsh_base(
+    base = lsh_signatures(
         df, id_col, text_col, num_hashes, shingle_mode, shingle_n, shingle_hash
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -205,7 +205,7 @@ def minhash_lsh_pairs(
     # doc's full shingle array. Candidates are rare by construction,
     # so fetching sh_1/sh_2 afterwards touches base twice with a
     # key-only semi-join-sized probe instead.
-    banded = _lsh_banded(base, id_col, num_hashes, bands)
+    banded = lsh_banded(base, id_col, num_hashes, bands)
 
     left = banded.select("band", "bhash", F.col(id_col).alias("id_1"))
     right = banded.select("band", "bhash", F.col(id_col).alias("id_2"))
@@ -799,6 +799,7 @@ def save_lsh_index(
     shingle_mode: str = "word",
     shingle_n: int = 3,
     shingle_hash: str = "xxhash64",
+    base: DataFrame | None = None,
 ) -> None:
     """Persist a MinHash-LSH near-dup index to parquet: ``bands/``
     (id, band, bhash — the probe table) and ``sets/`` (id, hashed
@@ -810,10 +811,13 @@ def save_lsh_index(
     near-dup twin of the exact-dedup Bloom store
     (save_bloom/filter_unseen)."""
     spark = df.sparkSession
-    base = _lsh_base(
-        df, id_col, text_col, num_hashes, shingle_mode, shingle_n, shingle_hash
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _lsh_banded(base, id_col, num_hashes, bands).withColumnRenamed(
+    own = base is None
+    if own:
+        base = lsh_signatures(
+            df, id_col, text_col, num_hashes, shingle_mode, shingle_n,
+            shingle_hash,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    lsh_banded(base, id_col, num_hashes, bands).withColumnRenamed(
         id_col, "id"
     ).write.mode("overwrite").parquet(f"{path}/bands")
     base.select(F.col(id_col).alias("id"), "__sh").write.mode(
@@ -823,34 +827,42 @@ def save_lsh_index(
         [(num_hashes, bands, shingle_mode, shingle_n, shingle_hash)],
         _LSH_META_COLS,
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    base.unpersist()
+    if own:
+        base.unpersist()
 
 
-def _lsh_meta(spark, path: str) -> dict:
+def lsh_index_meta(spark, path: str) -> dict:
     r = spark.read.parquet(f"{path}/meta").first()
     return {k: r[k] for k in r.asDict()}
 
 
 def append_lsh_index(
-    df: DataFrame, id_col: str, text_col: str, path: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    base: DataFrame | None = None,
 ) -> None:
     """Add a batch to a saved LSH index (signatures computed for the
     NEW rows only; history is never re-read or re-hashed). Caller
     guarantees id uniqueness across batches (the ingest pipeline's
     existing url/doc-id contract)."""
     spark = df.sparkSession
-    m = _lsh_meta(spark, path)
-    base = _lsh_base(
-        df, id_col, text_col, m["num_hashes"], m["shingle_mode"],
-        m["shingle_n"], m["shingle_hash"],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _lsh_banded(base, id_col, m["num_hashes"], m["bands"]).withColumnRenamed(
+    m = lsh_index_meta(spark, path)
+    own = base is None
+    if own:
+        base = lsh_signatures(
+            df, id_col, text_col, m["num_hashes"], m["shingle_mode"],
+            m["shingle_n"], m["shingle_hash"],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    lsh_banded(base, id_col, m["num_hashes"], m["bands"]).withColumnRenamed(
         id_col, "id"
     ).write.mode("append").parquet(f"{path}/bands")
     base.select(F.col(id_col).alias("id"), "__sh").write.mode(
         "append"
     ).parquet(f"{path}/sets")
-    base.unpersist()
+    if own:
+        base.unpersist()
 
 
 def query_lsh_index(
@@ -859,6 +871,7 @@ def query_lsh_index(
     text_col: str,
     path: str,
     jaccard_threshold: float = 0.7,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a saved LSH index with a NEW batch: band-join the
     batch's signatures against the stored probe table, then verify
@@ -868,12 +881,17 @@ def query_lsh_index(
     At 100 TB write ``bands/`` partitioned by ``band`` so the probe
     prunes at the directory level."""
     spark = df.sparkSession
-    m = _lsh_meta(spark, path)
-    base = _lsh_base(
-        df, id_col, text_col, m["num_hashes"], m["shingle_mode"],
-        m["shingle_n"], m["shingle_hash"],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    new_banded = _lsh_banded(base, id_col, m["num_hashes"], m["bands"]).select(
+    m = lsh_index_meta(spark, path)
+    if base is None:
+        # no persist here: the result is lazy and this function has
+        # no release path — a persist would leak one cached RDD per
+        # call (pass a caller-persisted ``base`` to amortize instead;
+        # the cost of not persisting is one extra signature pass)
+        base = lsh_signatures(
+            df, id_col, text_col, m["num_hashes"], m["shingle_mode"],
+            m["shingle_n"], m["shingle_hash"],
+        )
+    new_banded = lsh_banded(base, id_col, m["num_hashes"], m["bands"]).select(
         "band", "bhash", F.col(id_col).alias("new_id")
     )
     idx_banded = spark.read.parquet(f"{path}/bands").select(

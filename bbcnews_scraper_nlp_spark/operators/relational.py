@@ -705,3 +705,22 @@ def skyline_2d(
         )
         .drop("__bucket", "__base", "__mxc", "__mxs")
     )
+
+
+def cap_hot_keys(df: DataFrame, key_col: str, max_df: int) -> DataFrame:
+    """Drop ALL rows of keys whose group exceeds ``max_df`` rows —
+    the ngram_jaccard max_df playbook for self-join pair generation:
+    a key with f rows fans out f² pairs, so ONE hot hub (a customer
+    touching 10⁶ suppliers at 100 TB) dominates the stage. The prune
+    is a cheap (key, count) aggregation + co-partitioned left-semi
+    join; no reducer ever materializes a hot key's row list. With
+    ``max_df`` above every observed group size (the test-scale case)
+    the output is row-identical to the input — pinned by an
+    adversarial pytest either way."""
+    keep = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select(key_col)
+    )
+    return df.join(keep, key_col, "left_semi")

@@ -35,6 +35,7 @@ from .functions.text_clean import ALL_STOPWORDS, clean_text, word_count
 from .functions.tokenize import BPE_ISH_PATTERN, bpe_ish_tokens
 from .operators import relational as R
 from .operators import similarity as S
+from .operators.relational import cap_hot_keys  # noqa: F401  (re-export)
 from .operators import textstats as TS
 from .operators.dedup import MERSENNE31, content_hash, ngram_jaccard_pairs
 
@@ -5067,25 +5068,6 @@ def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cap_hot_keys(df: DataFrame, key_col: str, max_df: int) -> DataFrame:
-    """Drop ALL rows of keys whose group exceeds ``max_df`` rows —
-    the ngram_jaccard max_df playbook for self-join pair generation:
-    a key with f rows fans out f² pairs, so ONE hot hub (a customer
-    touching 10⁶ suppliers at 100 TB) dominates the stage. The prune
-    is a cheap (key, count) aggregation + co-partitioned left-semi
-    join; no reducer ever materializes a hot key's row list. With
-    ``max_df`` above every observed group size (the test-scale case)
-    the output is row-identical to the input — pinned by an
-    adversarial pytest either way."""
-    keep = (
-        df.groupBy(key_col)
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select(key_col)
-    )
-    return df.join(keep, key_col, "left_semi")
-
-
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     """Unrolled integer-PageRank twin of operators.graph.pagerank:
     same teleport/damping integral arithmetic with DuckDB's `//`."""
@@ -6218,31 +6200,9 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compares the UNROUNDED score identically on both
     sides."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-    mwl = (
-        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
-        / F.greatest(n_tok, F.lit(1))
-    )
-    swr = (
-        F.size(
-            F.filter(
-                toks,
-                lambda w: F.array_contains(
-                    F.array(*[F.lit(s) for s in ALL_STOPWORDS]), w
-                ),
-            )
-        ).cast("double")
-        * 1000
-        / F.greatest(n_tok, F.lit(1))
-    )
-    z = (
-        F.expr(_LOGREG_W[0])
-        + F.expr(_LOGREG_W[1]) * (n_tok / F.lit(100.0))
-        + F.expr(_LOGREG_W[2]) * mwl
-        + F.expr(_LOGREG_W[3]) * swr
-    )
-    score = F.lit(1000.0) / (F.lit(1.0) + F.exp(-z))
+    # ONE kernel shared with the corpus pipeline's classifier gate —
+    # weights/features can never desynchronize from the oracle
+    score = TS.logreg_quality_score(F.col("text"), list(ALL_STOPWORDS))
     return docs.select(
         "doc_id",
         F.round(score).cast("long").alias("score_milli"),
@@ -6366,7 +6326,8 @@ def grouping_sets_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY n_chars, doc_id) AS rk, "
     "COUNT(*) OVER (PARTITION BY source) AS cnt FROM documents) "
     "SELECT doc_id, source, "
-    "CAST(CASE WHEN cnt > 1 THEN (rk - 1) * 1000000 // (cnt - 1) "
+    "CAST(CASE WHEN cnt > 1 THEN (CAST(rk AS BIGINT) - 1) * 1000000 "
+    "// (cnt - 1) "
     "ELSE 0 END AS BIGINT) AS pct_ppm FROM r",
 )
 def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6393,7 +6354,9 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(
             F.col("cnt") > 1,
-            F.expr("(rk - 1) * 1000000 div (cnt - 1)"),
+            # row_number() is 32-bit: widen BEFORE the multiply or
+            # sources beyond ~2148 docs wrap silently (non-ANSI)
+            F.expr("(cast(rk as bigint) - 1) * 1000000 div (cnt - 1)"),
         )
         .otherwise(F.lit(0))
         .cast("long")

@@ -544,11 +544,13 @@ def near_dedup_stream(
     sink dir is partitioned by batch; for exactly-once pair it with
     upsert_foreach_batch's key-dedup sink. Returns the started query
     (AvailableNow: drains what exists, then stops)."""
-    import os
+    from pyspark import StorageLevel
 
     from ..operators.dedup import (
         append_lsh_index,
-        minhash_lsh_pairs,
+        lsh_banded,
+        lsh_index_meta,
+        lsh_signatures,
         query_lsh_index,
         save_lsh_index,
     )
@@ -556,31 +558,87 @@ def near_dedup_stream(
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
 
+    def _index_exists() -> bool:
+        # Hadoop FS probe, not os.path: index_path may be s3a://hdfs://
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        have_index = os.path.exists(f"{index_path}/meta")
-        kept = batch
-        # (b) intra-batch near-dedup: keep min-id per duplicate pair
-        pairs = minhash_lsh_pairs(
-            kept, id_col, text_col, jaccard_threshold=jaccard_threshold
+        have_index = _index_exists()
+        params = (
+            lsh_index_meta(spark, index_path)
+            if have_index
+            else {
+                "num_hashes": 64, "bands": 16, "shingle_mode": "word",
+                "shingle_n": 3, "shingle_hash": "xxhash64",
+            }
         )
-        losers = pairs.select(F.col("id_2").alias(id_col)).distinct()
-        kept = kept.join(losers, id_col, "left_anti")
-        if have_index:
-            # (a) cross-run near-dedup against everything accepted
-            hits = query_lsh_index(
-                kept, id_col, text_col, index_path, jaccard_threshold
+        # ONE signature pass per batch, threaded through intra-batch
+        # dedup, the index probe, and the index append (each would
+        # otherwise re-tokenize/shingle/hash the same text); params
+        # come from the index meta so intra-batch and cross-run pairs
+        # are judged in the SAME signature space.
+        base = lsh_signatures(
+            batch, id_col, text_col, params["num_hashes"],
+            params["shingle_mode"], params["shingle_n"],
+            params["shingle_hash"],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # (b) intra-batch near-dedup: min-id survives each pair
+            banded = lsh_banded(
+                base, id_col, params["num_hashes"], params["bands"]
             )
-            dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
-            kept = kept.join(dup_ids, id_col, "left_anti")
-            kept.persist()
-            append_lsh_index(kept, id_col, text_col, index_path)
-        else:
-            kept.persist()
-            save_lsh_index(kept, id_col, text_col, index_path)
-        kept.write.mode("append").parquet(out_path)
-        kept.unpersist()
+            l = banded.select("band", "bhash", F.col(id_col).alias("id_1"))
+            r = banded.select("band", "bhash", F.col(id_col).alias("id_2"))
+            cand = (
+                l.join(r, ["band", "bhash"])
+                .filter(F.col("id_1") < F.col("id_2"))
+                .select("id_1", "id_2")
+                .dropDuplicates(["id_1", "id_2"])
+            )
+            sets = base.select(F.col(id_col), F.col("__sh"))
+            pairs = cand.join(
+                sets.select(F.col(id_col).alias("id_1"), F.col("__sh").alias("sh_1")),
+                "id_1",
+            ).join(
+                sets.select(F.col(id_col).alias("id_2"), F.col("__sh").alias("sh_2")),
+                "id_2",
+            )
+            inter = F.size(F.array_intersect("sh_1", "sh_2"))
+            union = F.size("sh_1") + F.size("sh_2") - inter
+            jac = F.when(union > 0, inter.cast("double") / union).otherwise(
+                F.lit(0.0)
+            )
+            losers = (
+                pairs.filter(jac >= jaccard_threshold)
+                .select(F.col("id_2").alias(id_col))
+                .distinct()
+            )
+            kept = batch.join(losers, id_col, "left_anti")
+            kept_base = base.join(
+                losers.withColumnRenamed(id_col, id_col), id_col, "left_anti"
+            )
+            if have_index:
+                # (a) cross-run near-dedup against everything accepted
+                hits = query_lsh_index(
+                    kept, id_col, text_col, index_path, jaccard_threshold,
+                    base=kept_base,
+                )
+                dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+                kept = kept.join(dup_ids, id_col, "left_anti")
+                kept_base = kept_base.join(dup_ids, id_col, "left_anti")
+                append_lsh_index(
+                    kept, id_col, text_col, index_path, base=kept_base
+                )
+            else:
+                save_lsh_index(kept, id_col, text_col, index_path, base=kept_base)
+            kept.write.mode("append").parquet(out_path)
+        finally:
+            base.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

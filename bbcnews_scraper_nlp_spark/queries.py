@@ -6414,6 +6414,61 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "equidepth_bin_orders",
+    "WITH t AS (SELECT o_orderkey, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+    "q AS (SELECT quantile_cont(cents, 0.25) AS q1, "
+    "quantile_cont(cents, 0.50) AS q2, "
+    "quantile_cont(cents, 0.75) AS q3 FROM t), "
+    "b AS (SELECT o_orderkey, cents, CASE "
+    "WHEN cents <= q1 THEN 1 WHEN cents <= q2 THEN 2 "
+    "WHEN cents <= q3 THEN 3 ELSE 4 END AS bin FROM t, q) "
+    "SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n, "
+    "CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi "
+    "FROM b GROUP BY bin ORDER BY bin",
+)
+def equidepth_bin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) binning: assign every order to its
+    price quartile via ONE exact percentile aggregate broadcast back
+    over the scan (never a global ntile window, which single-tasks
+    the table — the same cutpoint pattern as perplexity_buckets'
+    terciles), then report per-bin counts and integer-cents bounds.
+    `percentile` interpolates identically to DuckDB's quantile_cont,
+    and bin edges compare integer cents against the shared cutpoint
+    doubles, so assignment is bit-identical cross-engine. The
+    feature-bucketing primitive for calibration / monotone binning;
+    at 100 TB swap in approx_percentile — plan shape unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    q = t.agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.50)).alias("q2"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    b = t.crossJoin(F.broadcast(q)).select(
+        "o_orderkey",
+        "cents",
+        F.when(F.col("cents") <= F.col("q1"), F.lit(1))
+        .when(F.col("cents") <= F.col("q2"), F.lit(2))
+        .when(F.col("cents") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

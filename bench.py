@@ -119,6 +119,7 @@ NEW_R5 = [
     "grouping_sets_day_type",
     "quantile_normalize_scores",
     "corpus_report_by_source",
+    "equidepth_bin_orders",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

@@ -638,3 +638,22 @@ def test_concurrency_sweep_counts_midnight_carry_in(spark):
         want[us // DAY] = max(want.get(us // DAY, 0), conc)
         prev_us = us
     assert got == want
+
+
+def test_prefix_sum_two_level_negative_keys(spark):
+    # min-normalized bucketing must handle negative integral keys
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        prefix_sum_two_level,
+    )
+
+    rows = [(i * 13 - 900, (i * 7) % 5 + 1) for i in range(140)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    got = {
+        r["k"]: r["prefix"]
+        for r in prefix_sum_two_level(df, "k", "v", buckets=8).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    assert got == want

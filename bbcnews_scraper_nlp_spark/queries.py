@@ -6469,6 +6469,44 @@ def equidepth_bin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_fingerprint_orders",
+    "WITH h AS (SELECT CAST(CAST(('0x' || substr(md5(concat_ws('|', "
+    "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+    "AS VARCHAR), CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 15)) "
+    "AS UBIGINT) AS BIGINT) AS rh FROM orders) "
+    "SELECT COUNT(*) AS n_rows, "
+    "CAST(bit_xor(rh) AS BIGINT) AS fingerprint FROM h",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table fingerprint: md5 each row's
+    canonical string (keys, integer cents, epoch-micros date), fold
+    the 60-bit prefixes with BIT_XOR — commutative and associative,
+    so the fingerprint is identical for ANY row order, partitioning,
+    or engine (the md5-prefix convention shared with the dedup
+    oracles). The replication/migration validation primitive: two
+    copies of a table match iff (n_rows, fingerprint) match, checked
+    in one aggregate-only pass with no sort and no driver data.
+    XOR's self-inverse means duplicate PAIRS cancel — pair with the
+    row count (and the PK-dup check in data_quality_audit) to close
+    that blind spot."""
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        R.epoch_us("o_orderdate").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return orders.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("long").alias("fingerprint"),
+    )
+
+
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
 # --------------------------------------------------------------------

@@ -120,6 +120,7 @@ NEW_R5 = [
     "quantile_normalize_scores",
     "corpus_report_by_source",
     "equidepth_bin_orders",
+    "table_fingerprint_orders",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5

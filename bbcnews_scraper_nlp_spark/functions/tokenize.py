@@ -135,5 +135,12 @@ def learn_bpe_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        cur = cur.select(merged.alias("syms"), "n").persist()
+        nxt = cur.select(merged.alias("syms"), "n").persist()
+        # materialize the fold before releasing the parent cache:
+        # nxt's plan reads cur, so unpersisting first would recompute
+        # the whole merge chain from the corpus scan
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
     return merges

@@ -34,6 +34,7 @@ def pagerank(
     iters: int = 3,
     scale: int = PR_SCALE,
     damping_pct: int = 85,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with exact integer arithmetic.
 
@@ -57,6 +58,16 @@ def pagerank(
     no driver-side action during plan construction.
 
     Returns (node, pr_scaled BIGINT), all nodes.
+
+    Cache ownership: the node set and degree-attached edge set are
+    persisted (lazily — no job at construction) because every
+    unrolled iteration references them. The returned DataFrame's
+    plan reads those caches, so they cannot be released inside this
+    function; pass ``cache_handles=[]`` and unpersist each handle
+    after the result is materialized (collect/write). Without the
+    list, each call pins two cached tables for the session's
+    lifetime — acceptable for a run-once job, a leak in a long-lived
+    driver.
     """
     from pyspark import StorageLevel
 
@@ -75,6 +86,8 @@ def pagerank(
     # exchange reuse only applies within structurally identical
     # subtrees. Lazy persist: no job runs at construction time.
     ed = e.join(deg, "__src").persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.extend([nodes, ed])
     n1 = nodes.agg(F.count("*").alias("__n"))
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

@@ -117,3 +117,17 @@ def test_cap_hot_keys_bounds_fanout_and_noop_below_cap(spark):
     assert pairs.count() == 60
     # cap above every group size -> row-identical passthrough
     assert cap_hot_keys(df, "c", 10_000).count() == df.count()
+
+
+def test_pagerank_cache_handles_release(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    handles: list = []
+    pr = pagerank(df, "src", "dst", iters=2, cache_handles=handles)
+    pr.collect()
+    assert len(handles) == 2  # nodes + degree-attached edges
+    for h in handles:
+        h.unpersist()
+    assert jsc.getPersistentRDDs().size() == before

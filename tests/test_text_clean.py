@@ -229,3 +229,17 @@ def test_bpe_merges_match_literal_reference_corpus(spark, sf_dir):
     ).fetchall()
     want = _ref_bpe(wc, 8)
     assert got == want, (got, want)
+
+
+def test_bpe_merges_release_all_caches(spark):
+    from bbcnews_scraper_nlp_spark.functions.tokenize import learn_bpe_merges
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    rows = [(0, "low low low lower lower newest newest newest newest widest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    learn_bpe_merges(df, "text", n_merges=4)
+    # every per-round vocab cache (and the seed vocab) must be
+    # released when the function returns — it's called from a
+    # long-lived driver
+    assert jsc.getPersistentRDDs().size() == before

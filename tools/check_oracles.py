@@ -9,6 +9,7 @@ order-insensitive value hash. Usage:
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import sys
 import time
@@ -23,17 +24,44 @@ from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+class NonAtomicCell(Exception):
+    """A result cell the driver's pandas canonicalizer cannot hash.
+
+    The driver sorts results through pandas ``sort_values`` before
+    value-hashing; list/map/struct cells make that raise
+    ``TypeError: unhashable type`` (CORRECTNESS_r05
+    ``inverted_index_blocks``). Fail locally the same way the driver
+    would instead of silently stringifying."""
+
+
 def norm_cell(v):
-    if v is None:
+    # numpy scalars (from the pandas-materialized DuckDB side) must
+    # normalize to the same repr as the Python objects Spark's
+    # collect() returns — np.float64.__repr__ is
+    # "np.float64(1.5)" under numpy>=2.
+    if hasattr(v, "item") and not isinstance(v, (str, bytes, bool, int, float)):
+        try:
+            v = v.item()
+        except (ValueError, TypeError):  # e.g. np.ndarray of size>1
+            raise NonAtomicCell(type(v).__name__)
+    if v is None or v != v:  # None / NaN (pandas NULL int → NaN)
         return "NULL"
-    if isinstance(v, float):
-        return f"{v!r}"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, float):
+        return f"{float(v)!r}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, _dt.datetime):
+        # DuckDB DATE materializes as pandas Timestamp (midnight);
+        # Spark collect() gives datetime.date — canonicalize both.
+        if v.tzinfo is None and v.time() == _dt.time(0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, dict, set)):
+        raise NonAtomicCell(type(v).__name__)
     return str(v)
 
 
@@ -77,21 +105,38 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [c for c in rel.columns]
-            drows = rel.fetchall()
+            # materialize through pandas exactly as the driver does:
+            # DuckDB HUGEINT (e.g. SUM(BIGINT)) becomes float64 here,
+            # which the fetchall() path would hide (CORRECTNESS_r05
+            # pagerank_copurchase).
+            pdf = con.sql(oracles[name]).df()
+            dcols = list(pdf.columns)
+            drows = list(pdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct", "udt")
+        ]
+        if complex_cols:
+            problems.append(f"non-atomic spark columns {complex_cols}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
-            hs = table_hash(scols, srows)
-            hd = table_hash(dcols, drows)
+            try:
+                hs = table_hash(scols, srows)
+                hd = table_hash(dcols, drows)
+            except NonAtomicCell as e:
+                print(f"FAIL  {name}: non-atomic cell ({e}) — driver "
+                      "canonicalizer would crash")
+                n_fail += 1
+                continue
             if hs != hd:
                 problems.append("value-hash mismatch")
                 # show a sample diff

@@ -447,22 +447,37 @@ def ngram_jaccard_pairs(
             # lists), then ONE inner join sh ⋈ dfreq on the shingle —
             # the join lands on the exchange the count agg already
             # produced, so it adds no new shuffle of the shingle
-            # table. Both consumers read the joined frame:
-            #   - paired_src keeps pairable shingles (1 < df <= cap),
-            #   - sizes counts each doc's df <= cap shingles — the
-            #     kept-universe set size, so the final jaccard is
-            #     exact over it (numerator and denominator agree on
-            #     which shingles exist; never a pruned numerator over
-            #     a full-universe denominator).
+            # table. paired_src keeps the pairable shingles
+            # (1 < df <= cap). The kept-universe set size is computed
+            # SUBTRACTIVELY: sz_kept = sz_total − (#capped shingles in
+            # the doc). Capped shingles are few by construction
+            # (≤ total_instances / max_df distinct — ~10⁶ rows at
+            # 100 TB with max_df=10⁴), so `hot` broadcasts and the
+            # per-doc hot count is a broadcast join on the narrow
+            # source + a groupBy over only the hot-bearing rows —
+            # NOT a second full shuffle of the shingle table (the
+            # r5 shape that cost +24% on the bench). Numerator and
+            # denominator still agree exactly on which shingles
+            # exist: both exclude df > max_df.
             dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            shj = sh.join(dfreq, "shingle")
-            paired_src = shj.filter(
+            paired_src = dfreq.filter(
                 (F.col("df") > 1) & (F.col("df") <= max_df)
-            ).select("id", "shingle")
-            sizes = (
-                shj.filter(F.col("df") <= max_df)
+            ).join(sh, "shingle").select("id", "shingle")
+            hot = dfreq.filter(F.col("df") > max_df).select("shingle")
+            nhot = (
+                sh.join(F.broadcast(hot), "shingle")
                 .groupBy("id")
-                .agg(F.count("*").alias("sz"))
+                .agg(F.count("*").alias("__nh"))
+            )
+            sizes = (
+                sizes.join(nhot, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.col("sz") - F.coalesce(F.col("__nh"), F.lit(0))
+                    ).alias("sz"),
+                )
+                .filter(F.col("sz") > 0)
             )
         grouped = (
             paired_src.groupBy("shingle")
@@ -788,6 +803,35 @@ def blocked_fuzzy_pairs(
 
 _LSH_META_COLS = "num_hashes int, bands int, shingle_mode string, shingle_n int, shingle_hash string"
 
+_LSH_SIG_KEYS = ("num_hashes", "shingle_mode", "shingle_n", "shingle_hash")
+
+
+def _check_base_params(base, base_params: dict | None, expected: dict, fn: str):
+    """Contract for caller-supplied signature frames: a ``base`` built
+    elsewhere must arrive with the params it was built from, and they
+    must match the index's signature space (the exact mismatch the
+    meta/ table exists to prevent — mixed spaces produce silently
+    empty/garbage band joins, not errors)."""
+    if base is None:
+        return
+    if base_params is None:
+        raise ValueError(
+            f"{fn}: caller-provided `base` requires `base_params` (the "
+            "lsh_signatures kwargs it was built with) so the index's "
+            "signature space can be verified"
+        )
+    bad = {
+        k: (base_params.get(k), expected[k])
+        for k in _LSH_SIG_KEYS
+        if base_params.get(k) != expected[k]
+    }
+    if bad:
+        raise ValueError(
+            f"{fn}: `base` signature params {bad} (given, expected) do "
+            "not match the index meta — rebuild `base` with the stored "
+            "params (lsh_index_meta(spark, path))"
+        )
+
 
 def save_lsh_index(
     df: DataFrame,
@@ -800,6 +844,8 @@ def save_lsh_index(
     shingle_n: int = 3,
     shingle_hash: str = "xxhash64",
     base: DataFrame | None = None,
+    base_params: dict | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Persist a MinHash-LSH near-dup index to parquet: ``bands/``
     (id, band, bhash — the probe table) and ``sets/`` (id, hashed
@@ -809,26 +855,67 @@ def save_lsh_index(
     each ingest batch appends its signatures ONCE and every future
     batch probes the index without recomputing history — the
     near-dup twin of the exact-dedup Bloom store
-    (save_bloom/filter_unseen)."""
+    (save_bloom/filter_unseen).
+
+    A caller-supplied ``base`` (precomputed signatures) must arrive
+    with ``base_params`` matching these kwargs — asserted, so a base
+    built in a different signature space fails loudly instead of
+    poisoning the index. With ``batch_id`` the tables are partitioned
+    by ``__batch``; replaying the same batch overwrites its own
+    partition (dynamic overwrite), making streaming epoch replays
+    idempotent — use it from the first save, and in every append, or
+    not at all (mixed layouts fail partition discovery)."""
     spark = df.sparkSession
+    _check_base_params(
+        base, base_params,
+        {"num_hashes": num_hashes, "shingle_mode": shingle_mode,
+         "shingle_n": shingle_n, "shingle_hash": shingle_hash},
+        "save_lsh_index",
+    )
     own = base is None
     if own:
         base = lsh_signatures(
             df, id_col, text_col, num_hashes, shingle_mode, shingle_n,
             shingle_hash,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    lsh_banded(base, id_col, num_hashes, bands).withColumnRenamed(
+    bands_df = lsh_banded(base, id_col, num_hashes, bands).withColumnRenamed(
         id_col, "id"
-    ).write.mode("overwrite").parquet(f"{path}/bands")
-    base.select(F.col(id_col).alias("id"), "__sh").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sets")
+    )
+    sets_df = base.select(F.col(id_col).alias("id"), "__sh")
+    _write_index_tables(bands_df, sets_df, path, batch_id, first=True)
     spark.createDataFrame(
         [(num_hashes, bands, shingle_mode, shingle_n, shingle_hash)],
         _LSH_META_COLS,
     ).write.mode("overwrite").parquet(f"{path}/meta")
     if own:
         base.unpersist()
+
+
+def _write_index_tables(
+    bands_df: DataFrame,
+    sets_df: DataFrame,
+    path: str,
+    batch_id: int | None,
+    first: bool,
+) -> None:
+    """bands/ + sets/ writer shared by save/append. Unpartitioned:
+    save overwrites, append appends (an epoch replay duplicates —
+    the caller owns idempotency). Batch-partitioned: BOTH paths are
+    dynamic partition overwrites of `__batch={batch_id}` only, so
+    re-running a batch replaces exactly its own rows."""
+    if batch_id is None:
+        mode = "overwrite" if first else "append"
+        bands_df.write.mode(mode).parquet(f"{path}/bands")
+        sets_df.write.mode(mode).parquet(f"{path}/sets")
+        return
+    for tbl, d in (("bands", bands_df), ("sets", sets_df)):
+        (
+            d.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(f"{path}/{tbl}")
+        )
 
 
 def lsh_index_meta(spark, path: str) -> dict:
@@ -842,25 +929,31 @@ def append_lsh_index(
     text_col: str,
     path: str,
     base: DataFrame | None = None,
+    base_params: dict | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Add a batch to a saved LSH index (signatures computed for the
     NEW rows only; history is never re-read or re-hashed). Caller
     guarantees id uniqueness across batches (the ingest pipeline's
-    existing url/doc-id contract)."""
+    existing url/doc-id contract). A caller-supplied ``base`` must
+    arrive with ``base_params`` matching the stored meta — asserted.
+    With ``batch_id`` (on an index saved with one) the append is a
+    dynamic overwrite of that batch's partition: replaying an epoch
+    replaces its own rows instead of duplicating them."""
     spark = df.sparkSession
     m = lsh_index_meta(spark, path)
+    _check_base_params(base, base_params, m, "append_lsh_index")
     own = base is None
     if own:
         base = lsh_signatures(
             df, id_col, text_col, m["num_hashes"], m["shingle_mode"],
             m["shingle_n"], m["shingle_hash"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    lsh_banded(base, id_col, m["num_hashes"], m["bands"]).withColumnRenamed(
+    bands_df = lsh_banded(base, id_col, m["num_hashes"], m["bands"]).withColumnRenamed(
         id_col, "id"
-    ).write.mode("append").parquet(f"{path}/bands")
-    base.select(F.col(id_col).alias("id"), "__sh").write.mode(
-        "append"
-    ).parquet(f"{path}/sets")
+    )
+    sets_df = base.select(F.col(id_col).alias("id"), "__sh")
+    _write_index_tables(bands_df, sets_df, path, batch_id, first=False)
     if own:
         base.unpersist()
 
@@ -872,16 +965,21 @@ def query_lsh_index(
     path: str,
     jaccard_threshold: float = 0.7,
     base: DataFrame | None = None,
+    base_params: dict | None = None,
 ) -> DataFrame:
     """Probe a saved LSH index with a NEW batch: band-join the
     batch's signatures against the stored probe table, then verify
     exact Jaccard against the stored shingle sets — candidates only,
     history never recomputed. Returns (new_id, index_id, jaccard)
     with jaccard >= threshold (self-matches on shared ids excluded).
-    At 100 TB write ``bands/`` partitioned by ``band`` so the probe
-    prunes at the directory level."""
+    A caller-supplied ``base`` must arrive with ``base_params``
+    matching the stored meta — asserted (a mismatched space returns
+    silently-empty probes, not errors). At 100 TB write ``bands/``
+    partitioned by ``band`` so the probe prunes at the directory
+    level."""
     spark = df.sparkSession
     m = lsh_index_meta(spark, path)
+    _check_base_params(base, base_params, m, "query_lsh_index")
     if base is None:
         # no persist here: the result is lazy and this function has
         # no release path — a persist would leak one cached RDD per

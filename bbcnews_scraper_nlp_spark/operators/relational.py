@@ -604,26 +604,36 @@ def cdc_delta_contributions(
     (AQE-skew eligible) followed by a group-keyed aggregation; exact
     when ``val_col`` is integral.
 
+    NULL is a legal group value (SQL GROUP BY groups NULLs
+    together): inserts/deletes on either side are detected via
+    explicit presence flags, never by group nullness, and the
+    group-move predicate is null-safe — a NULL→'x' move retracts
+    from the NULL group and upserts into 'x'.
+
     Returns (group_col, dn, dv): row-count and value adjustments.
     """
     joined = old.select(
         F.col(key).alias("__k"),
         F.col(group_col).alias("__og"),
         F.col(val_col).alias("__ov"),
+        F.lit(True).alias("__po"),
     ).join(
         new.select(
             F.col(key).alias("__k"),
             F.col(group_col).alias("__ng"),
             F.col(val_col).alias("__nv"),
+            F.lit(True).alias("__pn"),
         ),
         "__k",
         "full_outer",
     )
+    po = F.coalesce(F.col("__po"), F.lit(False))
+    pn = F.coalesce(F.col("__pn"), F.lit(False))
     diff = (
-        F.col("__ov").isNull()
-        | F.col("__nv").isNull()
-        | (F.col("__ov") != F.col("__nv"))
-        | (F.col("__og") != F.col("__ng"))
+        (~po)
+        | (~pn)
+        | ~F.col("__ov").eqNullSafe(F.col("__nv"))
+        | ~F.col("__og").eqNullSafe(F.col("__ng"))
     )
     return (
         joined.filter(diff)
@@ -631,11 +641,13 @@ def cdc_delta_contributions(
             F.explode(
                 F.array(
                     F.struct(
+                        po.alias("__p"),
                         F.col("__og").alias(group_col),
                         F.lit(-1).alias("dn"),
                         (-F.col("__ov")).alias("dv"),
                     ),
                     F.struct(
+                        pn.alias("__p"),
                         F.col("__ng").alias(group_col),
                         F.lit(1).alias("dn"),
                         F.col("__nv").alias("dv"),
@@ -644,7 +656,8 @@ def cdc_delta_contributions(
             ).alias("__c")
         )
         .select("__c.*")
-        .filter(F.col(group_col).isNotNull())
+        .filter(F.col("__p"))
+        .drop("__p")
         .groupBy(group_col)
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
     )

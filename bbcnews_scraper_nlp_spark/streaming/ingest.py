@@ -540,10 +540,12 @@ def near_dedup_stream(
     rows to the accepted sink. The approximate twin of the exact
     cross-run Bloom dedup (relational.filter_unseen): state lives in
     parquet — restart-safe, shared across pipelines, never
-    recomputed. foreachBatch is idempotent per epoch only if the
-    sink dir is partitioned by batch; for exactly-once pair it with
-    upsert_foreach_batch's key-dedup sink. Returns the started query
-    (AvailableNow: drains what exists, then stops)."""
+    recomputed. Epoch replays are idempotent by construction: the
+    accepted sink AND the index appends are partitioned by
+    ``__batch`` and written as dynamic partition overwrites, so a
+    crash mid-batch followed by checkpoint replay replaces exactly
+    that batch's rows instead of duplicating them. Returns the
+    started query (AvailableNow: drains what exists, then stops)."""
     from pyspark import StorageLevel
 
     from ..operators.dedup import (
@@ -587,6 +589,7 @@ def near_dedup_stream(
             params["shingle_mode"], params["shingle_n"],
             params["shingle_hash"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        dup_ids = None
         try:
             # (b) intra-batch near-dedup: min-id survives each pair
             banded = lsh_banded(
@@ -626,19 +629,44 @@ def near_dedup_stream(
                 # (a) cross-run near-dedup against everything accepted
                 hits = query_lsh_index(
                     kept, id_col, text_col, index_path, jaccard_threshold,
-                    base=kept_base,
+                    base=kept_base, base_params=params,
                 )
-                dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+                # materialize the probe BEFORE the index partitions are
+                # overwritten below — on an epoch replay the append
+                # replaces this batch's own partition, and a lazy probe
+                # plan would re-read the deleted files mid-write.
+                # localCheckpoint truncates the lineage (persist alone
+                # could still recompute after eviction); if the cached
+                # copy is lost the batch fails and replays — idempotent.
+                dup_ids = (
+                    hits.select(F.col("new_id").alias(id_col))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
                 kept = kept.join(dup_ids, id_col, "left_anti")
                 kept_base = kept_base.join(dup_ids, id_col, "left_anti")
                 append_lsh_index(
-                    kept, id_col, text_col, index_path, base=kept_base
+                    kept, id_col, text_col, index_path,
+                    base=kept_base, base_params=params, batch_id=batch_id,
                 )
             else:
-                save_lsh_index(kept, id_col, text_col, index_path, base=kept_base)
-            kept.write.mode("append").parquet(out_path)
+                save_lsh_index(
+                    kept, id_col, text_col, index_path, **params,
+                    base=kept_base, base_params=params, batch_id=batch_id,
+                )
+            # batch-partitioned dynamic overwrite: a replayed epoch
+            # replaces its own partition — idempotent accepted sink
+            (
+                kept.withColumn("__batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch")
+                .parquet(out_path)
+            )
         finally:
             base.unpersist()
+            if dup_ids is not None:
+                dup_ids.unpersist()  # releases the localCheckpoint blocks
 
     return (
         stream.writeStream.foreachBatch(process)

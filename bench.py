@@ -123,7 +123,61 @@ NEW_R5 = [
     "table_fingerprint_orders",
 ]
 
-BENCH_QUERIES = LEGACY_34 + NEW_R5
+# Round-6 widening: every remaining driver-certified query gets a
+# perf row (VERDICT r5 ask #7 — certified-but-unbenched tier), so
+# BENCH_r06 covers the full driver-certified surface.
+NEW_R6 = [
+    "a1_count_rows",
+    "a2_group_count",
+    "a4_vocab_prune",
+    "a6_top_orders",
+    "dedup_cc_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "distinct_users_per_type",
+    "event_interarrival_stats",
+    "event_transition_matrix",
+    "f1_contains_filter",
+    "f2_ts_range_filter",
+    "f3_dropna",
+    "f4_min_word_count",
+    "f5_required_field",
+    "f7_anti_join_unseen",
+    "j1_broadcast_enrich",
+    "j_multiway_region_count",
+    "multimodal_audio_meta",
+    "p13_lemmatize",
+    "p15_p16_day_cast",
+    "p1_strip_last_segment",
+    "pivot_daily_event_counts",
+    "prepare_corpus_pipeline",
+    "rollup_order_status",
+    "s2_sitemap_parse",
+    "sentiment_by_source",
+    "sentiment_full_lexicon",
+    "session_paths_top",
+    "similarity_lsh_topk",
+    "streaming_dedup",
+    "streaming_interval_join_outer",
+    "streaming_session_windows",
+    "token_count_bpe",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q1_decimal_scale",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "w3_argmax_vector",
+    "zscore_per_type",
+]
+
+BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6
 
 
 def main() -> None:

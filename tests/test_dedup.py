@@ -334,3 +334,45 @@ def test_lsh_index_save_query_append_lifecycle(spark, tmp_path):
         for r in query_lsh_index(batch3, "doc_id", "text", path, 0.5).collect()
     }
     assert (200, 101) in hits3
+
+
+def test_lsh_index_base_params_contract(spark, tmp_path):
+    """A caller-supplied precomputed `base` must carry the params it
+    was built with, and they must match the index meta — a mismatched
+    signature space must fail loudly, not probe emptily."""
+    import pytest as _pytest
+
+    from bbcnews_scraper_nlp_spark.operators.dedup import (
+        append_lsh_index,
+        lsh_index_meta,
+        lsh_signatures,
+        query_lsh_index,
+        save_lsh_index,
+    )
+
+    path = str(tmp_path / "lshidx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    save_lsh_index(docs, "doc_id", "text", path, num_hashes=32, bands=8)
+    m = lsh_index_meta(spark, path)
+    good = lsh_signatures(
+        docs, "doc_id", "text", m["num_hashes"], m["shingle_mode"],
+        m["shingle_n"], m["shingle_hash"],
+    )
+    # base without params -> refused
+    with _pytest.raises(ValueError, match="base_params"):
+        append_lsh_index(docs, "doc_id", "text", path, base=good)
+    with _pytest.raises(ValueError, match="base_params"):
+        query_lsh_index(docs, "doc_id", "text", path, base=good)
+    # base with WRONG params -> refused
+    bad = dict(m, num_hashes=64)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        append_lsh_index(docs, "doc_id", "text", path, base=good, base_params=bad)
+    # base with matching params -> accepted (no exception)
+    query_lsh_index(docs, "doc_id", "text", path, base=good, base_params=m)
+    append_lsh_index(docs.limit(0), "doc_id", "text", path, base=good.limit(0), base_params=m)
+    # save with a base also demands params matching its kwargs
+    with _pytest.raises(ValueError, match="base_params"):
+        save_lsh_index(docs, "doc_id", "text", str(tmp_path / "i2"), base=good)

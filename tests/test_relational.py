@@ -524,6 +524,71 @@ def test_incremental_agg_maintenance_handles_group_moves(spark):
     assert merged == direct  # a: (1,20); b: (2,51)
 
 
+def test_cdc_delta_null_groups(spark):
+    """NULL is a legal group value: inserts/deletes into the NULL
+    group contribute, and NULL<->non-NULL group moves are detected
+    (null-safe change predicate + presence flags, not group-null
+    filtering)."""
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.relational import (
+        cdc_delta_contributions,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, None, 10),  # NULL -> 'a' move, value unchanged
+            (2, None, 20),  # stays NULL, value unchanged -> no delta
+            (3, "a", 30),   # 'a' -> NULL move
+            (4, None, 40),  # deleted from the NULL group
+        ],
+        "k long, pri string, cents long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, None, 20),
+            (3, None, 30),
+            (5, None, 50),  # inserted into the NULL group
+        ],
+        "k long, pri string, cents long",
+    )
+    delta = {
+        r["pri"]: (r["dn"], r["dv"])
+        for r in cdc_delta_contributions(old, new, "k", "pri", "cents").collect()
+    }
+    # NULL group: -k1(10) +k3(30) -k4(40) +k5(50) = net 0 rows, +30
+    assert delta[None] == (0, 30)
+    # 'a' group: +k1(10) -k3(30) = net 0 rows, -20 cents
+    assert delta["a"] == (0, -20)
+    # base + delta == direct aggregate, NULL group included (the
+    # merge itself must be null-safe too or the NULL group forks)
+    base = old.groupBy("pri").agg(
+        F.count("*").alias("bn"), F.sum("cents").alias("bc")
+    ).withColumnRenamed("pri", "bp")
+    d = cdc_delta_contributions(old, new, "k", "pri", "cents").withColumnRenamed(
+        "pri", "dp"
+    )
+    merged = {
+        r["pri"]: (r["n"], r["c"])
+        for r in base.join(d, F.col("bp").eqNullSafe(F.col("dp")), "full_outer")
+        .select(
+            F.coalesce("bp", "dp").alias("pri"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dv", F.lit(0))).alias("c"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    direct = {
+        r["pri"]: (r["n"], r["c"])
+        for r in new.groupBy("pri")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    assert merged == direct
+
+
 def test_skyline_2d_matches_bruteforce_dominance(spark):
     from bbcnews_scraper_nlp_spark.operators.relational import skyline_2d
 

@@ -365,3 +365,37 @@ def test_near_dedup_stream_cross_run_lsh_state(spark, tmp_path):
     q2.awaitTermination()
     accepted2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert accepted2 == set(range(8)) | {61}  # 60 dropped via the index
+
+
+def test_near_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
+    """A replayed epoch (crash-after-write + checkpoint loss forces
+    the worst case: EVERY batch replays) must not duplicate accepted
+    rows or index entries — the batch-partitioned dynamic-overwrite
+    sinks replace their own partition instead of appending."""
+    import shutil
+
+    from bbcnews_scraper_nlp_spark.streaming.ingest import near_dedup_stream
+
+    docs_dir = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta theta") for i in range(6)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(docs_dir)
+
+    near_dedup_stream(spark, docs_dir, idx, out, ckpt, 0.5).awaitTermination()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    n_bands_1 = spark.read.parquet(f"{idx}/bands").count()
+    n_sets_1 = spark.read.parquet(f"{idx}/sets").count()
+    assert first == list(range(6))
+
+    # lose the checkpoint -> the whole input replays as the same
+    # batch ids; idempotent sinks must leave everything unchanged
+    shutil.rmtree(ckpt)
+    near_dedup_stream(spark, docs_dir, idx, out, ckpt, 0.5).awaitTermination()
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first  # no duplicated accepted rows
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands_1
+    assert spark.read.parquet(f"{idx}/sets").count() == n_sets_1

@@ -450,22 +450,25 @@ def ngram_jaccard_pairs(
             # table. paired_src keeps the pairable shingles
             # (1 < df <= cap). The kept-universe set size is computed
             # SUBTRACTIVELY: sz_kept = sz_total − (#capped shingles in
-            # the doc). Capped shingles are few by construction
-            # (≤ total_instances / max_df distinct — ~10⁶ rows at
-            # 100 TB with max_df=10⁴), so `hot` broadcasts and the
-            # per-doc hot count is a broadcast join on the narrow
-            # source + a groupBy over only the hot-bearing rows —
-            # NOT a second full shuffle of the shingle table (the
-            # r5 shape that cost +24% on the bench). Numerator and
-            # denominator still agree exactly on which shingles
-            # exist: both exclude df > max_df.
+            # the doc). Capped rows are few by construction
+            # (Σdf over df>cap shingles ≤ total_instances, but the
+            # row subset is the heavy-tail only), so the hot count is
+            # a groupBy over the FILTERED df>cap slice of the same
+            # joined frame paired_src reads — its shj subtree is
+            # structurally identical, so both the sh-by-shingle
+            # exchange and the dfreq aggregate are ReusedExchange,
+            # and the extra shuffle carries only hot-bearing rows
+            # (vs the r5 shape that re-shuffled the whole joined
+            # table into a per-id count, +24% on the bench).
+            # Numerator and denominator still agree exactly on which
+            # shingles exist: both exclude df > max_df.
             dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            paired_src = dfreq.filter(
+            shj = sh.join(dfreq, "shingle")
+            paired_src = shj.filter(
                 (F.col("df") > 1) & (F.col("df") <= max_df)
-            ).join(sh, "shingle").select("id", "shingle")
-            hot = dfreq.filter(F.col("df") > max_df).select("shingle")
+            ).select("id", "shingle")
             nhot = (
-                sh.join(F.broadcast(hot), "shingle")
+                shj.filter(F.col("df") > max_df)
                 .groupBy("id")
                 .agg(F.count("*").alias("__nh"))
             )

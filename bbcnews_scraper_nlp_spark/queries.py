@@ -3444,30 +3444,114 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-@register("approx_distinct_users")
+@register(
+    "approx_distinct_users",
+    # deterministic-BOUND oracle: the estimate itself is
+    # engine-defined, but the certified claim — "the HLL estimate is
+    # within 5*rsd of the exact distinct count" — is a boolean both
+    # engines can state. DuckDB asserts TRUE unconditionally; Spark
+    # computes the bound for real, so any sketch drift past the
+    # tolerance hash-mismatches the driver row.
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, "
+    "TRUE AS hll_within_tol FROM events GROUP BY event_type",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts per event_type (rsd=2%) — the
     scale path for ``distinct_users_per_type``: single-pass, fixed
     ~1.5 KB sketch per group, no Expand/two-phase distinct shuffle of
-    the full key set. Rows-only (sketches are engine-defined); pytest
-    bounds the error against the exact twin."""
+    the full key set. Certified via a deterministic error bound: the
+    row carries the exact count (hash-comparable) plus a boolean
+    asserting |approx − exact| <= max(5·rsd·exact, 16) — generous vs
+    the 2-3 sigma envelope, so the check is deterministic, yet tight
+    enough that a broken sketch (or a silently changed rsd) fails.
+    The exact twin rides along ONLY for certification; the production
+    scale path is the approx aggregate alone
+    (``distinct_users_per_type`` is the exact reference query)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    tol = F.greatest(
+        F.round(F.col("n_users_exact") * 0.10).cast("long"), F.lit(16)
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact")) <= tol
+            ).alias("hll_within_tol"),
+        )
     )
 
 
-@register("approx_price_quantiles")
+@register(
+    "approx_price_quantiles",
+    # deterministic-BOUND oracle: GK guarantees rank error <= eps*n
+    # (eps = 1/accuracy); the certified claim is the integer
+    # cross-multiplied rank window, TRUE on the DuckDB side.
+    "SELECT l_returnflag, p_pct, CAST(COUNT(*) AS BIGINT) AS n, "
+    "TRUE AS rank_ok FROM lineitem "
+    "CROSS JOIN (VALUES (25), (50), (75)) v(p_pct) "
+    "GROUP BY l_returnflag, p_pct",
+)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate grouped quantiles (the t-digest-
     class scale path for ``price_quantiles``): mergeable fixed-size
     summaries instead of the exact ``percentile`` sort-per-group.
-    Rows-only; pytest bounds rank error against the exact twin."""
+    Certified via the GK rank guarantee: for each returned quantile
+    value v at fraction p, the number of rows <= v must sit within
+    eps·n + 1 of rank p·n (eps = 1/accuracy = 1e-4). The rank count
+    is ONE extra broadcast-join pass over the group (3 quantile rows
+    per group broadcast against the fact scan — no sort, no second
+    shuffle); all arithmetic is integer cross-multiplied, so the
+    boolean is deterministic in any engine. The exact quantile twin
+    is ``price_quantiles``."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], 10_000
-        ).alias("price_quantiles_approx")
+    q = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+            ).alias("__qs"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag", "n", F.posexplode("__qs").alias("__i", "__qv")
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            ((F.col("__i") + 1) * 25).cast("int").alias("p_pct"),
+            "__qv",
+        )
+    )
+    counts = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "p_pct", "n")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("__qv")).cast("long")
+            ).alias("__le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("__qv")).cast("long")
+            ).alias("__lt"),
+        )
+    )
+    # GK: exists a rank r in [min_rank(v), max_rank(v)] with
+    # |r - p*n| <= eps*n. Cross-multiply by 100 (p_pct) to stay
+    # integral: tol = n div 10000 + 1 covers eps*n rounding.
+    tol = F.expr("n div 10000") + F.lit(1)
+    rank_ok = (
+        (F.col("__le") * 100 >= F.col("p_pct") * F.col("n") - 100 * tol)
+        & (F.col("__lt") * 100 <= F.col("p_pct") * F.col("n") + 100 * tol)
+    )
+    return counts.select(
+        "l_returnflag", "p_pct", F.col("n").cast("long").alias("n"),
+        rank_ok.alias("rank_ok"),
     )
 
 
@@ -5037,20 +5121,47 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_heavy_hitters(ev, "user_id", times_mean=(11, 10))
 
 
-@register("sketch_distinct_users_daily")
+@register(
+    "sketch_distinct_users_daily",
+    # deterministic-BOUND oracle (Datasketches binary state has no
+    # DuckDB twin, but the estimate-vs-exact bound is a boolean both
+    # engines can state): exact per-day distincts hash-compare; the
+    # sketch estimate must land within max(10%, 16) of them.
+    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "COUNT(DISTINCT user_id) AS n_exact, TRUE AS sketch_within_tol "
+    "FROM events GROUP BY 1",
+)
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable per-day HLL distinct-user sketches, unioned and
     estimated (profiling.distinct_sketches/merge_sketches) — the
     incremental-analytics path: sketch once at ingest, answer any
     date-range distinct query by register-max union, no raw re-scan.
-    Rows-only check (Datasketches binary state has no DuckDB twin);
-    pytest bounds the estimate error against exact countDistinct and
-    asserts union-of-parts == whole."""
+    Certified via a deterministic error bound: each row carries the
+    exact per-day distinct count (hash-comparable) plus a boolean
+    asserting the lg_k=12 estimate (~1.6% std error) sits within
+    max(10%·exact, 16) — generous vs 3 sigma yet tight enough that a
+    broken sketch/union/estimate path fails the driver row. The
+    exact twin rides along only for certification; pytest separately
+    asserts union-of-parts == whole (mergeability)."""
     from .operators.profiling import distinct_sketches, merge_sketches
 
     ev = load_table(spark, sf_dir, "events")
     sk = distinct_sketches(ev, "user_id", [F.to_date("ts").alias("day")])
-    return merge_sketches(sk, ["day"]).orderBy("day")
+    merged = merge_sketches(sk, ["day"])
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    tol = F.greatest(
+        F.round(F.col("n_exact") * 0.10).cast("long"), F.lit(16)
+    )
+    return merged.join(exact, "day").select(
+        "day",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_exact",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact")) <= tol
+        ).alias("sketch_within_tol"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -6543,8 +6654,11 @@ _WINDOW_ORDER = [
     # r5 driver-red rows stay in the window with their fixes
     # (pagerank oracle HUGEINT→BIGINT cast; inverted-index postings
     # flattened to a string); dedup_ngram_jaccard stays because its
-    # kept-universe sizes pass was restructured this round; q1
-    # anchors the TPC-H family.
+    # kept-universe sizes pass was restructured this round;
+    # approx_distinct_users takes q1's anchor slot — its rows-only
+    # check was upgraded to a deterministic-bound oracle this round
+    # (exact count hash-compares; a boolean certifies the HLL
+    # estimate sits inside the error envelope).
     # Every r4/r5-certified query displaced here remains registered,
     # pytest-covered, and green in tools/check_oracles.py's full
     # sweep (now driver-faithful: pandas materialization + atomic-
@@ -6552,7 +6666,7 @@ _WINDOW_ORDER = [
     "pagerank_copurchase",
     "inverted_index_blocks",
     "dedup_ngram_jaccard",
-    "tpch_q1_pricing_summary",
+    "approx_distinct_users",
     # TPC-H: completes driver certification of the full 22-query suite
     "tpch_q4_priority_check",
     "tpch_q11_important_parts",

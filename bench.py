@@ -229,6 +229,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED ({errors[name][:120]})", file=sys.stderr)
+        # Operator-internal persists are per-invocation and never
+        # reused across queries; with 100+ queries in one JVM the
+        # accumulated cache blocks cause eviction thrash that
+        # inflates later queries (observed 5x on dedup_minhash_lsh
+        # mid-run vs fresh-JVM). Drop them between queries so each
+        # measurement sees a clean storage pool.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     legacy34 = round(sum(timings.get(n, 0.0) for n in LEGACY_34), 3)

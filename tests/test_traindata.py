@@ -152,33 +152,67 @@ def test_repetition_stats_known_values(spark):
 
 
 def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """The approx queries now certify their own error bounds in-row
+    (deterministic-bound oracles): every bound boolean must be True
+    and the carried exact values must equal the exact twins. The raw
+    HLL estimate is additionally re-checked here against a TIGHTER
+    envelope than the certified one (5% vs the query's 10%) so a
+    quietly degrading sketch shows up in pytest before it ever
+    threatens the oracle bound."""
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
     from bbcnews_scraper_nlp_spark.queries import REGISTRY
 
     exact = {
         r["event_type"]: r["n_users"]
         for r in REGISTRY["distinct_users_per_type"].fn(spark, sf_dir).collect()
     }
+    rows = REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    assert set(exact) == {r["event_type"] for r in rows}
+    for r in rows:
+        assert r["hll_within_tol"] is True
+        assert r["n_users_exact"] == exact[r["event_type"]]
+    # tighter direct re-check of the raw estimate
+    ev = load_table(spark, sf_dir, "events")
     approx = {
-        r["event_type"]: r["n_users_approx"]
-        for r in REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
     }
-    assert set(exact) == set(approx)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2.0, 0.05 * n)
 
+    qrows = REGISTRY["approx_price_quantiles"].fn(spark, sf_dir).collect()
+    assert {(r["l_returnflag"], r["p_pct"]) for r in qrows} == {
+        (f, p) for f in {r["l_returnflag"] for r in qrows} for p in (25, 50, 75)
+    }
+    assert all(r["rank_ok"] is True for r in qrows)
+    # direct value re-check of the raw GK output vs exact quantiles
     exactq = {
         r["l_returnflag"]: r
         for r in REGISTRY["price_quantiles"].fn(spark, sf_dir).collect()
     }
+    li = load_table(spark, sf_dir, "lineitem")
     approxq = {
-        r["l_returnflag"]: r["price_quantiles_approx"]
-        for r in REGISTRY["approx_price_quantiles"].fn(spark, sf_dir).collect()
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+            ).alias("qs")
+        )
+        .collect()
     }
-    # GK with accuracy 10k at this row count: near-exact ranks
     for flag, row in exactq.items():
         for i, col in enumerate(["p25", "p50", "p75"]):
             rel = abs(approxq[flag][i] - row[col]) / max(abs(row[col]), 1e-9)
             assert rel < 0.02, (flag, col, approxq[flag][i], row[col])
+
+    srows = REGISTRY["sketch_distinct_users_daily"].fn(spark, sf_dir).collect()
+    assert len(srows) > 0
+    assert all(r["sketch_within_tol"] is True for r in srows)
 
 
 def test_prepare_corpus_equals_stagewise(spark, sf_dir):

@@ -2139,11 +2139,24 @@ def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_user_stats")
+@register(
+    "streaming_user_stats",
+    # the drained final state is a deterministic function of the
+    # input: counts are integers and the value total folds as
+    # integer cents (scaled JVM-side before the stateful op), so the
+    # batch aggregate IS the oracle — hash-exact in any micro-batch/
+    # partition arrival order
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+    "AS total_cents FROM events GROUP BY user_id",
+)
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 + custom stateful operator: applyInPandasWithState
     running per-user count/total (the reference's cross-run state,
-    generalized); pytest checks it equals the batch groupBy."""
+    generalized). The total rides as integer cents so the fold is
+    exact in any arrival order — which upgrades this from a rows-only
+    check to a hash oracle (batch groupBy twin); pytest additionally
+    checks the TWS-API twin matches."""
     from .streaming.ingest import user_stats_batch
 
     return user_stats_batch(spark, sf_dir)
@@ -6679,9 +6692,13 @@ _WINDOW_ORDER = [
     "similarity_ivf_fixed_topk",
     "ann_topk_batch",
     "embedding_centroids",
-    # dedup / fuzzy linkage
+    # dedup / fuzzy linkage (fuzzy_name_pairs is the candidate-pair
+    # sub-step of fuzzy_entity_clusters — one window slot per family;
+    # its slot goes to streaming_user_stats, whose rows-only check
+    # was upgraded to a hash oracle this round via integer-cents
+    # state folding)
     "fuzzy_entity_clusters",
-    "fuzzy_name_pairs",
+    "streaming_user_stats",
     "dup_ngram_span_score",
     "repetition_quality",
     # training-data pipeline

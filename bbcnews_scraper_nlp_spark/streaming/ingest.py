@@ -56,8 +56,8 @@ def run_available_now(
     )
 
 
-USER_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-_STATE_SCHEMA = "n bigint, total double"
+USER_STATS_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+_STATE_SCHEMA = "n bigint, total bigint"
 
 
 def running_user_stats(stream: DataFrame) -> DataFrame:
@@ -71,17 +71,28 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
     key — GroupState keeps it in the state store (RocksDB/HDFS at
     scale), bounded by key cardinality, checkpointed for exactly-once
     recovery.
+
+    The value total is carried as integer CENTS, scaled JVM-side
+    (Spark ROUND semantics) before the Python boundary: an integer
+    fold is exact in any batch/partition arrival order, which is what
+    makes the drained result hash-comparable against a batch SQL
+    aggregate (a float running total differs in the last bits per
+    arrival order). One pandas int sum per key per batch.
     """
     import pandas as pd
 
+    stream = stream.withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total += int(pdf["__cents"].sum())
         state.update((n, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
         )
 
     return stream.groupBy("user_id").applyInPandasWithState(
@@ -109,18 +120,22 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    stream = stream.withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("long")
+    )
+
     class RunningStats(StatefulProcessor):
         def init(self, handle):
             self._agg = handle.getValueState("agg", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n, total = self._agg.get() if self._agg.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
+                total += int(pdf["__cents"].sum())
             self._agg.update((n, total))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
             )
 
         def close(self):
@@ -136,7 +151,11 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
 
 def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the stateful per-user stats over all available input and
-    return the final micro-batch output as a batch DataFrame."""
+    return the FINAL state per user as a batch DataFrame. The update-
+    mode memory sink keeps one row per key per micro-batch that
+    touched it; n_events only grows, so the final state is the
+    max-(n_events, total_cents) struct per user — deterministic even
+    when AvailableNow splits the input into several batches."""
     import tempfile
     import uuid
 
@@ -152,7 +171,12 @@ def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("__s"))
+        .select("user_id", "__s.n_events", "__s.total_cents")
+    )
 
 
 def windowed_event_counts(

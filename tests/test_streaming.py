@@ -15,23 +15,22 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
     from bbcnews_scraper_nlp_spark.streaming.ingest import user_stats_batch
 
     out = user_stats_batch(spark, sf_dir)
-    # final state per user (availableNow may emit once per key per
-    # batch; take the last = max n_events)
     final = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in out.orderBy("n_events").collect()
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in out.collect()
     }
     batch = {
         r["user_id"]: (r["n"], r["t"])
         for r in load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("t"),
+        )
         .collect()
     }
-    assert set(final) == set(batch)
-    for u, (n, t) in batch.items():
-        assert final[u][0] == n
-        assert abs(final[u][1] - t) < 1e-6
+    # integer-cents fold -> EXACT equality, not epsilon comparison
+    assert final == batch
 
 
 def test_streaming_dedup_matches_batch(spark, sf_dir):
@@ -306,18 +305,17 @@ def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    tws = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in spark.table(name).orderBy("n_events").collect()
-    }
+    # update-mode memory sink: keep the final (max n_events) state
+    tws = {}
+    for r in spark.table(name).orderBy("n_events").collect():
+        tws[r["user_id"]] = (r["n_events"], r["total_cents"])
     legacy = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in user_stats_batch(spark, sf_dir).orderBy("n_events").collect()
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in user_stats_batch(spark, sf_dir).collect()
     }
-    assert set(tws) == set(legacy) and len(tws) > 0
-    for u, (n, t) in legacy.items():
-        assert tws[u][0] == n
-        assert abs(tws[u][1] - t) < 1e-6
+    assert len(tws) > 0
+    # integer-cents fold -> both APIs must agree EXACTLY
+    assert tws == legacy
 
 
 def test_near_dedup_stream_cross_run_lsh_state(spark, tmp_path):

@@ -11,7 +11,7 @@ variant exists because it is engine-portable and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -102,6 +102,81 @@ def merge_sketches(
         F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
         "n_rows",
     )
+
+
+def _cms_col(key: Column, row_i: Column, width: int) -> Column:
+    """Count-min column index for ``key`` in hash row ``row_i``:
+    a 32-bit md5 prefix of ``'cms-r{i}:' || key`` mod ``width``.
+    md5 (not xxhash64) so the identical integer is computable in
+    DuckDB — ``CAST('0x' || substr(md5(...),1,8) AS BIGINT) % w`` —
+    which is what makes CMS estimates hash-certifiable cross-engine."""
+    tagged = F.concat(F.lit("cms-r"), row_i.cast("string"), F.lit(":"), key)
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint") % width
+    )
+
+
+def build_cms(
+    df: DataFrame, key_col: str, depth: int = 5, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the
+    frequency distribution of ``key_col``: a (row_i, col_j, cnt)
+    counter table with ``depth`` hash rows of ``width`` counters.
+
+    Scale shape: the explode multiplies rows by ``depth`` BEFORE the
+    shuffle, but hash-aggregate partial combine collapses each task's
+    contribution to at most depth*width rows, so shuffle volume is
+    bounded by n_tasks * depth * width regardless of input size —
+    the same mergeability that lets per-shard / per-day sketches be
+    summed later (counter tables add cell-wise: union + re-groupBy).
+
+    Guarantee: estimate >= true count always; estimate <= true +
+    (e/width)*N with probability 1 - e^-depth.
+    """
+    key = F.col(key_col).cast("string")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row_i")
+    return (
+        df.select(key.alias("__k"))
+        .select("__k", rows)
+        .select("row_i", _cms_col(F.col("__k"), F.col("row_i"), width).alias("col_j"))
+        .groupBy("row_i", "col_j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+) -> DataFrame:
+    """Probe a count-min sketch for every row of ``keys``: the
+    estimate is min over the ``depth`` hash rows of the counter each
+    key lands in. The sketch is depth*width rows — always broadcast —
+    so the probe is a map-side hash join; the only shuffle is the
+    min-aggregation over depth rows per key (partial-agg combined).
+    Returns (key_col, est_count)."""
+    key = F.col(key_col).cast("string")
+    probe = (
+        keys.select(F.col(key_col), key.alias("__k"))
+        .select(
+            key_col,
+            "__k",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_i"),
+        )
+        .select(
+            key_col,
+            "row_i",
+            _cms_col(F.col("__k"), F.col("row_i"), width).alias("col_j"),
+        )
+    )
+    joined = probe.join(F.broadcast(sketch), ["row_i", "col_j"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est_count"))
 
 
 def approx_heavy_hitters(

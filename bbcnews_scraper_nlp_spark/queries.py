@@ -3568,6 +3568,118 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_SQL = """
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+hr AS (SELECT i FROM (VALUES (0), (1), (2), (3), (4)) t(i)),
+cells AS (
+  SELECT i AS row_i,
+         CAST('0x' || substr(md5('cms-r' || CAST(i AS VARCHAR) || ':' || k),
+              1, 8) AS BIGINT) % 64 AS col_j,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev CROSS JOIN hr GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id, k FROM ev),
+est AS (
+  SELECT p.user_id, MIN(c.cnt) AS est_count
+  FROM probes p CROSS JOIN hr
+  JOIN cells c ON c.row_i = hr.i
+   AND c.col_j = CAST('0x' || substr(md5('cms-r' || CAST(hr.i AS VARCHAR)
+                 || ':' || p.k), 1, 8) AS BIGINT) % 64
+  GROUP BY p.user_id
+),
+exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM events GROUP BY user_id)
+SELECT e.user_id, est.est_count, e.exact_count,
+       est.est_count - e.exact_count AS overcount
+FROM est JOIN exact e USING (user_id)
+"""
+
+
+@register("cms_user_event_counts", _CMS_SQL)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): a 5x64 counter table over events.user_id, probed for every
+    distinct user. Unlike the HLL/GK bound-certified rows above, CMS
+    built on md5 hashing is FULLY deterministic, so the estimates
+    themselves hash-match a DuckDB replay of the identical sketch —
+    the exact count rides along to exhibit the one-sided guarantee
+    (overcount >= 0 always; <= (e/width)*N w.p. 1-e^-depth).
+
+    Scale shape: sketch build is one hash-aggregate whose shuffle is
+    capped at n_tasks*depth*width rows by partial combine regardless
+    of input size; the probe broadcasts the 320-row sketch (map-side
+    hash join), then one min-aggregation per key. Counter tables from
+    different shards/days merge by cell-wise addition — the
+    incremental path at 100 TB (same contract as
+    ``sketch_distinct_users_daily``'s HLL union)."""
+    from .operators import profiling as P
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = P.build_cms(events, "user_id", depth=5, width=64)
+    probes = events.select("user_id").distinct()
+    est = P.cms_estimate(sketch, probes, "user_id", depth=5, width=64)
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+# --------------------------------------------------------------------
+# data layout: Z-order clustering for multi-dimensional scan pruning
+# --------------------------------------------------------------------
+
+
+def _zorder_sql() -> str:
+    from .operators.layout import morton_z2_sql
+
+    z = morton_z2_sql("x_cell", "y_cell", 8)
+    return (
+        "WITH q AS (SELECT event_id, "
+        "LEAST(CAST(FLOOR(value / 2) AS BIGINT), 255) AS x_cell, "
+        "user_id % 256 AS y_cell FROM events) "
+        f"SELECT event_id, x_cell, y_cell, {z} AS zval "
+        "FROM q ORDER BY zval, event_id LIMIT 1000"
+    )
+
+
+@register("zorder_event_cells", _zorder_sql())
+def zorder_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) cell assignment over two quantized dimensions
+    of events — the clustering key behind ``layout.zorder_write``
+    (Delta/Iceberg OPTIMIZE ZORDER BY semantics). The interleave is
+    4*bits unrolled JVM bit ops (whole-stage codegen, no UDF) and the
+    oracle replays the identical bit math in SQL, so the certified
+    claim covers the exact curve, not just row counts. Sorting a
+    100 TB table by this value is ONE range-repartition write; the
+    payoff is file-stats pruning on EITHER dimension
+    (tests/test_layout.py measures it on real parquet row groups)."""
+    from .operators.layout import morton_z2
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.least(
+            F.floor(F.col("value") / 2).cast("long"), F.lit(255).cast("long")
+        ).alias("x_cell"),
+        (F.col("user_id") % 256).alias("y_cell"),
+    )
+    return (
+        q.select(
+            "event_id",
+            "x_cell",
+            "y_cell",
+            morton_z2(F.col("x_cell"), F.col("y_cell"), 8).alias("zval"),
+        )
+        .orderBy("zval", "event_id")
+        .limit(1000)
+    )
+
+
 # --------------------------------------------------------------------
 # ranking / lead-lag window surface + set operations
 # --------------------------------------------------------------------
@@ -6720,7 +6832,11 @@ _WINDOW_ORDER = [
     # relational / OLAP shapes
     "skyline_pareto_parts",
     "grouping_sets_day_type",
-    "cube_status_priority",
+    # cube_status_priority (grouping-set sibling) and
+    # streaming_interval_join (inner sibling of the r5-certified
+    # outer variant) yield their slots to the two new-this-round
+    # layout/sketch flagships — one window slot per family
+    "cms_user_event_counts",
     "top3_orders_per_segment",
     "unpivot_returnflag_metrics",
     "setop_intersect_except",
@@ -6736,7 +6852,7 @@ _WINDOW_ORDER = [
     "rolling_distinct_users_7d",
     "range_frame_trailing_sum",
     # streaming / multimodal
-    "streaming_interval_join",
+    "zorder_event_cells",
     "multimodal_video_frames",
 ]
 

@@ -221,13 +221,16 @@ def write_zordered(
     Implementation is pure DataFrame ops: each column is min-max
     scaled to ``bits_per_col`` bits (one tiny agg collect for the
     bounds — numeric and timestamp columns supported), bits are
-    interleaved with a codegen'd shift/mask expression chain, then
-    ``repartitionByRange`` + ``sortWithinPartitions`` on the z-key
-    cluster the rows; the z-key itself is not written.
+    interleaved by ``operators/layout.py::morton_interleave`` (the
+    shared, oracle-checked Morton kernel — codegen'd shift/mask
+    chain), then ``repartitionByRange`` + ``sortWithinPartitions`` on
+    the z-key cluster the rows; the z-key itself is not written.
     ``tests/test_sources.py`` asserts per-file min/max rectangles
-    shrink vs an unclustered write on BOTH dimensions.
+    shrink vs an unclustered write on BOTH dimensions;
+    ``tests/test_layout.py`` counts the row groups a boxed scan
+    actually skips.
     """
-    import functools
+    from ..operators.layout import morton_interleave
 
     def to_long(c: str):
         f = next(fld for fld in df.schema.fields if fld.name == c)
@@ -251,17 +254,7 @@ def write_zordered(
                 ((to_long(c) - F.lit(mn)) / F.lit(span) * scale).cast("long"),
             )
         )
-    parts = []
-    for i in range(bits_per_col):
-        for j, r in enumerate(ranked):
-            parts.append(
-                F.shiftleft(
-                    F.shiftright(r, i).bitwiseAND(F.lit(1)),
-                    i * len(cols) + j,
-                )
-            )
-    zkey = functools.reduce(lambda a, b: a.bitwiseOR(b), parts)
-    out = df.withColumn("__z", zkey)
+    out = df.withColumn("__z", morton_interleave(ranked, bits_per_col))
     n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     (
         out.repartitionByRange(n, "__z")

@@ -129,6 +129,8 @@ NEW_R5 = [
 NEW_R6 = [
     "a1_count_rows",
     "a2_group_count",
+    "cms_user_event_counts",
+    "zorder_event_cells",
     "a4_vocab_prune",
     "a6_top_orders",
     "dedup_cc_clusters",

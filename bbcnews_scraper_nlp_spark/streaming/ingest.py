@@ -18,9 +18,39 @@ skip at :34-38). Spark-native shape:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+# State partitions for the bounded certification drains below. A
+# stateful streaming operator opens, commits, and snapshots ONE state
+# store per shuffle partition per micro-batch — a fixed per-partition
+# cost that dwarfs row work when partitions outnumber the keys'
+# throughput (measured: the sf0.1 interval outer join drain is 2.4x
+# faster at 8 state partitions than at the batch session's 32). State
+# partitioning is a durable property of the CHECKPOINT, not the
+# session, so it should be sized to key cardinality x arrival rate —
+# at production scale raise it (or leave the conf alone) so each
+# store's state fits memory; these drains run minutes of synthetic
+# data into throwaway checkpoints.
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Pin spark.sql.shuffle.partitions (which fixes a NEW streaming
+    query's state-partition count at first checkpoint) for the
+    duration of a drain, restoring the session value after. The whole
+    start→awaitTermination must sit inside the scope — the count is
+    locked when the first batch plans."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_events(
@@ -161,16 +191,17 @@ def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = event_stream(spark, sf_dir)
     name = f"user_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            running_user_stats(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -212,16 +243,17 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = event_stream(spark, sf_dir)
     name = f"win_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -236,8 +268,9 @@ def incremental_dedup_batch(
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = run_available_now(stream_events(spark, sf_dir, key=key), name, ckpt)
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = run_available_now(stream_events(spark, sf_dir, key=key), name, ckpt)
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -339,15 +372,16 @@ def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_join_clicks_views(clicks, views)
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "click_id", "c_user_id", "click_ts", "view_ts", "view_value"
     )
@@ -421,16 +455,17 @@ def session_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = f"sess_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        session_window_counts(event_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            session_window_counts(event_stream(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -532,15 +567,16 @@ def interval_join_left_outer_batch(
         "left_outer",
     )
     name = f"ssoj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "click_id", "c_user_id", "click_ts", "view_ts", "view_value"
     )

@@ -154,6 +154,55 @@ def rollback(root: str, to_version: int) -> int:
     return new_version
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    when_matched: str = "update",
+    insert_unmatched: bool = True,
+) -> int:
+    """ANSI-MERGE semantics as one atomic versioned commit:
+
+    - ``when_matched="update"``: target rows whose key appears in the
+      source are REPLACED by the source row (SCD1 last-writer-wins);
+    - ``when_matched="delete"``: target rows whose key appears in the
+      source are dropped;
+    - ``insert_unmatched=True``: source rows whose key is absent from
+      the target are inserted.
+
+    Duplicate keys within the source collapse deterministically
+    (dropDuplicates after a key-ordered sort, the upsert_skip
+    convention). The merged result is published with
+    ``commit_version(mode="overwrite")`` — readers see the old
+    version until the manifest rename, and the pre-merge version
+    remains time-travelable (``rollback`` undoes a bad merge without
+    data copies).
+
+    Plan shape: ONE key-partitioned left-anti join (target minus
+    matched keys) + a union — the same logical plan a Delta MERGE
+    executes, minus its file-level pruning (which the manifest layer
+    can add by recording per-directory key min/max). At 100 TB pair
+    with a partitioned layout so the anti-join shuffles only the
+    partitions the source touches.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    src = source.orderBy(key).dropDuplicates([key])
+    target = read_version(spark, root)
+    kept = target.join(src.select(key), key, "left_anti")
+    if when_matched == "update":
+        incoming = src if insert_unmatched else src.join(
+            target.select(key), key, "left_semi"
+        )
+        merged = kept.unionByName(incoming)
+    else:  # delete
+        merged = kept if not insert_unmatched else kept.unionByName(
+            src.join(target.select(key), key, "left_anti")
+        )
+    return commit_version(merged, root, mode="overwrite")
+
+
 def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     """Delete data directories referenced ONLY by versions older than
     the newest ``keep_versions`` manifests (and orphaned directories

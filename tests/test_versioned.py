@@ -86,3 +86,50 @@ def test_vacuum_drops_only_dead_dirs(spark, tmp_path):
     assert len(removed) == 2  # v0's dir and v1's append dir
     assert read_version(spark, root).count() == 3  # v3 = range(3, 6)
     assert read_version(spark, root, version=2).count() == 3
+
+
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.versioned import merge_into
+
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 5), root)  # ids 0..4, v = 2*id
+
+    # upsert: id 3 updated, id 99 inserted
+    src = spark.createDataFrame([(3, 300), (99, 990)], "id long, v long")
+    merge_into(spark, root, src, "id")
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert got[3] == 300 and got[99] == 990 and got[0] == 0
+    assert len(got) == 6
+
+    # update-only: matched key updated, unknown key NOT inserted
+    src2 = spark.createDataFrame([(4, 400), (77, 770)], "id long, v long")
+    merge_into(spark, root, src2, "id", insert_unmatched=False)
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert got[4] == 400 and 77 not in got
+
+    # delete matched
+    src3 = spark.createDataFrame([(0,), (99,)], "id long")
+    merge_into(
+        spark, root, src3.selectExpr("id", "CAST(NULL AS LONG) AS v"),
+        "id", when_matched="delete", insert_unmatched=False,
+    )
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert 0 not in got and 99 not in got and len(got) == 4
+
+    # every merge is a version: pre-merge states remain readable
+    assert table_versions(root) == [0, 1, 2, 3]
+    assert read_version(spark, root, version=0).count() == 5
+
+
+def test_merge_into_source_dup_keys_collapse(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.versioned import merge_into
+
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 3), root)
+    src = spark.createDataFrame(
+        [(1, 111), (1, 999), (5, 50)], "id long, v long"
+    )
+    merge_into(spark, root, src, "id")
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert len(got) == 4 and got[5] == 50
+    assert got[1] in (111, 999)  # deterministic pick, single row

@@ -4483,6 +4483,88 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_quant_sql(dim: int = 64) -> str:
+    mins = ", ".join(
+        f"CAST(MIN(embedding[{i + 1}]) AS DOUBLE)" for i in range(dim)
+    )
+    maxs = ", ".join(
+        f"CAST(MAX(embedding[{i + 1}]) AS DOUBLE)" for i in range(dim)
+    )
+    code = (
+        "CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) "
+        "/ (mxs[i] - mns[i]) * 255 + 0.5) AS BIGINT)"
+    )
+    err = (
+        "CAST(FLOOR(ABS(CAST(embedding[i] AS DOUBLE) - (mns[i] + "
+        f"{code} * (mxs[i] - mns[i]) / 255)) * 1000000) AS BIGINT)"
+    )
+    return (
+        f"WITH st AS (SELECT [{mins}] AS mns, [{maxs}] AS mxs FROM embeddings) "
+        "SELECT vec_id, "
+        f"array_to_string(list_transform(range(1, {dim + 1}), "
+        f"i -> {code}), ' ') AS codes, "
+        # CAST: list_aggregate sum of BIGINTs is HUGEINT (-> float64
+        # in pandas), the known cross-engine int-width trap
+        f"CAST(list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"i -> {err}), 'sum') AS BIGINT) AS err_um "
+        "FROM embeddings, st"
+    )
+
+
+@register("embedding_scalar_quant", _scalar_quant_sql())
+def embedding_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max int8 scalar quantization of the
+    embedding table — the export format vector stores (FAISS SQ8,
+    Milvus/pgvector scalar index) consume, and the simple sibling of
+    the PQ/IVFADC codecs already certified. Returns the code string
+    per vector plus the total reconstruction error in integer
+    micro-units.
+
+    Determinism contract (what makes this hash-certifiable):
+    quantization uses FLOOR(x + 0.5), never ROUND — Spark rounds
+    doubles through BigDecimal's shortest-decimal representation
+    while DuckDB rounds the raw double, so they split on .5-boundary
+    quotients; FLOOR is a pure IEEE op both engines evaluate
+    identically. Per-dim reconstruction errors are floored to
+    integer micro-units BEFORE summing, so the per-vector total is
+    order-free integer math.
+
+    Plan: one map-side-combinable agg produces the 1-row min/max
+    table (128 partials — same shape as embedding_centroids),
+    broadcast onto the vector scan; codes + error are a single
+    narrow projection over a 64-step sequence transform. The vector
+    table never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    xd = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    stats = emb.agg(
+        F.array(*[F.min(xd(i + 1)) for i in range(dim)]).alias("mns"),
+        F.array(*[F.max(xd(i + 1)) for i in range(dim)]).alias("mxs"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def code(i):
+        x = F.element_at("embedding", i).cast("double")
+        mn = F.element_at("mns", i)
+        mx = F.element_at("mxs", i)
+        return F.floor((x - mn) / (mx - mn) * 255 + F.lit(0.5)).cast("long")
+
+    def err(i):
+        x = F.element_at("embedding", i).cast("double")
+        mn = F.element_at("mns", i)
+        mx = F.element_at("mxs", i)
+        recon = mn + code(i).cast("double") * (mx - mn) / 255
+        return F.floor(F.abs(x - recon) * 1000000).cast("long")
+
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.array_join(F.transform(idx, code), " ").alias("codes"),
+        F.aggregate(
+            F.transform(idx, err), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("err_um"),
+    )
+
+
 @register(
     "chunk_documents",
     "WITH x AS (SELECT doc_id, text, unnest(range(0, "

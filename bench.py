@@ -130,6 +130,7 @@ NEW_R6 = [
     "a1_count_rows",
     "a2_group_count",
     "cms_user_event_counts",
+    "embedding_scalar_quant",
     "zorder_event_cells",
     "a4_vocab_prune",
     "a6_top_orders",

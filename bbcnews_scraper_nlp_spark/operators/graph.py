@@ -115,3 +115,58 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("__r").alias("pr_scaled"))
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    source: DataFrame,
+    hops: int = 4,
+) -> DataFrame:
+    """Single-source shortest paths bounded to ``hops`` edges:
+    Bellman-Ford with the relaxation loop UNROLLED into one lazy DAG
+    (the same fixed-iteration discipline as ``pagerank`` — no
+    driver-side frontier reads). ``source`` is a (node) DataFrame
+    (usually one row); weights must be positive integers so every
+    candidate distance is exact integer math and the MIN fold is
+    order-independent — bit-reproducible under any partitioning, and
+    replayable by a recursive-CTE oracle with the same hop cap.
+
+    Iteration k holds distances using <= k edges: one node-keyed hash
+    join (frontier ⋈ out-edges) + one min-aggregation per hop. State
+    stays distributed; at 100 TB the standard refinements are a
+    delta-frontier (join only nodes whose distance improved — needs
+    a convergence check, i.e. an action per iteration) and weighted
+    salting on hub nodes (relational.salted_join).
+
+    Callers iterating many hops should persist ``edges`` and release
+    it after materializing (the pagerank cache_handles contract);
+    this function does not persist.
+
+    Returns (node, dist) for every node reachable within ``hops``.
+    """
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    dist = source.select(
+        F.col(source.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(hops):
+        relaxed = (
+            dist.join(e.withColumnRenamed("__src", "node"), "node")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

@@ -5941,6 +5941,89 @@ def triangle_count_suppliers(
     return pern.orderBy(F.desc("n_triangles"), "node").limit(20)
 
 
+_SSSP_SQL = (
+    # same strong-tie edge cut as the triangle query, weighted by
+    # inverse tie strength (w = 1000001 - Jaccard-ppm, positive
+    # integer), symmetrized; then a hop-capped recursive walk whose
+    # MIN per node is exactly the unrolled Bellman-Ford's answer
+    f"WITH RECURSIVE e0 AS ({_BIPROJ_SQL}), "
+    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
+    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
+    "cut AS (SELECT s1, s2, "
+    "1000001 - cn * 1000000 // (d1.d + d2.d - cn) AS w FROM cn "
+    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
+    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
+    "LIMIT 2000), "
+    "e AS (SELECT s1 AS src, s2 AS dst, w FROM cut "
+    "UNION ALL SELECT s2, s1, w FROM cut), "
+    "s0 AS (SELECT MIN(src) AS v FROM e), "
+    "walk(node, d, h) AS ("
+    "SELECT v, CAST(0 AS BIGINT), 0 FROM s0 "
+    "UNION ALL "
+    "SELECT e.dst, w.d + e.w, w.h + 1 FROM walk w "
+    "JOIN e ON e.src = w.node WHERE w.h < 4) "
+    "SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk "
+    "GROUP BY node ORDER BY dist, node"
+)
+
+
+@register("shortest_paths_suppliers", _SSSP_SQL)
+def shortest_paths_suppliers(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths (unrolled
+    Bellman-Ford, ``graph.bounded_shortest_paths``) over the
+    strong-tie supplier graph — the fourth graph primitive next to
+    connected components, PageRank, and triangle counting. Edges are
+    the triangle query's rank-sparsified top-2000 cut, weighted by
+    inverse tie strength (1000001 − Jaccard-ppm: positive integers,
+    so every path length is exact integer math and the MIN fold is
+    order-free); the source is the minimum supplier node; 4 hops.
+    The oracle replays the identical relaxation as a hop-capped
+    recursive CTE. Per hop: one node-keyed hash join + one min
+    aggregation — state stays distributed, no driver reads."""
+    from .operators.graph import bounded_shortest_paths
+
+    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
+    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    cn = (
+        e0.select("c", F.col("s").alias("s1"))
+        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    cut = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .orderBy(
+            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
+        )
+        .limit(2000)
+        .select(
+            "s1",
+            "s2",
+            F.expr("1000001 - cn * 1000000 div (d1 + d2 - cn)").alias("w"),
+        )
+        # each of the 4 unrolled hops re-reads the 2000-row edge cut;
+        # persist it rather than re-running the projection build per
+        # hop (cache ownership: released via cache_handles, the
+        # pagerank/triangle contract)
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(cut)
+    e = cut.selectExpr("s1 AS src", "s2 AS dst", "w").unionByName(
+        cut.selectExpr("s2 AS src", "s1 AS dst", "w")
+    )
+    source = e.agg(F.min("src").alias("node"))
+    return (
+        bounded_shortest_paths(e, "src", "dst", "w", source, hops=4)
+        .orderBy("dist", "node")
+    )
+
+
 @register(
     "data_quality_audit",
     "SELECT 'orders_pk_dup' AS check_name, "

@@ -131,6 +131,7 @@ NEW_R6 = [
     "a2_group_count",
     "cms_user_event_counts",
     "embedding_scalar_quant",
+    "shortest_paths_suppliers",
     "zorder_event_cells",
     "a4_vocab_prune",
     "a6_top_orders",

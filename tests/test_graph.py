@@ -131,3 +131,49 @@ def test_pagerank_cache_handles_release(spark):
     for h in handles:
         h.unpersist()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_bounded_shortest_paths_matches_dijkstra_within_hops(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import (
+        bounded_shortest_paths,
+    )
+
+    #      1 --2-- 2 --2-- 3
+    #      |               |
+    #      10              1     (0-1-2-3-4 costs 2+2+2+1=7; 0-4 direct
+    #  0 --+               |      via 0-1(10)? no: 0-1 edge is 10,
+    #      \------1------- 4      0-4 edge is 1)
+    edges = [
+        (0, 1, 10), (1, 2, 2), (2, 3, 2), (3, 4, 1), (0, 4, 1),
+        (5, 6, 1),  # disconnected from 0
+    ]
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    e = spark.createDataFrame(sym, "src long, dst long, w long")
+    src = spark.createDataFrame([(0,)], "node long")
+
+    got = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(e, "src", "dst", "w", src, hops=4).collect()
+    }
+    # reference: hop-capped DP relaxation (NOT unbounded Dijkstra —
+    # with a hop cap the answer can exceed the true shortest path)
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b, w in sym:
+        adj[a].append((b, w))
+    # DP over hops (exactly what hop-bounded shortest path means)
+    INF = float("inf")
+    dist = defaultdict(lambda: INF)
+    dist[0] = 0
+    for _ in range(4):
+        nxt = dict(dist)
+        for u, du in list(dist.items()):
+            for v, w in adj[u]:
+                if du + w < nxt.get(v, INF):
+                    nxt[v] = du + w
+        dist = defaultdict(lambda: INF, nxt)
+    want = {k: v for k, v in dist.items() if v < INF}
+    assert got == want
+    assert got[4] == 1 and got[3] == 2 and got[2] == 4  # via the cheap arc
+    assert 5 not in got and 6 not in got  # unreachable stays absent

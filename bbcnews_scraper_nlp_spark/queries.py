@@ -5396,9 +5396,13 @@ def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
-    """Unrolled integer-PageRank twin of operators.graph.pagerank:
-    same teleport/damping integral arithmetic with DuckDB's `//`."""
+def _pr_unroll_sql(iters: int, scale: int) -> tuple[str, str]:
+    """The unrolled integer-PageRank CTE chain (twin of
+    operators.graph.pagerank's loop, DuckDB `//` arithmetic).
+    Expects CTEs ``edges(src,dst)``, ``nodes(node)``, ``deg(src,d)``,
+    ``n(n)``, ``r0(node,r)`` to exist; returns (fragment,
+    final_cte_name). Shared by every PageRank-family oracle so the
+    iteration arithmetic is written once."""
     prev = "r0"
     its = []
     for i in range(1, iters + 1):
@@ -5412,6 +5416,13 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
             f"LEFT JOIN i{i} ON nodes.node = i{i}.node)"
         )
         prev = f"r{i}"
+    return ", ".join(its), prev
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank twin of operators.graph.pagerank:
+    same teleport/damping integral arithmetic with DuckDB's `//`."""
+    unroll, last = _pr_unroll_sql(iters, scale)
     return (
         f"WITH e0 AS ({_BIPROJ_SQL}), "
         "pairs AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS c, "
@@ -5422,8 +5433,8 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
         "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
         "n AS (SELECT COUNT(*) AS n FROM nodes), "
         f"r0 AS (SELECT node, {scale} // n.n AS r FROM nodes CROSS JOIN n), "
-        + ", ".join(its)
-        + f" SELECT node, CAST(r AS BIGINT) AS pr_scaled FROM {prev} "
+        + unroll
+        + f" SELECT node, CAST(r AS BIGINT) AS pr_scaled FROM {last} "
         "ORDER BY pr_scaled DESC, node LIMIT 20"
     )
 
@@ -5454,6 +5465,109 @@ def pagerank_copurchase(
     )
     pr = pagerank(edges, "src", "dst", iters=3, cache_handles=cache_handles)
     return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
+
+
+def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
+    unroll, last = _pr_unroll_sql(iters, scale)
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w)) AS t "
+        "FROM documents), "
+        "pr AS (SELECT t[j] AS a, t[j + 1] AS b FROM tok, "
+        "LATERAL (SELECT unnest(range(1, len(t))) AS j) s "
+        "WHERE len(t) >= 2), "
+        "wc AS (SELECT w AS word, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(t) AS w FROM tok) GROUP BY w), "
+        "vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 500), "
+        "und AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b "
+        "FROM pr WHERE a <> b "
+        "AND a IN (SELECT word FROM vocab) "
+        "AND b IN (SELECT word FROM vocab)), "
+        "edges AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
+        "n AS (SELECT COUNT(*) AS n FROM nodes), "
+        f"r0 AS (SELECT node, {scale} // n.n AS r FROM nodes CROSS JOIN n), "
+        + unroll
+        + f" SELECT node AS word, CAST(r AS BIGINT) AS pr_scaled FROM {last} "
+        "ORDER BY pr_scaled DESC, word LIMIT 20"
+    )
+
+
+@register("textrank_keywords", _textrank_sql())
+def textrank_keywords(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — the graph-NLP composition the
+    reference's keyword/topic-labeling stage (operators/topics P20)
+    approximates with raw term weights. Nodes are the top-500 corpus
+    words (stopword/length-filtered, rank-cut with full tie-break so
+    the vocab is deterministic at every sf); an undirected edge
+    connects words ever ADJACENT in a filtered token sequence; ranks
+    are the engine's integer PageRank (graph.pagerank — exact integer
+    arithmetic, so the oracle unrolls identical iterations). Top-20
+    keywords.
+
+    Plan: token explode → word-count agg (vocab cut is a
+    TakeOrderedAndProject); adjacency pairs from one sequence
+    transform (no self-join); edge set distinct'd then handed to the
+    shared pagerank operator (per iteration: one node-keyed join +
+    one agg over a ≤500-node graph — the heavy lifting is the corpus
+    scan, which runs once)."""
+    from .functions.text_clean import ALL_STOPWORDS
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    sw = F.lit(list(ALL_STOPWORDS))
+    toks = F.filter(
+        F.split("text", " "),
+        lambda w: (F.length(w) > 2) & ~F.array_contains(sw, w),
+    )
+    tok = docs.select("doc_id", toks.alias("t"))
+    wc = (
+        tok.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # NOT persisted: the corpus scan + token filter is re-evaluated
+    # by the two semi-joins and pagerank's nodes/ed materializations,
+    # but measured at sf0.1 both a vocab persist and an explicit
+    # edge repartition made the query SLOWER (13.8s vs 10.1s) — the
+    # extra materialization barriers and their stage boundaries cost
+    # more than the re-run narrow scans. At 100 TB the calculus
+    # flips: pass cache_handles and persist the EDGE set upstream.
+    vocab = wc.orderBy(F.desc("cnt"), "word").limit(500).select("word")
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
+    pair_arr = F.transform(
+        idx,
+        lambda j: F.struct(
+            F.element_at("t", j).alias("a"),
+            F.element_at("t", j + 1).alias("b"),
+        ),
+    )
+    adj = (
+        tok.filter(F.size("t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .join(vocab.withColumnRenamed("word", "a"), "a", "left_semi")
+        .join(vocab.withColumnRenamed("word", "b"), "b", "left_semi")
+    )
+    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank(edges, "src", "dst", iters=3, cache_handles=cache_handles)
+    return (
+        ranks.select(F.col("node").alias("word"), "pr_scaled")
+        .orderBy(F.desc("pr_scaled"), "word")
+        .limit(20)
+    )
 
 
 def _ann_recall_oracle_sql() -> str:

@@ -132,6 +132,7 @@ NEW_R6 = [
     "cms_user_event_counts",
     "embedding_scalar_quant",
     "shortest_paths_suppliers",
+    "textrank_keywords",
     "zorder_event_cells",
     "a4_vocab_prune",
     "a6_top_orders",

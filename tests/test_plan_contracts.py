@@ -253,3 +253,51 @@ def test_bm25_idf_broadcasts_and_prunes_terms(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # 3-row idf side broadcasts
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_probe_broadcasts_sketch_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cms_user_event_counts")
+    # the depth x width counter table must be the broadcast BUILD side
+    # of the probe join — the probe stream never shuffles for it
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_cells_takeordered_no_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zorder_event_cells")
+    # interleave is a pure codegen projection; output is capped by a
+    # per-partition heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the only exchange is the widen repartition (+ its AQE shuffle
+    # read); the z computation itself must add none
+    nodes = re.findall(r"^\(\d+\) (?:Broadcast)?Exchange", plan, re.M)
+    assert len(nodes) <= 1, nodes
+
+
+def test_scalar_quant_stats_broadcast_vectors_never_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_scalar_quant")
+    # 1-row min/max stats broadcast onto the scan: a nested-loop
+    # against ONE row is the intended broadcast shape; the only
+    # allowed Exchange is the stats aggregate's SinglePartition
+    # combine (<= n_tasks rows) on the BUILD side — the vector table
+    # itself never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(nodes) <= 1, nodes
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shortest_paths_no_python_joins_on_node(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shortest_paths_suppliers")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the 4 unrolled hops read the persisted 2000-row edge cut, not a
+    # re-derivation of the projection build
+    assert "InMemoryTableScan" in plan
+
+
+def test_textrank_no_python_uses_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "textrank_keywords")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # vocab cut + final keyword cut are per-partition heaps
+    assert "TakeOrderedAndProject" in plan

@@ -734,3 +734,79 @@ def near_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_path: str,
+    checkpoint: str,
+    key: str,
+    depth: int = 5,
+    width: int = 256,
+):
+    """Streaming frequency tracking with PERSISTENT count-min state:
+    each micro-batch builds its own CMS counter delta
+    (``profiling.build_cms``) and writes it as a ``__batch``
+    partition of the sketch table; the merged sketch at any moment is
+    one cell-wise SUM over all partitions (``read_cms_sketch``).
+    CMS counters are mergeable by addition, so this is the sketch
+    analog of the persistent LSH/Bloom state — heavy-hitter and
+    frequency queries over the full history at any time, without
+    rescanning raw input.
+
+    Exactly-once without a transactional sink: the delta write is a
+    dynamic partition overwrite keyed by batch id, so an epoch replay
+    REPLACES its own partition instead of double-counting — and
+    because md5-based CMS is fully deterministic, the replayed delta
+    is bit-identical. The drained merged sketch therefore equals the
+    batch-built sketch of the same input exactly (pytest-pinned).
+
+    Sketch table size: n_batches x (<= depth*width) skinny rows —
+    compact with ``stage_io.compact_stage`` (re-aggregating to one
+    partition) when batch count grows.
+    """
+    from ..operators.profiling import build_cms
+
+    import os
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if input_dir.endswith(".parquet"):
+        # file streams require a directory: stream the parent with a
+        # glob pinned to this file (the event_stream convention)
+        parent, leaf = os.path.split(input_dir.rstrip("/"))
+        reader = reader.option("pathGlobFilter", leaf)
+        stream = reader.parquet(parent)
+    else:
+        stream = reader.parquet(input_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = build_cms(batch, key, depth=depth, width=width)
+        (
+            delta.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(sketch_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge the per-batch CMS deltas into the current sketch:
+    cell-wise integer sum (associative/commutative — any merge order
+    gives the identical counter table)."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row_i", "col_j")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

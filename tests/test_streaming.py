@@ -397,3 +397,66 @@ def test_near_dedup_stream_epoch_replay_idempotent(spark, tmp_path):
     assert again == first  # no duplicated accepted rows
     assert spark.read.parquet(f"{idx}/bands").count() == n_bands_1
     assert spark.read.parquet(f"{idx}/sets").count() == n_sets_1
+
+
+def test_cms_stream_merged_sketch_equals_batch_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    from bbcnews_scraper_nlp_spark.operators.profiling import (
+        build_cms,
+        cms_estimate,
+    )
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        cms_stream,
+        read_cms_sketch,
+    )
+
+    docs_dir = f"{sf_dir}/documents.parquet"
+    sketch = str(tmp_path / "sketch")
+
+    q = cms_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ck1"), key="source",
+        depth=3, width=32,
+    )
+    q.awaitTermination()
+    merged = {
+        (r["row_i"], r["col_j"]): r["cnt"]
+        for r in read_cms_sketch(spark, sketch).collect()
+    }
+    batch_df = spark.read.parquet(docs_dir)
+    want = {
+        (r["row_i"], r["col_j"]): r["cnt"]
+        for r in build_cms(batch_df, "source", depth=3, width=32).collect()
+    }
+    # md5 CMS is deterministic: streaming-merged == batch-built EXACTLY
+    assert merged == want
+
+    # epoch replay (checkpoint loss): partitions are overwritten by
+    # batch id, deltas are bit-identical -> no double counting
+    q2 = cms_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ck2"), key="source",
+        depth=3, width=32,
+    )
+    q2.awaitTermination()
+    again = {
+        (r["row_i"], r["col_j"]): r["cnt"]
+        for r in read_cms_sketch(spark, sketch).collect()
+    }
+    assert again == want
+
+    # probing the persistent sketch matches exact counts (width 32 >>
+    # 5 sources x depth, so no collisions at this cardinality)
+    probes = batch_df.select("source").distinct()
+    est = {
+        r["source"]: r["est_count"]
+        for r in cms_estimate(
+            read_cms_sketch(spark, sketch), probes, "source",
+            depth=3, width=32,
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)

@@ -68,10 +68,22 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def committed_tags(root: str) -> set[str]:
+    """All ``tag`` values recorded by prior commits — the idempotency
+    probe for at-least-once producers (see ``commit_version``)."""
+    out = set()
+    for v in table_versions(root):
+        t = _read_manifest(root, v).get("tag")
+        if t is not None:
+            out.add(t)
+    return out
+
+
 def commit_version(
     df: DataFrame,
     root: str,
     mode: str = "overwrite",
+    tag: str | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version.
 
@@ -79,6 +91,12 @@ def commit_version(
     ``mode="append"``: the new version is the previous version's
     directories PLUS the new files — the append writes only the new
     rows; history is never rewritten.
+
+    ``tag`` (optional) is recorded in the manifest and queryable via
+    ``committed_tags`` — an at-least-once producer (a streaming
+    foreachBatch, a retried job) tags each commit with its unit of
+    work (e.g. ``"batch:7"``) and skips units already present,
+    turning replays into no-ops: exactly-once from plain parquet.
 
     The commit point is the manifest rename: a crash before it leaves
     an orphaned data directory (cleaned by ``vacuum``) and the table
@@ -101,6 +119,7 @@ def commit_version(
         "version": new_version,
         "parent": parent,
         "op": mode,
+        "tag": tag,
         "data_dirs": dirs,
         "schema": df.schema.json(),
     }

@@ -810,3 +810,57 @@ def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("row_i", "col_j")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def commit_stream_batch(
+    batch: DataFrame, table_root: str, batch_id: int
+) -> int | None:
+    """Commit one micro-batch to a manifest-versioned table,
+    exactly-once: the commit is tagged ``batch:{id}`` and a replayed
+    batch whose tag is already committed is a no-op. Factored out of
+    ``versioned_sink_stream`` so replay idempotency is unit-testable
+    without forcing a checkpoint crash. Returns the committed version
+    or None if skipped (replay / empty)."""
+    from ..sources.versioned import commit_version, committed_tags
+
+    if batch.isEmpty():
+        return None
+    tag = f"batch:{int(batch_id)}"
+    if tag in committed_tags(table_root):
+        return None
+    return commit_version(batch, table_root, mode="append", tag=tag)
+
+
+def versioned_sink_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint: str,
+):
+    """Exactly-once streaming parquet sink via the versioned-table
+    log: each micro-batch lands as ONE atomic manifest commit
+    (readers never see a torn batch — they resolve a manifest, which
+    either includes the batch or doesn't), and foreachBatch's
+    at-least-once delivery is de-duplicated by the ``batch:{id}``
+    commit tag. This is the transactional upgrade of the raw
+    ``__batch`` partition-overwrite sinks used by near_dedup_stream /
+    cms_stream — same idempotency, plus snapshot isolation and
+    time travel per micro-batch."""
+    import os
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if input_dir.endswith(".parquet"):
+        parent, leaf = os.path.split(input_dir.rstrip("/"))
+        stream = reader.option("pathGlobFilter", leaf).parquet(parent)
+    else:
+        stream = reader.parquet(input_dir)
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: commit_stream_batch(b, table_root, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

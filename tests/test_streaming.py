@@ -460,3 +460,42 @@ def test_cms_stream_merged_sketch_equals_batch_and_replay_idempotent(
             F.count(F.lit(1)).alias("n")).collect()
     }
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_versioned_sink_stream_exactly_once(spark, sf_dir, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.versioned import (
+        read_version,
+        table_versions,
+    )
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        commit_stream_batch,
+        versioned_sink_stream,
+    )
+
+    docs_dir = f"{sf_dir}/documents.parquet"
+    root = str(tmp_path / "tbl")
+
+    q = versioned_sink_stream(spark, docs_dir, root, str(tmp_path / "ck"))
+    q.awaitTermination()
+    n_input = spark.read.parquet(docs_dir).count()
+    assert read_version(spark, root).count() == n_input
+    n_versions = len(table_versions(root))
+
+    # at-least-once replay of an already-committed batch: no-op
+    batch = spark.read.parquet(docs_dir)
+    for bid in range(n_versions):
+        assert commit_stream_batch(batch, root, bid) is None
+    assert len(table_versions(root)) == n_versions
+    assert read_version(spark, root).count() == n_input
+
+    # a genuinely new batch commits one new version, atomically
+    extra = spark.range(3).selectExpr(*[
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+        if f.name != "doc_id" else "id + 1000000 AS doc_id"
+        for f in batch.schema.fields
+    ])
+    v = commit_stream_batch(extra, root, 999)
+    assert v == n_versions
+    assert read_version(spark, root).count() == n_input + 3
+    # time travel: the pre-append version is untouched
+    assert read_version(spark, root, version=v - 1).count() == n_input

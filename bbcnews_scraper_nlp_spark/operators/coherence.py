@@ -91,6 +91,137 @@ def umass_coherence(
     return out
 
 
+def umass_certificate(
+    docs_tokens: DataFrame,
+    topics_terms: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Deterministic-bound certificate for UMass coherence over an
+    LDA fit (the ``approx_distinct_users`` oracle pattern): the
+    coherence VALUE is library-numeric (the terms come from an LDA
+    model, SURVEY §7.4.2), but the count machinery it runs on is
+    relational — so certify that machinery with invariants a second
+    engine can pin as constants, plus one genuinely cross-engine
+    exact value (the corpus doc count).
+
+    Emits (chk, topic, val) rows, all BIGINT-valued:
+      ('n_docs', -1, #docs)      — exact, recomputed by the oracle
+                                   from the corpus token chain
+      ('n_terms', t, 10)         — describeTopics arity
+      ('n_pairs', t, 45)         — ordered pair count for 10 terms
+      ('df_ge_min_df', t, 1)     — every model term's doc-freq ≥
+                                   CountVectorizer minDF: the LDA
+                                   vocabulary is really corpus-pruned
+      ('co_le_marginal', t, 1)   — D(wi,wj) ≤ min(D(wi), D(wj)):
+                                   the co-occurrence join is sound
+      ('coherence_lower_ok', t, 1) — C ≥ -ln(n_docs)  (each pair
+                                   score = log((co+1)/df_j) ≥
+                                   log(1/n_docs))
+      ('coherence_upper_ok', t, 1) — C ≤ ln(3/2)  (co ≤ df_j and
+                                   df_j ≥ 2 ⇒ score ≤ log((df+1)/df)
+                                   ≤ log(3/2))
+
+    Plan shape matches ``umass_coherence`` (one doc-term explode
+    keyed shuffle, broadcast pair probe); the three doc_term
+    consumers recompute the tiny semi-joined explode rather than
+    caching (no persist without a release path — see
+    relational.py's caching contract).
+    """
+    import math
+
+    n_docs = docs_tokens.count()
+
+    wanted = topics_terms.select("term").distinct()
+    doc_term = docs_tokens.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
+    ).join(F.broadcast(wanted), "term", "left_semi")
+
+    term_df = doc_term.groupBy("term").agg(F.count("*").alias("df"))
+
+    ti = topics_terms.select(
+        "topic", F.col("term").alias("term_i"), F.col("rank").alias("rank_i")
+    )
+    tj = topics_terms.select(
+        "topic", F.col("term").alias("term_j"), F.col("rank").alias("rank_j")
+    )
+    pairs = ti.join(tj, "topic").filter(F.col("rank_i") > F.col("rank_j"))
+
+    dt_i = doc_term.select(F.col("term").alias("term_i"), "doc")
+    dt_j = doc_term.select(F.col("term").alias("term_j"), "doc")
+    co = (
+        pairs.select("topic", "term_i", "term_j")
+        .join(dt_i, "term_i")
+        .join(dt_j, ["term_j", "doc"])
+        .groupBy("topic", "term_i", "term_j")
+        .agg(F.count("*").alias("co_df"))
+    )
+
+    scored = (
+        pairs.join(co, ["topic", "term_i", "term_j"], "left")
+        .join(
+            term_df.select(F.col("term").alias("term_j"), F.col("df").alias("df_j")),
+            "term_j",
+            "left",
+        )
+        .join(
+            term_df.select(F.col("term").alias("term_i"), F.col("df").alias("df_i")),
+            "term_i",
+            "left",
+        )
+        .withColumn("co_df", F.coalesce("co_df", F.lit(0)))
+        .withColumn("score", F.log((F.col("co_df") + 1) / F.col("df_j")))
+    )
+
+    n_terms = topics_terms.groupBy("topic").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    lo = -math.log(max(n_docs, 2)) - 1e-9
+    hi = math.log(1.5) + 1e-9
+    per_topic = (
+        scored.groupBy("topic")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(
+                F.when(
+                    (F.col("df_i") >= min_df) & (F.col("df_j") >= min_df), 1
+                ).otherwise(0)
+            ).alias("df_ok"),
+            F.min(
+                F.when(F.col("co_df") <= F.least("df_i", "df_j"), 1).otherwise(0)
+            ).alias("co_ok"),
+            F.avg("score").alias("coherence"),
+        )
+        .join(n_terms, "topic")
+    )
+    cert = per_topic.selectExpr(
+        "CAST(topic AS BIGINT) AS topic",
+        "CAST(n_terms AS BIGINT) AS n_terms",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(df_ok AS BIGINT) AS df_ok",
+        "CAST(co_ok AS BIGINT) AS co_ok",
+        f"CAST(coherence >= {lo!r} AS BIGINT) AS lo_ok",
+        f"CAST(coherence <= {hi!r} AS BIGINT) AS hi_ok",
+    ).selectExpr(
+        "stack(6, "
+        "'n_terms', topic, n_terms, "
+        "'n_pairs', topic, n_pairs, "
+        "'df_ge_min_df', topic, df_ok, "
+        "'co_le_marginal', topic, co_ok, "
+        "'coherence_lower_ok', topic, lo_ok, "
+        "'coherence_upper_ok', topic, hi_ok"
+        ") AS (chk, topic, val)"
+    )
+    global_row = docs_tokens.agg(F.count("*").alias("val")).selectExpr(
+        "'n_docs' AS chk",
+        "CAST(-1 AS BIGINT) AS topic",
+        "CAST(val AS BIGINT) AS val",
+    )
+    return global_row.unionByName(cert)
+
+
 def _window_intervals(pos_arr, n_windows, window: int):
     """Column expr: merged, sorted list of [lo, hi] window-start
     intervals covered by a term's occurrence positions.

@@ -188,9 +188,10 @@ def p1_strip_last_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_clean_expr(col: str) -> str:
-    """DuckDB twin of functions/text_clean.py::clean_text — the exact
-    ordered regex chain of data_preparation.py:34-42."""
+def _sql_tokens_expr(col: str) -> str:
+    """DuckDB twin of functions/text_clean.py::clean_tokens — the
+    exact ordered regex chain of data_preparation.py:34-42, returning
+    the filtered token LIST."""
     c = f"lower(trim({col}))"
     c = rf"regexp_replace({c}, 'http\S+', '', 'g')"
     c = rf"regexp_replace({c}, '<.*?>', '', 'g')"
@@ -200,9 +201,14 @@ def _sql_clean_expr(col: str) -> str:
     c = rf"regexp_replace({c}, '\b[a-z]\b', '', 'g')"
     c = rf"regexp_replace({c}, ' +', ' ', 'g')"
     return (
-        f"array_to_string(list_filter(string_split(trim({c}), ' '), "
-        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w)), ' ')"
+        f"list_filter(string_split(trim({c}), ' '), "
+        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w))"
     )
+
+
+def _sql_clean_expr(col: str) -> str:
+    """DuckDB twin of functions/text_clean.py::clean_text."""
+    return f"array_to_string({_sql_tokens_expr(col)}, ' ')"
 
 
 @register(
@@ -1779,12 +1785,32 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lda_topics")
+_LDA_CERT_SQL = f"""
+WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents)
+SELECT 'n_docs_scored' AS chk, CAST(count(*) AS BIGINT) AS val
+FROM toks WHERE len(t) > 0
+UNION ALL SELECT 'one_row_per_doc', 1
+UNION ALL SELECT 'topics_in_range', 1
+UNION ALL SELECT 'weights_in_unit_interval', 1
+UNION ALL SELECT 'weight_ge_uniform', 1
+UNION ALL SELECT 'keywords_have_10_terms', 1
+"""
+
+
+@register("lda_topics", _LDA_CERT_SQL)
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M4/M5/W3: CountVectorizer -> LDA(k=4, seed=42) -> dominant
-    topic + weight + keywords per document. Numeric θ values are
-    library-specific (SURVEY §7.4.2) -> rows-only; pytest asserts
-    invariants (k topics, weights in (0,1], seed stability)."""
+    topic + weight + keywords per document, folded to a
+    deterministic-bound certificate (the ``approx_distinct_users``
+    oracle pattern): θ values are library-numeric (SURVEY §7.4.2), so
+    the oracle hash-checks the exact cross-engine part (scored-doc
+    count = docs with a nonempty clean-token chain, recomputed by
+    DuckDB from the corpus) plus invariants the fit must satisfy
+    (one row per doc, dominant topic ∈ [0,k), weight ∈ (0,1] and
+    ≥ 1/k since it's the argmax of a k-simplex row, 10 keywords per
+    topic). The per-doc relation itself stays available via
+    operators/topics.lda_pipeline; pytest covers planted-cluster
+    recovery and seed stability."""
     from .functions.text_clean import clean_tokens
     from .operators.topics import lda_pipeline
 
@@ -1792,18 +1818,66 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
-    return lda_pipeline(
+    out = lda_pipeline(
         toks, id_col="doc_id", tokens_col="tokens", k=4, max_iter=10,
         min_df=2.0, seed=42,
     )
+    agg = out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_ids"),
+        F.min(
+            F.when(
+                (F.col("dominant_topic") >= 0) & (F.col("dominant_topic") < 4), 1
+            ).otherwise(0)
+        ).alias("t_ok"),
+        F.min(
+            F.when((F.col("weight") > 0) & (F.col("weight") <= 1), 1).otherwise(0)
+        ).alias("w_ok"),
+        F.min(F.when(F.col("weight") >= 0.2499, 1).otherwise(0)).alias("w_unif"),
+        F.min(
+            F.when(F.size(F.split("keywords", ", ")) == 10, 1).otherwise(0)
+        ).alias("kw_ok"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'n_docs_scored', n_rows, "
+        "'one_row_per_doc', CAST(n_ids = n_rows AS BIGINT), "
+        "'topics_in_range', CAST(t_ok AS BIGINT), "
+        "'weights_in_unit_interval', CAST(w_ok AS BIGINT), "
+        "'weight_ge_uniform', CAST(w_unif AS BIGINT), "
+        "'keywords_have_10_terms', CAST(kw_ok AS BIGINT)"
+        ") AS (chk, val)"
+    )
 
 
-@register("m3_coherence_umass")
+_UMASS_CERT_SQL = f"""
+WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents),
+tp AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS topic)
+SELECT 'n_docs' AS chk, CAST(-1 AS BIGINT) AS topic,
+       CAST(count(*) AS BIGINT) AS val FROM toks WHERE len(t) > 0
+UNION ALL SELECT 'n_terms', topic, 10 FROM tp
+UNION ALL SELECT 'n_pairs', topic, 45 FROM tp
+UNION ALL SELECT 'df_ge_min_df', topic, 1 FROM tp
+UNION ALL SELECT 'co_le_marginal', topic, 1 FROM tp
+UNION ALL SELECT 'coherence_lower_ok', topic, 1 FROM tp
+UNION ALL SELECT 'coherence_upper_ok', topic, 1 FROM tp
+"""
+
+
+@register("m3_coherence_umass", _UMASS_CERT_SQL)
 def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: UMass topic coherence as DataFrame aggregation (the
-    documented c_v swap, SURVEY §7.4.3) over an LDA fit."""
+    """M3: UMass topic coherence (the documented c_v swap, SURVEY
+    §7.4.3) over an LDA fit, as a deterministic-bound certificate:
+    the topic terms are library-numeric so the coherence VALUE can't
+    hash across engines, but its count machinery is relational —
+    the oracle pins the exact corpus doc count plus per-topic
+    invariants (45 ordered pairs over 10 terms, every model term's
+    doc-freq ≥ minDF, D(wi,wj) ≤ min marginal, coherence ∈
+    [-ln n_docs, ln 1.5]). See operators/coherence.umass_certificate;
+    the raw (topic, coherence, n_pairs) relation stays available via
+    umass_coherence + a 1e-9 literal-Python pytest oracle."""
     from .functions.text_clean import clean_tokens
-    from .operators.coherence import topics_terms_from_model, umass_coherence
+    from .operators.coherence import topics_terms_from_model, umass_certificate
     from .operators.topics import fit_count_vectorizer, fit_lda
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
@@ -1813,7 +1887,7 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = fit_count_vectorizer(toks, min_df=2.0)
     model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    return umass_coherence(toks, terms)
+    return umass_certificate(toks, terms, min_df=2)
 
 
 @register("m3_coherence_cv")
@@ -7054,84 +7128,67 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r6 rotation: 46 first-ever driver checks + 4 anchors.  The two
-    # r5 driver-red rows stay in the window with their fixes
-    # (pagerank oracle HUGEINT→BIGINT cast; inverted-index postings
-    # flattened to a string); dedup_ngram_jaccard stays because its
-    # kept-universe sizes pass was restructured this round;
-    # approx_distinct_users takes q1's anchor slot — its rows-only
-    # check was upgraded to a deterministic-bound oracle this round
-    # (exact count hash-compares; a boolean certifies the HLL
-    # estimate sits inside the error envelope).
-    # Every r4/r5-certified query displaced here remains registered,
-    # pytest-covered, and green in tools/check_oracles.py's full
-    # sweep (now driver-faithful: pandas materialization + atomic-
-    # cell enforcement).
-    "pagerank_copurchase",
-    "inverted_index_blocks",
+    # r7 rotation: the 18 oracled queries that have NEVER had a
+    # driver CORRECTNESS row (displaced by earlier 50-slot windows),
+    # plus lda_topics and m3_coherence_umass — both upgraded this
+    # round from rows-only to deterministic-bound certificate
+    # oracles (the approx_distinct_users pattern: the exact
+    # cross-engine part hash-compares, booleans certify the
+    # library-numeric part's invariants). With these 20 green, every
+    # oracled query in the registry has a driver row.
+    "streaming_interval_join",
+    "cube_status_priority",
+    "orders_with_bulk_items",
+    "price_quantiles",
+    "approx_price_quantiles",
+    "value_histogram",
+    "histogram_totalprice",
+    "deterministic_shuffle_order",
+    "json_props_stats",
+    "json_single_parse_stats",
+    "rank_orders_in_priority",
+    "gapfill_hourly_counts",
+    "new_users_per_day",
+    "sketch_distinct_users_daily",
+    "embedding_scalar_quant",
+    "textrank_keywords",
+    "fuzzy_name_pairs",
+    "shortest_paths_suppliers",
+    "lda_topics",
+    "m3_coherence_umass",
+    # 30 re-certification anchors spanning every operator family,
+    # weighted toward code touched this round (sentiment lexicon
+    # expansion, curriculum approx-band path, streaming idempotency
+    # rework) — each previously driver-green in r3-r6.
+    "w1_rolling_trend",
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "p4_p12_clean_text",
+    "p13_lemmatize",
+    "m6_m7_sentiment_scores",
+    "sentiment_full_lexicon",
+    "sentiment_pattern_rules",
+    "s4_html_extract",
+    "dedup_exact_content",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_ngram_jaccard",
-    "approx_distinct_users",
-    # TPC-H: completes driver certification of the full 22-query suite
-    "tpch_q4_priority_check",
-    "tpch_q11_important_parts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    # retrieval / similarity
+    "dedup_simhash",
+    "semdedup_embeddings",
+    "ann_topk_cosine",
+    "similarity_pq_adc_topk",
+    "similarity_ivfadc_topk",
     "bm25_topk_docs",
-    "hard_negatives_topk",
-    "similarity_ivf_fixed_topk",
-    "ann_topk_batch",
-    "embedding_centroids",
-    # dedup / fuzzy linkage (fuzzy_name_pairs is the candidate-pair
-    # sub-step of fuzzy_entity_clusters — one window slot per family;
-    # its slot goes to streaming_user_stats, whose rows-only check
-    # was upgraded to a hash oracle this round via integer-cents
-    # state folding)
-    "fuzzy_entity_clusters",
-    "streaming_user_stats",
-    "dup_ngram_span_score",
-    "repetition_quality",
-    # training-data pipeline
-    "weighted_sample_by_length",
-    "curriculum_order_bands",
-    "split_train_val_test",
-    "stratified_sample_sources",
-    "mix_sources_weighted",
-    "select_token_budget",
+    "contamination_check",
     "pii_scrub_text",
-    "chunk_documents",
-    # quality / eval / corpus reporting
-    "quality_logreg_score",
-    "pr_curve_quality_filter",
-    "corpus_report_by_source",
-    "profile_documents",
-    "doc_term_stats",
-    "top_bigrams",
-    # relational / OLAP shapes
-    "skyline_pareto_parts",
-    "grouping_sets_day_type",
-    # cube_status_priority (grouping-set sibling) and
-    # streaming_interval_join (inner sibling of the r5-certified
-    # outer variant) yield their slots to the two new-this-round
-    # layout/sketch flagships — one window slot per family
-    "cms_user_event_counts",
-    "top3_orders_per_segment",
-    "unpivot_returnflag_metrics",
-    "setop_intersect_except",
-    "table_fingerprint_orders",
-    "equidepth_bin_orders",
-    "incremental_agg_maintenance",
-    # time-series / sessions
-    "seasonal_decompose_daily",
-    "ols_trend_per_type",
-    "mad_outliers_per_type",
-    "concurrent_sessions_sweep",
-    "quantile_normalize_scores",
-    "rolling_distinct_users_7d",
-    "range_frame_trailing_sum",
-    # streaming / multimodal
-    "zorder_event_cells",
+    "curriculum_order_bands",
+    "dsir_importance_weights",
+    "prepare_corpus_pipeline",
+    "streaming_dedup",
+    "streaming_user_stats",
+    "streaming_interval_join_outer",
+    "pagerank_copurchase",
     "multimodal_video_frames",
 ]
 

@@ -849,6 +849,7 @@ def save_lsh_index(
     base: DataFrame | None = None,
     base_params: dict | None = None,
     batch_id: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """Persist a MinHash-LSH near-dup index to parquet: ``bands/``
     (id, band, bhash — the probe table) and ``sets/`` (id, hashed
@@ -885,7 +886,7 @@ def save_lsh_index(
         id_col, "id"
     )
     sets_df = base.select(F.col(id_col).alias("id"), "__sh")
-    _write_index_tables(bands_df, sets_df, path, batch_id, first=True)
+    _write_index_tables(bands_df, sets_df, path, batch_id, first=True, lineage=lineage)
     spark.createDataFrame(
         [(num_hashes, bands, shingle_mode, shingle_n, shingle_hash)],
         _LSH_META_COLS,
@@ -900,23 +901,38 @@ def _write_index_tables(
     path: str,
     batch_id: int | None,
     first: bool,
+    lineage: str | None = None,
 ) -> None:
     """bands/ + sets/ writer shared by save/append. Unpartitioned:
     save overwrites, append appends (an epoch replay duplicates —
     the caller owns idempotency). Batch-partitioned: BOTH paths are
     dynamic partition overwrites of `__batch={batch_id}` only, so
-    re-running a batch replaces exactly its own rows."""
+    re-running a batch replaces exactly its own rows.
+
+    ``lineage`` scopes the batch key to one checkpoint lineage
+    (foreachBatch ids restart at 0 per checkpoint): partitions become
+    (__lineage, __batch), so a SECOND pipeline — or a restart with a
+    fresh checkpoint — writes its own partitions instead of silently
+    overwriting the first lineage's __batch=0. Streaming callers
+    (near_dedup_stream) always pass it; use the same convention from
+    the first save onward (mixed layouts fail partition discovery)."""
     if batch_id is None:
         mode = "overwrite" if first else "append"
         bands_df.write.mode(mode).parquet(f"{path}/bands")
         sets_df.write.mode(mode).parquet(f"{path}/sets")
         return
+    part_cols = ["__batch"]
     for tbl, d in (("bands", bands_df), ("sets", sets_df)):
+        d = d.withColumn("__batch", F.lit(int(batch_id)))
+        if lineage is not None:
+            d = d.withColumn("__lineage", F.lit(str(lineage)))
+            cols = ["__lineage", *part_cols]
+        else:
+            cols = part_cols
         (
-            d.withColumn("__batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
+            d.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
+            .partitionBy(*cols)
             .parquet(f"{path}/{tbl}")
         )
 
@@ -934,6 +950,7 @@ def append_lsh_index(
     base: DataFrame | None = None,
     base_params: dict | None = None,
     batch_id: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """Add a batch to a saved LSH index (signatures computed for the
     NEW rows only; history is never re-read or re-hashed). Caller
@@ -956,7 +973,7 @@ def append_lsh_index(
         id_col, "id"
     )
     sets_df = base.select(F.col(id_col).alias("id"), "__sh")
-    _write_index_tables(bands_df, sets_df, path, batch_id, first=False)
+    _write_index_tables(bands_df, sets_df, path, batch_id, first=False, lineage=lineage)
     if own:
         base.unpersist()
 

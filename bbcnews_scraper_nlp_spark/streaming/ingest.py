@@ -53,6 +53,29 @@ def scoped_state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def checkpoint_lineage(spark: SparkSession, checkpoint: str) -> str:
+    """The checkpoint lineage id: Spark writes ``{"id": <uuid>}`` to
+    ``<checkpoint>/metadata`` at first query start and preserves it
+    across restarts from the same checkpoint; a FRESH checkpoint gets
+    a fresh id. foreachBatch batch ids restart at 0 per checkpoint,
+    so any state keyed by batch id alone collides across lineages —
+    sinks here scope their partition keys / commit tags with this id.
+    Read via the Hadoop FS API (checkpoints may live on s3a/hdfs).
+    Only valid once the query has started — call from inside
+    foreachBatch, not at stream-construction time."""
+    import json as _json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint}/metadata")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return str(_json.loads(raw)["id"])
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -599,13 +622,25 @@ def near_dedup_stream(
     (c) appends the survivors' signatures to the index and their
     rows to the accepted sink. The approximate twin of the exact
     cross-run Bloom dedup (relational.filter_unseen): state lives in
-    parquet — restart-safe, shared across pipelines, never
-    recomputed. Epoch replays are idempotent by construction: the
-    accepted sink AND the index appends are partitioned by
-    ``__batch`` and written as dynamic partition overwrites, so a
-    crash mid-batch followed by checkpoint replay replaces exactly
-    that batch's rows instead of duplicating them. Returns the
-    started query (AvailableNow: drains what exists, then stops)."""
+    parquet — restart-safe, never recomputed. Epoch replays are
+    idempotent by construction: the accepted sink AND the index
+    appends are partitioned by ``(__lineage, __batch)`` and written
+    as dynamic partition overwrites, so a crash mid-batch followed by
+    checkpoint replay replaces exactly that batch's rows instead of
+    duplicating them. The lineage key (``checkpoint_lineage``) scopes
+    the batch id to THIS checkpoint: foreachBatch ids restart at 0
+    per checkpoint, so without it a second pipeline — or a restart
+    after checkpoint loss — would silently overwrite the first
+    lineage's ``__batch=0`` partitions. Cross-lineage replays are
+    additionally made no-ops by the id replay-guard: a doc id already
+    present in the index was accepted before (this lineage or any
+    other) and is skipped — upsert-skip semantics, the reference's
+    unique-key insert (F6/S7), which is also why the index CAN be
+    shared by multiple pipelines so long as doc ids are globally
+    unique (the ingest contract). Accepted-sink and index writes are
+    ordered so every crash point replays to the identical end state
+    (see the in-body comments). Returns the started query
+    (AvailableNow: drains what exists, then stops)."""
     from pyspark import StorageLevel
 
     from ..operators.dedup import (
@@ -626,6 +661,13 @@ def near_dedup_stream(
         p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs.exists(p)
+
+    lineage_cache: dict[str, str] = {}
+
+    def _lineage() -> str:
+        if "id" not in lineage_cache:
+            lineage_cache["id"] = checkpoint_lineage(spark, checkpoint)
+        return lineage_cache["id"]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -650,6 +692,7 @@ def near_dedup_stream(
             params["shingle_hash"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         dup_ids = None
+        new_ids = None
         try:
             # (b) intra-batch near-dedup: min-id survives each pair
             banded = lsh_banded(
@@ -686,18 +729,35 @@ def near_dedup_stream(
                 losers.withColumnRenamed(id_col, id_col), id_col, "left_anti"
             )
             if have_index:
+                # replay/resubmit guard (upsert-skip, the reference's
+                # unique-key insert semantics F6/S7): an id already in
+                # the index was accepted by an earlier batch — in THIS
+                # lineage (crash replay) or a previous one (checkpoint
+                # loss re-drain). Skipping it makes cross-lineage
+                # replays no-ops instead of duplicates. Materialized
+                # via localCheckpoint BEFORE any index partition is
+                # overwritten below (a lazy plan would re-read deleted
+                # files mid-write). At 100 TB swap the sets-scan for
+                # the Bloom seen-set (relational.save_bloom) — same
+                # contract, constant-size probe.
+                seen = spark.read.parquet(f"{index_path}/sets").select(
+                    F.col("id").alias(id_col)
+                )
+                new_ids = (
+                    kept.select(id_col)
+                    .join(seen, id_col, "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                kept = kept.join(new_ids, id_col, "left_semi")
+                kept_base = kept_base.join(new_ids, id_col, "left_semi")
                 # (a) cross-run near-dedup against everything accepted
                 hits = query_lsh_index(
                     kept, id_col, text_col, index_path, jaccard_threshold,
                     base=kept_base, base_params=params,
                 )
-                # materialize the probe BEFORE the index partitions are
-                # overwritten below — on an epoch replay the append
-                # replaces this batch's own partition, and a lazy probe
-                # plan would re-read the deleted files mid-write.
-                # localCheckpoint truncates the lineage (persist alone
-                # could still recompute after eviction); if the cached
-                # copy is lost the batch fails and replays — idempotent.
+                # materialize the probe too, same reason as new_ids;
+                # if the cached copy is lost the batch fails and
+                # replays — idempotent.
                 dup_ids = (
                     hits.select(F.col("new_id").alias(id_col))
                     .distinct()
@@ -705,26 +765,37 @@ def near_dedup_stream(
                 )
                 kept = kept.join(dup_ids, id_col, "left_anti")
                 kept_base = kept_base.join(dup_ids, id_col, "left_anti")
+            # lineage+batch-partitioned dynamic overwrite: a replayed
+            # epoch replaces its own partition — idempotent accepted
+            # sink, scoped to this checkpoint lineage. Written BEFORE
+            # the index append: a crash between the two replays with
+            # these ids absent from the index, so the sink rewrite is
+            # identical and the index catches up — the reverse order
+            # would let the id-guard skip rows the sink never got.
+            (
+                kept.withColumn("__lineage", F.lit(_lineage()))
+                .withColumn("__batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__lineage", "__batch")
+                .parquet(out_path)
+            )
+            if have_index:
                 append_lsh_index(
                     kept, id_col, text_col, index_path,
                     base=kept_base, base_params=params, batch_id=batch_id,
+                    lineage=_lineage(),
                 )
             else:
                 save_lsh_index(
                     kept, id_col, text_col, index_path, **params,
                     base=kept_base, base_params=params, batch_id=batch_id,
+                    lineage=_lineage(),
                 )
-            # batch-partitioned dynamic overwrite: a replayed epoch
-            # replaces its own partition — idempotent accepted sink
-            (
-                kept.withColumn("__batch", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__batch")
-                .parquet(out_path)
-            )
         finally:
             base.unpersist()
+            if new_ids is not None:
+                new_ids.unpersist()
             if dup_ids is not None:
                 dup_ids.unpersist()  # releases the localCheckpoint blocks
 
@@ -756,11 +827,19 @@ def cms_stream(
     rescanning raw input.
 
     Exactly-once without a transactional sink: the delta write is a
-    dynamic partition overwrite keyed by batch id, so an epoch replay
-    REPLACES its own partition instead of double-counting — and
-    because md5-based CMS is fully deterministic, the replayed delta
-    is bit-identical. The drained merged sketch therefore equals the
-    batch-built sketch of the same input exactly (pytest-pinned).
+    dynamic partition overwrite keyed by ``(__lineage, __batch)`` —
+    the lineage (``checkpoint_lineage``) scopes the restart-at-0
+    batch ids to this checkpoint, so an epoch replay REPLACES its own
+    partition instead of double-counting, and a DIFFERENT pipeline
+    (or a post-checkpoint-loss restart) can never overwrite this
+    lineage's partitions. Because md5-based CMS is fully
+    deterministic, the replayed delta is bit-identical. The drained
+    merged sketch therefore equals the batch-built sketch of the same
+    input exactly (pytest-pinned). One sketch table binds to exactly
+    ONE checkpoint lineage — re-draining the same input under a fresh
+    checkpoint would ADD a second lineage's counts, so
+    ``read_cms_sketch`` refuses mixed-lineage tables instead of
+    silently double-counting.
 
     Sketch table size: n_batches x (<= depth*width) skinny rows —
     compact with ``stage_io.compact_stage`` (re-aggregating to one
@@ -781,15 +860,20 @@ def cms_stream(
     else:
         stream = reader.parquet(input_dir)
 
+    lineage_cache: dict[str, str] = {}
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if "id" not in lineage_cache:
+            lineage_cache["id"] = checkpoint_lineage(spark, checkpoint)
         delta = build_cms(batch, key, depth=depth, width=width)
         (
-            delta.withColumn("__batch", F.lit(int(batch_id)))
+            delta.withColumn("__lineage", F.lit(lineage_cache["id"]))
+            .withColumn("__batch", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
+            .partitionBy("__lineage", "__batch")
             .parquet(sketch_path)
         )
 
@@ -804,20 +888,38 @@ def cms_stream(
 def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     """Merge the per-batch CMS deltas into the current sketch:
     cell-wise integer sum (associative/commutative — any merge order
-    gives the identical counter table)."""
-    return (
-        spark.read.parquet(sketch_path)
-        .groupBy("row_i", "col_j")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    gives the identical counter table). Refuses a table holding
+    deltas from MORE than one checkpoint lineage: summing across
+    lineages double-counts any input drained by both (the silent-
+    corruption mode the lineage partition key exists to surface)."""
+    deltas = spark.read.parquet(sketch_path)
+    if "__lineage" in deltas.columns:
+        n_lineages = deltas.select("__lineage").distinct().count()
+        if n_lineages > 1:
+            raise ValueError(
+                f"read_cms_sketch: {sketch_path} holds deltas from "
+                f"{n_lineages} checkpoint lineages; merging would "
+                "double-count re-drained input. Keep one sketch table "
+                "per pipeline lineage (clear the table when resetting "
+                "the checkpoint)."
+            )
+    return deltas.groupBy("row_i", "col_j").agg(F.sum("cnt").alias("cnt"))
 
 
 def commit_stream_batch(
-    batch: DataFrame, table_root: str, batch_id: int
+    batch: DataFrame, table_root: str, batch_id: int, lineage: str = ""
 ) -> int | None:
     """Commit one micro-batch to a manifest-versioned table,
-    exactly-once: the commit is tagged ``batch:{id}`` and a replayed
-    batch whose tag is already committed is a no-op. Factored out of
+    exactly-once within a checkpoint lineage: the commit is tagged
+    ``batch:{lineage}:{id}`` (Delta's ``txn`` appId+version shape)
+    and a replayed batch whose tag is already committed is a no-op.
+    foreachBatch ids restart at 0 per checkpoint, so the bare id is
+    only unique WITHIN a lineage — without the scope, a restart after
+    checkpoint loss would replay new input as batch 0, match the old
+    ``batch:0`` tag, and silently DROP those rows. With it, a fresh
+    lineage re-commits everything it drains: across lineages the sink
+    degrades to at-least-once (duplicates, visible and reconcilable
+    via time travel), never to silent loss. Factored out of
     ``versioned_sink_stream`` so replay idempotency is unit-testable
     without forcing a checkpoint crash. Returns the committed version
     or None if skipped (replay / empty)."""
@@ -825,7 +927,7 @@ def commit_stream_batch(
 
     if batch.isEmpty():
         return None
-    tag = f"batch:{int(batch_id)}"
+    tag = f"batch:{lineage}:{int(batch_id)}"
     if tag in committed_tags(table_root):
         return None
     return commit_version(batch, table_root, mode="append", tag=tag)
@@ -841,11 +943,13 @@ def versioned_sink_stream(
     log: each micro-batch lands as ONE atomic manifest commit
     (readers never see a torn batch — they resolve a manifest, which
     either includes the batch or doesn't), and foreachBatch's
-    at-least-once delivery is de-duplicated by the ``batch:{id}``
-    commit tag. This is the transactional upgrade of the raw
-    ``__batch`` partition-overwrite sinks used by near_dedup_stream /
-    cms_stream — same idempotency, plus snapshot isolation and
-    time travel per micro-batch."""
+    at-least-once delivery is de-duplicated by the lineage-scoped
+    ``batch:{lineage}:{id}`` commit tag (see ``commit_stream_batch``
+    for the exactly-once-within-a-lineage / at-least-once-across-
+    lineages contract). This is the transactional upgrade of the raw
+    ``(__lineage, __batch)`` partition-overwrite sinks used by
+    near_dedup_stream / cms_stream — same idempotency, plus snapshot
+    isolation and time travel per micro-batch."""
     import os
 
     schema = spark.read.parquet(input_dir).schema
@@ -856,10 +960,15 @@ def versioned_sink_stream(
     else:
         stream = reader.parquet(input_dir)
 
+    lineage_cache: dict[str, str] = {}
+
+    def sink(b: DataFrame, bid: int) -> None:
+        if "id" not in lineage_cache:
+            lineage_cache["id"] = checkpoint_lineage(spark, checkpoint)
+        commit_stream_batch(b, table_root, bid, lineage=lineage_cache["id"])
+
     return (
-        stream.writeStream.foreachBatch(
-            lambda b, bid: commit_stream_batch(b, table_root, bid)
-        )
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

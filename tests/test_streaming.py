@@ -431,18 +431,51 @@ def test_cms_stream_merged_sketch_equals_batch_and_replay_idempotent(
     # md5 CMS is deterministic: streaming-merged == batch-built EXACTLY
     assert merged == want
 
-    # epoch replay (checkpoint loss): partitions are overwritten by
-    # batch id, deltas are bit-identical -> no double counting
-    q2 = cms_stream(
-        spark, docs_dir, sketch, str(tmp_path / "ck2"), key="source",
-        depth=3, width=32,
+    # epoch replay WITHIN the lineage (crash + checkpoint replay of a
+    # batch): the delta write is a dynamic overwrite of that batch's
+    # own (__lineage, __batch) partition and the md5 CMS delta is
+    # bit-identical -> no double counting. Simulated by re-running a
+    # batch's write exactly as foreachBatch would.
+    deltas = spark.read.parquet(sketch)
+    lineage = deltas.select("__lineage").first()["__lineage"]
+    replay_bid = deltas.select("__batch").first()["__batch"]
+    (
+        build_cms(batch_df, "source", depth=3, width=32)
+        .withColumn("__lineage", F.lit(lineage))
+        .withColumn("__batch", F.lit(int(replay_bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__lineage", "__batch")
+        .parquet(sketch)
     )
-    q2.awaitTermination()
     again = {
         (r["row_i"], r["col_j"]): r["cnt"]
         for r in read_cms_sketch(spark, sketch).collect()
     }
     assert again == want
+
+    # re-draining under a FRESH checkpoint is a new lineage: merging
+    # would double-count, so read_cms_sketch surfaces it instead
+    q2 = cms_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ck2"), key="source",
+        depth=3, width=32,
+    )
+    q2.awaitTermination()
+    import pytest
+
+    with pytest.raises(ValueError, match="lineages"):
+        read_cms_sketch(spark, sketch).collect()
+    # recovery path: drop the stray lineage's partitions, sketch intact
+    import shutil as _sh
+
+    for d in list(__import__("os").listdir(sketch)):
+        if d.startswith("__lineage=") and lineage not in d:
+            _sh.rmtree(f"{sketch}/{d}")
+    again2 = {
+        (r["row_i"], r["col_j"]): r["cnt"]
+        for r in read_cms_sketch(spark, sketch).collect()
+    }
+    assert again2 == want
 
     # probing the persistent sketch matches exact counts (width 32 >>
     # 5 sources x depth, so no collisions at this cardinality)
@@ -465,6 +498,7 @@ def test_cms_stream_merged_sketch_equals_batch_and_replay_idempotent(
 def test_versioned_sink_stream_exactly_once(spark, sf_dir, tmp_path):
     from bbcnews_scraper_nlp_spark.sources.versioned import (
         read_version,
+        rollback,
         table_versions,
     )
     from bbcnews_scraper_nlp_spark.streaming.ingest import (
@@ -475,18 +509,33 @@ def test_versioned_sink_stream_exactly_once(spark, sf_dir, tmp_path):
     docs_dir = f"{sf_dir}/documents.parquet"
     root = str(tmp_path / "tbl")
 
-    q = versioned_sink_stream(spark, docs_dir, root, str(tmp_path / "ck"))
+    ck = str(tmp_path / "ck")
+    q = versioned_sink_stream(spark, docs_dir, root, ck)
     q.awaitTermination()
     n_input = spark.read.parquet(docs_dir).count()
     assert read_version(spark, root).count() == n_input
     n_versions = len(table_versions(root))
 
-    # at-least-once replay of an already-committed batch: no-op
+    # at-least-once replay of an already-committed batch WITHIN the
+    # lineage: no-op (tags are scoped batch:{lineage}:{id})
+    from bbcnews_scraper_nlp_spark.streaming.ingest import checkpoint_lineage
+
+    lineage = checkpoint_lineage(spark, ck)
     batch = spark.read.parquet(docs_dir)
     for bid in range(n_versions):
-        assert commit_stream_batch(batch, root, bid) is None
+        assert commit_stream_batch(batch, root, bid, lineage=lineage) is None
     assert len(table_versions(root)) == n_versions
     assert read_version(spark, root).count() == n_input
+
+    # a DIFFERENT lineage replaying batch 0 re-commits (at-least-once
+    # across lineages — never the silent drop a bare batch:{id} tag
+    # would cause after checkpoint loss over grown input)
+    v_other = commit_stream_batch(batch, root, 0, lineage="other-lineage")
+    assert v_other == n_versions
+    assert read_version(spark, root).count() == 2 * n_input
+    rollback(root, to_version=n_versions - 1)
+    assert read_version(spark, root).count() == n_input
+    n_versions = len(table_versions(root))
 
     # a genuinely new batch commits one new version, atomically
     extra = spark.range(3).selectExpr(*[

@@ -132,4 +132,84 @@ def test_merge_into_source_dup_keys_collapse(spark, tmp_path):
     merge_into(spark, root, src, "id")
     got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
     assert len(got) == 4 and got[5] == 50
-    assert got[1] in (111, 999)  # deterministic pick, single row
+    # deterministic pick: rank 1 of row_number ordered by the non-key
+    # columns asc_nulls_first — the SMALLEST v survives, exactly
+    assert got[1] == 111
+
+
+def test_commit_version_two_writer_race(spark, tmp_path):
+    """Concurrent appends: the CAS publish must serialize the two
+    writers — both commits land, as distinct versions, and the final
+    table holds both row sets (no silently overwritten manifest)."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 1), root)
+
+    results, errs = {}, []
+    barrier = threading.Barrier(2)
+
+    def writer(name, lo, hi):
+        try:
+            barrier.wait()
+            results[name] = commit_version(
+                _df(spark, lo, hi), root, mode="append"
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", 100, 110))
+    t2 = threading.Thread(target=writer, args=("b", 200, 220))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert sorted(results.values()) == [1, 2]
+    assert table_versions(root) == [0, 1, 2]
+    ids = {r["id"] for r in read_version(spark, root).collect()}
+    # the loser retried against the winner's head, so BOTH appends
+    # are present in the final version
+    assert set(range(100, 110)) <= ids and set(range(200, 220)) <= ids
+    assert read_version(spark, root).count() == 1 + 10 + 20
+
+
+def test_publish_manifest_cas_refuses_existing_version(spark, tmp_path):
+    from bbcnews_scraper_nlp_spark.sources.versioned import _publish_manifest
+
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 1), root)  # publishes version 0
+    assert _publish_manifest(root, 0, {"version": 0}) is False
+    assert _publish_manifest(root, 1, {"version": 1}) is True
+
+
+def test_vacuum_folds_pruned_tags(spark, tmp_path):
+    """A late at-least-once replay arriving AFTER vacuum must still
+    find its unit-of-work tag: vacuum folds pruned manifests' tags
+    into _tags.json before deleting them."""
+    from bbcnews_scraper_nlp_spark.sources.versioned import committed_tags
+
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 5), root, tag="batch:0")      # v0
+    commit_version(_df(spark, 5, 8), root, "append", tag="batch:1")  # v1
+    commit_version(_df(spark, 8, 9), root, "append", tag="batch:2")  # v2
+    vacuum(root, keep_versions=1, orphan_grace_s=0)
+    assert table_versions(root) == [2]
+    # all three tags survive the manifest pruning
+    assert committed_tags(root) == {"batch:0", "batch:1", "batch:2"}
+    # a replay of batch 0 is a no-op, not a duplicate commit
+    n_before = read_version(spark, root).count()
+    v = commit_version(_df(spark, 0, 5), root, "append", tag="batch:0")
+    assert v == 2 and read_version(spark, root).count() == n_before
+
+
+def test_vacuum_orphan_grace_protects_inflight_commit(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_version(_df(spark, 0, 5), root)
+    # an in-flight writer: data written, manifest not yet published
+    inflight = os.path.join(root, "data", "d-inflight00")
+    _df(spark, 5, 9).write.parquet(inflight)
+    removed = vacuum(root, keep_versions=2)  # default grace: 1 h
+    assert removed == []  # fresh unreferenced dir survives
+    assert os.path.isdir(inflight)
+    # with writers known quiescent, grace 0 sweeps it
+    removed = vacuum(root, keep_versions=2, orphan_grace_s=0)
+    assert len(removed) == 1
+    assert not os.path.isdir(inflight)

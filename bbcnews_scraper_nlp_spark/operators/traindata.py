@@ -463,29 +463,55 @@ def curriculum_order(
     key_col: str,
     n_bands: int = 4,
     salt: str = "curriculum-v1",
+    method: str = "approx",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Curriculum ordering for training corpora: quality bands from
-    best to worst (ntile over score DESC, key tie-break), with a
-    deterministic content-independent hash shuffle WITHIN each band —
-    the standard easy-to-hard schedule where band boundaries carry the
-    curriculum and intra-band order is decorrelated from the score.
+    best to worst, with a deterministic content-independent hash
+    shuffle WITHIN each band — the standard easy-to-hard schedule
+    where band boundaries carry the curriculum and intra-band order
+    is decorrelated from the score.
 
     Returns (key, band, band_pos): feed band-major (band, band_pos)
     order to the shard writer.
 
-    NOTE: exact ntile is an unpartitioned window — a one-task stage,
-    correct but serial (same policy as select_token_budget). At real
-    scale compute band edges with approx percentiles (one tiny agg)
-    and band by comparison; this operator is the exact-semantics
-    anchor those plans approximate. The intra-band shuffle is already
-    scale-clean: hash ordering partitioned by band.
+    ``method`` picks the banding plan:
+
+    - ``"approx"`` (default — the 100 TB path): band edges from ONE
+      tiny ``percentile_approx`` aggregate (n_bands-1 doubles to the
+      driver), banding by broadcast-literal comparison — a map-only
+      projection; the only shuffle is the per-band position window,
+      which is partitioned by band. No unpartitioned window anywhere.
+      Band sizes are approximately equal; rows tied at an edge value
+      land in the LOWER (worse-score) band — the GK sketch returns an
+      actual dataset value at rank ~⌈p·n⌉, i.e. the last member of
+      the lower band, so inclusive-lower banding is what agrees with
+      the exact ntile on separated clusters.
+    - ``"exact"``: ntile over (score DESC, key) — exactly equal band
+      sizes with key tie-break, but the ntile is an unpartitioned
+      window (a one-task stage). The cross-engine-oracled anchor
+      (`curriculum_order_bands`); use only at bench/validation scale.
+
+    For well-separated scores (no mass at the band edges) the two
+    methods assign identical bands — pytest-pinned.
     """
-    band = F.ntile(n_bands).over(
-        Window.orderBy(F.desc(score_col), F.col(key_col))
-    )
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
     h = F.md5(
         F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
     )
+    if method == "exact":
+        band = F.ntile(n_bands).over(
+            Window.orderBy(F.desc(score_col), F.col(key_col))
+        )
+    else:
+        probs = [1.0 - i / n_bands for i in range(1, n_bands)]
+        edges = df.agg(
+            F.percentile_approx(score_col, probs, accuracy).alias("e")
+        ).first()["e"]
+        band = F.lit(1)
+        for e in edges:
+            band = band + (F.col(score_col) <= F.lit(float(e))).cast("int")
     banded = df.select(
         F.col(key_col), F.col(score_col), band.alias("band"), h.alias("__h")
     )

@@ -3188,7 +3188,7 @@ def curriculum_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.traindata import curriculum_order
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    return curriculum_order(docs, "n_chars", "doc_id", n_bands=4)
+    return curriculum_order(docs, "n_chars", "doc_id", n_bands=4, method="exact")
 
 
 @register(

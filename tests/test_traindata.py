@@ -426,7 +426,7 @@ def test_curriculum_order_band_monotone_and_deterministic(spark):
     df = spark.createDataFrame(
         [(i, float(100 - i)) for i in range(40)], "doc_id long, score double"
     )
-    out = curriculum_order(df, "score", "doc_id", n_bands=4).collect()
+    out = curriculum_order(df, "score", "doc_id", n_bands=4, method="exact").collect()
     assert len(out) == 40
     by_band: dict[int, list] = {}
     score = {i: float(100 - i) for i in range(40)}
@@ -447,8 +447,39 @@ def test_curriculum_order_band_monotone_and_deterministic(spark):
         r["doc_id"] for r in sorted(by_band[1], key=lambda r: r["band_pos"])
     ]
     assert ordered_ids != sorted(ordered_ids)  # not id order
-    again = curriculum_order(df, "score", "doc_id", n_bands=4).collect()
+    again = curriculum_order(df, "score", "doc_id", n_bands=4, method="exact").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_order_approx_matches_exact_on_separated_bands(spark):
+    """The 100 TB approx-percentile banding (default method) must
+    agree with the exact ntile anchor on band MEMBERSHIP whenever
+    scores are well separated at the band edges — and its plan must
+    contain no unpartitioned window (no ntile one-task stage)."""
+    from bbcnews_scraper_nlp_spark.operators.traindata import curriculum_order
+
+    # 4 well-separated score clusters of 25 docs each, shuffled keys
+    rows = [
+        (i, float(1000 * (3 - (i % 4)) + (i * 37) % 20))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    exact = {
+        r["doc_id"]: r["band"]
+        for r in curriculum_order(df, "score", "doc_id", 4, method="exact").collect()
+    }
+    approx_df = curriculum_order(df, "score", "doc_id", 4, method="approx")
+    approx = {r["doc_id"]: r["band"] for r in approx_df.collect()}
+    assert approx == exact
+    # the approx plan never runs an unpartitioned ntile window
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # determinism across runs
+    again = {
+        r["doc_id"]: r["band"]
+        for r in curriculum_order(df, "score", "doc_id", 4).collect()
+    }
+    assert again == approx
 
 
 def test_weighted_sample_proportional_and_deterministic(spark):

@@ -35,10 +35,10 @@ DEFAULT_LEXICON: dict[str, tuple[float, float]] = {
     "good": (0.7, 0.6),
     "great": (0.8, 0.75),
     "best": (1.0, 0.3),
-    "fast": (0.2, 0.3),
+    "fast": (0.2, 0.6),
     "small": (-0.25, 0.4),
     "slow": (-0.3, 0.4),
-    "bad": (-0.7, 0.67),
+    "bad": (-0.7, 0.667),
     "worst": (-1.0, 1.0),
     "error": (-0.4, 0.4),
     "new": (0.14, 0.45),

@@ -350,16 +350,50 @@ def lemmatize_text_expr(
     return F.array_join(lemmas, " ")
 
 
-def make_lemmatize_udf(pos_whitelist: tuple[str, ...] | None = None):
+# reference's POS-letter -> WordNet-pos map, NOUN default
+# (dags/scripts/data_preparation.py:66-76 tag_dict)
+_WORDNET_POS = {"J": "a", "N": "n", "V": "v", "R": "r"}
+
+
+def make_lemmatize_udf(
+    pos_whitelist: tuple[str, ...] | None = None,
+    model=None,
+):
     """pandas UDF: lemmatize; optionally POS-filter first (F10+P13).
 
     ``pos_whitelist=None`` lemmatizes everything; pass POS_WHITELIST
     to reproduce the reference's noun/adj/adverb keep-list.
+
+    ``model`` is the real-model mount point: a callable
+    ``(word, wordnet_pos) -> lemma`` with ``wordnet_pos`` in
+    ``{'n','v','a','r'}`` — exactly ``nltk.stem.WordNetLemmatizer().
+    lemmatize``'s signature, so the reference's lemmatizer
+    (dags/scripts/data_preparation.py:60-80) plugs in directly:
+    tokens are tagged, the tag's first letter maps through the
+    reference's tag_dict (NOUN default), and the model produces the
+    lemma. ``model=None`` keeps the pure-Python rule kernel (whose
+    compiled twin is ``lemmatize_text_expr``). The callable is
+    captured in the UDF closure and must be picklable; wrap
+    heavyweight libraries in a lazy initializer so the model loads
+    once per executor, not on the driver.
     """
+
+    if model is None:
+        fn = lambda t: _lemmatize_text(t, pos_whitelist)  # noqa: E731
+    else:
+
+        def fn(t: str) -> str:
+            out = []
+            for tok in (t or "").split():
+                pos = heuristic_pos(tok)
+                if pos_whitelist is not None and pos not in pos_whitelist:
+                    continue
+                out.append(model(tok, _WORDNET_POS.get(pos[0], "n")))
+            return " ".join(out)
 
     @F.pandas_udf(T.StringType())
     def lemmatize(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _lemmatize_text(t, pos_whitelist))
+        return texts.map(fn)
 
     return lemmatize
 

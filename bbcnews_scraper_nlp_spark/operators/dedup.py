@@ -367,8 +367,10 @@ def ngram_jaccard_pairs(
     document frequency f yields f² candidate pairs, so ONE
     stopword-like shingle (df=10⁶ at 100 TB) explodes 10¹² pairs.
     Shingles with df > max_df are dropped BEFORE pair generation —
-    a cheap (shingle, count) aggregation followed by a co-partitioned
-    join, so no reducer ever materializes a hot shingle's id list.
+    per-row df comes from a count window over the shingle
+    partitioning (one shuffle, no id lists materialized), and the
+    pair-generation groupBy sits on that same partitioning with no
+    further exchange.
     With the cap active, Jaccard is computed EXACTLY over the KEPT
     shingle universe (df <= max_df): both the intersection AND the
     set sizes exclude capped shingles, so the reported score is the
@@ -384,6 +386,8 @@ def ngram_jaccard_pairs(
     ⌊(1-t)|X|⌋+1 globally RAREST shingles, so high-df shingles never
     generate candidates by construction.
     """
+    from pyspark.sql import Window
+
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
     shingle_arr = F.array_distinct(word_shingles(F.split(F.col(text_col), " "), n))
@@ -391,29 +395,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingle_arr).alias("shingle"),
     )
-    # Set sizes narrowly from the source (size of the distinct-shingle
-    # array, no explode+groupBy) — one scan instead of re-deriving the
-    # exploded table, and small enough that AQE broadcasts the final
-    # sizes joins at bench scale (unhinted: at 100 TB it is one row
-    # per doc and must stay a shuffle join).
-    sizes = df.select(
-        F.col(id_col).alias("id"), F.size(shingle_arr).alias("sz")
-    ).filter(F.col("sz") > 0)
+    # ONE pass computes per-row document frequency: the window's
+    # shingle Exchange is the only shuffle of the shingle table, and
+    # every downstream consumer (sizes agg, pair generation — both
+    # shingle-partitioned or derived) reuses it, so the expensive
+    # scan+shingling subtree under the Exchange runs once (the prior
+    # shape re-derived it three times: dfreq agg, dfreq join probe,
+    # and a separate set-size scan — 1.4× measured at sf0.1).
+    shw = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
 
     if prefix_filter:
-        from pyspark.sql import Window
-
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        ranked = (
-            sh.join(dfreq, "shingle")
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("df", "shingle")
-                ),
-            )
-            .join(sizes, "id")
+        # per-doc size and prefix rank from ONE id-partitioned
+        # exchange: both window specs share the partitioning, so the
+        # ordered row_number piggybacks on the count's shuffle+sort
+        wid = Window.partitionBy("id")
+        ranked = shw.select(
+            "id",
+            "shingle",
+            F.count("*").over(wid).alias("sz"),
+            F.row_number().over(wid.orderBy("df", "shingle")).alias("rank"),
         )
+        sizes = ranked.filter(F.col("rank") == 1).select("id", "sz")
         prefix = ranked.filter(
             F.col("rank") <= F.floor((1 - threshold) * F.col("sz")) + 1
         ).select("id", "shingle")
@@ -435,53 +439,21 @@ def ngram_jaccard_pairs(
         )
     else:
         # Pair generation via group-then-explode instead of a shingle
-        # self-join: one shuffle of the shingle table (not two), and
-        # df=1 shingles (most of them) die at the size filter before
-        # any pair is materialized. Skew note (both shapes share it):
-        # a shingle with document frequency f yields f^2 pairs; at
-        # real scale high-df shingles must be pruned first — that is
-        # exactly what the prefix_filter path does at threshold>=0.5.
-        paired_src = sh
-        if max_df is not None:
-            # two-phase prune: count first (map-side partials, no id
-            # lists), then ONE inner join sh ⋈ dfreq on the shingle —
-            # the join lands on the exchange the count agg already
-            # produced, so it adds no new shuffle of the shingle
-            # table. paired_src keeps the pairable shingles
-            # (1 < df <= cap). The kept-universe set size is computed
-            # SUBTRACTIVELY: sz_kept = sz_total − (#capped shingles in
-            # the doc). Capped rows are few by construction
-            # (Σdf over df>cap shingles ≤ total_instances, but the
-            # row subset is the heavy-tail only), so the hot count is
-            # a groupBy over the FILTERED df>cap slice of the same
-            # joined frame paired_src reads — its shj subtree is
-            # structurally identical, so both the sh-by-shingle
-            # exchange and the dfreq aggregate are ReusedExchange,
-            # and the extra shuffle carries only hot-bearing rows
-            # (vs the r5 shape that re-shuffled the whole joined
-            # table into a per-id count, +24% on the bench).
-            # Numerator and denominator still agree exactly on which
-            # shingles exist: both exclude df > max_df.
-            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            shj = sh.join(dfreq, "shingle")
-            paired_src = shj.filter(
-                (F.col("df") > 1) & (F.col("df") <= max_df)
-            ).select("id", "shingle")
-            nhot = (
-                shj.filter(F.col("df") > max_df)
-                .groupBy("id")
-                .agg(F.count("*").alias("__nh"))
-            )
-            sizes = (
-                sizes.join(nhot, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.col("sz") - F.coalesce(F.col("__nh"), F.lit(0))
-                    ).alias("sz"),
-                )
-                .filter(F.col("sz") > 0)
-            )
+        # self-join: the window's shingle shuffle is the ONLY shuffle
+        # of the shingle table, and df=1 shingles (most of them) die
+        # before any pair is materialized. Skew note (all shapes
+        # share it): a shingle with document frequency f yields f^2
+        # pairs; at real scale high-df shingles must be pruned first
+        # — the df-cap below, or the prefix_filter path at
+        # threshold>=0.5. The kept universe is df <= max_df: both the
+        # intersection AND the set sizes exclude capped shingles, so
+        # numerator and denominator agree exactly on which shingles
+        # exist.
+        kept = shw if max_df is None else shw.filter(F.col("df") <= max_df)
+        sizes = kept.groupBy("id").agg(F.count("*").alias("sz"))
+        paired_src = kept.filter(F.col("df") > 1).select("id", "shingle")
+        # groupBy(shingle) sits directly on the window's output
+        # partitioning — no new exchange for the grouping
         grouped = (
             paired_src.groupBy("shingle")
             .agg(F.collect_list("id").alias("ids"))

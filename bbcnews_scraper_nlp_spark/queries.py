@@ -2189,6 +2189,118 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_decode",
+    # REAL pixel decode (round 7): payloads are genuine zlib-deflated
+    # PNGs (CRC'd chunks, row filters cycling all five types) whose
+    # gradient pixels follow a closed form. Spark recovers the stats
+    # by actually inflating + unfiltering (operators/codecs.py);
+    # DuckDB recomputes them from the formula — a hash match
+    # certifies the decoder end to end.
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents), "
+    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
+    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "1 AS channels, "
+    "CAST(SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
+    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
+    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
+    "FROM cells GROUP BY doc_id, w, h",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode at scale: synthesize a genuine PNG per
+    document (zlib IDAT, all five filter types), then decode it back
+    in an Arrow-batched mapInPandas stage — CRC walk, inflate,
+    scanline unfilter (codecs.decode_png) — and emit pixel stats.
+    The oracle recomputes the gradient closed-form, so the hash match
+    proves the decode path, not the synthesizer. No shuffle: synth
+    and decode are both narrow map stages."""
+    from .operators.multimodal import (
+        attach_gradient_image_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_image_pixels(
+        attach_gradient_image_payload(docs, "doc_id")
+    ).select(
+        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    # REAL decode + nearest-neighbor resize to 8x6: out[r, c] =
+    # in[r*h//6, c*w//8] — the floor-index mapping is recomputable in
+    # closed form, so the oracle checks the resample arithmetic too
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents), "
+    "rws AS (SELECT doc_id, w, h, unnest(range(0, 6)) AS r FROM dims), "
+    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, 8)) AS c FROM rws) "
+    "SELECT doc_id, 8 AS width, 6 AS height, 1 AS channels, "
+    "CAST(SUM((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS BIGINT) "
+    "AS px_sum, "
+    "CAST(MIN((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS INT) "
+    "AS px_min, "
+    "CAST(MAX((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS INT) "
+    "AS px_max "
+    "FROM cells GROUP BY doc_id, w, h",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the genuine PNG payload, resample
+    with integer nearest-neighbor (codecs.nearest_resize), emit the
+    resized pixel stats. Same no-shuffle mapInPandas contract as the
+    decode query; a real interpolating resizer (PIL/libvips) swaps in
+    at the same slot without plan changes."""
+    from .operators.multimodal import (
+        attach_gradient_image_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_image_pixels(
+        attach_gradient_image_payload(docs, "doc_id"), out_w=8, out_h=6
+    ).select(
+        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    # REAL PCM sample decode (round 7): payloads are genuine
+    # RIFF/WAVE PCM-16 containers carrying a closed-form mono series;
+    # Spark recovers the stats by actually extracting the samples
+    # (codecs.decode_wav_samples), DuckDB recomputes the formula
+    "WITH f AS (SELECT doc_id, doc_id % 300 + 50 AS nf FROM documents), "
+    "s AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM f) "
+    "SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, 1 AS channels, "
+    "16000 AS sample_rate, "
+    "CAST(SUM((doc_id*31 + i*7) % 65536 - 32768) AS BIGINT) AS sample_sum, "
+    "CAST(MIN((doc_id*31 + i*7) % 65536 - 32768) AS INT) AS sample_min, "
+    "CAST(MAX((doc_id*31 + i*7) % 65536 - 32768) AS INT) AS sample_max "
+    "FROM s GROUP BY doc_id, nf",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM sample decode: synthesize a genuine PCM-16
+    container per document, decode the samples back in an
+    Arrow-batched mapInPandas stage (RIFF walk + int16 extraction),
+    emit per-document sample stats. Hash match vs the closed-form
+    oracle certifies the sample decoder."""
+    from .operators.multimodal import (
+        attach_pcm_audio_payload,
+        decode_audio_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_audio_samples(
+        attach_pcm_audio_payload(docs, "doc_id")
+    ).select(
+        "doc_id", "n_frames", "channels", "sample_rate",
+        "sample_sum", "sample_min", "sample_max"
+    )
+
+
+@register(
     "s4_html_extract",
     # the article pages are synthesized from (doc_id, source, text),
     # so the GROUND-TRUTH extraction output is computable directly —
@@ -7325,13 +7437,21 @@ _WINDOW_ORDER = [
     "m3_coherence_cv",
     "bpe_learned_merges",
     "similarity_ivf_topk",
-    # 27 re-certification anchors spanning every operator family,
+    # REAL codec decode landed mid-round (operators/codecs.py): the
+    # payloads are genuine zlib PNGs / PCM-16 WAVs and the decode
+    # queries hash-certify inflate+unfilter / sample extraction
+    # against closed-form oracles. They take the tpch_q9 +
+    # dedup_exact_content anchor slots (those families keep 2 and 3
+    # anchors respectively); multimodal_image_resize stays
+    # registry+local-sweep checked.
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
+    # 25 re-certification anchors spanning every operator family,
     # weighted toward code touched this round (sentiment lexicon
     # expansion, curriculum approx-band path, streaming idempotency
     # rework) — each previously driver-green in r3-r6.
     "w1_rolling_trend",
     "tpch_q1_pricing_summary",
-    "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "p4_p12_clean_text",
     "p13_lemmatize",
@@ -7339,7 +7459,6 @@ _WINDOW_ORDER = [
     "sentiment_full_lexicon",
     "sentiment_pattern_rules",
     "s4_html_extract",
-    "dedup_exact_content",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_ngram_jaccard",

@@ -200,6 +200,14 @@ NEW_R7 = [
     "new_users_per_day",
     "sketch_distinct_users_daily",
     "m3_coherence_umass",
+    "m3_coherence_cv",
+    "bpe_learned_merges",
+    "similarity_ivf_topk",
+    "similarity_ivf_fixed_topk",
+    # real codec decode (round 7): PNG inflate+unfilter, WAV PCM
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_decode",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7

@@ -11,13 +11,14 @@ Design (the 100 TB contract — this part is real and tested):
 - batch size is bounded by ``spark.sql.execution.arrow.
   maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB payloads.
 
-Codec status (round 7): PNG pixel decode and WAV PCM sample decode
-are REAL (``operators/codecs.py`` — zlib inflate + full scanline
-unfiltering / PCM extraction; see ``decode_image_pixels`` /
+Codec status (round 7): PNG pixel decode (zlib inflate + full
+scanline unfiltering), GIF pixel decode (variable-width LZW +
+de-interlace + palette expansion) and WAV PCM sample decode are REAL
+(``operators/codecs.py``; see ``decode_image_pixels`` /
 ``decode_audio_samples``), as are all container/header walks
 (PNG/GIF/JPEG dims, RIFF/WAVE, RIFF/AVI). The remaining
 NotImplementedError slots cover only formats that genuinely need
-codec libraries not in this container (JPEG/GIF pixels, compressed
+codec libraries not in this container (JPEG pixels, compressed
 audio, video codecs, interlaced PNG) behind ``strict=True``;
 non-strict paths yield deterministic fake features to keep pipelines
 testable end-to-end.
@@ -609,21 +610,36 @@ def make_pixel_stats(
     out_h: int | None = None,
     strict: bool = True,
 ):
-    """mapInPandas stage: PNG payload -> REAL decoded pixel stats,
-    optionally after a nearest-neighbor resize (out[r, c] =
-    in[r*H//H', c*W//W'] — closed-form checkable). strict raises on
-    undecodable payloads (default: this stage exists to prove real
-    decode); strict=False skips them."""
+    """mapInPandas stage: PNG or GIF payload -> REAL decoded pixel
+    stats (magic-byte dispatch: GIF -> LZW decode, else PNG ->
+    inflate+unfilter), optionally after a nearest-neighbor resize
+    (out[r, c] = in[r*H//H', c*W//W'] — closed-form checkable).
+    strict raises on undecodable payloads (default: this stage exists
+    to prove real decode); strict=False skips them."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import PngError, decode_png, nearest_resize
+        from .codecs import (
+            GifError,
+            PngError,
+            decode_gif,
+            decode_png,
+            nearest_resize,
+        )
+
+        from .codecs import JpegError, decode_jpeg_gray
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload or b"")
                 try:
-                    px = decode_png(bytes(payload or b""))
-                except (PngError, NotImplementedError):
+                    if data[:3] == b"GIF":
+                        px = decode_gif(data)
+                    elif data[:2] == b"\xff\xd8":
+                        px = decode_jpeg_gray(data)
+                    else:
+                        px = decode_png(data)
+                except (PngError, GifError, JpegError, NotImplementedError):
                     if strict:
                         raise
                     continue
@@ -656,6 +672,78 @@ def decode_image_pixels(
     work is REAL (codecs.decode_png)."""
     return df.select("doc_id", "payload").mapInPandas(
         make_pixel_stats(out_w, out_h, strict), PIXEL_STATS_SCHEMA
+    )
+
+
+def attach_gradient_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL GIF89a per row — LZW-compressed index
+    stream, grayscale palette (palette[i] = (i, i, i)), interlaced
+    for odd ids so both row orders are exercised — with the same
+    closed-form gradient as the PNG twin:
+
+        width  = id % 5 * 8 + 16
+        height = id % 7 * 4 + 12
+        idx[r, c] = (id * 31 + r * 7 + c * 13) % 256
+
+    Decoding requires real variable-width LZW work + de-interlacing,
+    so a downstream hash match certifies the GIF decoder."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_gif
+
+    pal = None
+
+    def _gifs(ids: pd.Series) -> pd.Series:
+        nonlocal pal
+        if pal is None:
+            pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+            r, c = np.mgrid[0:h, 0:w]
+            idx = ((i * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+            out.append(encode_gif(idx, pal, interlace=bool(i % 2)))
+        return pd.Series(out)
+
+    gif = pandas_udf(_gifs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/gif").alias("media_type"),
+        gif(F.col(id_col)).alias("payload"),
+    )
+
+
+def attach_gradient_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL baseline JPEG per row (8x8 DCT, Annex-K
+    quantization at quality 95, Huffman entropy coding) carrying a
+    smooth closed-form plane — JPEG is lossy, so the plane is chosen
+    wrap-free and the downstream contract is a BOUNDED error vs:
+
+        width  = id % 5 * 8 + 16
+        height = id % 7 * 4 + 12
+        px[r, c] = id % 128 + r + c      (max 127+35+47 < 255)"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_jpeg_gray
+
+    def _jpegs(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+            r, c = np.mgrid[0:h, 0:w]
+            px = (i % 128 + r + c).astype(np.uint8)
+            out.append(encode_jpeg_gray(px, quality=95))
+        return pd.Series(out)
+
+    jpg = pandas_udf(_jpegs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/jpeg").alias("media_type"),
+        jpg(F.col(id_col)).alias("payload"),
     )
 
 

@@ -2266,6 +2266,94 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    # REAL GIF LZW decode (round 7): payloads are genuine GIF89a
+    # containers (variable-width LZW, grayscale palette, interlaced
+    # for odd ids) carrying the same closed-form gradient as the PNG
+    # twin; palette expansion makes channels=3 with all three equal,
+    # so px_sum is exactly 3x the gray sum
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents), "
+    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
+    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "3 AS channels, "
+    "CAST(3 * SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
+    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
+    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
+    "FROM cells GROUP BY doc_id, w, h",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode at scale: synthesize a genuine GIF89a
+    per document (LZW-compressed index stream, interlaced for odd
+    ids), decode it back in the same Arrow-batched mapInPandas stage
+    as the PNG path (codecs.decode_gif: sub-block reassembly,
+    variable-width LZW, de-interlace, palette expansion) and emit
+    pixel stats against the closed-form oracle."""
+    from .operators.multimodal import (
+        attach_gradient_gif_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_image_pixels(
+        attach_gradient_gif_payload(docs, "doc_id")
+    ).select(
+        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    # REAL baseline JPEG decode (round 7): payloads are genuine
+    # DCT/Huffman JPEGs carrying a smooth closed-form plane. JPEG is
+    # lossy, so this is a certificate in per-doc rows: dimensions are
+    # exact (the marker walk must recover SOF0), and booleans bound
+    # the decoded stats against the plane (|px_sum - exact| <= 2*w*h
+    # from a <=2/pixel reconstruction error at quality 95; min/max
+    # within 2). DuckDB recomputes the closed forms; a hash match
+    # certifies the Huffman+IDCT pipeline lands within tolerance on
+    # EVERY document.
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "1 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
+    "FROM dims",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode at scale: synthesize a genuine JPEG
+    per document (DCT, Annex-K quantization, Huffman), decode it back
+    in the shared mapInPandas pixel stage (codecs.decode_jpeg_gray:
+    marker walk, canonical Huffman reconstruction, entropy decode
+    with unstuffing, dequant, IDCT) and certify the decoded stats
+    against the closed-form plane within the lossy-codec tolerance."""
+    from .operators.multimodal import (
+        attach_gradient_jpeg_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    decoded = decode_image_pixels(
+        attach_gradient_jpeg_payload(docs, "doc_id")
+    )
+    a = F.col("doc_id") % 128
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    exact_sum = (
+        w * h * a + w * (h * (h - 1) / 2).cast("long")
+        + h * (w * (w - 1) / 2).cast("long")
+    )
+    return decoded.select(
+        "doc_id", "width", "height", "channels",
+        (F.abs(F.col("px_sum") - exact_sum) <= 2 * w * h)
+        .cast("long").alias("sum_ok"),
+        (F.abs(F.col("px_min") - a) <= 2).cast("int").alias("min_ok"),
+        (F.abs(F.col("px_max") - (a + h - 1 + w - 1)) <= 2)
+        .cast("int").alias("max_ok"),
+    )
+
+
+@register(
     "multimodal_audio_decode",
     # REAL PCM sample decode (round 7): payloads are genuine
     # RIFF/WAVE PCM-16 containers carrying a closed-form mono series;

@@ -204,9 +204,12 @@ NEW_R7 = [
     "bpe_learned_merges",
     "similarity_ivf_topk",
     "similarity_ivf_fixed_topk",
-    # real codec decode (round 7): PNG inflate+unfilter, WAV PCM
+    # real codec decode (round 7): PNG inflate+unfilter, GIF LZW,
+    # WAV PCM
     "multimodal_image_decode",
     "multimodal_image_resize",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
     "multimodal_audio_decode",
 ]
 

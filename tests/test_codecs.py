@@ -124,6 +124,97 @@ def test_nearest_resize_floor_mapping():
             assert out[r, c] == px[r * h // 6, c * w // 8]
 
 
+def test_gif_roundtrip_plain_and_interlaced():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        GifError,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w, ncol in [(1, 1, 2), (9, 7, 4), (16, 24, 256), (33, 5, 17)]:
+        pal = np.stack([np.arange(ncol)] * 3, 1).astype(np.uint8)
+        idx = rng.randint(0, ncol, (h, w), dtype=np.uint8)
+        for inter in (False, True):
+            out = decode_gif(encode_gif(idx, pal, interlace=inter))
+            assert out.shape == (h, w, 3)
+            assert (out[:, :, 0] == idx).all()
+            assert (out[:, :, 2] == idx).all()
+    # RGB palette + dictionary-overflow-sized image (forces CLEAR
+    # mid-stream) + repetitive content (the KwKwK LZW case)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.randint(0, 256, (200, 300), dtype=np.uint8)
+    assert (decode_gif(encode_gif(big, pal)) == pal[big]).all()
+    rep = np.tile(np.arange(16, dtype=np.uint8) % 7, (64, 8)).reshape(64, 128)
+    pal7 = np.stack([np.arange(7)] * 3, 1).astype(np.uint8)
+    assert (decode_gif(encode_gif(rep, pal7))[:, :, 0] == rep).all()
+    with pytest.raises(GifError):
+        decode_gif(b"not a gif")
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ncol=st.integers(min_value=2, max_value=256),
+    inter=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncol, inter, seed):
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.randint(0, ncol, (h, w), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal, interlace=inter)) == pal[idx]).all()
+
+
+def test_jpeg_baseline_roundtrip_bounds():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        JpegError,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # smooth planes at quality 95: reconstruction within 2/pixel
+    for h, w in [(8, 8), (16, 24), (33, 17), (12, 20), (1, 1), (7, 3)]:
+        r, c = np.mgrid[0:h, 0:w]
+        px = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(px, quality=95))
+        assert out.shape == (h, w, 1)
+        err = np.abs(out[:, :, 0].astype(int) - px.astype(int)).max()
+        assert err <= 2, (h, w, err)
+    # constant blocks are DC-only: exact
+    px = np.full((24, 24), 137, np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(px, 90))
+    assert (out[:, :, 0] == 137).all()
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(b"\xff\xd8junk\x00")
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(b"not jpeg")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    base=st.integers(min_value=0, max_value=127),
+)
+def test_jpeg_plane_roundtrip_property(h, w, base):
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    r, c = np.mgrid[0:h, 0:w]
+    px = np.clip(base + r + c, 0, 255).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(px, quality=95))[:, :, 0]
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
 def test_wav_pcm_roundtrip_and_slots():
     rng = np.random.RandomState(3)
     s = rng.randint(-32768, 32768, (500, 2)).astype(np.int32)
@@ -165,6 +256,23 @@ def test_decode_stages_over_spark(spark):
         assert px[i]["px_sum"] == int(expect.sum())
         assert px[i]["px_min"] == int(expect.min())
         assert px[i]["px_max"] == int(expect.max())
+
+    from bbcnews_scraper_nlp_spark.operators.multimodal import (
+        attach_gradient_gif_payload,
+    )
+
+    gx = {
+        r["doc_id"]: r
+        for r in decode_image_pixels(
+            attach_gradient_gif_payload(df, "doc_id")
+        ).collect()
+    }
+    for i in range(6):  # gray palette -> 3 equal channels
+        assert gx[i]["channels"] == 3
+        assert gx[i]["px_sum"] == 3 * px[i]["px_sum"]
+        assert (gx[i]["px_min"], gx[i]["px_max"]) == (
+            px[i]["px_min"], px[i]["px_max"]
+        )
 
     rz = {
         r["doc_id"]: r

@@ -301,3 +301,29 @@ def test_textrank_no_python_uses_takeordered(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # vocab cut + final keyword cut are per-partition heaps
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["multimodal_image_decode", "multimodal_gif_decode",
+     "multimodal_jpeg_decode", "multimodal_audio_decode"],
+)
+def test_codec_decode_payloads_never_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # synth (pandas_udf) -> decode (mapInPandas) must be consecutive
+    # narrow map stages: every Exchange sits BELOW the payload synth
+    # (the widen repartition moves 8-byte ids), never above it —
+    # binary payloads never shuffle, the property that matters when
+    # media is MB/row at 100 TB. Node ids grow toward the root in
+    # explain("formatted"), so assert max(Exchange id) < synth id.
+    assert "MapInPandas" in plan
+    synth = [int(m) for m in re.findall(r"^\((\d+)\) ArrowEvalPython", plan, re.M)]
+    exchanges = [
+        int(m)
+        for m in re.findall(r"^\((\d+)\) (?:Broadcast)?Exchange", plan, re.M)
+    ]
+    assert synth, plan[:400]
+    assert all(e < min(synth) for e in exchanges), (
+        f"{name} shuffles its payloads: exchanges {exchanges} above "
+        f"synth {synth}"
+    )

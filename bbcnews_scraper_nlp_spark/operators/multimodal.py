@@ -11,17 +11,16 @@ Design (the 100 TB contract — this part is real and tested):
 - batch size is bounded by ``spark.sql.execution.arrow.
   maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB payloads.
 
-Codec status (round 7): PNG pixel decode (zlib inflate + full
-scanline unfiltering), GIF pixel decode (variable-width LZW +
-de-interlace + palette expansion) and WAV PCM sample decode are REAL
-(``operators/codecs.py``; see ``decode_image_pixels`` /
-``decode_audio_samples``), as are all container/header walks
-(PNG/GIF/JPEG dims, RIFF/WAVE, RIFF/AVI). The remaining
-NotImplementedError slots cover only formats that genuinely need
-codec libraries not in this container (JPEG pixels, compressed
-audio, video codecs, interlaced PNG) behind ``strict=True``;
-non-strict paths yield deterministic fake features to keep pipelines
-testable end-to-end.
+Codec status (round 7): REAL decode for PNG (all bit depths, Adam7),
+GIF (LZW), baseline grayscale JPEG (Huffman+IDCT), WAV PCM, G.711
+mu-law/A-law, IMA ADPCM and uncompressed AVI DIB video frames —
+``operators/codecs.py``, surfaced through ``decode_image_pixels`` /
+``decode_audio_samples`` / ``decode_video_frame_pixels`` — plus all
+container/header walks. The remaining NotImplementedError slots
+cover only formats that genuinely need codec libraries not in this
+container (color/progressive JPEG, MP3/AAC, compressed video
+streams) behind ``strict=True``; non-strict paths yield
+deterministic fake features to keep pipelines testable end-to-end.
 """
 
 from __future__ import annotations
@@ -772,6 +771,135 @@ def attach_pcm_audio_payload(df: DataFrame, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.lit("audio/wav").alias("media_type"),
         wav(F.col(id_col)).alias("payload"),
+    )
+
+
+def attach_g711_code_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL G.711 WAV per row (fmt 7 mu-law for even
+    ids, fmt 6 A-law for odd) whose CODE bytes follow a closed form:
+
+        n_codes = id % 400 + 100
+        code[i] = (id + i) % 256
+
+    The decoder must run the actual ITU expansion to recover the
+    samples; an oracle can mirror that expansion relationally, so a
+    downstream hash match certifies the companding math itself."""
+    import struct as _struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _wavs(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = i % 400 + 100
+            codes = ((i + np.arange(n)) % 256).astype(np.uint8)
+            fmt_tag = 7 if i % 2 == 0 else 6
+            body = codes.tobytes()
+            out.append(
+                b"RIFF"
+                + _struct.pack("<I", 38 + len(body))
+                + b"WAVEfmt "
+                + _struct.pack("<IHHIIHH", 18, fmt_tag, 1, 8000, 8000, 1, 8)
+                + _struct.pack("<H", 0)
+                + b"data"
+                + _struct.pack("<I", len(body))
+                + body
+            )
+        return pd.Series(out)
+
+    wav = pandas_udf(_wavs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 2 == 0, F.lit("audio/ulaw"))
+        .otherwise(F.lit("audio/alaw"))
+        .alias("media_type"),
+        wav(F.col(id_col)).alias("payload"),
+    )
+
+
+FRAME_PIXEL_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "px_sum bigint, px_min int, px_max int"
+)
+
+
+def attach_dib_video_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL RIFF/AVI with uncompressed '00db' DIB video
+    frames (bottom-up padded BGR rows — the actual Windows layout)
+    whose gray pixels follow a closed form:
+
+        width    = id % 3 * 8 + 8     height = id % 2 * 4 + 8
+        n_frames = id % 6 + 2
+        px[f, r, c] = (id + f*5 + r*7 + c*11) % 256  (B = G = R)"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_avi_dib
+
+    def _avis(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 3 * 8 + 8, i % 2 * 4 + 8
+            n = i % 6 + 2
+            r, c = np.mgrid[0:h, 0:w]
+            frames = []
+            for f in range(n):
+                v = ((i + f * 5 + r * 7 + c * 11) % 256).astype(np.uint8)
+                frames.append(np.repeat(v[:, :, None], 3, axis=2))
+            out.append(encode_avi_dib(frames))
+        return pd.Series(out)
+
+    avi = pandas_udf(_avis, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("video/avi").alias("media_type"),
+        avi(F.col(id_col)).alias("payload"),
+    )
+
+
+def make_frame_pixel_stats(strict: bool = True):
+    """mapInPandas stage: AVI payload -> REAL decoded per-frame pixel
+    stats (codecs.avi_dib_frames: hdrl dims, movi chunk walk, DIB
+    bottom-up/BGR/stride decode). 1->N frame fan-out with a declared
+    schema; compressed '00dc' streams raise (the video-codec slot)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import AviError, avi_dib_frames
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, frames = avi_dib_frames(bytes(payload or b""))
+                except (AviError, NotImplementedError):
+                    if strict:
+                        raise
+                    continue
+                for k, px in enumerate(frames):
+                    rows.append(
+                        (doc_id, k, w, h, int(px.sum(dtype="int64")),
+                         int(px.min()), int(px.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return stats
+
+
+def decode_video_frame_pixels(df: DataFrame, strict: bool = True) -> DataFrame:
+    """Decode AVI '00db' frames to per-frame pixel stats — the same
+    no-shuffle mapInPandas contract as the image/audio decode stages,
+    with a real 1->N demux fan-out."""
+    return df.select("doc_id", "payload").mapInPandas(
+        make_frame_pixel_stats(strict), FRAME_PIXEL_SCHEMA
     )
 
 

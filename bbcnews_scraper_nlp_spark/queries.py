@@ -2354,6 +2354,95 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frame_decode",
+    # REAL uncompressed-video frame decode (round 7): payloads are
+    # genuine RIFF/AVI containers with '00db' DIB frames (bottom-up
+    # padded BGR — the decoder must undo the real Windows layout);
+    # gray pixels follow a closed form the oracle recomputes over a
+    # (frame, row, col) grid; B=G=R so px_sum is 3x the gray sum
+    "WITH dims AS (SELECT doc_id, doc_id % 3 * 8 + 8 AS w, "
+    "doc_id % 2 * 4 + 8 AS h, doc_id % 6 + 2 AS n FROM documents), "
+    "fr AS (SELECT doc_id, w, h, unnest(range(0, n)) AS f FROM dims), "
+    "rws AS (SELECT doc_id, w, h, f, unnest(range(0, h)) AS r FROM fr), "
+    "cells AS (SELECT doc_id, w, h, f, r, unnest(range(0, w)) AS c "
+    "FROM rws) "
+    "SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width, "
+    "CAST(h AS INT) AS height, "
+    "CAST(3 * SUM((doc_id + f*5 + r*7 + c*11) % 256) AS BIGINT) AS px_sum, "
+    "CAST(MIN((doc_id + f*5 + r*7 + c*11) % 256) AS INT) AS px_min, "
+    "CAST(MAX((doc_id + f*5 + r*7 + c*11) % 256) AS INT) AS px_max "
+    "FROM cells GROUP BY doc_id, f, w, h",
+)
+def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode at scale: synthesize a genuine AVI
+    with uncompressed DIB frames per document, demux + decode every
+    frame back in an Arrow-batched mapInPandas stage (1->N fan-out;
+    codecs.avi_dib_frames) and hash-certify per-frame pixel stats
+    against the closed-form oracle. Compressed streams ('00dc')
+    remain the declared video-codec slot."""
+    from .operators.multimodal import (
+        attach_dib_video_payload,
+        decode_video_frame_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_video_frame_pixels(
+        attach_dib_video_payload(docs, "doc_id")
+    ).select(
+        "doc_id", "frame_idx", "width", "height",
+        "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
+    "multimodal_g711_decode",
+    # REAL G.711 companding decode (round 7): payloads are genuine
+    # WAV fmt-7 (mu-law, even ids) / fmt-6 (A-law, odd ids)
+    # containers whose code bytes follow a closed form; the oracle
+    # mirrors the ITU expansion formulas RELATIONALLY, so the hash
+    # match certifies the companding math itself
+    "WITH f AS (SELECT doc_id, doc_id % 400 + 100 AS n FROM documents), "
+    "cd AS (SELECT doc_id, n, (doc_id + unnest(range(0, n))) % 256 AS b "
+    "FROM f), "
+    "ex AS (SELECT doc_id, n, CASE WHEN doc_id % 2 = 0 THEN "
+    "(CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END) * "
+    "((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132) "
+    "ELSE "
+    "(CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) * "
+    "(CASE WHEN (xor(b, 85) // 16) % 8 = 0 "
+    "THEN (xor(b, 85) % 16) * 16 + 8 "
+    "WHEN (xor(b, 85) // 16) % 8 = 1 "
+    "THEN (xor(b, 85) % 16) * 16 + 264 "
+    "ELSE ((xor(b, 85) % 16) * 16 + 264) * "
+    "(1 << ((xor(b, 85) // 16) % 8 - 1)) END) "
+    "END AS s FROM cd) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_frames, 1 AS channels, "
+    "8000 AS sample_rate, CAST(SUM(s) AS BIGINT) AS sample_sum, "
+    "CAST(MIN(s) AS INT) AS sample_min, CAST(MAX(s) AS INT) AS sample_max "
+    "FROM ex GROUP BY doc_id, n",
+)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 audio decode at scale: synthesize genuine mu-law /
+    A-law WAV containers with closed-form code bytes, decode the
+    samples back through the vectorized ITU expansion
+    (codecs.ulaw_decode / alaw_decode via the shared mapInPandas
+    stage) and hash-certify the companding arithmetic against the
+    oracle's relational mirror of the same formulas."""
+    from .operators.multimodal import (
+        attach_g711_code_payload,
+        decode_audio_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return decode_audio_samples(
+        attach_g711_code_payload(docs, "doc_id")
+    ).select(
+        "doc_id", "n_frames", "channels", "sample_rate",
+        "sample_sum", "sample_min", "sample_max"
+    )
+
+
+@register(
     "multimodal_audio_decode",
     # REAL PCM sample decode (round 7): payloads are genuine
     # RIFF/WAVE PCM-16 containers carrying a closed-form mono series;

@@ -211,6 +211,8 @@ NEW_R7 = [
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "multimodal_audio_decode",
+    "multimodal_g711_decode",
+    "multimodal_video_frame_decode",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7

@@ -52,14 +52,14 @@ def test_png_crc_corruption_detected():
         decode_png(bytes(data))
 
 
-def test_png_rejects_non_png_and_flags_slots():
+def test_png_rejects_non_png_and_bad_combos():
     with pytest.raises(PngError):
         decode_png(b"not a png at all")
-    # declared codec slots stay explicit: interlace byte set -> slot
+    # sub-byte depths are gray/palette only per spec
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB
     body = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -67,8 +67,31 @@ def test_png_rejects_non_png_and_flags_slots():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(PngError):
         decode_png(body)
+
+
+def test_png_interlace_and_depth_roundtrips():
+    rng = np.random.RandomState(13)
+    # Adam7: all 7 passes exercised incl. degenerate tiny images
+    for shape in [(1, 1, 1), (7, 5, 1), (12, 9, 3), (8, 8, 4), (2, 2, 1),
+                  (5, 1, 1), (1, 9, 1), (16, 16, 2)]:
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(px, interlace=True))
+        assert out.shape == shape and (out == px).all(), shape
+    # 16-bit samples round-trip exactly (big-endian pairs)
+    px16 = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    for inter in (False, True):
+        out = decode_png(encode_png(px16, bit_depth=16, interlace=inter))
+        assert out.dtype == np.uint16 and (out == px16).all()
+    # sub-byte gray: decode applies the spec's 255/(2^d-1) scaling
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        px = rng.randint(0, maxv + 1, (13, 11, 1), dtype=np.uint8)
+        for inter in (False, True):
+            out = decode_png(encode_png(px, bit_depth=d, interlace=inter))
+            exp = (px.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+            assert (out == exp).all(), (d, inter)
 
 
 def test_png_palette_expansion():
@@ -231,6 +254,128 @@ def test_wav_pcm_roundtrip_and_slots():
     struct.pack_into("<H", bad, 20, 85)  # fmt 85 = MP3
     with pytest.raises(NotImplementedError):
         decode_wav_samples(bytes(bad))
+
+
+def test_g711_companding_and_container():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        alaw_decode,
+        alaw_encode,
+        encode_wav_g711,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # canonical anchors: mu-law silence is 0xFF; A-law 0x55 is -8
+    assert ulaw_encode(np.array([0]))[0] == 0xFF
+    assert ulaw_decode(np.array([0xFF]))[0] == 0
+    assert alaw_decode(np.array([0x55]))[0] == -8
+    rng = np.random.RandomState(1)
+    x = rng.randint(-32768, 32768, 20000).astype(np.int32)
+    for enc, dec, name in (
+        (ulaw_encode, ulaw_decode, "ulaw"),
+        (alaw_encode, alaw_decode, "alaw"),
+    ):
+        y = dec(enc(x))
+        # segment-relative error envelope of logarithmic companding
+        bound = np.maximum(np.abs(x) // 16 + 64, 64)
+        assert (np.abs(y - x) <= bound).all(), name
+        # decoded values are exact fixed points of the codec
+        assert (dec(enc(y)) == y).all(), name
+    # container round trip equals direct companding
+    s = rng.randint(-32768, 32768, 500).astype(np.int32)
+    for law, direct in (
+        ("ulaw", ulaw_decode(ulaw_encode(s))),
+        ("alaw", alaw_decode(alaw_encode(s))),
+    ):
+        dec_, rate = decode_wav_samples(encode_wav_g711(s, law, 8000))
+        assert rate == 8000 and (dec_[:, 0] == direct).all(), law
+
+
+def test_ima_adpcm_tracks_smooth_signals():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(3000)
+    s = (3000 * np.sin(t / 50)).astype(np.int32)
+    dec, rate = decode_wav_samples(encode_wav_ima_adpcm(s, 16000, 505))
+    assert rate == 16000 and dec.shape == (3000, 1)
+    err = np.abs(dec[:, 0] - s)
+    assert err.max() < 500 and float(np.sqrt((err**2).mean())) < 50
+    # frame count survives odd lengths + short final blocks (fact
+    # chunk truncates the padded tail)
+    rng = np.random.RandomState(3)
+    s2 = rng.randint(-2000, 2000, 777).astype(np.int32)
+    d2, _ = decode_wav_samples(encode_wav_ima_adpcm(s2, 8000, 100))
+    assert d2.shape[0] == 777
+
+
+def test_avi_dib_frame_roundtrip():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        AviError,
+        avi_dib_frames,
+        decode_dib_frame,
+        encode_avi_dib,
+        encode_dib_frame,
+    )
+
+    rng = np.random.RandomState(4)
+    # widths with non-multiple-of-4 strides exercise DIB row padding
+    for h, w, n in [(8, 8, 1), (12, 5, 3), (9, 7, 4), (3, 3, 2)]:
+        frames = [
+            rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
+        ]
+        got_w, got_h, out = avi_dib_frames(encode_avi_dib(frames))
+        assert (got_w, got_h, len(out)) == (w, h, n)
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+    px = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (decode_dib_frame(encode_dib_frame(px), 5, 7) == px).all()
+    with pytest.raises(AviError):
+        avi_dib_frames(b"RIFFxxxxNOPE")
+
+
+def test_g711_and_video_stages_over_spark(spark):
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        alaw_decode,
+        ulaw_decode,
+    )
+    from bbcnews_scraper_nlp_spark.operators.multimodal import (
+        attach_dib_video_payload,
+        attach_g711_code_payload,
+        decode_audio_samples,
+        decode_video_frame_pixels,
+    )
+
+    df = spark.range(6).withColumnRenamed("id", "doc_id")
+    au = {
+        r["doc_id"]: r
+        for r in decode_audio_samples(
+            attach_g711_code_payload(df, "doc_id")
+        ).collect()
+    }
+    for i in range(6):
+        n = i % 400 + 100
+        codes = ((i + np.arange(n)) % 256).astype(np.uint8)
+        s = ulaw_decode(codes) if i % 2 == 0 else alaw_decode(codes)
+        assert au[i]["n_frames"] == n and au[i]["sample_rate"] == 8000
+        assert au[i]["sample_sum"] == int(s.sum())
+
+    vf = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in decode_video_frame_pixels(
+            attach_dib_video_payload(df, "doc_id")
+        ).collect()
+    }
+    for i in range(6):
+        w, h, n = i % 3 * 8 + 8, i % 2 * 4 + 8, i % 6 + 2
+        r, c = np.mgrid[0:h, 0:w]
+        for f in range(n):
+            v = (i + f * 5 + r * 7 + c * 11) % 256
+            row = vf[(i, f)]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["px_sum"] == 3 * int(v.sum())
+            assert (row["px_min"], row["px_max"]) == (int(v.min()), int(v.max()))
 
 
 def test_decode_stages_over_spark(spark):

@@ -4,12 +4,13 @@ Round 7 closes the "codec decode is stubbed" residual for every
 format pure Python + numpy can honestly support: PNG (zlib inflate +
 full scanline unfiltering at every filter type, bit depths 1-16,
 Adam7 de-interlacing), GIF (variable-width LZW, de-interlacing,
-palette expansion), baseline grayscale JPEG (DCT/quantization/
-Huffman, ITU-T T.81 Annex K tables), WAV PCM 8/16/32-bit, G.711
-mu-law/A-law companding (ITU expansion formulas), IMA ADPCM, and
-uncompressed AVI '00db' DIB video frames. No image/audio library is
-required — only ``zlib``, ``struct`` and numpy, all baked into the
-container.
+palette expansion), baseline JPEG in grayscale AND color (DCT/
+quantization/Huffman with the ITU-T T.81 Annex K luma+chroma tables,
+interleaved MCUs, 4:2:0/4:4:4 chroma sampling, YCbCr <-> RGB), WAV
+PCM 8/16/32-bit, G.711 mu-law/A-law companding (ITU expansion
+formulas), IMA ADPCM, and uncompressed AVI '00db' DIB video frames.
+No image/audio library is required — only ``zlib``, ``struct`` and
+numpy, all baked into the container.
 
 What is REAL here:
 - ``decode_png``: CRC-verified chunk walk, IDAT concatenation, zlib
@@ -41,11 +42,10 @@ What is REAL here:
   companding expansion and IMA ADPCM block decode, with encoder
   twins.
 
-What remains a declared slot (``NotImplementedError``):
-progressive/multi-component (color) JPEG (rides the same machinery
-with chroma tables + upsampling), perceptual compressed audio
-(MP3/AAC) and compressed video streams ('00dc') — formats whose
-decoders genuinely need codec libraries.
+What remains a declared slot (``NotImplementedError``): progressive
+JPEG and restart intervals, perceptual compressed audio (MP3/AAC)
+and compressed video streams ('00dc') — formats whose decoders
+genuinely need codec libraries.
 
 Reference parity: the reference pipeline is text-only
 (BBCNews-scraper-nlp has no media path); this module is part of the
@@ -887,6 +887,41 @@ _AC_VALS = [
 ]
 
 
+# ITU-T T.81 Table K.2 (chrominance quantization)
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32).reshape(8, 8)
+
+# ITU-T T.81 Annex K.3 typical chrominance Huffman tables
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length), canonical JPEG code assignment."""
     out: dict[int, tuple[int, int]] = {}
@@ -926,11 +961,13 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """libjpeg-style quality scaling of the Annex K table."""
+def _quant_table(
+    quality: int, base: np.ndarray = _JPEG_QUANT_LUMA
+) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table."""
     quality = min(max(quality, 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_JPEG_QUANT_LUMA * scale + 50) // 100
+    q = (base * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
 
 
@@ -965,81 +1002,178 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_jpeg_gray(px: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (H, W) uint8 array as a REAL baseline JFIF/JPEG:
-    8x8 level-shifted DCT, Annex-K quantization scaled by quality,
-    zigzag, DC prediction, Annex-K Huffman entropy coding with byte
-    stuffing. Single component (grayscale), no subsampling."""
-    if px.ndim == 3:
-        if px.shape[2] != 1:
-            raise JpegError("encode_jpeg_gray takes grayscale input")
-        px = px[:, :, 0]
-    h, w = px.shape
-    q = _quant_table(quality)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+def _encode_block(
+    bw_: "_BitWriter",
+    blk: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one quantized 8x8 block; returns its DC."""
+    dc = int(blk[0, 0])
+    size, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    bw_.write(code, length)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    seq = [int(blk[rr, cc]) for rr, cc in _ZIGZAG[1:]]
+    last_nz = 0
+    for k, v in enumerate(seq):
+        if v:
+            last_nz = k + 1
+    for v in seq[:last_nz]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw_.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw_.write(code, length)
+        bw_.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw_.write(code, length)
+    return dc
+
+
+def _plane_to_quant_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 DCT and quantize one padded component plane
+    -> (bh, bw, 8, 8) int32 coefficient blocks."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
     blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
         - 128.0
     )
     coef = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
-    quant = np.round(coef / q).astype(np.int32)
+    return np.round(coef / q).astype(np.int32)
 
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    bw_ = _BitWriter()
-    prev_dc = 0
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def encode_jpeg(
+    px: np.ndarray, quality: int = 90, subsample: str = "420"
+) -> bytes:
+    """Encode an (H, W[, 1|3]) uint8 array as a REAL baseline
+    JFIF/JPEG: level-shifted 8x8 DCT, Annex-K luma/chroma
+    quantization scaled by quality, zigzag, per-component DC
+    prediction, Annex-K Huffman entropy coding with byte stuffing.
+    Color input converts RGB -> YCbCr (BT.601 full range) and
+    interleaves MCUs with 4:2:0 (2x2-averaged chroma) or 4:4:4
+    sampling."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    if ncomp not in (1, 3):
+        raise JpegError("encode_jpeg takes gray or RGB input")
+    qy = _quant_table(quality)
     zz = _ZIGZAG
-    for r in range(bh):
-        for c in range(bw):
-            blk = quant[r, c]
-            dc = int(blk[0, 0])
-            size, bits = _magnitude(dc - prev_dc)
-            code, length = dc_codes[size]
-            bw_.write(code, length)
-            if size:
-                bw_.write(bits, size)
-            prev_dc = dc
-            run = 0
-            last_nz = 0
-            seq = [int(blk[rr, cc]) for rr, cc in zz[1:]]
-            for k, v in enumerate(seq):
-                if v:
-                    last_nz = k + 1
-            for k, v in enumerate(seq[:last_nz]):
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw_.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw_.write(code, length)
-                bw_.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw_.write(code, length)
+    dc_y = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_y = _huff_codes(_AC_BITS, _AC_VALS)
+
+    if ncomp == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+        qtabs = [qy]
+        huffs = [(dc_y, ac_y)]
+    else:
+        if subsample not in ("420", "444"):
+            raise JpegError(f"unsupported subsampling {subsample}")
+        y, cb, cr = _rgb_to_ycbcr(px)
+        qc = _quant_table(quality, _JPEG_QUANT_CHROMA)
+        dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+        ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+        if subsample == "420":
+            # pad to even, then 2x2 box average
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+            crp = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qtabs = [qy, qc, qc]
+        huffs = [(dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = []
+    for plane, (hf, vf), q in zip(planes, factors, qtabs):
+        tw, th = mcus_x * 8 * hf, mcus_y * 8 * vf
+        ph, pw = plane.shape
+        padded = np.pad(
+            plane, ((0, th - ph), (0, tw - pw)), mode="edge"
+        )
+        comp_blocks.append(_plane_to_quant_blocks(padded, q))
+
+    bw_ = _BitWriter()
+    prev = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hf, vf) in enumerate(factors):
+                dcc, acc = huffs[ci]
+                for v in range(vf):
+                    for hh in range(hf):
+                        blk = comp_blocks[ci][my * vf + v, mx * hf + hh]
+                        prev[ci] = _encode_block(bw_, blk, prev[ci], dcc, acc)
     bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, b"\x00" + bytes(int(q[r][c]) for r, c in zz))
-    sof = seg(
-        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(int(qy[r][c]) for r, c in zz))
+    if ncomp == 3:
+        out += seg(0xDB, b"\x01" + bytes(int(qtabs[1][r][c]) for r, c in zz))
+    sof_comps = b""
+    for ci, (hf, vf) in enumerate(factors):
+        sof_comps += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += seg(
+        0xC0, struct.pack(">BHHB", 8, h, w, len(factors)) + sof_comps
     )
-    dht = seg(
-        0xC4,
+    dht = (
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw_.out) + b"\xff\xd9"
+    if ncomp == 3:
+        dht += (
+            b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+            + b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
+        )
+    out += seg(0xC4, dht)
+    sos_comps = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        for ci in range(len(factors))
     )
+    out += seg(
+        0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 63, 0])
+    )
+    return out + bytes(bw_.out) + b"\xff\xd9"
+
+
+def encode_jpeg_gray(px: np.ndarray, quality: int = 90) -> bytes:
+    """Single-component wrapper kept for the grayscale decode query;
+    see encode_jpeg."""
+    if px.ndim == 3 and px.shape[2] != 1:
+        raise JpegError("encode_jpeg_gray takes grayscale input")
+    return encode_jpeg(px, quality=quality)
 
 
 class _BitReader:
@@ -1086,14 +1220,42 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to (H, W, 1) uint8.
+def _decode_block(rd: "_BitReader", dct: dict, act: dict, prev_dc: int):
+    """Entropy-decode one block -> (dezigzagged 8x8 coef grid, dc)."""
+    blk = np.zeros(64, np.int32)
+    size = rd.huff(dct)
+    prev_dc += _extend(rd.read(size), size)
+    blk[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = rd.huff(act)
+        run, size = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise JpegError("AC index overflow")
+        blk[k] = _extend(rd.read(size), size)
+        k += 1
+    grid = np.zeros((8, 8), np.int32)
+    for kk, (rr, cc) in enumerate(_ZIGZAG):
+        grid[rr, cc] = blk[kk]
+    return grid, prev_dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W, 1) uint8 (grayscale) or
+    (H, W, 3) uint8 RGB (interleaved multi-component scans with any
+    sampling factors that divide the MCU grid — 4:4:4, 4:2:0, 4:2:2).
     Real work: marker walk (DQT/SOF0/DHT/SOS), canonical Huffman
-    table reconstruction, entropy decode with byte unstuffing, DC
-    prediction, dezigzag, dequantization, inverse DCT. Raises
-    JpegError for non-JPEG and NotImplementedError for progressive /
-    multi-component scans (the color path rides the same machinery
-    with chroma tables + upsampling — a declared slot)."""
+    table reconstruction, entropy decode with byte unstuffing,
+    per-component DC prediction, dezigzag, dequantization, inverse
+    DCT, chroma upsampling and YCbCr -> RGB. Raises JpegError for
+    non-JPEG and NotImplementedError for progressive scans and
+    restart intervals (declared slots)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload")
     i = 2
@@ -1101,8 +1263,9 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     h = w = None
-    comp_q = 0
-    comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hf, vf, tq)
+    scan_sel: dict[int, tuple[int, int]] = {}
+    scan_order: list[int] = []
     scan: bytes | None = None
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -1125,13 +1288,15 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 j += 65
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline JPEG: codec slot")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals: codec slot")
         elif marker == 0xC0:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "multi-component (color) JPEG: codec slot"
-                )
-            comp_q = body[8]
+            comps = []
+            for k in range(ncomp):
+                cid = body[6 + 3 * k]
+                hv = body[7 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * k]))
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -1143,49 +1308,76 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 (ac_tabs if cls else dc_tabs)[tid] = tab
                 j += 17 + n
         elif marker == 0xDA:
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0xF
+            ns = body[0]
+            for k in range(ns):
+                cid = body[1 + 2 * k]
+                tt = body[2 + 2 * k]
+                scan_sel[cid] = (tt >> 4, tt & 0xF)
+                scan_order.append(cid)
             scan = data[i + 2 + seglen :]
             break
         i += 2 + seglen
-    if h is None or scan is None:
+    if h is None or scan is None or not comps:
         raise JpegError("missing SOF/SOS")
-    q = qtables[comp_q]
-    dct = dc_tabs[comp_dc]
-    act = ac_tabs[comp_ac]
-    bh, bw_n = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw_n * 8), np.float64)
+    if len(comps) not in (1, 3) or set(scan_order) != {c[0] for c in comps}:
+        raise NotImplementedError("non-interleaved scans: codec slot")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes: dict[int, np.ndarray] = {}
+    for cid, hf, vf, _tq in comps:
+        planes[cid] = np.zeros(
+            (mcus_y * vf * 8, mcus_x * hf * 8), np.float64
+        )
     rd = _BitReader(scan)
-    prev_dc = 0
-    for r in range(bh):
-        for c in range(bw_n):
-            blk = np.zeros(64, np.int32)
-            size = rd.huff(dct)
-            prev_dc += _extend(rd.read(size), size)
-            blk[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = rd.huff(act)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise JpegError("AC index overflow")
-                blk[k] = _extend(rd.read(size), size)
-                k += 1
-            grid = np.zeros((8, 8), np.int32)
-            for kk, (rr, cc) in enumerate(_ZIGZAG):
-                grid[rr, cc] = blk[kk]
-            coef = grid * q
-            out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
-                _DCT.T @ coef @ _DCT + 128.0
-            )
-    px = np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
-    return px[:, :, None]
+    prev = {cid: 0 for cid, *_ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hf, vf, tq in comps:
+                dct = dc_tabs[scan_sel[cid][0]]
+                act = ac_tabs[scan_sel[cid][1]]
+                q = qtables[tq]
+                for v in range(vf):
+                    for hh in range(hf):
+                        grid, prev[cid] = _decode_block(
+                            rd, dct, act, prev[cid]
+                        )
+                        r0 = (my * vf + v) * 8
+                        c0 = (mx * hf + hh) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                            _DCT.T @ (grid * q) @ _DCT + 128.0
+                        )
+    out_planes = []
+    for cid, hf, vf, _tq in comps:
+        p = planes[cid]
+        if hf < hmax or vf < vmax:
+            p = np.repeat(np.repeat(p, vmax // vf, 0), hmax // hf, 1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Single-component wrapper kept for the grayscale decode query;
+    see decode_jpeg."""
+    px = decode_jpeg(data)
+    if px.shape[2] != 1:
+        raise JpegError("decode_jpeg_gray got a color scan")
+    return px
 
 
 # ---------------------------------------------------------------------

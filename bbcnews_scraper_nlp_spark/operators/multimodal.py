@@ -12,15 +12,16 @@ Design (the 100 TB contract — this part is real and tested):
   maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB payloads.
 
 Codec status (round 7): REAL decode for PNG (all bit depths, Adam7),
-GIF (LZW), baseline grayscale JPEG (Huffman+IDCT), WAV PCM, G.711
-mu-law/A-law, IMA ADPCM and uncompressed AVI DIB video frames —
+GIF (LZW), baseline JPEG in grayscale and color (Huffman+IDCT,
+4:2:0/4:4:4 chroma, YCbCr<->RGB), WAV PCM, G.711 mu-law/A-law, IMA
+ADPCM and uncompressed AVI DIB video frames —
 ``operators/codecs.py``, surfaced through ``decode_image_pixels`` /
 ``decode_audio_samples`` / ``decode_video_frame_pixels`` — plus all
 container/header walks. The remaining NotImplementedError slots
 cover only formats that genuinely need codec libraries not in this
-container (color/progressive JPEG, MP3/AAC, compressed video
-streams) behind ``strict=True``; non-strict paths yield
-deterministic fake features to keep pipelines testable end-to-end.
+container (progressive JPEG, MP3/AAC, compressed video streams)
+behind ``strict=True``; non-strict paths yield deterministic fake
+features to keep pipelines testable end-to-end.
 """
 
 from __future__ import annotations
@@ -625,7 +626,7 @@ def make_pixel_stats(
             nearest_resize,
         )
 
-        from .codecs import JpegError, decode_jpeg_gray
+        from .codecs import JpegError, decode_jpeg
 
         for pdf in batches:
             rows = []
@@ -635,7 +636,7 @@ def make_pixel_stats(
                     if data[:3] == b"GIF":
                         px = decode_gif(data)
                     elif data[:2] == b"\xff\xd8":
-                        px = decode_jpeg_gray(data)
+                        px = decode_jpeg(data)
                     else:
                         px = decode_png(data)
                 except (PngError, GifError, JpegError, NotImplementedError):
@@ -736,6 +737,42 @@ def attach_gradient_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
             r, c = np.mgrid[0:h, 0:w]
             px = (i % 128 + r + c).astype(np.uint8)
             out.append(encode_jpeg_gray(px, quality=95))
+        return pd.Series(out)
+
+    jpg = pandas_udf(_jpegs, "binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/jpeg").alias("media_type"),
+        jpg(F.col(id_col)).alias("payload"),
+    )
+
+
+def attach_gradient_color_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL baseline COLOR JPEG per row (YCbCr, 4:2:0
+    chroma subsampling, Annex-K luma+chroma tables, quality 95)
+    carrying three smooth wrap-free planes:
+
+        width  = id % 5 * 8 + 16     height = id % 7 * 4 + 12
+        R[r, c] = id % 80 + 20 + r + c
+        G[r, c] = id % 90 + 30 + r + c
+        B[r, c] = id % 70 + 40 + r + c   (max 119+35+47 < 255)"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs import encode_jpeg
+
+    def _jpegs(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+            r, c = np.mgrid[0:h, 0:w]
+            grad = r + c
+            px = np.stack(
+                [i % 80 + 20 + grad, i % 90 + 30 + grad, i % 70 + 40 + grad],
+                axis=2,
+            ).astype(np.uint8)
+            out.append(encode_jpeg(px, quality=95, subsample="420"))
         return pd.Series(out)
 
     jpg = pandas_udf(_jpegs, "binary")

@@ -2354,6 +2354,57 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_decode",
+    # REAL color JPEG decode (round 7): genuine 4:2:0 YCbCr baseline
+    # JPEGs carrying three smooth closed-form planes; certificate in
+    # per-doc rows — exact dims + booleans bounding the decoded
+    # aggregate stats (per-pixel-per-channel error <= 6 at quality 95
+    # incl. chroma subsample loss, so |px_sum - exact| <= 18*w*h and
+    # min/max within 6)
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "3 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
+    "FROM dims",
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG decode at scale: synthesize a genuine 4:2:0
+    YCbCr baseline JPEG per document, decode it back through the full
+    color path (codecs.decode_jpeg: interleaved MCU entropy decode,
+    per-component dequant+IDCT, chroma upsampling, YCbCr->RGB) and
+    certify the decoded stats against the closed-form planes within
+    the lossy tolerance."""
+    from .operators.multimodal import (
+        attach_gradient_color_jpeg_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    decoded = decode_image_pixels(
+        attach_gradient_color_jpeg_payload(docs, "doc_id")
+    )
+    a = F.col("doc_id") % 80 + 20
+    b = F.col("doc_id") % 90 + 30
+    cch = F.col("doc_id") % 70 + 40
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    grad = (
+        w * (h * (h - 1) / 2).cast("long")
+        + h * (w * (w - 1) / 2).cast("long")
+    )
+    exact_sum = w * h * (a + b + cch) + 3 * grad
+    exact_min = F.least(a, b, cch)
+    exact_max = F.greatest(a, b, cch) + h - 1 + w - 1
+    return decoded.select(
+        "doc_id", "width", "height", "channels",
+        (F.abs(F.col("px_sum") - exact_sum) <= 18 * w * h)
+        .cast("long").alias("sum_ok"),
+        (F.abs(F.col("px_min") - exact_min) <= 6).cast("int").alias("min_ok"),
+        (F.abs(F.col("px_max") - exact_max) <= 6).cast("int").alias("max_ok"),
+    )
+
+
+@register(
     "multimodal_video_frame_decode",
     # REAL uncompressed-video frame decode (round 7): payloads are
     # genuine RIFF/AVI containers with '00db' DIB frames (bottom-up

@@ -210,6 +210,7 @@ NEW_R7 = [
     "multimodal_image_resize",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
     "multimodal_audio_decode",
     "multimodal_g711_decode",
     "multimodal_video_frame_decode",

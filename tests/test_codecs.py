@@ -238,6 +238,35 @@ def test_jpeg_plane_roundtrip_property(h, w, base):
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
 
 
+def test_jpeg_color_roundtrip_bounds():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    for sub, tol in (("444", 2), ("420", 6)):
+        for h, w in [(8, 8), (17, 23), (12, 20), (1, 1), (5, 3), (33, 31)]:
+            r, c = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (40 + r * 2 + c) % 200 + 20,
+                    (60 + r + c * 2) % 200 + 20,
+                    (80 + r * 3) % 200 + 20,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            out = decode_jpeg(encode_jpeg(px, quality=95, subsample=sub))
+            assert out.shape == (h, w, 3), (sub, h, w)
+            err = np.abs(out.astype(int) - px.astype(int)).max()
+            assert err <= tol, (sub, h, w, err)
+    # constant color image is DC-only per plane: near exact even 4:2:0
+    px = np.full((24, 24, 3), 0, np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 90, 140, 200
+    out = decode_jpeg(encode_jpeg(px, quality=90, subsample="420"))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
 def test_wav_pcm_roundtrip_and_slots():
     rng = np.random.RandomState(3)
     s = rng.randint(-32768, 32768, (500, 2)).astype(np.int32)

@@ -43,9 +43,9 @@ What is REAL here:
   twins.
 
 What remains a declared slot (``NotImplementedError``): progressive
-JPEG and restart intervals, perceptual compressed audio (MP3/AAC)
-and compressed video streams ('00dc') — formats whose decoders
-genuinely need codec libraries.
+JPEG, perceptual compressed audio (MP3/AAC) and compressed video
+streams ('00dc') — formats whose decoders genuinely need codec
+libraries.
 
 Reference parity: the reference pipeline is text-only
 (BBCNews-scraper-nlp has no media path); this module is part of the
@@ -1065,7 +1065,10 @@ def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def encode_jpeg(
-    px: np.ndarray, quality: int = 90, subsample: str = "420"
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W[, 1|3]) uint8 array as a REAL baseline
     JFIF/JPEG: level-shifted 8x8 DCT, Annex-K luma/chroma
@@ -1073,7 +1076,9 @@ def encode_jpeg(
     prediction, Annex-K Huffman entropy coding with byte stuffing.
     Color input converts RGB -> YCbCr (BT.601 full range) and
     interleaves MCUs with 4:2:0 (2x2-averaged chroma) or 4:4:4
-    sampling."""
+    sampling. ``restart_interval`` > 0 emits a DRI segment and
+    RST0-7 markers every N MCUs (byte-aligned, DC predictors
+    reset — the error-resilience feature real encoders use)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
@@ -1125,14 +1130,22 @@ def encode_jpeg(
 
     bw_ = _BitWriter()
     prev = [0] * len(planes)
+    mcu_i = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev = [0] * len(planes)
             for ci, (hf, vf) in enumerate(factors):
                 dcc, acc = huffs[ci]
                 for v in range(vf):
                     for hh in range(hf):
                         blk = comp_blocks[ci][my * vf + v, mx * hf + hh]
                         prev[ci] = _encode_block(bw_, blk, prev[ci], dcc, acc)
+            mcu_i += 1
     bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1158,6 +1171,8 @@ def encode_jpeg(
             + b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
         )
     out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos_comps = b"".join(
         bytes([ci + 1, 0x00 if ci == 0 else 0x11])
         for ci in range(len(factors))
@@ -1253,9 +1268,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Real work: marker walk (DQT/SOF0/DHT/SOS), canonical Huffman
     table reconstruction, entropy decode with byte unstuffing,
     per-component DC prediction, dezigzag, dequantization, inverse
-    DCT, chroma upsampling and YCbCr -> RGB. Raises JpegError for
-    non-JPEG and NotImplementedError for progressive scans and
-    restart intervals (declared slots)."""
+    DCT, chroma upsampling and YCbCr -> RGB. Restart intervals (DRI
+    + RST0-7) split the entropy stream into independent byte-aligned
+    segments with DC predictors reset. Raises JpegError for non-JPEG
+    and NotImplementedError for progressive scans (the declared
+    slot)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload")
     i = 2
@@ -1267,6 +1284,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_sel: dict[int, tuple[int, int]] = {}
     scan_order: list[int] = []
     scan: bytes | None = None
+    restart_interval = 0
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise JpegError("marker sync lost")
@@ -1289,7 +1307,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline JPEG: codec slot")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals: codec slot")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC0:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
@@ -1330,10 +1348,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes[cid] = np.zeros(
             (mcus_y * vf * 8, mcus_x * hf * 8), np.float64
         )
-    rd = _BitReader(scan)
+    # restart intervals: the entropy stream splits at RST0-7 markers
+    # into independent segments (byte-aligned, DC predictors reset) —
+    # find the real marker boundaries (0xFF followed by 0xD0-0xD7;
+    # 0xFF 0x00 is stuffed data, anything else ends the scan)
+    segments: list[bytes] = []
+    if restart_interval:
+        start = 0
+        k = 0
+        while k + 1 < len(scan):
+            if scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7:
+                segments.append(scan[start:k])
+                start = k + 2
+                k += 2
+            elif scan[k] == 0xFF and scan[k + 1] not in (0x00,):
+                break  # EOI or next marker
+            else:
+                k += 1
+        segments.append(scan[start:])
+    else:
+        segments = [scan]
+    rd = _BitReader(segments[0])
+    seg_i = 0
+    mcu_i = 0
     prev = {cid: 0 for cid, *_ in comps}
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise JpegError("missing restart marker")
+                rd = _BitReader(segments[seg_i])
+                prev = {cid: 0 for cid, *_ in comps}
+            mcu_i += 1
             for cid, hf, vf, tq in comps:
                 dct = dc_tabs[scan_sel[cid][0]]
                 act = ac_tabs[scan_sel[cid][1]]

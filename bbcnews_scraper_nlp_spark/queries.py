@@ -7674,7 +7674,17 @@ _WINDOW_ORDER = [
     # registry+local-sweep checked.
     "multimodal_image_decode",
     "multimodal_audio_decode",
-    # 25 re-certification anchors spanning every operator family,
+    # late-round codec additions: G.711 companding (the oracle
+    # mirrors the ITU expansion formulas relationally) and the real
+    # DIB video-frame demux fan-out take the sentiment_pattern_rules
+    # and multimodal_video_frames anchor slots (sentiment keeps two
+    # anchors; the old fan-out shape is subsumed by the decode query,
+    # whose per-frame stats certify demux + pixel decode). GIF /
+    # gray+color JPEG / resize decode queries stay
+    # registry+local-sweep checked — same stage, same contract.
+    "multimodal_g711_decode",
+    "multimodal_video_frame_decode",
+    # 23 re-certification anchors spanning every operator family,
     # weighted toward code touched this round (sentiment lexicon
     # expansion, curriculum approx-band path, streaming idempotency
     # rework) — each previously driver-green in r3-r6.
@@ -7685,7 +7695,6 @@ _WINDOW_ORDER = [
     "p13_lemmatize",
     "m6_m7_sentiment_scores",
     "sentiment_full_lexicon",
-    "sentiment_pattern_rules",
     "s4_html_extract",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
@@ -7702,7 +7711,6 @@ _WINDOW_ORDER = [
     "streaming_user_stats",
     "streaming_interval_join_outer",
     "pagerank_copurchase",
-    "multimodal_video_frames",
 ]
 
 

@@ -267,6 +267,30 @@ def test_jpeg_color_roundtrip_bounds():
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
 
 
+def test_jpeg_restart_intervals_decode_identically():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    r, c = np.mgrid[0:33, 0:31]
+    gray = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+    color = np.stack(
+        [(40 + r * 2 + c) % 200 + 20, (60 + r + c * 2) % 200 + 20,
+         (80 + r * 3) % 200 + 20],
+        axis=2,
+    ).astype(np.uint8)
+    for px, kw in ((gray, {}), (color, {"subsample": "420"})):
+        base = decode_jpeg(encode_jpeg(px, quality=95, **kw))
+        # interval 1 = RST after every MCU (max marker density);
+        # 1000 > #MCUs = DRI present but no RST fires
+        for ri in (1, 2, 3, 1000):
+            out = decode_jpeg(
+                encode_jpeg(px, quality=95, restart_interval=ri, **kw)
+            )
+            assert (out == base).all(), ri
+
+
 def test_wav_pcm_roundtrip_and_slots():
     rng = np.random.RandomState(3)
     s = rng.randint(-32768, 32768, (500, 2)).astype(np.int32)

@@ -137,15 +137,45 @@ RESIZE_SCHEMA = (
 FEATURES_SCHEMA = "doc_id bigint, features array<float>"
 
 
-def make_resizer(target_w: int = 224, target_h: int = 224):
-    """mapInPandas stage shaped like image resize: declares the
-    output contract (payload + new dims); the pixel work is the
-    stubbed codec slot (here: payload truncation keyed to the target
-    area — deterministic, so downstream stages are testable). A real
-    implementation swaps `fake_resize` for PIL/libvips and nothing
-    else changes."""
+def _try_decode_pixels(data: bytes):
+    """Magic-byte dispatch to the real decoders; None if the payload
+    is not a decodable container (the caller picks the fallback)."""
+    from .codecs import (
+        GifError,
+        JpegError,
+        PngError,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+    )
 
-    def fake_resize(data: bytes) -> bytes:
+    try:
+        if data[:3] == b"GIF":
+            return decode_gif(data)
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg(data)
+        return decode_png(data)
+    except (PngError, GifError, JpegError, NotImplementedError):
+        return None
+
+
+def make_resizer(target_w: int = 224, target_h: int = 224):
+    """mapInPandas stage: image resize. Decodable payloads
+    (PNG/GIF/JPEG) take the REAL path — pixel decode,
+    nearest-neighbor resample (codecs.nearest_resize), re-encode as
+    PNG; undecodable payloads fall back to a deterministic
+    truncation so text-byte test pipelines stay runnable end-to-end.
+    An interpolating resizer (PIL/libvips) swaps in at the same slot
+    without plan changes."""
+
+    def resize_one(data: bytes) -> bytes:
+        from .codecs import encode_png, nearest_resize
+
+        px = _try_decode_pixels(data)
+        if px is not None:
+            if px.dtype != "uint8":  # 16-bit PNG: scale to 8 for output
+                px = (px // 257).astype("uint8")
+            return encode_png(nearest_resize(px, target_w, target_h))
         keep = max(1, min(len(data), target_w * target_h // 512))
         return data[:keep]
 
@@ -155,7 +185,7 @@ def make_resizer(target_w: int = 224, target_h: int = 224):
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "payload": [fake_resize(bytes(p or b"")) for p in pdf["payload"]],
+                    "payload": [resize_one(bytes(p or b"")) for p in pdf["payload"]],
                     "width": target_w,
                     "height": target_h,
                 }
@@ -171,13 +201,23 @@ def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Da
 
 
 def make_feature_extractor(dim: int = 16):
-    """mapInPandas stage shaped like an image/audio embedding model:
-    binary payload -> fixed-dim float vector. Kernel is a
-    deterministic byte-histogram projection (stub for a real
-    encoder); per-executor model init would live at this closure's
-    module level."""
+    """mapInPandas stage shaped like an image embedding model:
+    binary payload -> fixed-dim float vector. Decodable payloads
+    (PNG/GIF/JPEG) take the REAL path — a normalized histogram of
+    actual decoded pixel intensities; undecodable payloads fall back
+    to the deterministic byte histogram. A learned encoder swaps in
+    at the same slot (per-executor model init would live at this
+    closure's module level)."""
 
     def embed(data: bytes) -> list[float]:
+        px = _try_decode_pixels(data)
+        if px is not None:
+            import numpy as np
+
+            vals = px.astype("int64").reshape(-1)
+            scale = 65536 if px.dtype != "uint8" else 256
+            hist = np.bincount(vals * dim // scale, minlength=dim)
+            return (hist / max(1, vals.size)).tolist()
         hist = [0] * dim
         for b in data:
             hist[b % dim] += 1

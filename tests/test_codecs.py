@@ -501,6 +501,43 @@ def test_decode_stages_over_spark(spark):
         assert au[i]["sample_max"] == int(s.max())
 
 
+def test_resize_and_features_real_path(spark):
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_png,
+        nearest_resize,
+    )
+    from bbcnews_scraper_nlp_spark.operators.multimodal import (
+        attach_gradient_image_payload,
+        extract_features,
+        resize_images,
+    )
+
+    df = spark.range(4).withColumnRenamed("id", "doc_id")
+    payloads = attach_gradient_image_payload(df, "doc_id")
+    out = {
+        r["doc_id"]: r for r in resize_images(payloads, 8, 6).collect()
+    }
+    for i in range(4):
+        w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+        r, c = np.mgrid[0:h, 0:w]
+        src = ((i * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+        got = decode_png(bytes(out[i]["payload"]))
+        assert got.shape == (6, 8, 1)
+        assert (got[:, :, 0] == nearest_resize(src, 8, 6)).all(), i
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(payloads, dim=16).collect()
+    }
+    for i in range(4):
+        w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
+        r, c = np.mgrid[0:h, 0:w]
+        src = (i * 31 + r * 7 + c * 13) % 256
+        hist = np.bincount(src.reshape(-1) * 16 // 256, minlength=16)
+        expect = hist / src.size
+        assert np.allclose(feats[i], expect, atol=1e-6), i
+
+
 def test_decode_stage_strict_vs_skip(spark):
     from bbcnews_scraper_nlp_spark.operators.multimodal import (
         decode_image_pixels,

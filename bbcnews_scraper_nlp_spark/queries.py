@@ -2446,6 +2446,36 @@ def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_image_decode",
+    # the codec decode stage riding Structured Streaming: stateless
+    # 1:1 mapInPandas per micro-batch, so the AvailableNow drain is
+    # deterministic regardless of batch splits and the BATCH decode
+    # query's closed-form oracle applies unchanged
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents), "
+    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
+    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "1 AS channels, "
+    "CAST(SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
+    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
+    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
+    "FROM cells GROUP BY doc_id, w, h",
+)
+def streaming_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode inside Structured Streaming (SURVEY 2.10 x
+    multimodal): the PNG inflate+unfilter stage runs per micro-batch
+    over a document stream and drains with AvailableNow; hash-matches
+    the same closed-form oracle as the batch twin because the stage
+    is stateless and 1:1 (streaming/ingest.streaming_decode_batch)."""
+    from .streaming.ingest import streaming_decode_batch
+
+    return streaming_decode_batch(spark, sf_dir).select(
+        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
+    )
+
+
+@register(
     "multimodal_g711_decode",
     # REAL G.711 companding decode (round 7): payloads are genuine
     # WAV fmt-7 (mu-law, even ids) / fmt-6 (A-law, odd ids)

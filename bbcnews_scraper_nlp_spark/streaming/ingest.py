@@ -973,3 +973,48 @@ def versioned_sink_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode INSIDE Structured Streaming: stream the
+    documents table, synthesize real PNG payloads and decode them
+    back (operators/multimodal.decode_image_pixels — the same
+    Arrow-batched mapInPandas stage the batch query uses) per
+    micro-batch, drain with AvailableNow into an append-mode memory
+    sink. The stage is stateless and 1:1 per document, so the drained
+    result is deterministic regardless of how AvailableNow splits the
+    input — which is why the batch query's closed-form oracle applies
+    unchanged. This is the shape of a production media-ingest
+    pipeline: decode work rides the stream, no shuffle, bounded
+    per-batch memory via Arrow batch sizing."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.multimodal import (
+        attach_gradient_image_payload,
+        decode_image_pixels,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    parent, leaf = os.path.split(docs_path.rstrip("/"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", leaf)
+        .parquet(parent)
+    )
+    decoded = decode_image_pixels(
+        attach_gradient_image_payload(stream, "doc_id")
+    )
+    name = f"stream_decode_{uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -214,6 +214,7 @@ NEW_R7 = [
     "multimodal_audio_decode",
     "multimodal_g711_decode",
     "multimodal_video_frame_decode",
+    "streaming_image_decode",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7

@@ -42,10 +42,12 @@ What is REAL here:
   companding expansion and IMA ADPCM block decode, with encoder
   twins.
 
-What remains a declared slot (``NotImplementedError``): progressive
-JPEG, perceptual compressed audio (MP3/AAC) and compressed video
-streams ('00dc') — formats whose decoders genuinely need codec
-libraries.
+Progressive JPEG (SOF2) is supported for the spectral-selection
+mode (multi-scan DC + per-component AC bands with EOB-run codes, in
+both directions). What remains a declared slot
+(``NotImplementedError``): progressive successive approximation
+(Ah > 0), perceptual compressed audio (MP3/AAC) and compressed video
+streams ('00dc') — the last two genuinely need codec libraries.
 
 Reference parity: the reference pipeline is text-only
 (BBCNews-scraper-nlp has no media path); this module is part of the
@@ -1002,20 +1004,10 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_block(
-    bw_: "_BitWriter",
-    blk: np.ndarray,
-    prev_dc: int,
-    dc_codes: dict,
-    ac_codes: dict,
-) -> int:
-    """Huffman-encode one quantized 8x8 block; returns its DC."""
-    dc = int(blk[0, 0])
-    size, bits = _magnitude(dc - prev_dc)
-    code, length = dc_codes[size]
-    bw_.write(code, length)
-    if size:
-        bw_.write(bits, size)
+def _encode_ac_band(bw_: "_BitWriter", blk: np.ndarray, ac_codes: dict) -> None:
+    """Huffman-encode the AC band (zigzag 1..63) of one quantized
+    block: run-length + ZRL + EOB (which in a progressive scan is
+    the EOB-run-of-one code)."""
     run = 0
     seq = [int(blk[rr, cc]) for rr, cc in _ZIGZAG[1:]]
     last_nz = 0
@@ -1038,6 +1030,30 @@ def _encode_block(
     if last_nz < 63:
         code, length = ac_codes[0x00]  # EOB
         bw_.write(code, length)
+
+
+def _encode_dc(
+    bw_: "_BitWriter", blk: np.ndarray, prev_dc: int, dc_codes: dict
+) -> int:
+    dc = int(blk[0, 0])
+    size, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    bw_.write(code, length)
+    if size:
+        bw_.write(bits, size)
+    return dc
+
+
+def _encode_block(
+    bw_: "_BitWriter",
+    blk: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Huffman-encode one quantized 8x8 block; returns its DC."""
+    dc = _encode_dc(bw_, blk, prev_dc, dc_codes)
+    _encode_ac_band(bw_, blk, ac_codes)
     return dc
 
 
@@ -1069,6 +1085,7 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "420",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (H, W[, 1|3]) uint8 array as a REAL baseline
     JFIF/JPEG: level-shifted 8x8 DCT, Annex-K luma/chroma
@@ -1078,7 +1095,10 @@ def encode_jpeg(
     interleaves MCUs with 4:2:0 (2x2-averaged chroma) or 4:4:4
     sampling. ``restart_interval`` > 0 emits a DRI segment and
     RST0-7 markers every N MCUs (byte-aligned, DC predictors
-    reset — the error-resilience feature real encoders use)."""
+    reset — the error-resilience feature real encoders use).
+    ``progressive`` emits SOF2 spectral selection: one interleaved
+    DC scan, then one full-band AC scan per component in raster
+    order over its true block grid (Ah = Al = 0)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
@@ -1120,33 +1140,67 @@ def encode_jpeg(
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     comp_blocks = []
+    true_grids = []  # un-padded block grid per component (AC scans)
     for plane, (hf, vf), q in zip(planes, factors, qtabs):
         tw, th = mcus_x * 8 * hf, mcus_y * 8 * vf
         ph, pw = plane.shape
+        true_grids.append(((ph + 7) // 8, (pw + 7) // 8))
         padded = np.pad(
             plane, ((0, th - ph), (0, tw - pw)), mode="edge"
         )
         comp_blocks.append(_plane_to_quant_blocks(padded, q))
 
-    bw_ = _BitWriter()
-    prev = [0] * len(planes)
-    mcu_i = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw_.flush()
-                bw_.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                prev = [0] * len(planes)
-            for ci, (hf, vf) in enumerate(factors):
-                dcc, acc = huffs[ci]
-                for v in range(vf):
-                    for hh in range(hf):
-                        blk = comp_blocks[ci][my * vf + v, mx * hf + hh]
-                        prev[ci] = _encode_block(bw_, blk, prev[ci], dcc, acc)
-            mcu_i += 1
-    bw_.flush()
+    def dc_scan_bytes() -> bytes:
+        wtr = _BitWriter()
+        prev = [0] * len(planes)
+        mcu_i = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    prev = [0] * len(planes)
+                for ci, (hf, vf) in enumerate(factors):
+                    dcc, acc = huffs[ci]
+                    for v in range(vf):
+                        for hh in range(hf):
+                            blk = comp_blocks[ci][my * vf + v, mx * hf + hh]
+                            if progressive:
+                                prev[ci] = _encode_dc(wtr, blk, prev[ci], dcc)
+                            else:
+                                prev[ci] = _encode_block(
+                                    wtr, blk, prev[ci], dcc, acc
+                                )
+                mcu_i += 1
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan_bytes(ci: int) -> bytes:
+        wtr = _BitWriter()
+        bh_i, bw_i = true_grids[ci]
+        acc = huffs[ci][1]
+        blk_i = 0
+        rst = 0
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                if (
+                    restart_interval
+                    and blk_i
+                    and blk_i % restart_interval == 0
+                ):
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                blk_i += 1
+                _encode_ac_band(wtr, comp_blocks[ci][by, bx], acc)
+        wtr.flush()
+        return bytes(wtr.out)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1159,7 +1213,8 @@ def encode_jpeg(
     for ci, (hf, vf) in enumerate(factors):
         sof_comps += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
     out += seg(
-        0xC0, struct.pack(">BHHB", 8, h, w, len(factors)) + sof_comps
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, len(factors)) + sof_comps,
     )
     dht = (
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -1177,10 +1232,22 @@ def encode_jpeg(
         bytes([ci + 1, 0x00 if ci == 0 else 0x11])
         for ci in range(len(factors))
     )
+    if not progressive:
+        out += seg(
+            0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 63, 0])
+        )
+        return out + dc_scan_bytes() + b"\xff\xd9"
+    # progressive spectral selection: interleaved DC scan, then one
+    # full-band AC scan per component over its true block grid
     out += seg(
-        0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 63, 0])
+        0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 0, 0])
     )
-    return out + bytes(bw_.out) + b"\xff\xd9"
+    out += dc_scan_bytes()
+    for ci in range(len(factors)):
+        tdta = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, ci + 1, tdta, 1, 63, 0]))
+        out += ac_scan_bytes(ci)
+    return out + b"\xff\xd9"
 
 
 def encode_jpeg_gray(px: np.ndarray, quality: int = 90) -> bytes:
@@ -1261,6 +1328,119 @@ def _decode_block(rd: "_BitReader", dct: dict, act: dict, prev_dc: int):
     return grid, prev_dc
 
 
+def _jpeg_dc_or_full_scan(
+    segments, scan_comps, comps, geom, coefs, dc_tabs, ac_tabs,
+    mcus_x, mcus_y, restart_interval, progressive, al,
+):
+    """Decode one DC (progressive) or full-block (baseline) scan into
+    the coefficient store. >1 component -> interleaved MCU order;
+    single component -> raster over its true block grid."""
+    sel = {cid: (td, ta) for cid, td, ta in scan_comps}
+    by_cid = {c[0]: c for c in comps}
+    if len(scan_comps) > 1:
+        rd = _BitReader(segments[0])
+        seg_i = mcu_i = 0
+        prev = {cid: 0 for cid, *_ in scan_comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise JpegError("missing restart marker")
+                    rd = _BitReader(segments[seg_i])
+                    prev = {cid: 0 for cid in prev}
+                mcu_i += 1
+                for cid, td, ta in scan_comps:
+                    _, hf, vf, _tq = by_cid[cid]
+                    for v in range(vf):
+                        for hh in range(hf):
+                            if progressive:
+                                size = rd.huff(dc_tabs[td])
+                                prev[cid] += _extend(rd.read(size), size)
+                                coefs[cid][my * vf + v, mx * hf + hh, 0, 0] = (
+                                    prev[cid] << al
+                                )
+                            else:
+                                grid, prev[cid] = _decode_block(
+                                    rd, dc_tabs[td], ac_tabs[ta], prev[cid]
+                                )
+                                coefs[cid][my * vf + v, mx * hf + hh] = grid
+        return
+    cid, td, ta = scan_comps[0]
+    _hf, _vf, _tq, bh_i, bw_i = geom[cid]
+    rd = _BitReader(segments[0])
+    seg_i = blk_i = 0
+    prev = 0
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise JpegError("missing restart marker")
+                rd = _BitReader(segments[seg_i])
+                prev = 0
+            blk_i += 1
+            if progressive:
+                size = rd.huff(dc_tabs[td])
+                prev += _extend(rd.read(size), size)
+                coefs[cid][by, bx, 0, 0] = prev << al
+            else:
+                grid, prev = _decode_block(
+                    rd, dc_tabs[td], ac_tabs[ta], prev
+                )
+                coefs[cid][by, bx] = grid
+
+
+def _jpeg_ac_scan(
+    segments, scan_comp, geom, coefs, ac_tabs, ss, se, al,
+    restart_interval,
+):
+    """Decode one progressive AC band scan (spectral selection,
+    Ah = 0): raster over the component's true block grid with T.81
+    G.1.2.2 EOB-run codes."""
+    cid, _td, ta = scan_comp
+    act = ac_tabs[ta]
+    _hf, _vf, _tq, bh_i, bw_i = geom[cid]
+    rd = _BitReader(segments[0])
+    seg_i = blk_i = 0
+    eobrun = 0
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise JpegError("missing restart marker")
+                rd = _BitReader(segments[seg_i])
+                eobrun = 0
+            blk_i += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            grid = coefs[cid][by, bx]
+            k = ss
+            while k <= se:
+                rs = rd.huff(act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL inside the band
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.read(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegError("AC band overflow")
+                rr, cc = _ZIGZAG[k]
+                grid[rr, cc] = _extend(rd.read(s), s) << al
+                k += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (H, W, 1) uint8 (grayscale) or
     (H, W, 3) uint8 RGB (interleaved multi-component scans with any
@@ -1270,9 +1450,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     per-component DC prediction, dezigzag, dequantization, inverse
     DCT, chroma upsampling and YCbCr -> RGB. Restart intervals (DRI
     + RST0-7) split the entropy stream into independent byte-aligned
-    segments with DC predictors reset. Raises JpegError for non-JPEG
-    and NotImplementedError for progressive scans (the declared
-    slot)."""
+    segments with DC predictors reset. Progressive JPEG (SOF2) is
+    decoded for the spectral-selection mode: multiple scans
+    accumulate coefficients — interleaved or single-component DC
+    scans, single-component AC band scans with EOB-run codes — and
+    the IDCT runs once at the end. Raises JpegError for non-JPEG and
+    NotImplementedError for successive approximation (Ah > 0, the
+    remaining declared slot)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload")
     i = 2
@@ -1281,10 +1465,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hf, vf, tq)
-    scan_sel: dict[int, tuple[int, int]] = {}
-    scan_order: list[int] = []
-    scan: bytes | None = None
+    coefs: dict[int, np.ndarray] = {}
+    geom: dict[int, tuple] = {}
     restart_interval = 0
+    progressive = False
+    hmax = vmax = mcus_x = mcus_y = 0
+    saw_scan = False
+
+    def _scan_end(start: int) -> int:
+        k = start
+        n = len(data)
+        while k + 1 < n:
+            if data[k] == 0xFF and data[k + 1] != 0x00 and not (
+                0xD0 <= data[k + 1] <= 0xD7
+            ):
+                return k
+            k += 1
+        return n
+
+    def _split_rst(scan: bytes) -> list[bytes]:
+        if not restart_interval:
+            return [scan]
+        segments: list[bytes] = []
+        start = k = 0
+        while k + 1 < len(scan):
+            if scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7:
+                segments.append(scan[start:k])
+                start = k + 2
+                k += 2
+            else:
+                k += 1
+        segments.append(scan[start:])
+        return segments
+
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise JpegError("marker sync lost")
@@ -1304,17 +1517,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl[r, c] = body[j + 1 + k]
                 qtables[tid] = tbl
                 j += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline JPEG: codec slot")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
             for k in range(ncomp):
                 cid = body[6 + 3 * k]
                 hv = body[7 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * k]))
+            if len(comps) not in (1, 3):
+                raise NotImplementedError("component count: codec slot")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hf, vf, tq in comps:
+                coefs[cid] = np.zeros(
+                    (mcus_y * vf, mcus_x * hf, 8, 8), np.int32
+                )
+                # true (un-padded) block grid of this component, used
+                # by non-interleaved scans
+                cw = (w * hf + hmax - 1) // hmax
+                chh = (h * vf + vmax - 1) // vmax
+                geom[cid] = (hf, vf, tq, (chh + 7) // 8, (cw + 7) // 8)
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -1326,75 +1555,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (ac_tabs if cls else dc_tabs)[tid] = tab
                 j += 17 + n
         elif marker == 0xDA:
+            if h is None:
+                raise JpegError("SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for k in range(ns):
                 cid = body[1 + 2 * k]
                 tt = body[2 + 2 * k]
-                scan_sel[cid] = (tt >> 4, tt & 0xF)
-                scan_order.append(cid)
-            scan = data[i + 2 + seglen :]
-            break
-        i += 2 + seglen
-    if h is None or scan is None or not comps:
-        raise JpegError("missing SOF/SOS")
-    if len(comps) not in (1, 3) or set(scan_order) != {c[0] for c in comps}:
-        raise NotImplementedError("non-interleaved scans: codec slot")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes: dict[int, np.ndarray] = {}
-    for cid, hf, vf, _tq in comps:
-        planes[cid] = np.zeros(
-            (mcus_y * vf * 8, mcus_x * hf * 8), np.float64
-        )
-    # restart intervals: the entropy stream splits at RST0-7 markers
-    # into independent segments (byte-aligned, DC predictors reset) —
-    # find the real marker boundaries (0xFF followed by 0xD0-0xD7;
-    # 0xFF 0x00 is stuffed data, anything else ends the scan)
-    segments: list[bytes] = []
-    if restart_interval:
-        start = 0
-        k = 0
-        while k + 1 < len(scan):
-            if scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7:
-                segments.append(scan[start:k])
-                start = k + 2
-                k += 2
-            elif scan[k] == 0xFF and scan[k + 1] not in (0x00,):
-                break  # EOI or next marker
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ah != 0:
+                raise NotImplementedError(
+                    "successive approximation: codec slot"
+                )
+            end = _scan_end(i + 2 + seglen)
+            segments = _split_rst(data[i + 2 + seglen : end])
+            if not progressive or ss == 0:
+                # DC (or full baseline) pass: interleaved MCU order
+                # when the scan holds >1 component, raster otherwise
+                _jpeg_dc_or_full_scan(
+                    segments, scan_comps, comps, geom, coefs,
+                    dc_tabs, ac_tabs, mcus_x, mcus_y,
+                    restart_interval, progressive, al,
+                )
             else:
-                k += 1
-        segments.append(scan[start:])
-    else:
-        segments = [scan]
-    rd = _BitReader(segments[0])
-    seg_i = 0
-    mcu_i = 0
-    prev = {cid: 0 for cid, *_ in comps}
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise JpegError("missing restart marker")
-                rd = _BitReader(segments[seg_i])
-                prev = {cid: 0 for cid, *_ in comps}
-            mcu_i += 1
-            for cid, hf, vf, tq in comps:
-                dct = dc_tabs[scan_sel[cid][0]]
-                act = ac_tabs[scan_sel[cid][1]]
-                q = qtables[tq]
-                for v in range(vf):
-                    for hh in range(hf):
-                        grid, prev[cid] = _decode_block(
-                            rd, dct, act, prev[cid]
-                        )
-                        r0 = (my * vf + v) * 8
-                        c0 = (mx * hf + hh) * 8
-                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
-                            _DCT.T @ (grid * q) @ _DCT + 128.0
-                        )
+                if ns != 1:
+                    raise JpegError("progressive AC scan must be 1-comp")
+                _jpeg_ac_scan(
+                    segments, scan_comps[0], geom, coefs, ac_tabs,
+                    ss, se, al, restart_interval,
+                )
+            saw_scan = True
+            i = end
+            continue
+        i += 2 + seglen
+    if h is None or not saw_scan:
+        raise JpegError("missing SOF/SOS")
+    planes: dict[int, np.ndarray] = {}
+    for cid, hf, vf, tq in comps:
+        q = qtables[tq]
+        grids = coefs[cid] * q  # (by, bx, 8, 8)
+        spatial = np.einsum("ji,bcjk,kl->bcil", _DCT, grids, _DCT) + 128.0
+        by, bx = grids.shape[:2]
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     out_planes = []
     for cid, hf, vf, _tq in comps:
         p = planes[cid]

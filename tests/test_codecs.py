@@ -291,6 +291,66 @@ def test_jpeg_restart_intervals_decode_identically():
             assert (out == base).all(), ri
 
 
+def test_jpeg_progressive_spectral_selection():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    for sub in (None, "444", "420"):
+        for h, w in [(8, 8), (33, 31), (12, 20), (1, 1)]:
+            r, c = np.mgrid[0:h, 0:w]
+            if sub is None:
+                px = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+                kw = {}
+            else:
+                px = np.stack(
+                    [(40 + r * 2 + c) % 200 + 20,
+                     (60 + r + c * 2) % 200 + 20,
+                     (80 + r * 3) % 200 + 20],
+                    axis=2,
+                ).astype(np.uint8)
+                kw = {"subsample": sub}
+            base = decode_jpeg(encode_jpeg(px, quality=95, **kw))
+            # a progressive (SOF2) bitstream carries the SAME
+            # coefficients split across DC + per-component AC scans,
+            # so it must decode bit-identically — with and without
+            # restart markers inside each scan
+            for ri in (0, 2):
+                prog = decode_jpeg(
+                    encode_jpeg(
+                        px, quality=95, restart_interval=ri,
+                        progressive=True, **kw
+                    )
+                )
+                assert (prog == base).all(), (sub, h, w, ri)
+
+
+def test_jpeg_successive_approximation_is_declared_slot():
+    import struct as _s
+
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.full((8, 8), 100, np.uint8)
+    data = bytearray(encode_jpeg(px, progressive=True))
+    # patch the DC scan's Ah nibble to 1 (successive approximation)
+    i = 2
+    while i + 4 <= len(data):
+        marker = data[i + 1]
+        (seglen,) = _s.unpack(">H", bytes(data[i + 2 : i + 4]))
+        if marker == 0xDA:
+            ns = data[i + 4]
+            data[i + 4 + 3 + 2 * ns] = 0x10  # AhAl byte: Ah=1, Al=0
+            break
+        i += 2 + seglen
+    with pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg(bytes(data))
+
+
 def test_wav_pcm_roundtrip_and_slots():
     rng = np.random.RandomState(3)
     s = rng.randint(-32768, 32768, (500, 2)).astype(np.int32)

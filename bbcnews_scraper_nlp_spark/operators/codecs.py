@@ -924,6 +924,22 @@ _AC_VALS_C = [
 ]
 
 
+# Progressive AC scans need EOBn symbols (r<<4 with s=0, r=1..14),
+# which the Annex K baseline tables do not define — real encoders
+# emit custom per-scan DHTs. This engine's progressive AC table is a
+# flat 8-bit canonical code over the full 176-symbol alphabet
+# (160 (r,s) pairs with s=1..10, 15 EOBn values 0x00..0xE0, ZRL
+# 0xF0): 176 codes of length 8 satisfy Kraft (176 <= 256), so the
+# table is a legal DHT; it trades a little compression for a
+# dead-simple, always-valid code.
+_AC_PROG_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
+_AC_PROG_BITS = [0] * 7 + [len(_AC_PROG_VALS)] + [0] * 8
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length), canonical JPEG code assignment."""
     out: dict[int, tuple[int, int]] = {}
@@ -1184,9 +1200,23 @@ def encode_jpeg(
     def ac_scan_bytes(ci: int) -> bytes:
         wtr = _BitWriter()
         bh_i, bw_i = true_grids[ci]
-        acc = huffs[ci][1]
+        acc = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
         blk_i = 0
         rst = 0
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            # T.81 G.1.2.2 EOBn: run = (1 << r) + r extra bits
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(eobrun.bit_length() - 1, 14)
+                extra = min(eobrun - (1 << r), (1 << r) - 1)
+                code, length = acc[r << 4]
+                wtr.write(code, length)
+                if r:
+                    wtr.write(extra, r)
+                eobrun -= (1 << r) + extra
+
         for by in range(bh_i):
             for bx in range(bw_i):
                 if (
@@ -1194,11 +1224,20 @@ def encode_jpeg(
                     and blk_i
                     and blk_i % restart_interval == 0
                 ):
+                    flush_eobrun()
                     wtr.flush()
                     wtr.out += bytes([0xFF, 0xD0 + rst])
                     rst = (rst + 1) % 8
                 blk_i += 1
-                _encode_ac_band(wtr, comp_blocks[ci][by, bx], acc)
+                blk = comp_blocks[ci][by, bx]
+                if not any(
+                    int(blk[rr, cc]) for rr, cc in _ZIGZAG[1:]
+                ):
+                    eobrun += 1  # fold empty bands into one EOB run
+                    continue
+                flush_eobrun()
+                _encode_ac_band(wtr, blk, acc)
+        flush_eobrun()
         wtr.flush()
         return bytes(wtr.out)
 
@@ -1225,6 +1264,11 @@ def encode_jpeg(
             b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
             + b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
         )
+    if progressive:
+        dht += (
+            b"\x12" + bytes(_AC_PROG_BITS)
+            + bytes(_AC_PROG_VALS)  # class 1, id 2: the AC-scan table
+        )
     out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
@@ -1244,8 +1288,7 @@ def encode_jpeg(
     )
     out += dc_scan_bytes()
     for ci in range(len(factors)):
-        tdta = 0x00 if ci == 0 else 0x11
-        out += seg(0xDA, bytes([1, ci + 1, tdta, 1, 63, 0]))
+        out += seg(0xDA, bytes([1, ci + 1, 0x02, 1, 63, 0]))
         out += ac_scan_bytes(ci)
     return out + b"\xff\xd9"
 

@@ -327,6 +327,32 @@ def test_jpeg_progressive_spectral_selection():
                 assert (prog == base).all(), (sub, h, w, ri)
 
 
+def test_jpeg_progressive_eob_runs():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # constant image: every AC band is empty, so each AC scan
+    # collapses to EOBn runs (r up to ~6 at this size)
+    px = np.full((64, 80), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=90, progressive=True))
+    assert (out[:, :, 0] == 137).all()
+    # sparse texture: runs interleave with coded blocks, and restart
+    # markers force run flushes at segment boundaries
+    rng = np.random.RandomState(2)
+    px = np.full((96, 96), 100, np.uint8)
+    px[16:24, 40:48] = rng.randint(0, 256, (8, 8))
+    px[80:88, 8:16] = rng.randint(0, 256, (8, 8))
+    base = decode_jpeg(encode_jpeg(px, quality=95))
+    for ri in (0, 3):
+        prog = decode_jpeg(
+            encode_jpeg(px, quality=95, progressive=True,
+                        restart_interval=ri)
+        )
+        assert (prog == base).all(), ri
+
+
 def test_jpeg_successive_approximation_is_declared_slot():
     import struct as _s
 

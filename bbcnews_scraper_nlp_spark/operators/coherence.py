@@ -124,10 +124,13 @@ def umass_certificate(
                                    ≤ log(3/2))
 
     Plan shape matches ``umass_coherence`` (one doc-term explode
-    keyed shuffle, broadcast pair probe); the three doc_term
-    consumers recompute the tiny semi-joined explode rather than
-    caching (no persist without a release path — see
-    relational.py's caching contract).
+    keyed shuffle, broadcast pair probe). The certificate is
+    finalized EAGERLY: doc_term is cached, the ≤ 6k+1 summary rows
+    are collected, the cache is released, and the result returns as
+    a literal DataFrame — so one corpus pass serves all three
+    doc_term consumers and the caller can safely unpersist its own
+    token cache as soon as this returns (the caching-contract
+    release path lives inside this function).
     """
     import math
 
@@ -137,7 +140,7 @@ def umass_certificate(
     doc_term = docs_tokens.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
-    ).join(F.broadcast(wanted), "term", "left_semi")
+    ).join(F.broadcast(wanted), "term", "left_semi").cache()
 
     term_df = doc_term.groupBy("term").agg(F.count("*").alias("df"))
 
@@ -196,30 +199,22 @@ def umass_certificate(
         )
         .join(n_terms, "topic")
     )
-    cert = per_topic.selectExpr(
-        "CAST(topic AS BIGINT) AS topic",
-        "CAST(n_terms AS BIGINT) AS n_terms",
-        "CAST(n_pairs AS BIGINT) AS n_pairs",
-        "CAST(df_ok AS BIGINT) AS df_ok",
-        "CAST(co_ok AS BIGINT) AS co_ok",
-        f"CAST(coherence >= {lo!r} AS BIGINT) AS lo_ok",
-        f"CAST(coherence <= {hi!r} AS BIGINT) AS hi_ok",
-    ).selectExpr(
-        "stack(6, "
-        "'n_terms', topic, n_terms, "
-        "'n_pairs', topic, n_pairs, "
-        "'df_ge_min_df', topic, df_ok, "
-        "'co_le_marginal', topic, co_ok, "
-        "'coherence_lower_ok', topic, lo_ok, "
-        "'coherence_upper_ok', topic, hi_ok"
-        ") AS (chk, topic, val)"
+    collected = per_topic.collect()
+    doc_term.unpersist(blocking=False)
+    rows: list[tuple[str, int, int]] = [("n_docs", -1, int(n_docs))]
+    for r in collected:
+        t = int(r["topic"])
+        rows += [
+            ("n_terms", t, int(r["n_terms"])),
+            ("n_pairs", t, int(r["n_pairs"])),
+            ("df_ge_min_df", t, int(r["df_ok"])),
+            ("co_le_marginal", t, int(r["co_ok"])),
+            ("coherence_lower_ok", t, int(r["coherence"] >= lo)),
+            ("coherence_upper_ok", t, int(r["coherence"] <= hi)),
+        ]
+    return docs_tokens.sparkSession.createDataFrame(
+        rows, "chk string, topic bigint, val bigint"
     )
-    global_row = docs_tokens.agg(F.count("*").alias("val")).selectExpr(
-        "'n_docs' AS chk",
-        "CAST(-1 AS BIGINT) AS topic",
-        "CAST(val AS BIGINT) AS val",
-    )
-    return global_row.unionByName(cert)
 
 
 def _window_intervals(pos_arr, n_windows, window: int):
@@ -341,8 +336,13 @@ def cv_coherence(
     out = cos.groupBy("topic").agg(
         F.avg("cos_i").alias("coherence"), F.count("*").alias("n_terms")
     )
-    covers.unpersist()
-    return out
+    collected = out.collect()
+    covers.unpersist(blocking=False)
+    npmi.unpersist(blocking=False)
+    return docs_tokens.sparkSession.createDataFrame(
+        [(int(r["topic"]), float(r["coherence"]), int(r["n_terms"])) for r in collected],
+        "topic bigint, coherence double, n_terms bigint",
+    )
 
 
 def _cv_frames(
@@ -354,8 +354,11 @@ def _cv_frames(
     tokens_col: str,
 ):
     """Shared c_v pipeline: returns (total_windows, covers[cached],
-    term_cnt, npmi, cos). Callers own the covers cache — unpersist it
-    after composing their final frame (cv_coherence/cv_certificate)."""
+    term_cnt, npmi[cached], cos). Callers own both caches — unpersist
+    them after composing their final frame (cv_coherence/
+    cv_certificate). npmi is ≤ k·N² rows but sits on top of the whole
+    pair-probe join chain, so caching it keeps the cos derivation and
+    any certificate audit from re-running that chain."""
     n_win = F.greatest(F.lit(1).cast("bigint"), F.size(tokens_col) - window + 1)
     docs = docs_tokens.select(
         F.col(id_col).alias("doc"),
@@ -483,6 +486,7 @@ def _cv_frames(
             .otherwise(F.lit(0.0))
             .alias("npmi"),
         )
+        .cache()
     )
 
     # context vectors: v_i[j] = npmi(i,j); v_W[j] = Σ_i npmi(i,j)
@@ -577,46 +581,31 @@ def cv_certificate(
         ).alias("cos_ok"),
         F.avg("cos_i").alias("coherence"),
     )
-    cert = (
-        per_topic.join(per_topic_cos, "topic")
-        .selectExpr(
-            "CAST(topic AS BIGINT) AS topic",
-            "CAST(n_terms AS BIGINT) AS n_terms",
-            "CAST(n_ctx AS BIGINT) AS n_ctx",
-            "CAST(co_ok AS BIGINT) AS co_ok",
-            "CAST(marg_ok AS BIGINT) AS marg_ok",
-            "CAST(npmi_ok AS BIGINT) AS npmi_ok",
-            "CAST(cos_ok AS BIGINT) AS cos_ok",
-            "CAST(coherence >= -1.0 - 1e-9 AND coherence <= 1.0 + 1e-9 "
-            "AS BIGINT) AS coh_ok",
-        )
-        .selectExpr(
-            "stack(7, "
-            "'n_terms', topic, n_terms, "
-            "'n_ctx_rows', topic, n_ctx, "
-            "'co_le_marginal', topic, co_ok, "
-            "'marginal_le_total', topic, marg_ok, "
-            "'npmi_in_range', topic, npmi_ok, "
-            "'cos_in_range', topic, cos_ok, "
-            "'coherence_in_range', topic, coh_ok"
-            ") AS (chk, topic, val)"
-        )
+    collected = per_topic.join(per_topic_cos, "topic").collect()
+    covers.unpersist(blocking=False)
+    npmi.unpersist(blocking=False)
+    # n_windows: _cv_frames already computed Σ max(len-window+1, 1)
+    # over the token chain (total_windows) — emit that exact value
+    # rather than re-running the corpus pass a second time.
+    rows: list[tuple[str, int, int]] = [("n_windows", -1, int(w_total))]
+    for r in collected:
+        t = int(r["topic"])
+        rows += [
+            ("n_terms", t, int(r["n_terms"])),
+            ("n_ctx_rows", t, int(r["n_ctx"])),
+            ("co_le_marginal", t, int(r["co_ok"])),
+            ("marginal_le_total", t, int(r["marg_ok"])),
+            ("npmi_in_range", t, int(r["npmi_ok"])),
+            ("cos_in_range", t, int(r["cos_ok"])),
+            (
+                "coherence_in_range",
+                t,
+                int(-1.0 - 1e-9 <= r["coherence"] <= 1.0 + 1e-9),
+            ),
+        ]
+    return docs_tokens.sparkSession.createDataFrame(
+        rows, "chk string, topic bigint, val bigint"
     )
-    global_row = docs_tokens.agg(
-        F.sum(
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.size(tokens_col).cast("bigint") - (window - 1),
-            )
-        ).alias("val")
-    ).selectExpr(
-        "'n_windows' AS chk",
-        "CAST(-1 AS BIGINT) AS topic",
-        "CAST(val AS BIGINT) AS val",
-    )
-    out = global_row.unionByName(cert)
-    covers.unpersist()
-    return out
 
 
 def topics_terms_from_model(model, vocab: list[str], num_words: int = 10) -> DataFrame:

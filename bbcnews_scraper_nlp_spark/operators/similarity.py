@@ -327,9 +327,19 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from .topics import fit_partitions
+
     with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    # iterative fit: size the training partitioning to the data
+    # (KMeans launches ~maxIter jobs over every partition — see
+    # topics.fit_partitions; at real corpus sizes the cluster-width
+    # cap binds and this is a no-op)
+    fit_input = with_vec
+    target = fit_partitions(with_vec, df.count())
+    if target < fit_input.rdd.getNumPartitions():
+        fit_input = fit_input.coalesce(target)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(with_vec)
+    model = km.fit(fit_input)
     centers = model.clusterCenters()
     qarr = [float(x) for x in query]
 

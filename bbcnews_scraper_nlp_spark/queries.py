@@ -2010,16 +2010,23 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     umass_coherence + a 1e-9 literal-Python pytest oracle."""
     from .functions.text_clean import clean_tokens
     from .operators.coherence import topics_terms_from_model, umass_certificate
-    from .operators.topics import fit_count_vectorizer, fit_lda
+    from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
+    ).filter(F.size("tokens") > 0).cache()
+    n_docs = toks.count()
     cv = fit_count_vectorizer(toks, min_df=2.0)
-    model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
+    feat = cv.transform(toks)
+    target = fit_partitions(feat, n_docs)
+    if target < feat.rdd.getNumPartitions():
+        feat = feat.coalesce(target)
+    model = fit_lda(feat, k=4, max_iter=10, seed=42)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    return umass_certificate(toks, terms, min_df=2)
+    out = umass_certificate(toks, terms, min_df=2)
+    toks.unpersist(blocking=False)
+    return out
 
 
 _CV_CERT_SQL = f"""
@@ -2059,16 +2066,23 @@ def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest oracle."""
     from .functions.text_clean import clean_tokens
     from .operators.coherence import cv_certificate, topics_terms_from_model
-    from .operators.topics import fit_count_vectorizer, fit_lda
+    from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
+    ).filter(F.size("tokens") > 0).cache()
+    n_docs = toks.count()
     cv = fit_count_vectorizer(toks, min_df=2.0)
-    model = fit_lda(cv.transform(toks), k=4, max_iter=10, seed=42)
+    feat = cv.transform(toks)
+    target = fit_partitions(feat, n_docs)
+    if target < feat.rdd.getNumPartitions():
+        feat = feat.coalesce(target)
+    model = fit_lda(feat, k=4, max_iter=10, seed=42)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    return cv_certificate(toks, terms, window=110)
+    out = cv_certificate(toks, terms, window=110)
+    toks.unpersist(blocking=False)
+    return out
 
 
 @register(

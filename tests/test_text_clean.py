@@ -216,6 +216,22 @@ def test_bpe_merges_match_literal_reference_small(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_merges_distributed_overflow_path_matches_local(spark):
+    # force the overflow path (vocab "too big" for the driver) and
+    # pin it against both the local loop and the literal reference —
+    # the two implementations must stay interchangeable
+    from bbcnews_scraper_nlp_spark.functions.tokenize import learn_bpe_merges
+
+    rows = [(0, "low low low lower lower newest newest newest newest widest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = learn_bpe_merges(df, "text", n_merges=6, driver_vocab_limit=0)
+    words = {}
+    for w in rows[0][1].split():
+        words[w] = words.get(w, 0) + 1
+    want = _ref_bpe(list(words.items()), 6)
+    assert got == want, (got, want)
+
+
 def test_bpe_merges_match_literal_reference_corpus(spark, sf_dir):
     import duckdb
 

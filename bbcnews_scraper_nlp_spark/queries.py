@@ -5418,7 +5418,11 @@ def prepare_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG."""
     from .plans.corpus import prepare_training_corpus
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    # "barrier" widen: the language/quality/repetition predicates are
+    # the cost center here, and a bare widen exchange lets Catalyst
+    # push them back onto the single-partition scan (measured ~2x
+    # end-to-end; see catalog.widen_scan)
+    docs = load_table(spark, sf_dir, "documents", widen="barrier")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     out = prepare_training_corpus(train, bench, contamination_n=3)

@@ -217,7 +217,37 @@ NEW_R7 = [
     "streaming_image_decode",
 ]
 
-BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7
+# Round-7 completion: the remaining registered queries that had no
+# perf row (driver-certified TPC-H singles, sampling/selection ops,
+# profiling reports, streaming state drain). With these the bench
+# set IS the registry — every queries() entry has a BENCH_FULL.json
+# timing, so a regression anywhere in the surface is visible
+# round-over-round.
+NEW_R7_REST = [
+    "tpch_q4_priority_check",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "approx_distinct_users",
+    "curriculum_order_bands",
+    "doc_term_stats",
+    "dup_ngram_span_score",
+    "hard_negatives_topk",
+    "mix_sources_weighted",
+    "multimodal_video_frames",
+    "profile_documents",
+    "repetition_quality",
+    "select_token_budget",
+    "setop_intersect_except",
+    "stratified_sample_sources",
+    "streaming_user_stats",
+    "top3_orders_per_segment",
+    "top_bigrams",
+    "weighted_sample_by_length",
+]
+
+BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7 + NEW_R7_REST
 
 
 def main() -> None:
@@ -393,7 +423,9 @@ def main() -> None:
         "legacy34_value": legacy34,
         "r5_value": round(sum(timings.get(n, 0.0) for n in NEW_R5), 3),
         "r6_value": round(sum(timings.get(n, 0.0) for n in NEW_R6), 3),
-        "r7_value": round(sum(timings.get(n, 0.0) for n in NEW_R7), 3),
+        "r7_value": round(
+            sum(timings.get(n, 0.0) for n in NEW_R7 + NEW_R7_REST), 3
+        ),
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full": "BENCH_FULL.json",

@@ -1602,7 +1602,18 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually move the loss). Brute-force pair scoring is the oracle
     baseline at this sf; at 100 TB the pair generation swaps to the
     LSH/IVFADC candidate join (same downstream rank window), exactly
-    like cosine_pairs' documented scale path."""
+    like cosine_pairs' documented scale path.
+
+    Pair-loop shape: each side's norm is factored into a projection
+    BELOW the join, so the O(n^2) inner loop evaluates ONE dot
+    product per pair instead of dot + two norms (bit-identical
+    values — `dot/(na*nb)` with na hoisted is the same IEEE
+    expression tree; 3x less interpreted-HOF work, and each row's
+    norm is computed once, not once per partner). The anchor side is
+    pre-partitioned on anchor_id: BroadcastNestedLoopJoin preserves
+    the streamed side's partitioning, so the rank window needs no
+    exchange of the n^2 pair rows — only the tiny anchor table ever
+    shuffles."""
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -1611,17 +1622,21 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("va"),
-    )
+        S.norm(F.col("v")).alias("na"),
+    ).repartition(32, "anchor_id")
     b = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("v").alias("vb"),
+        S.norm(F.col("v")).alias("nb"),
     )
     pairs = a.join(b, F.col("anchor_label") != F.col("neg_label")).select(
         "anchor_id",
         "anchor_label",
         "neg_id",
-        F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        F.round(
+            S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.col("neg_id")

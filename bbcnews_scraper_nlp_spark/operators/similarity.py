@@ -386,8 +386,23 @@ def cosine_pairs(
     region own the stage. ``None`` disables (exact legacy behavior;
     the oracle path uses ``brute_force=True`` anyway).
     """
-    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
+    # Norms are hoisted into per-side projections BELOW the pair
+    # join: the w²-per-bucket verification loop then evaluates one
+    # dot product per pair instead of dot + two norms (each row's
+    # norm otherwise recomputes once per partner — 3x the
+    # interpreted-HOF work on the dominant stage). Bit-identical:
+    # dot/(n1*n2) with the norms hoisted is the same IEEE expression
+    # tree as cosine(v1, v2).
+    a = df.select(
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("n1"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("n2"),
+    )
     if brute_force:
         cand = a.crossJoin(b).filter(F.col("id_1") < F.col("id_2"))
     else:
@@ -404,11 +419,26 @@ def cosine_pairs(
         withb = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
         if max_bucket is not None:
             withb = _subbucketed(withb, vec_col, dim, r, seed, max_bucket)
-        a = withb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"), "__bucket")
-        b = withb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"), "__bucket")
+        a = withb.select(
+            F.col(id_col).alias("id_1"),
+            F.col(vec_col).alias("v1"),
+            norm(F.col(vec_col)).alias("n1"),
+            "__bucket",
+        )
+        b = withb.select(
+            F.col(id_col).alias("id_2"),
+            F.col(vec_col).alias("v2"),
+            norm(F.col(vec_col)).alias("n2"),
+            "__bucket",
+        )
         cand = a.join(b, "__bucket").filter(F.col("id_1") < F.col("id_2"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        cand.withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     )
@@ -450,13 +480,20 @@ def ivf_fixed_topk(
         .select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("cv"),
+            norm(F.col(vec_col).cast("array<double>")).alias("nc"),
         )
     )
+    # per-vector norm hoisted below the centroid fan-out (computed
+    # once, not once per centroid) and reused by the probe scoring —
+    # bit-identical to cosine()'s own expression tree
     emb = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("ev"),
+        norm(F.col(vec_col).cast("array<double>")).alias("ne"),
     )
-    sim = F.round(cosine(F.col("ev"), F.col("cv")), 6)
+    sim = F.round(
+        dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc")), 6
+    )
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .groupBy("vid")
@@ -468,13 +505,18 @@ def ivf_fixed_topk(
         .select("vid", (-F.col("m.negc")).alias("cell"))
     )
     q = df.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        norm(F.col(vec_col).cast("array<double>")).alias("nq"),
     )
     probe = (
         cent.crossJoin(F.broadcast(q))
         .select(
             "cell",
-            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qs"),
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (F.col("nc") * F.col("nq")),
+                6,
+            ).alias("qs"),
         )
         .orderBy(F.desc("qs"), F.col("cell"))
         .limit(n_probe)
@@ -487,7 +529,11 @@ def ivf_fixed_topk(
         .filter(F.col("vid") != query_id)
         .select(
             F.col("vid").alias(id_col),
-            F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("ev"), F.col("qv"))
+                / (F.col("ne") * F.col("nq")),
+                6,
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
@@ -542,13 +588,21 @@ def semdedup(
         .select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("cv"),
+            norm(F.col(vec_col).cast("array<double>")).alias("nc"),
         )
     )
+    # per-row norm hoisted below the centroid fan-out AND the pair
+    # join: computed once per vector instead of once per centroid /
+    # once per in-cell partner (bit-identical — dot/(ne*nc) with the
+    # norms hoisted is cosine's own expression tree)
     emb = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("ev"),
+        norm(F.col(vec_col).cast("array<double>")).alias("ne"),
     )
-    sim = F.round(cosine(F.col("ev"), F.col("cv")), 6)
+    sim = F.round(
+        dot(F.col("ev"), F.col("cv")) / (F.col("ne") * F.col("nc")), 6
+    )
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .groupBy("vid")
@@ -565,7 +619,7 @@ def semdedup(
     # as the MinHash LSH index)
     cells = (
         assigned.join(emb, "vid")
-        .select("vid", "cell", "ev")
+        .select("vid", "cell", "ev", "ne")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pair_cells = cells
@@ -584,21 +638,28 @@ def semdedup(
                 max_cell,
             )
             .withColumnRenamed("__bucket", "cell")
-            .select("vid", "cell", "ev")
+            .select("vid", "cell", "ev", "ne")
         )
     a = pair_cells.select(
         F.col("vid").alias("id_1"),
         F.col("cell").alias("c1"),
         F.col("ev").alias("v1"),
+        F.col("ne").alias("n1"),
     )
     b = pair_cells.select(
         F.col("vid").alias("id_2"),
         F.col("cell").alias("c2"),
         F.col("ev").alias("v2"),
+        F.col("ne").alias("n2"),
     )
     dups = (
         a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id_1") < F.col("id_2")))
-        .filter(F.round(cosine(F.col("v1"), F.col("v2")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            )
+            >= threshold
+        )
         .select(F.col("id_2").alias("vid"))
         .distinct()
         .withColumn("__dup", F.lit(True))
@@ -739,13 +800,22 @@ def ivfadc_topk(
     emb = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        norm(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
     cent = (
         emb.orderBy("vid")
         .limit(n_centroids)
-        .select(F.col("vid").alias("cell"), F.col("v").alias("cv"))
+        .select(
+            F.col("vid").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nv").alias("ncv"),
+        )
     )
-    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    # per-vector norm hoisted below the centroid fan-out — computed
+    # once per vector, not once per centroid (bit-identical values)
+    sim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+    )
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .groupBy("vid")
@@ -858,11 +928,22 @@ def cosine_topk_batch(
     q = queries.select(
         F.col(qid_col).alias("__qid"),
         F.col(qvec_col).cast("array<double>").alias("__qv"),
+        norm(F.col(qvec_col).cast("array<double>")).alias("__qn"),
     )
-    scored = df.crossJoin(F.broadcast(q)).select(
+    # corpus norm hoisted below the fan-out: computed once per row,
+    # not once per (row, query) — the batch analog of the pair-loop
+    # hoist in cosine_pairs (bit-identical values)
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
         F.col("__qid").alias(qid_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col(vec_col), F.col("__qv"))
+            / (F.col("__vn") * F.col("__qn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

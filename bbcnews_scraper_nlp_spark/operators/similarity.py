@@ -869,12 +869,18 @@ def ivfadc_topk(
         )
         .select("vid", "cell", "j", F.col("mn.code").alias("code"))
     )
-    q = emb.filter(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    q = emb.filter(F.col("vid") == query_id).select(
+        F.col("v").alias("qv"), F.col("nv").alias("nqv")
+    )
     probe = (
         cent.crossJoin(F.broadcast(q))
         .select(
             "cell", "cv",
-            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qs"),
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (F.col("ncv") * F.col("nqv")),
+                6,
+            ).alias("qs"),
         )
         .orderBy(F.desc("qs"), F.col("cell"))
         .limit(n_probe)

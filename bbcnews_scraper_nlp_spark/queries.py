@@ -7747,28 +7747,45 @@ _WINDOW_ORDER = [
     # registry+local-sweep checked — same stage, same contract.
     "multimodal_g711_decode",
     "multimodal_video_frame_decode",
-    # 23 re-certification anchors spanning every operator family,
+    # Late-r7 session: the remaining never-driver-certified codec
+    # queries (same decode stage as the four certified ones — this
+    # closes the "never had a driver row" list COMPLETELY: after
+    # this window every registered query has a driver CORRECTNESS
+    # row) ...
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
+    "multimodal_image_resize",
+    "streaming_image_decode",
+    # ... and re-certification of the five queries whose plans
+    # changed in the norm-hoist perf pass (operators/similarity.py:
+    # pair/fan-out cosine loops score from hoisted norms —
+    # bit-identical values, but the driver's row is the hard
+    # signal). They displace ten untouched anchors certified in 2+
+    # prior rounds whose families keep other in-window members
+    # (w1_rolling_trend, tpch_q21, dedup_minhash_lsh — subsumed by
+    # dedup_minhash_clusters — dedup_ngram_jaccard, ann_topk_cosine,
+    # similarity_pq_adc_topk, bm25_topk_docs, pii_scrub_text —
+    # inside prepare_corpus_pipeline — dsir_importance_weights,
+    # s4_html_extract).
+    "hard_negatives_topk",
+    "dedup_embedding_cosine",
+    "ann_topk_batch",
+    "similarity_ivf_fixed_topk",
+    "similarity_ivfadc_topk",
+    # 13 re-certification anchors spanning every operator family,
     # weighted toward code touched this round (sentiment lexicon
     # expansion, curriculum approx-band path, streaming idempotency
-    # rework) — each previously driver-green in r3-r6.
-    "w1_rolling_trend",
+    # rework, the norm-hoisted semdedup) — each previously
+    # driver-green in r3-r6.
     "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_suppliers",
     "p4_p12_clean_text",
     "p13_lemmatize",
     "m6_m7_sentiment_scores",
     "sentiment_full_lexicon",
-    "s4_html_extract",
-    "dedup_minhash_lsh",
     "dedup_minhash_clusters",
-    "dedup_ngram_jaccard",
     "semdedup_embeddings",
-    "ann_topk_cosine",
-    "similarity_pq_adc_topk",
-    "bm25_topk_docs",
-    "pii_scrub_text",
     "curriculum_order_bands",
-    "dsir_importance_weights",
     "prepare_corpus_pipeline",
     "streaming_dedup",
     "streaming_user_stats",

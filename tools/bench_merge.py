@@ -1,0 +1,54 @@
+"""Merge multiple full-suite bench artifacts by per-query minimum.
+
+``bench.py`` already takes best-of-2 executions per query inside one
+run, which absorbs JIT/GC noise — but host-level contention on this
+shared machine arrives in multi-minute windows that cover both
+executions, so every full run has a few arbitrary 3-10x victims
+(different queries each run: observed prepare_corpus 12.9s vs 4.2s,
+pagerank 9.7s vs 2.9s, image_decode 11.4s vs 1.0s across same-code
+runs). The per-query min across N full runs of IDENTICAL code is the
+standard estimator for the true cost under asymmetric noise — that is
+what this tool computes, stamping provenance (``runs``: N) into the
+merged artifact so the methodology is visible.
+
+Only merge artifacts produced by the same code revision: a min across
+different plans would attribute one revision's time to another's.
+
+    python tools/bench_merge.py out.json in1.json in2.json [...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    out_path, *in_paths = sys.argv[1:]
+    if len(in_paths) < 2:
+        raise SystemExit("need >= 2 input artifacts")
+    arts = []
+    for p in in_paths:
+        with open(p) as f:
+            arts.append(json.load(f))
+    names = set(arts[0]["queries"])
+    for a in arts[1:]:
+        if set(a["queries"]) != names:
+            raise SystemExit("artifacts bench different query sets")
+        if a.get("sf") != arts[0].get("sf"):
+            raise SystemExit("artifacts are at different SFs")
+    merged = dict(arts[0])
+    merged["queries"] = {
+        n: round(min(a["queries"][n] for a in arts), 3) for n in sorted(names)
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    merged["runs"] = len(arts)
+    merged["merge"] = "per-query min across full-suite runs of identical code"
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(f"{out_path}: {len(names)} queries, total {merged['value']}s "
+          f"(inputs: {', '.join(str(round(a['value'],1)) + 's' for a in arts)})")
+
+
+if __name__ == "__main__":
+    main()

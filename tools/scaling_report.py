@@ -1,0 +1,153 @@
+"""Generate SCALING.md: measured per-query scaling across SFs.
+
+Joins the three full-registry bench artifacts (sf0.001 / sf0.01 /
+sf0.1 — each produced by ``bench.py`` on an otherwise-idle machine)
+and reports, per query, the wall-time ratio across each 10x data
+step. This is the measured answer to "would this plan survive a
+scale-up": a query whose time grows far faster than its input across
+BOTH steps has a super-linear stage (n^2 pair loop, global sort,
+driver collect) — at local[32] bench scale most queries are
+scheduling-overhead-bound instead, which shows up as ratios near 1.
+
+Table row counts are NOT uniform 10x per step (documents/embeddings
+grow slower than lineitem/events in the driver's testdata), so the
+report carries per-table row counts and each query's growth is read
+against the tables it scans. Run:
+
+    python tools/scaling_report.py   # writes SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARTIFACTS = {
+    "sf0.001": "BENCH_FULL_sf0.001.json",
+    "sf0.01": "BENCH_FULL_sf0.01.json",
+    "sf0.1": "BENCH_FULL.json",
+}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _table_counts() -> dict[str, dict[str, int]]:
+    import duckdb
+
+    out: dict[str, dict[str, int]] = {}
+    con = duckdb.connect()
+    for sf in ARTIFACTS:
+        d = f"/root/testdata/{sf}"
+        out[sf] = {
+            t: con.execute(
+                f"SELECT COUNT(*) FROM '{d}/{t}.parquet'"
+            ).fetchone()[0]
+            for t in TABLES
+            if os.path.exists(f"{d}/{t}.parquet")
+        }
+    return out
+
+
+def main() -> None:
+    data = {}
+    for sf, fn in ARTIFACTS.items():
+        with open(os.path.join(ROOT, fn)) as f:
+            data[sf] = json.load(f)["queries"]
+    names = sorted(set(data["sf0.001"]) & set(data["sf0.01"]) & set(data["sf0.1"]))
+    counts = _table_counts()
+
+    rows = []
+    for n in names:
+        a, b, c = data["sf0.001"][n], data["sf0.01"][n], data["sf0.1"][n]
+        r1 = b / a if a else float("inf")
+        r2 = c / b if b else float("inf")
+        rows.append((n, a, b, c, r1, r2))
+
+    # growth classification on the LAST step (the one with real data
+    # volume); the earlier step is almost pure fixed overhead
+    overhead = [r for r in rows if r[3] < 1.5 * r[1]]
+    superlin = [r for r in rows if r[5] > 12.0]
+
+    lines = [
+        "# SCALING — measured wall time across scale factors",
+        "",
+        "Full-registry `bench.py` runs (best-of-2 per query, idle",
+        "machine, one JVM per SF) at the three driver SFs. Ratios are",
+        "t(next SF) / t(this SF) for each 10x data step. At these",
+        "sizes Spark's per-query floor (~0.2-0.4 s of planning +",
+        "scheduling on local[32]) dominates most queries — a ratio",
+        "near 1 means overhead-bound, NOT zero marginal cost; the",
+        "per-row cost only becomes visible where the plan does real",
+        "volume work (dedup pair stages, LDA fits, codec decode,",
+        "streaming drains).",
+        "",
+        "Host-level contention on this shared machine arrives in",
+        "multi-minute windows that can cover a query's both",
+        "executions, so single runs carry a few arbitrary 3-10x",
+        "victims; the sf0.1 column is the per-query min across two",
+        "full same-code runs (tools/bench_merge.py, provenance",
+        "stamped in BENCH_FULL.json), the small-SF columns are",
+        "single runs — read sub-1.0x step ratios as that noise, not",
+        "as negative marginal cost.",
+        "",
+        "## Table row counts (driver testdata is not uniform 10x)",
+        "",
+        "| table | " + " | ".join(ARTIFACTS) + " |",
+        "|---|" + "---|" * len(ARTIFACTS),
+    ]
+    for t in TABLES:
+        if all(t in counts[sf] for sf in ARTIFACTS):
+            lines.append(
+                f"| {t} | "
+                + " | ".join(str(counts[sf][t]) for sf in ARTIFACTS)
+                + " |"
+            )
+    total_each = {sf: sum(data[sf].values()) for sf in ARTIFACTS}
+    lines += [
+        "",
+        "## Summary",
+        "",
+        f"- {len(names)} queries benched at all three SFs; suite totals: "
+        + ", ".join(f"{sf} = {total_each[sf]:.1f}s" for sf in ARTIFACTS)
+        + ".",
+        f"- {len(overhead)} queries are overhead-bound end to end "
+        "(sf0.1 < 1.5x sf0.001 despite 100x data) — their scale "
+        "behavior is governed by the plan shape audited in PLANS.md, "
+        "not by anything measurable at bench volume.",
+        f"- {len(superlin)} queries grew >12x over the last 10x step "
+        "(flagged below with the structural reason).",
+        "",
+        "## Flagged (>12x growth on the sf0.01 -> sf0.1 step)",
+        "",
+    ]
+    if superlin:
+        lines.append("| query | sf0.01 (s) | sf0.1 (s) | ratio |")
+        lines.append("|---|---|---|---|")
+        for n, a, b, c, r1, r2 in sorted(superlin, key=lambda r: -r[5]):
+            lines.append(f"| {n} | {b:.2f} | {c:.2f} | {r2:.1f}x |")
+    else:
+        lines.append("(none)")
+    lines += [
+        "",
+        "## Per-query times and step ratios",
+        "",
+        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | x10 step 1 | x10 step 2 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, a, b, c, r1, r2 in sorted(rows, key=lambda r: -r[3]):
+        lines.append(
+            f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} | {r1:.2f}x | {r2:.2f}x |"
+        )
+    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"SCALING.md written: {len(names)} queries, "
+          f"{len(superlin)} flagged, {len(overhead)} overhead-bound")
+
+
+if __name__ == "__main__":
+    main()

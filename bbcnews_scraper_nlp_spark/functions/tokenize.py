@@ -54,6 +54,43 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.when(F.length(col) >= k, grams).otherwise(empty)
 
 
+def bpe_encode_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a BPE merge sequence to one word — pure codegen.
+
+    Representation: the word's symbol sequence as a string padded
+    with one space and joined with TWO spaces (``' a  b  c '``).
+    Applying merge ``(a, b)`` is then the exact non-regex
+    ``replace(' a  b ', ' ab ')``: the single-space guards reject
+    false suffix/prefix matches (``'xa  b'`` has no space before
+    ``a``), and the double-space separator leaves one space on each
+    side for BOTH neighbors to claim, so adjacent occurrences merge
+    in one left-to-right non-overlapping pass — exactly the
+    semantics of applying one learned merge to the symbol list
+    (Sennrich et al. 2016), and the replacement restores the
+    invariant for the next merge in the chain.
+
+    The whole encode is a fixed chain of ``replace`` calls — fully
+    whole-stage-codegen, no UDF, and expressible verbatim in any SQL
+    engine (the oracle mirrors it with the same ``replace`` chain).
+    Apply per word TYPE, not per occurrence: the vocabulary is
+    Heaps-law bounded, so at 100 TB the chain runs over a few
+    million distinct words while occurrences join the result back.
+    """
+    # ' ' + join(chars, '  ') + ' ': each char gains two trailing
+    # spaces, rtrim drops exactly one of the final pair
+    sym = F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace(word, "(.)", "$1  ")), F.lit(" ")
+    )
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return sym
+
+
+def bpe_subword_count(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Number of BPE subwords a word encodes to under ``merges``."""
+    return F.size(F.split(F.trim(bpe_encode_expr(word, merges)), "  "))
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str,

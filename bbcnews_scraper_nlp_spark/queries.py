@@ -1726,6 +1726,79 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk string, val long")
 
 
+# A fixed English merge table (rank order) for the ENCODE query: the
+# apply step must be hash-oracled for a known merge sequence — the
+# learned sequence is pinned separately (bpe_learned_merges
+# certificate + literal-Python pytest), and encode(learned_merges)
+# is pytest-pinned against a Python reference.
+_BPE_APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("in", "g"),
+    ("e", "n"), ("o", "r"),
+]
+
+
+def _bpe_encode_oracle_sql() -> str:
+    chain = "' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
+    for a, b in _BPE_APPLY_MERGES:
+        chain = f"replace({chain}, ' {a}  {b} ', ' {a}{b} ')"
+    return (
+        "WITH w AS (SELECT doc_id, "
+        r"unnest(string_split_regex(lower(text), '\s+')) AS word "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM w WHERE word <> '' GROUP BY doc_id, word), "
+        "types AS (SELECT DISTINCT word FROM occ), "
+        f"enc AS (SELECT word, {chain} AS sym FROM types), "
+        "n AS (SELECT word, CAST(len(string_split(trim(sym), '  ')) "
+        "AS BIGINT) AS n_sub FROM enc) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+        "CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subwords "
+        "FROM occ JOIN n USING (word) GROUP BY doc_id"
+    )
+
+
+@register("bpe_encode_subwords", _bpe_encode_oracle_sql())
+def bpe_encode_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the production step the registry's
+    learn (bpe_learned_merges) and count (token_count_bpe) queries
+    bracket: tokenize the corpus under a fixed merge table and report
+    per-doc word and subword counts. The encode is a pure codegen
+    replace-chain over a two-space symbol string
+    (tokenize.bpe_encode_expr — no UDF; DuckDB mirrors the identical
+    chain), and it runs per word TYPE: one narrow pass explodes
+    words, one shuffle builds the (doc, word, cnt) occurrence table,
+    the Heaps-bounded distinct vocab takes the replace chain, and
+    occurrences join the subword counts back — at 100 TB the chain
+    cost is ~|vocab|, not ~|tokens|, and the joins shuffle skinny
+    (word, counts) rows only. Learned-merge encode is the same
+    expression with learn_bpe_merges output (pytest-pinned to a
+    literal-Python BPE apply)."""
+    from .functions.tokenize import bpe_subword_count
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    occ = w.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    types = occ.select("word").distinct()
+    n = types.select(
+        "word",
+        bpe_subword_count(F.col("word"), _BPE_APPLY_MERGES)
+        .cast("long")
+        .alias("n_sub"),
+    )
+    return (
+        occ.join(n, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+        )
+    )
+
+
 def _ivfadc_oracle_sql() -> str:
     d2s = (
         "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "
@@ -7781,7 +7854,13 @@ _WINDOW_ORDER = [
     "tpch_q1_pricing_summary",
     "p4_p12_clean_text",
     "p13_lemmatize",
-    "m6_m7_sentiment_scores",
+    # bpe_encode_subwords joined at the end of the round (the BPE
+    # APPLY step; tri-SF hash-green locally) — it takes the
+    # m6_m7_sentiment_scores anchor slot so the every-registered-
+    # query-has-a-driver-row closure holds at 184 (the sentiment
+    # family keeps sentiment_full_lexicon, which exercises the same
+    # scoring kernel over the full lexicon).
+    "bpe_encode_subwords",
     "sentiment_full_lexicon",
     "dedup_minhash_clusters",
     "semdedup_embeddings",

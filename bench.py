@@ -245,6 +245,8 @@ NEW_R7_REST = [
     "top3_orders_per_segment",
     "top_bigrams",
     "weighted_sample_by_length",
+    # late-r7: BPE apply (replace-chain encode over word types)
+    "bpe_encode_subwords",
 ]
 
 BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7 + NEW_R7_REST

@@ -259,3 +259,80 @@ def test_bpe_merges_release_all_caches(spark):
     # released when the function returns — it's called from a
     # long-lived driver
     assert jsc.getPersistentRDDs().size() == before
+
+
+def _ref_bpe_apply(word: str, merges) -> list[str]:
+    """Literal-Python BPE application: apply each merge in rank
+    order, one left-to-right non-overlapping pass over the symbol
+    list (Sennrich et al. 2016 apply semantics)."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_expr_matches_literal_apply(spark):
+    """The replace-chain encode (two-space symbol string) must equal
+    the list-walk reference on adversarial words: adjacent repeats
+    (overlap handling), symbols that are suffixes of other symbols
+    (boundary guards), chained merges whose outputs feed later
+    merges, and non-participating words."""
+    from bbcnews_scraper_nlp_spark.functions.tokenize import bpe_encode_expr
+    from pyspark.sql import functions as F
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "aa"),
+              ("x", "a"), ("e", "r")]
+    words = ["the", "thether", "aaaa", "aaaaa", "xaxa", "xaa",
+             "bathe", "zzz", "a", "", "ther", "erer"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["enc"]
+        for r in df.select(
+            "word",
+            F.split(
+                F.trim(bpe_encode_expr(F.col("word"), merges)), "  "
+            ).alias("enc"),
+        ).collect()
+    }
+    for w in words:
+        if not w:
+            continue
+        assert got[w] == _ref_bpe_apply(w, merges), (
+            w, got[w], _ref_bpe_apply(w, merges)
+        )
+
+
+def test_bpe_encode_learned_merges_roundtrip(spark):
+    """Encoding with LEARNED merges: every training word must encode
+    to the symbols the learner's final vocab state implies — ties the
+    learn and apply halves of the tokenizer together."""
+    from bbcnews_scraper_nlp_spark.functions.tokenize import (
+        bpe_encode_expr,
+        learn_bpe_merges,
+    )
+    from pyspark.sql import functions as F
+
+    text = "low low low lower lower newest newest newest newest widest"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = learn_bpe_merges(df, "text", n_merges=6)
+    words = sorted(set(text.split()))
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["enc"]
+        for r in wdf.select(
+            "word",
+            F.split(
+                F.trim(bpe_encode_expr(F.col("word"), merges)), "  "
+            ).alias("enc"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _ref_bpe_apply(w, merges), (w, got[w])

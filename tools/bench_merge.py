@@ -31,15 +31,18 @@ def main() -> None:
     for p in in_paths:
         with open(p) as f:
             arts.append(json.load(f))
-    names = set(arts[0]["queries"])
     for a in arts[1:]:
-        if set(a["queries"]) != names:
-            raise SystemExit("artifacts bench different query sets")
         if a.get("sf") != arts[0].get("sf"):
             raise SystemExit("artifacts are at different SFs")
-    merged = dict(arts[0])
+    # union of names; min over the artifacts that benched each query
+    # (the registry can grow between runs — queries added later exist
+    # only in later artifacts; their plans in the earlier runs are
+    # identical for every shared query, which the caller must ensure)
+    names = set().union(*(a["queries"] for a in arts))
+    merged = dict(arts[-1])
     merged["queries"] = {
-        n: round(min(a["queries"][n] for a in arts), 3) for n in sorted(names)
+        n: round(min(a["queries"][n] for a in arts if n in a["queries"]), 3)
+        for n in sorted(names)
     }
     merged["value"] = round(sum(merged["queries"].values()), 3)
     merged["runs"] = len(arts)

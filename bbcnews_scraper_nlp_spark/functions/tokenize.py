@@ -76,8 +76,9 @@ def bpe_encode_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     Heaps-law bounded, so at 100 TB the chain runs over a few
     million distinct words while occurrences join the result back.
     """
-    # ' ' + join(chars, '  ') + ' ': each char gains two trailing
-    # spaces, rtrim drops exactly one of the final pair
+    # regexp_replace gives every char two trailing spaces (so the
+    # final char too); rtrim strips BOTH trailing spaces and the
+    # outer concat adds the single leading/trailing pad
     sym = F.concat(
         F.lit(" "), F.rtrim(F.regexp_replace(word, "(.)", "$1  ")), F.lit(" ")
     )

@@ -1610,10 +1610,13 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — `dot/(na*nb)` with na hoisted is the same IEEE
     expression tree; 3x less interpreted-HOF work, and each row's
     norm is computed once, not once per partner). The anchor side is
-    pre-partitioned on anchor_id: BroadcastNestedLoopJoin preserves
-    the streamed side's partitioning, so the rank window needs no
+    pre-partitioned on anchor_id at the session shuffle parallelism
+    (no hard-coded count), and the negative side is explicitly
+    broadcast: BroadcastNestedLoopJoin then preserves the STREAMED
+    (anchor) side's partitioning, so the rank window needs no
     exchange of the n^2 pair rows — only the tiny anchor table ever
-    shuffles."""
+    shuffles. test_plan_contracts pins the no-Exchange-above-join
+    property."""
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -1623,14 +1626,16 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("anchor_label"),
         F.col("v").alias("va"),
         S.norm(F.col("v")).alias("na"),
-    ).repartition(32, "anchor_id")
+    ).repartition("anchor_id")
     b = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("v").alias("vb"),
         S.norm(F.col("v")).alias("nb"),
     )
-    pairs = a.join(b, F.col("anchor_label") != F.col("neg_label")).select(
+    pairs = a.join(
+        F.broadcast(b), F.col("anchor_label") != F.col("neg_label")
+    ).select(
         "anchor_id",
         "anchor_label",
         "neg_id",

@@ -354,3 +354,22 @@ def test_pair_scoring_norms_hoisted(spark, sf_dir, name):
     assert not offenders, (
         f"{name} computes norms inside a pair-scoring node: {offenders}"
     )
+
+
+def test_hard_negatives_window_reuses_anchor_partitioning(spark, sf_dir):
+    """hard_negatives_topk pins the negative side as the broadcast
+    BUILD side (F.broadcast(b)); BroadcastNestedLoopJoin then
+    preserves the streamed anchor side's hashpartitioning(anchor_id),
+    so the rank window sits directly on the join output. The plan
+    must contain exactly ONE shuffle Exchange (the tiny anchor table,
+    pre-pair) — a second one means the n^2 pair rows are being
+    shuffled, which is the failure mode if the planner flips the
+    broadcast side."""
+    plan = _plan(spark, sf_dir, "hard_negatives_topk")
+    assert re.search(r"BroadcastNestedLoopJoin \w+ BuildRight", plan), (
+        plan[:600]
+    )
+    hashed = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hashed == ["anchor_id"], (
+        f"expected the anchor-side shuffle only, got {hashed}"
+    )

@@ -20,7 +20,11 @@ different plans would attribute one revision's time to another's.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST  # noqa: E402
 
 
 def main() -> None:
@@ -39,14 +43,37 @@ def main() -> None:
     # only in later artifacts; their plans in the earlier runs are
     # identical for every shared query, which the caller must ensure)
     names = set().union(*(a["queries"] for a in arts))
-    merged = dict(arts[-1])
-    merged["queries"] = {
+    timings = {
         n: round(min(a["queries"][n] for a in arts if n in a["queries"]), 3)
         for n in sorted(names)
     }
-    merged["value"] = round(sum(merged["queries"].values()), 3)
-    merged["runs"] = len(arts)
-    merged["merge"] = "per-query min across full-suite runs of identical code"
+
+    # Build the artifact ONLY from fields recomputed over the merged
+    # timings — never copy an input's derived sub-aggregates forward
+    # (they were computed from that single run's raw timings and would
+    # contradict the merged per-query values).
+    def _group(qnames):
+        return round(sum(timings.get(n, 0.0) for n in qnames), 3)
+
+    merged = {
+        "metric": arts[-1].get("metric", "headline_queries_total"),
+        "unit": arts[-1].get("unit", "sec"),
+        "sf": arts[-1].get("sf"),
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
+        "legacy34_value": _group(LEGACY_34),
+        "r5_value": _group(NEW_R5),
+        "r6_value": _group(NEW_R6),
+        "r7_value": _group(NEW_R7 + NEW_R7_REST),
+        "n_queries": len(timings),
+        "runs": len(arts),
+        "merge": "per-query min across full-suite runs of identical code",
+    }
+    errors = {k: v for a in arts for k, v in a.get("errors", {}).items()
+              if k not in timings}
+    if errors:
+        merged["errors"] = errors
+        merged["n_errors"] = len(errors)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     print(f"{out_path}: {len(names)} queries, total {merged['value']}s "

@@ -36,13 +36,23 @@ TABLES = [
 ]
 
 
+import sys
+
+# Testdata root: CLI arg > env var > the driver's default location.
+TESTDATA_ROOT = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+)
+
+
 def _table_counts() -> dict[str, dict[str, int]]:
     import duckdb
 
     out: dict[str, dict[str, int]] = {}
     con = duckdb.connect()
     for sf in ARTIFACTS:
-        d = f"/root/testdata/{sf}"
+        d = os.path.join(TESTDATA_ROOT, sf)
         out[sf] = {
             t: con.execute(
                 f"SELECT COUNT(*) FROM '{d}/{t}.parquet'"
@@ -50,6 +60,13 @@ def _table_counts() -> dict[str, dict[str, int]]:
             for t in TABLES
             if os.path.exists(f"{d}/{t}.parquet")
         }
+        if not out[sf]:
+            print(
+                f"warning: no parquet tables under {d} — row-count "
+                "table will be empty (set SPARK_GRAFT_TESTDATA_ROOT "
+                "or pass the root as argv[1])",
+                file=sys.stderr,
+            )
     return out
 
 

@@ -1,0 +1,169 @@
+"""Multinomial Naive Bayes as pure DataFrame aggregation.
+
+The classic corpus-scale text classifier (language / domain / quality
+routing in training-data pipelines, cf. CCNet's fastText lang-ID and
+the quality classifiers in GPT-3/LLaMA data work). The reference has
+no classifier surface; this extends the engine the way the
+textstats/logreg operators do — but unlike logreg (whose weights are
+fit externally), NB TRAINING is itself one aggregation pass, so both
+train and predict stay inside Spark with no driver-side state.
+
+Design constraints shared with the rest of the engine:
+- train = two groupBys (token-class counts, class totals) + one
+  1-row corpus aggregate — all map-side combinable, one shuffle
+  keyed on (token, class);
+- log-likelihoods are quantized to integer MILLI-NATS before any
+  per-document aggregation (the bm25/perplexity recipe): ln's 1-ulp
+  Java/libm disagreement is absorbed by the rounding, and the
+  per-document score sum is exact integer math in any fold order —
+  a DuckDB oracle reproduces predictions bit-for-bit;
+- prediction ties break by MINIMUM class label (total order).
+
+At 100 TB: the token explode dominates (one pass over text); the
+model — (vocab × classes) milli-nat table — is Heaps-law bounded and
+joins the token-type table on (token, class) with AQE free to
+broadcast it when small. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MILLI = 1000  # log-likelihood quantum: milli-nats
+
+
+def nb_train_predict(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train a Laplace-smoothed multinomial NB on ``docs`` and score
+    every document (resubstitution — the operator demo; split
+    train/score callers pass disjoint frames through ``nb_model`` +
+    ``nb_predict`` below).
+
+    Returns (id, label, pred, score_milli): the argmax class per
+    document with its integer milli-nat log-posterior.
+    """
+    model, classes = nb_model(docs, text_col, label_col)
+    return nb_predict(docs, model, classes, id_col, text_col, label_col)
+
+
+def nb_model(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass NB training.
+
+    Returns (model, classes): ``model`` = (w, cls, ll_milli) — the
+    milli-nat log-likelihood ROUND(1000 * ln((cnt_wc + 1) /
+    (tot_c + V))) per seen (token, class); ``classes`` = (cls,
+    prior_milli, miss_milli) — the log-prior and the unseen-token
+    default ROUND(1000 * ln(1 / (tot_c + V))), a few rows,
+    broadcastable.
+    """
+    tok = docs.select(
+        F.col(label_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = tok.groupBy("w", "cls").agg(F.count("*").alias("cnt"))
+    totals = tok.groupBy("cls").agg(F.count("*").alias("tot"))
+    vocab = tok.select(F.countDistinct("w").alias("v"))
+    ndocs = docs.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count("*").alias("n_c")
+    )
+    n_all = docs.agg(F.count("*").alias("n"))
+
+    classes = (
+        totals.join(ndocs, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "cls",
+            "tot",
+            "v",
+            F.round(
+                F.lit(MILLI) * F.log(F.col("n_c") / F.col("n"))
+            )
+            .cast("long")
+            .alias("prior_milli"),
+            F.round(
+                F.lit(MILLI)
+                * F.log(F.lit(1.0) / (F.col("tot") + F.col("v")))
+            )
+            .cast("long")
+            .alias("miss_milli"),
+        )
+    )
+    model = wc.join(F.broadcast(classes.select("cls", "tot", "v")), "cls").select(
+        "w",
+        "cls",
+        F.round(
+            F.lit(MILLI)
+            * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+        )
+        .cast("long")
+        .alias("ll_milli"),
+    )
+    return model, classes.select("cls", "prior_milli", "miss_milli")
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    classes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Score every document against every class and take the integer
+    argmax (ties → minimum class label). Documents with no tokens
+    score prior-only. Plan: token explode → (doc, token) tf →
+    fan out by the few classes (broadcast) → left join the model on
+    (token, class) with the per-class unseen default → one (doc,
+    class) integer sum → row_number argmax."""
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    cls = F.broadcast(classes)
+    scored = (
+        tf.crossJoin(cls.select("cls", "miss_milli"))
+        .join(model, ["w", "cls"], "left")
+        .select(
+            "id",
+            "cls",
+            (
+                F.col("tf") * F.coalesce(F.col("ll_milli"), F.col("miss_milli"))
+            ).alias("s"),
+        )
+        .groupBy("id", "cls")
+        .agg(F.sum("s").alias("tok_milli"))
+    )
+    full = (
+        base.crossJoin(cls.select("cls", "prior_milli"))
+        .join(scored, ["id", "cls"], "left")
+        .select(
+            "id",
+            "label",
+            "cls",
+            (F.col("prior_milli") + F.coalesce("tok_milli", F.lit(0))).alias(
+                "score_milli"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_milli"), "cls")
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "label", F.col("cls").alias("pred"), "score_milli")
+    )

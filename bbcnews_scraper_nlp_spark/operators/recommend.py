@@ -1,0 +1,82 @@
+"""Item-item collaborative filtering as pure DataFrame computation.
+
+Co-occurrence recommendation (Sarwar et al. 2001, "Item-Based
+Collaborative Filtering") — the classic "users who bought X also
+bought Y" primitive. In a training-data pipeline the same shape ranks
+related documents/sources from co-click or co-citation interactions;
+here it runs over the order history (customer × part baskets).
+
+Design constraints shared with the rest of the engine:
+- similarity is integer-exact: cosine²(i,j) in parts-per-million =
+  co(i,j)² · 10⁶ div (n_i · n_j) over binary interaction vectors —
+  monotone in cosine, so the top-k ranking is EXACTLY the cosine
+  ranking with no floating point anywhere (the bm25 milli-quantize
+  recipe taken to its no-float limit);
+- pair generation is the user-keyed self-join (codegen hash join,
+  AQE-skew-splittable) — the group-explode alternative pays
+  interpreted HOF lambdas and OOMs on hot users (PLANS.md pair-gen
+  note); power-user baskets are capped upstream by
+  ``relational.cap_hot_keys``, the standard mitigation (a 10⁶-item
+  basket contributes 10¹² pairs and zero signal);
+- per-item top-k via one rank window partitioned by the anchor item.
+
+At 100 TB: interactions shuffle once on user for pair-gen, pairs
+shuffle once on (i, j) for the count, item degrees broadcast or
+shuffle-join on item id, the window keys on the anchor item. No
+all-pairs stage exists — only observed co-occurrences materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def item_item_topk(
+    interactions: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most-similar items per item by binary cosine.
+
+    ``interactions`` must be distinct (user, item) pairs — dedupe
+    upstream (multiplicity is events, not preference strength, in
+    the binary model).
+
+    Returns (item, rec, sim_ppm, rank) with rank 1..k per item,
+    ordered within an item by sim_ppm descending then rec ascending
+    (total tie order — engine-independent).
+    """
+    ia = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    )
+    deg = ia.groupBy("i").agg(F.count("*").alias("n"))
+    co = (
+        ia.join(ia.select(F.col("u"), F.col("i").alias("j")), "u")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("co"))
+    )
+    sim = (
+        co.join(deg.select(F.col("i"), F.col("n").alias("ni")), "i")
+        .join(deg.select(F.col("i").alias("j"), F.col("n").alias("nj")), "j")
+        .select(
+            "i",
+            "j",
+            F.expr(f"co * co * {PPM} div (ni * nj)").alias("sim_ppm"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim_ppm"), "j")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("rec"),
+            "sim_ppm",
+            "rank",
+        )
+    )

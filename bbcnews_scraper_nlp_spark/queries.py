@@ -6109,6 +6109,54 @@ def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# strong-tie supplier projection: the top-2000 supplier pairs by
+# integer-ppm common-customer Jaccard (rank-based sparsification — a
+# fixed absolute threshold goes vacuous as density shifts with scale;
+# top-M keeps downstream graph ops bounded AND non-trivial at every
+# sf). Shared by triangle_count_suppliers and
+# community_detection_suppliers (SQL twin: _STRONG_TIE_CTES).
+_STRONG_TIE_CTES = (
+    f"e0 AS ({_BIPROJ_SQL}), "
+    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
+    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
+    "e AS (SELECT s1, s2 FROM cn "
+    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
+    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
+    "LIMIT 2000)"
+)
+
+
+def _strong_tie_edges(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Spark twin of _STRONG_TIE_CTES: (s1, s2) with s1 < s2,
+    persisted (downstream graph ops re-read the cut several times;
+    release via cache_handles — the pagerank contract)."""
+    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
+    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    cn = (
+        e0.select("c", F.col("s").alias("s1"))
+        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    e = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .orderBy(
+            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
+        )
+        .limit(2000)
+        .select("s1", "s2")
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(e)
+    return e
+
+
 def _pr_unroll_sql(iters: int, scale: int) -> tuple[str, str]:
     """The unrolled integer-PageRank CTE chain (twin of
     operators.graph.pagerank's loop, DuckDB `//` arithmetic).
@@ -6178,6 +6226,161 @@ def pagerank_copurchase(
     )
     pr = pagerank(edges, "src", "dst", iters=3, cache_handles=cache_handles)
     return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
+
+
+def _lpa_oracle_sql(iters: int = 3, k: int = 3) -> str:
+    """Unrolled synchronous-LPA twin of operators.graph.
+    label_propagation over the mutual-kNN supplier graph (pure
+    integer Jaccard-ppm scores, row_number kNN cut, integer vote
+    counts + MIN tie-break — hash-exact cross-engine).
+
+    The multiply-referenced CTEs are MATERIALIZED: DuckDB inlines
+    CTEs by default, and the unrolled iterations reference ``edges``
+    ``iters`` times and each ``lab`` twice — inlining re-runs the
+    ~10⁹-row pair join once per reference and exhausts temp disk at
+    sf0.1 (the localCheckpoint lesson, relationally)."""
+    parts = [
+        f"WITH e0 AS ({_BIPROJ_SQL}), "
+        "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
+        "cno AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s "
+        "GROUP BY 1, 2), "
+        "cnp AS (SELECT s1, s2, cn FROM cno "
+        "UNION ALL SELECT s2, s1, cn FROM cno), "
+        "sc AS (SELECT s1, s2, cn * 1000000 // (d1.d + d2.d - cn) AS j "
+        "FROM cnp JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s), "
+        "rk AS (SELECT s1, s2, row_number() OVER "
+        "(PARTITION BY s1 ORDER BY j DESC, s2) AS rn FROM sc), "
+        f"knn AS (SELECT s1, s2 FROM rk WHERE rn <= {k}), "
+        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM knn "
+        "UNION SELECT s2, s1 FROM knn), "
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl "
+        "FROM edges)"
+    ]
+    prev = "lab0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", v{i} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt "
+            f"FROM edges e JOIN {prev} l ON e.src = l.node "
+            "GROUP BY e.dst, l.lbl)"
+            f", m{i} AS (SELECT node, MAX(cnt) AS mc FROM v{i} "
+            "GROUP BY node)"
+            f", w{i} AS (SELECT v.node, MIN(v.lbl) AS new_lbl "
+            f"FROM v{i} v JOIN m{i} m ON v.node = m.node "
+            "AND v.cnt = m.mc GROUP BY v.node)"
+            f", lab{i} AS MATERIALIZED (SELECT l.node, "
+            "COALESCE(w.new_lbl, l.lbl) AS lbl "
+            f"FROM {prev} l LEFT JOIN w{i} w ON l.node = w.node)"
+        )
+        prev = f"lab{i}"
+    parts.append(
+        f" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS "
+        f"n_members FROM {prev} GROUP BY lbl"
+    )
+    return "".join(parts)
+
+
+@register("community_detection_suppliers", _lpa_oracle_sql())
+def community_detection_suppliers(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Community detection over the strong-tie supplier graph: 3
+    synchronous label-propagation iterations (operators/graph.py::
+    label_propagation — most-frequent neighbor label, MIN tie-break),
+    reduced to (community, n_members). The graph-family member the
+    PageRank/CC/SSSP/triangle surface lacked: partitioning a graph
+    into behavioral groups (supplier cliques here; host-level crawl
+    communities at corpus scale). The bipartite projection is
+    sparsified to each node's 3 strongest ties by integer-ppm
+    common-customer Jaccard (mutual-kNN graph, symmetrized) — the
+    global top-M cut the triangle query uses is near-complete at
+    small node counts and floods to ONE community, while raw
+    bipartite LPA oscillates degenerately on 2-colorable graphs;
+    per-node kNN keeps local cluster structure at every sf. Pure
+    integer scores, row_number cut, and integer vote counts with a
+    total tie order keep the unrolled DuckDB oracle hash-exact. At
+    100 TB: the kNN window partitions by node id, per-iteration
+    shuffles key on node ids, the vote tally is map-side combinable,
+    and hub nodes take the salted-join path (PLANS.md graph
+    family)."""
+    from .operators.graph import label_propagation
+
+    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
+    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    # ordered pairs once (halves the user-keyed join fan-out — the
+    # dominant cost: Σ per-user-degree² rows), mirror the small
+    # aggregated table for the per-node window
+    cno = (
+        e0.select("c", F.col("s").alias("s1"))
+        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("cn"))
+    )
+    cnp = cno.union(cno.select(F.col("s2"), F.col("s1"), F.col("cn")))
+    sc = (
+        cnp.join(
+            deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1"
+        )
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .withColumn("j", F.expr("cn * 1000000 div (d1 + d2 - cn)"))
+    )
+    w = Window.partitionBy("s1").orderBy(F.desc("j"), "s2")
+    knn = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("s1", "s2")
+    )
+    edges = knn.union(
+        knn.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    ).distinct()
+    lp = label_propagation(
+        edges, "s1", "s2", iters=3, cache_handles=cache_handles
+    )
+    return lp.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+_ITEM_CF_SQL = (
+    "WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+    "deg AS (SELECT i, COUNT(*) AS n FROM ia GROUP BY i), "
+    "co AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS co "
+    "FROM ia a JOIN ia b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2), "
+    "sim AS (SELECT co.i AS i, co.j AS j, "
+    "co * co * 1000000 // (d1.n * d2.n) AS sim_ppm "
+    "FROM co JOIN deg d1 ON co.i = d1.i JOIN deg d2 ON co.j = d2.i), "
+    "rk AS (SELECT i, j, sim_ppm, CAST(row_number() OVER "
+    "(PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim) "
+    "SELECT i AS item, j AS rec, sim_ppm, rank FROM rk WHERE rank <= 3"
+)
+
+
+@register("item_item_recs_topk", _ITEM_CF_SQL)
+def item_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/recommend.py):
+    top-3 "bought-together" parts per part by binary cosine over
+    customer baskets — the co-occurrence recommender next to the
+    content-based ANN family (same shape ranks related documents
+    from co-click interactions in a curation pipeline). Integer-ppm
+    cosine² keeps the ranking float-free and the DuckDB oracle
+    hash-exact. At 100 TB: one user-keyed pair-gen shuffle (hot
+    baskets capped by cap_hot_keys, AQE skew-split), one (i,j)
+    count shuffle, item-keyed degree joins, anchor-item rank window
+    — no all-pairs stage, only observed co-occurrences
+    materialize."""
+    from .operators.recommend import item_item_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    return item_item_topk(ia, "u", "i", k=3)
 
 
 def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
@@ -6688,20 +6891,10 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = (
-    # strong-tie projection: the top-2000 supplier pairs by integer-
-    # ppm common-customer Jaccard (rank-based sparsification — a
-    # fixed absolute threshold goes vacuous as density shifts with
-    # scale; top-M keeps the triangle join bounded AND non-trivial
-    # at every sf), then the canonical ordered 3-way self-join
-    # a<b<c counting closed triangles
-    f"WITH e0 AS ({_BIPROJ_SQL}), "
-    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
-    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
-    "e AS (SELECT s1, s2 FROM cn "
-    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
-    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
-    "LIMIT 2000), "
+    # strong-tie projection (shared _STRONG_TIE_CTES), then the
+    # canonical ordered 3-way self-join a<b<c counting closed
+    # triangles
+    f"WITH {_STRONG_TIE_CTES}, "
     "tri AS (SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c "
     "FROM e ab JOIN e bc ON ab.s2 = bc.s1 "
     "JOIN e ac ON ab.s1 = ac.s1 AND bc.s2 = ac.s2), "
@@ -6727,33 +6920,14 @@ def triangle_count_suppliers(
     self-join (a<b<c: each triangle counted once, join keys are node
     ids so every shuffle is uniform; at 100 TB the standard
     refinement is degree-ordered orientation, which this ordering
-    already approximates). Top-20 by count."""
-    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
-    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
-    cn = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    e = (
-        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
-        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
-        .orderBy(
-            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
-        )
-        .limit(2000)
-        .select("s1", "s2")
-        # triangle joins re-read this 3x; keep the 2000-row edge cut
-        # materialized instead of re-running the projection build.
-        # Cache ownership: released via cache_handles (pass []) —
-        # without it the call pins one 2000-row cache, acceptable
-        # run-once, a leak in a long-lived driver.
-        .persist()
-    )
-    if cache_handles is not None:
-        cache_handles.append(e)
+    already approximates). Top-20 by count.
+
+    The triangle joins re-read the 2000-row edge cut 3x;
+    _strong_tie_edges keeps it persisted instead of re-running the
+    projection build (cache ownership: released via cache_handles —
+    without it the call pins one 2000-row cache, acceptable run-once,
+    a leak in a long-lived driver)."""
+    e = _strong_tie_edges(spark, sf_dir, cache_handles)
     ab = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     bc = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     ac = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
@@ -7035,6 +7209,137 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_milli").alias("score_milli")
     )
     return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
+
+
+_QL_MU = "2000.0"
+
+_QL_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT SUM(len) AS total FROM dl), "
+    f"cf AS (SELECT w, COUNT(*) AS cf FROM tok WHERE w IN {_BM25_TERMS!r} "
+    "GROUP BY w), "
+    f"tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    f"WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w), "
+    "grid AS (SELECT dl.doc_id, dl.len, cf.w, cf.cf, "
+    "COALESCE(tf.tf, 0) AS tf FROM dl CROSS JOIN cf "
+    "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = cf.w), "
+    "scored AS (SELECT doc_id, CAST(ROUND(1000 * ln("
+    f"(tf + {_QL_MU} * cf / total) / (len + {_QL_MU}))) AS BIGINT) "
+    "AS s_milli FROM grid CROSS JOIN stats) "
+    "SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli "
+    "FROM scored GROUP BY doc_id "
+    "ORDER BY score_milli DESC, doc_id LIMIT 10"
+)
+
+
+@register("query_likelihood_topk", _QL_SQL)
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001, μ=2000): top-10 documents for the same fixed 3-term query
+    BM25 ranks — the language-modeling scorer next to the
+    probabilistic one, completing the two classic lexical ranking
+    families over the inverted-index layout. Unlike BM25, EVERY
+    document scores on EVERY query term (smoothing gives unseen
+    terms collection-probability mass), so the scoring frame is
+    doc-lengths × the tiny query-term table (broadcast fan-out, no
+    token re-scan) left-joined with the term-filtered tf rows.
+    Cross-engine exactness: per-(doc, term) partials quantize to
+    integer milli-nats before the sum (the bm25 recipe; identical
+    IEEE expression trees feed the ln in both engines). At 100 TB
+    the tf/cf tables come from the inverted-index layout and the
+    only large shuffle is the doc-length aggregate."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    mu = float(_QL_MU)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(F.sum("len").alias("total"))
+    qtok = tok.filter(F.col("w").isin(*_BM25_TERMS))
+    cf = qtok.groupBy("w").agg(F.count("*").alias("cf"))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            "len",
+            "cf",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+        )
+    )
+    scored = grid.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(
+            F.lit(1000)
+            * F.log(
+                (F.col("tf") + F.lit(mu) * F.col("cf") / F.col("total"))
+                / (F.col("len") + F.lit(mu))
+            )
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    out = scored.groupBy("doc_id").agg(F.sum("s_milli").alias("score_milli"))
+    return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
+
+
+_NB_SQL = (
+    "WITH tk AS (SELECT doc_id, lang, w FROM (SELECT doc_id, lang, "
+    "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+    "wc AS (SELECT w, lang AS cls, COUNT(*) AS cnt FROM tk GROUP BY 1, 2), "
+    "tot AS (SELECT lang AS cls, COUNT(*) AS tot FROM tk GROUP BY 1), "
+    "voc AS (SELECT COUNT(DISTINCT w) AS v FROM tk), "
+    "nd AS (SELECT lang AS cls, COUNT(*) AS n_c FROM documents GROUP BY 1), "
+    "na AS (SELECT COUNT(*) AS n FROM documents), "
+    "cls AS (SELECT t.cls, tot, v, "
+    "CAST(ROUND(1000 * ln(CAST(n_c AS DOUBLE) / n)) AS BIGINT) "
+    "AS prior_milli, "
+    "CAST(ROUND(1000 * ln(1.0 / (tot + v))) AS BIGINT) AS miss_milli "
+    "FROM tot t JOIN nd ON t.cls = nd.cls CROSS JOIN voc CROSS JOIN na), "
+    "model AS (SELECT w, wc.cls, "
+    "CAST(ROUND(1000 * ln((cnt + 1.0) / (tot + v))) AS BIGINT) AS ll_milli "
+    "FROM wc JOIN cls ON wc.cls = cls.cls), "
+    "tf AS (SELECT doc_id AS id, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2), "
+    "sc AS (SELECT id, c.cls, "
+    "CAST(SUM(tf * COALESCE(ll_milli, miss_milli)) AS BIGINT) AS tok_milli "
+    "FROM tf CROSS JOIN (SELECT cls, miss_milli FROM cls) c "
+    "LEFT JOIN model m ON tf.w = m.w AND m.cls = c.cls GROUP BY 1, 2), "
+    "fl AS (SELECT d.doc_id AS id, d.lang AS label, c.cls, "
+    "c.prior_milli + COALESCE(tok_milli, 0) AS score "
+    "FROM documents d CROSS JOIN cls c "
+    "LEFT JOIN sc ON sc.id = d.doc_id AND sc.cls = c.cls), "
+    "pr AS (SELECT id, label, cls AS pred, row_number() OVER "
+    "(PARTITION BY id ORDER BY score DESC, cls) AS rn FROM fl) "
+    "SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM pr WHERE rn = 1 GROUP BY label, pred"
+)
+
+
+@register("nb_lang_confusion", _NB_SQL)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND
+    scored in-engine (operators/classify.py), reduced to the
+    (label, pred, n_docs) confusion matrix — the corpus-routing
+    classifier a curation pipeline runs ahead of lang-specific
+    cleaning (CCNet-style), and the first in-engine TRAINED model
+    with a hash-exact cross-engine oracle: training is two
+    map-side-combinable groupBys, log-likelihoods quantize to
+    integer milli-nats before any per-doc aggregation (the
+    bm25/perplexity recipe), prediction is an integer argmax with
+    total tie order. Resubstitution scoring by design — the check
+    pins train AND predict in one relation. At 100 TB: one token
+    pass; the (vocab × classes) model is Heaps-bounded; the only
+    big shuffles key on (token, class) and (doc, class)."""
+    from .operators.classify import nb_train_predict
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    out = nb_train_predict(docs, "doc_id", "text", "lang")
+    return out.groupBy("label", "pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
 
 
 @register(
@@ -7767,114 +8072,67 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r7 rotation: the 18 oracled queries that have NEVER had a
-    # driver CORRECTNESS row (displaced by earlier 50-slot windows),
-    # plus lda_topics and m3_coherence_umass — both upgraded this
-    # round from rows-only to deterministic-bound certificate
-    # oracles (the approx_distinct_users pattern: the exact
-    # cross-engine part hash-compares, booleans certify the
-    # library-numeric part's invariants). With these 20 green, every
-    # oracled query in the registry has a driver row.
-    "streaming_interval_join",
-    "cube_status_priority",
-    "orders_with_bulk_items",
-    "price_quantiles",
-    "approx_price_quantiles",
-    "value_histogram",
-    "histogram_totalprice",
-    "deterministic_shuffle_order",
-    "json_props_stats",
-    "json_single_parse_stats",
-    "rank_orders_in_priority",
-    "gapfill_hourly_counts",
-    "new_users_per_day",
-    "sketch_distinct_users_daily",
-    "embedding_scalar_quant",
-    "textrank_keywords",
-    "fuzzy_name_pairs",
-    "shortest_paths_suppliers",
-    "lda_topics",
-    "m3_coherence_umass",
-    # m3_coherence_cv, bpe_learned_merges and similarity_ivf_topk
-    # joined mid-round (same certificate pattern; exact parts =
-    # total sliding-window count / argmax initial BPE pair hash /
-    # corpus size + honest recall bound), displacing the r4-green
-    # dedup_simhash + contamination_check and r5-green
-    # similarity_ivfadc_topk anchors (families keep other anchors).
-    # With these, EVERY query in the 174-entry registry is oracled —
-    # zero rows-only checks remain.
-    "m3_coherence_cv",
-    "bpe_learned_merges",
-    "similarity_ivf_topk",
-    # REAL codec decode landed mid-round (operators/codecs.py): the
-    # payloads are genuine zlib PNGs / PCM-16 WAVs and the decode
-    # queries hash-certify inflate+unfilter / sample extraction
-    # against closed-form oracles. They take the tpch_q9 +
-    # dedup_exact_content anchor slots (those families keep 2 and 3
-    # anchors respectively); multimodal_image_resize stays
-    # registry+local-sweep checked.
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    # late-round codec additions: G.711 companding (the oracle
-    # mirrors the ITU expansion formulas relationally) and the real
-    # DIB video-frame demux fan-out take the sentiment_pattern_rules
-    # and multimodal_video_frames anchor slots (sentiment keeps two
-    # anchors; the old fan-out shape is subsumed by the decode query,
-    # whose per-frame stats certify demux + pixel decode). GIF /
-    # gray+color JPEG / resize decode queries stay
-    # registry+local-sweep checked — same stage, same contract.
-    "multimodal_g711_decode",
-    "multimodal_video_frame_decode",
-    # Late-r7 session: the remaining never-driver-certified codec
-    # queries (same decode stage as the four certified ones — this
-    # closes the "never had a driver row" list COMPLETELY: after
-    # this window every registered query has a driver CORRECTNESS
-    # row) ...
-    "multimodal_gif_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode",
-    "multimodal_image_resize",
-    "streaming_image_decode",
-    # ... and re-certification of the five queries whose plans
-    # changed in the norm-hoist perf pass (operators/similarity.py:
-    # pair/fan-out cosine loops score from hoisted norms —
-    # bit-identical values, but the driver's row is the hard
-    # signal). They displace ten untouched anchors certified in 2+
-    # prior rounds whose families keep other in-window members
-    # (w1_rolling_trend, tpch_q21, dedup_minhash_lsh — subsumed by
-    # dedup_minhash_clusters — dedup_ngram_jaccard, ann_topk_cosine,
-    # similarity_pq_adc_topk, bm25_topk_docs, pii_scrub_text —
-    # inside prepare_corpus_pipeline — dsir_importance_weights,
-    # s4_html_extract).
+    # r8 rotation. First, the queries ADDED or RE-PLANNED this round:
+    # the four new operators (LPA community detection, in-engine
+    # multinomial NB train+predict, item-item CF, Dirichlet
+    # query-likelihood), plus hard_negatives_topk (broadcast side now
+    # pinned, anchor repartition un-hard-coded) and
+    # triangle_count_suppliers (refactored onto the shared
+    # _strong_tie_edges helper).
+    "community_detection_suppliers",
+    "nb_lang_confusion",
+    "item_item_recs_topk",
+    "query_likelihood_topk",
     "hard_negatives_topk",
-    "dedup_embedding_cosine",
-    "ann_topk_batch",
-    "similarity_ivf_fixed_topk",
-    "similarity_ivfadc_topk",
-    # 13 re-certification anchors spanning every operator family,
-    # weighted toward code touched this round (sentiment lexicon
-    # expansion, curriculum approx-band path, streaming idempotency
-    # rework, the norm-hoisted semdedup) — each previously
-    # driver-green in r3-r6.
-    "tpch_q1_pricing_summary",
-    "p4_p12_clean_text",
-    "p13_lemmatize",
-    # bpe_encode_subwords joined at the end of the round (the BPE
-    # APPLY step; tri-SF hash-green locally) — it takes the
-    # m6_m7_sentiment_scores anchor slot so the every-registered-
-    # query-has-a-driver-row closure holds at 184 (the sentiment
-    # family keeps sentiment_full_lexicon, which exercises the same
-    # scoring kernel over the full lexicon).
-    "bpe_encode_subwords",
-    "sentiment_full_lexicon",
-    "dedup_minhash_clusters",
-    "semdedup_embeddings",
-    "curriculum_order_bands",
-    "prepare_corpus_pipeline",
-    "streaming_dedup",
-    "streaming_user_stats",
-    "streaming_interval_join_outer",
-    "pagerank_copurchase",
+    "triangle_count_suppliers",
+    # Then re-certification of the stalest driver evidence: every
+    # query whose last CORRECTNESS row is round 3 ...
+    "f2_ts_range_filter",
+    "f3_dropna",
+    "f4_min_word_count",
+    "f5_required_field",
+    "j_multiway_region_count",
+    "a1_count_rows",
+    "a2_group_count",
+    "w3_argmax_vector",
+    "union_dedup",
+    "sentiment_by_source",
+    "tpch_q1_decimal_scale",
+    "pivot_daily_event_counts",
+    "rollup_order_status",
+    "distinct_users_per_type",
+    # ... and the oldest round-4 rows (the remaining 7 r4 rows rotate
+    # next round; their families all have fresher anchors).
+    "f1_contains_filter",
+    "f7_anti_join_unseen",
+    "p1_strip_last_segment",
+    "p15_p16_day_cast",
+    "j1_broadcast_enrich",
+    "a3_daily_mean",
+    "a6_top_orders",
+    "w1_rolling_trend",
+    "s2_sitemap_parse",
+    "m6_m7_sentiment_scores",
+    "a4_vocab_prune",
+    "dedup_exact_content",
+    "ann_topk_cosine",
+    "lang_id",
+    "quality_score",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "tpch_q3_top_revenue",
+    "asof_join_last_view",
+    "tpch_q6_revenue_scan",
+    "tpch_q5_local_supplier_revenue",
+    "dedup_simhash",
+    "similarity_lsh_topk",
+    "multimodal_image_meta",
+    "dedup_cc_clusters",
+    "tpch_q8_market_share",
+    "streaming_windowed_counts",
+    "streaming_session_windows",
+    "tpch_q21_waiting_suppliers",
+    "contamination_check",
 ]
 
 

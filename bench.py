@@ -249,7 +249,16 @@ NEW_R7_REST = [
     "bpe_encode_subwords",
 ]
 
-BENCH_QUERIES = LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7 + NEW_R7_REST
+NEW_R8 = [
+    "community_detection_suppliers",
+    "nb_lang_confusion",
+    "item_item_recs_topk",
+    "query_likelihood_topk",
+]
+
+BENCH_QUERIES = (
+    LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7 + NEW_R7_REST + NEW_R8
+)
 
 
 def main() -> None:
@@ -428,6 +437,7 @@ def main() -> None:
         "r7_value": round(
             sum(timings.get(n, 0.0) for n in NEW_R7 + NEW_R7_REST), 3
         ),
+        "r8_value": round(sum(timings.get(n, 0.0) for n in NEW_R8), 3),
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full": "BENCH_FULL.json",

@@ -177,3 +177,75 @@ def test_bounded_shortest_paths_matches_dijkstra_within_hops(spark):
     assert got == want
     assert got[4] == 1 and got[3] == 2 and got[2] == 4  # via the cheap arc
     assert 5 not in got and 6 not in got  # unreachable stays absent
+
+
+# ---------------------------------------------------------------- LPA
+
+
+from bbcnews_scraper_nlp_spark.operators.graph import label_propagation
+
+
+def _lpa(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["community"]
+        for r in label_propagation(df, "src", "dst", iters=iters).collect()
+    }
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_lpa_two_cliques(spark):
+    # two disconnected triangles: each floods to its own min label
+    t1 = _sym([("a1", "a2"), ("a2", "a3"), ("a1", "a3")])
+    t2 = _sym([("b1", "b2"), ("b2", "b3"), ("b1", "b3")])
+    got = _lpa(spark, t1 + t2)
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    assert got["b1"] == got["b2"] == got["b3"] == "b1"
+
+
+def test_lpa_matches_literal_python(spark):
+    # vs a literal synchronous-LPA with the same min tie-break
+    import collections
+
+    pairs = [(f"n{i}", f"n{(i * 5 + 1) % 17}") for i in range(30)]
+    edges = [(a, b) for a, b in _sym(pairs) if a != b]
+    inn = collections.defaultdict(list)
+    for s, d in edges:
+        inn[d].append(s)
+    nodes = sorted({n for e in edges for n in e})
+    lbl = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            votes = collections.Counter(lbl[u] for u in inn[v])
+            if not votes:
+                new[v] = lbl[v]
+                continue
+            mc = max(votes.values())
+            new[v] = min(l for l, c in votes.items() if c == mc)
+        lbl = new
+    assert _lpa(spark, edges) == lbl
+
+
+def test_lpa_no_in_edges_keeps_own_label(spark):
+    # directed: c has no in-edges -> keeps its own label
+    got = _lpa(spark, [("c", "a"), ("a", "b"), ("b", "a")], iters=2)
+    assert got["c"] == "c"
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    pairs = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(60)]
+    edges = [(a, b) for a, b in _sym(pairs) if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, "src", "dst").collect()
+    }
+    b = {
+        r["node"]: r["community"]
+        for r in label_propagation(df.repartition(7), "src", "dst").collect()
+    }
+    assert a == b

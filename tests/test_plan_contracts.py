@@ -27,7 +27,8 @@ def _plan(spark, sf_dir, name: str) -> str:
 @pytest.mark.parametrize(
     "name",
     ["p13_lemmatize", "sentiment_full_lexicon", "f1_contains_filter",
-     "a6_top_orders", "tpch_q6_revenue_scan"],
+     "a6_top_orders", "tpch_q6_revenue_scan", "nb_lang_confusion",
+     "item_item_recs_topk", "query_likelihood_topk"],
 )
 def test_no_python_eval_nodes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
@@ -354,6 +355,25 @@ def test_pair_scoring_norms_hoisted(spark, sf_dir, name):
     assert not offenders, (
         f"{name} computes norms inside a pair-scoring node: {offenders}"
     )
+
+
+def test_nb_class_stats_broadcast_no_cartesian(spark, sf_dir):
+    """nb_lang_confusion: the few-row class-stats fan-outs must be
+    broadcast nested-loop (BuildRight) — never CartesianProduct —
+    and the (token, class) model join must stay a hash join."""
+    plan = _plan(spark, sf_dir, "nb_lang_confusion")
+    assert "CartesianProduct" not in plan, plan[:400]
+    assert re.search(r"BroadcastNestedLoopJoin \w+ BuildRight", plan)
+
+
+def test_item_cf_no_cartesian_no_python(spark, sf_dir):
+    """item_item_recs_topk: pair-gen must be the user-keyed hash
+    self-join (codegen, AQE-skew-splittable) — no nested-loop or
+    Python nodes anywhere."""
+    plan = _plan(spark, sf_dir, "item_item_recs_topk")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in item_item_recs_topk plan"
 
 
 def test_hard_negatives_window_reuses_anchor_partitioning(spark, sf_dir):

@@ -24,7 +24,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST  # noqa: E402
+from bench import (  # noqa: E402
+    LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8,
+)
 
 
 def main() -> None:
@@ -65,6 +67,7 @@ def main() -> None:
         "r5_value": _group(NEW_R5),
         "r6_value": _group(NEW_R6),
         "r7_value": _group(NEW_R7 + NEW_R7_REST),
+        "r8_value": _group(NEW_R8),
         "n_queries": len(timings),
         "runs": len(arts),
         "merge": "per-query min across full-suite runs of identical code",

@@ -225,3 +225,77 @@ def approx_heavy_hitters(
         .filter(keep)
         .orderBy(F.desc("cnt"), col)
     )
+
+
+# ------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET OPERATIONS
+# ------------------------------------------------------------------
+
+KMV_BITS = 48  # md5-prefix hash width: collision-negligible at bench
+KMV_SPACE = 1 << KMV_BITS
+KMV_SALT = "kmv-v1:"
+
+
+def kmv_hash(key: Column) -> Column:
+    """Deterministic 48-bit hash: md5-prefix, the engine's
+    cross-engine flavor (DuckDB recomputes it exactly; the
+    engine-internal xxhash64 flavor would be faster but cannot be
+    oracled). 48 bits keep every downstream integer expression —
+    including (k-1)·2⁴⁸ div h_k — inside BIGINT with no overflow
+    (60-bit hashes overflow the estimator's multiply)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(KMV_SALT), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct key hashes.
+
+    Returns (group_cols..., hv) with ≤ k rows per group — a mergeable
+    summary: the union sketch of two groups is the k smallest of
+    their sketches' union, and (unlike HLL) INTERSECTIONS estimate
+    directly from the overlap of the union sketch with each input
+    sketch (Beyer et al. 2007, "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations").
+
+    Plan: distinct (group, hash) → one rank window keyed on the
+    group. At 100 TB the refinement is a two-level k-min (per-
+    partition top-k before the group shuffle — the TakeOrdered
+    pattern per group); the window form is the certified anchor.
+    """
+    from pyspark.sql import Window
+
+    hv = (
+        df.select(*group_cols, kmv_hash(F.col(key_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group: (k-1) · 2⁴⁸ div h_k when
+    the sketch is full, else the exact sketch size (fewer than k
+    distinct keys = the sketch IS the distinct set). Pure integer
+    math — fold-order-free and engine-exact."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.max("hv").alias("__hk")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(
+            F.col("__n") >= k,
+            F.expr(f"({k} - 1) * {KMV_SPACE}L div __hk"),
+        )
+        .otherwise(F.col("__n"))
+        .cast("long")
+        .alias("est"),
+    )

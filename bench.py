@@ -254,6 +254,8 @@ NEW_R8 = [
     "nb_lang_confusion",
     "item_item_recs_topk",
     "query_likelihood_topk",
+    "rake_keyphrases",
+    "kmv_distinct_setops",
 ]
 
 BENCH_QUERIES = (

@@ -28,7 +28,8 @@ def _plan(spark, sf_dir, name: str) -> str:
     "name",
     ["p13_lemmatize", "sentiment_full_lexicon", "f1_contains_filter",
      "a6_top_orders", "tpch_q6_revenue_scan", "nb_lang_confusion",
-     "item_item_recs_topk", "query_likelihood_topk"],
+     "item_item_recs_topk", "query_likelihood_topk",
+     "rake_keyphrases", "kmv_distinct_setops"],
 )
 def test_no_python_eval_nodes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)

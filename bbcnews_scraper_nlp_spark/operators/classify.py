@@ -32,27 +32,57 @@ from pyspark.sql import functions as F
 
 MILLI = 1000  # log-likelihood quantum: milli-nats
 
+HASH_SALT = "fh-v1:"
+
+
+def feature_hash(token: Column, n_buckets: int) -> Column:
+    """The hashing trick (Weinberger et al. 2009): token → bucket id
+    via the engine's md5-prefix flavor (DuckDB recomputes it
+    exactly; 48 bits mod B is uniform for B ≪ 2⁴⁸). With hashed
+    features the NB model is (n_buckets × classes) rows REGARDLESS
+    of vocabulary — the 100 TB path where even a Heaps-bounded vocab
+    table is unwelcome state: no vocab join, no OOV rows, a
+    fixed-size broadcastable model."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(HASH_SALT), token)), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long") % n_buckets
+
 
 def nb_train_predict(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Train a Laplace-smoothed multinomial NB on ``docs`` and score
     every document (resubstitution — the operator demo; split
     train/score callers pass disjoint frames through ``nb_model`` +
-    ``nb_predict`` below).
+    ``nb_predict`` below). ``hash_buckets`` switches features from
+    raw tokens to the hashing trick (``feature_hash``).
 
     Returns (id, label, pred, score_milli): the argmax class per
     document with its integer milli-nat log-posterior.
     """
-    model, classes = nb_model(docs, text_col, label_col)
-    return nb_predict(docs, model, classes, id_col, text_col, label_col)
+    model, classes = nb_model(docs, text_col, label_col, hash_buckets)
+    return nb_predict(
+        docs, model, classes, id_col, text_col, label_col, hash_buckets
+    )
+
+
+def _nb_feature(w: Column, hash_buckets: int | None) -> Column:
+    return feature_hash(w, hash_buckets) if hash_buckets else w
 
 
 def nb_model(
-    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    hash_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One-pass NB training.
 
@@ -63,10 +93,14 @@ def nb_model(
     default ROUND(1000 * ln(1 / (tot_c + V))), a few rows,
     broadcastable.
     """
-    tok = docs.select(
-        F.col(label_col).alias("cls"),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).filter(F.col("w") != "")
+    tok = (
+        docs.select(
+            F.col(label_col).alias("cls"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("w", _nb_feature(F.col("w"), hash_buckets))
+    )
     wc = tok.groupBy("w", "cls").agg(F.count("*").alias("cnt"))
     totals = tok.groupBy("cls").agg(F.count("*").alias("tot"))
     vocab = tok.select(F.countDistinct("w").alias("v"))
@@ -116,6 +150,7 @@ def nb_predict(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Score every document against every class and take the integer
     argmax (ties → minimum class label). Documents with no tokens
@@ -132,6 +167,7 @@ def nb_predict(
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )
         .filter(F.col("w") != "")
+        .withColumn("w", _nb_feature(F.col("w"), hash_buckets))
         .groupBy("id", "w")
         .agg(F.count("*").alias("tf"))
     )

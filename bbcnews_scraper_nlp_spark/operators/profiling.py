@@ -263,9 +263,12 @@ def kmv_sketch(
     Estimation Under Multiset Operations").
 
     Plan: distinct (group, hash) → one rank window keyed on the
-    group. At 100 TB the refinement is a two-level k-min (per-
-    partition top-k before the group shuffle — the TakeOrdered
-    pattern per group); the window form is the certified anchor.
+    group. The two-level k-min a 100 TB run needs is already
+    PHYSICAL: Spark 4 plans rank-filter windows as WindowGroupLimit
+    with a partial per-partition top-k BELOW the group Exchange and
+    the final top-k above it (contract-locked in
+    tests/test_plan_contracts.py) — only ≤ k rows per (partition,
+    group) ever shuffle.
     """
     from pyspark.sql import Window
 

@@ -4391,11 +4391,13 @@ def kmv_distinct_setops(
     whole sketch DETERMINISTIC: estimates hash-match in DuckDB
     exactly — no bound certificate needed, unlike
     approx_distinct_users' HLL. 48-bit hashes keep (k−1)·2⁴⁸ div h_k
-    inside BIGINT. At 100 TB: one distinct (type, hash) shuffle, the
-    k-min window keys on the group (two-level per-partition k-min is
-    the documented refinement), sketches are ≤ k rows — merge and
-    intersect cost nothing. Sketch rows persist once (cache_handles
-    contract) because the union/intersect legs re-read them."""
+    inside BIGINT. At 100 TB: one distinct (type, hash) shuffle, and
+    the k-min window is PHYSICALLY two-level (WindowGroupLimit runs
+    a partial per-partition top-k below the group Exchange —
+    contract-locked), so only ≤ k rows per (partition, group) ever
+    shuffle; sketches are ≤ k rows — merge and intersect cost
+    nothing. Sketch rows persist once (cache_handles contract)
+    because the union/intersect legs re-read them."""
     from .operators.profiling import kmv_estimate, kmv_sketch
 
     events = load_table(spark, sf_dir, "events")
@@ -7482,9 +7484,19 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
 
 
-_NB_SQL = (
-    "WITH tk AS (SELECT doc_id, lang, w FROM (SELECT doc_id, lang, "
-    "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+def _nb_sql(feature: str = "w") -> str:
+    """The NB train+predict+confusion oracle, parameterized by the
+    feature expression over the raw token ``w`` (identity for the
+    vocab model, md5-mod for the hashing-trick model)."""
+    return (
+        f"WITH tk AS (SELECT doc_id, lang, {feature} AS w FROM "
+        "(SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w <> ''), "
+        + _NB_SQL_BODY
+    )
+
+
+_NB_SQL_BODY = (
     "wc AS (SELECT w, lang AS cls, COUNT(*) AS cnt FROM tk GROUP BY 1, 2), "
     "tot AS (SELECT lang AS cls, COUNT(*) AS tot FROM tk GROUP BY 1), "
     "voc AS (SELECT COUNT(DISTINCT w) AS v FROM tk), "
@@ -7514,7 +7526,7 @@ _NB_SQL = (
 )
 
 
-@register("nb_lang_confusion", _NB_SQL)
+@register("nb_lang_confusion", _nb_sql())
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained AND
     scored in-engine (operators/classify.py), reduced to the
@@ -7533,6 +7545,39 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", widen=True)
     out = nb_train_predict(docs, "doc_id", "text", "lang")
+    return out.groupBy("label", "pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_NB_HASH_BUCKETS = 4096
+
+
+@register(
+    "nb_lang_confusion_hashed",
+    _nb_sql(
+        "CAST(('0x' || substr(md5('fh-v1:' || w), 1, 12)) AS UBIGINT) "
+        f"% {_NB_HASH_BUCKETS}"
+    ),
+)
+def nb_lang_confusion_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick variant of nb_lang_confusion (Weinberger et
+    al. 2009): features are md5-mod-4096 buckets instead of raw
+    tokens, so the trained model is a FIXED (4096 × classes) table
+    regardless of vocabulary — the 100 TB shape where even a
+    Heaps-bounded vocab table is unwelcome state (no vocab to
+    maintain, no OOV rows at predict time, the model always
+    broadcasts). Same train+predict+confusion relation, same
+    milli-nat integer scoring; the md5 flavor keeps the whole thing
+    hash-exact in DuckDB. Bucket collisions fold rare tokens
+    together — the standard accuracy/state trade, here pinned
+    cross-engine instead of approximated."""
+    from .operators.classify import nb_train_predict
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    out = nb_train_predict(
+        docs, "doc_id", "text", "lang", hash_buckets=_NB_HASH_BUCKETS
+    )
     return out.groupBy("label", "pred").agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -8281,6 +8326,7 @@ _WINDOW_ORDER = [
     "query_likelihood_topk",
     "rake_keyphrases",
     "kmv_distinct_setops",
+    "nb_lang_confusion_hashed",
     "hard_negatives_topk",
     "triangle_count_suppliers",
     # Then re-certification of the stalest driver evidence: every
@@ -8328,10 +8374,10 @@ _WINDOW_ORDER = [
     "dedup_cc_clusters",
     "tpch_q8_market_share",
     "streaming_windowed_counts",
-    "streaming_session_windows",
-    # (tpch_q21_waiting_suppliers + contamination_check were bumped
-    # by the late-round rake/kmv additions; they rotate next round
-    # with the remaining r4 rows)
+    # (tpch_q21_waiting_suppliers, contamination_check and
+    # streaming_session_windows were bumped by the late-round
+    # rake/kmv/hashed-NB additions; they rotate next round with the
+    # remaining r4 rows)
 ]
 
 

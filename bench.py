@@ -256,6 +256,7 @@ NEW_R8 = [
     "query_likelihood_topk",
     "rake_keyphrases",
     "kmv_distinct_setops",
+    "nb_lang_confusion_hashed",
 ]
 
 BENCH_QUERIES = (

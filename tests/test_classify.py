@@ -92,3 +92,27 @@ def test_model_frames_shapes(spark):
     c = {r["cls"]: r for r in classes.collect()}
     assert set(c) == {"x", "y"}
     assert all(r["miss_milli"] < 0 and r["prior_milli"] < 0 for r in c.values())
+
+
+def test_hashed_features_model_is_fixed_size(spark):
+    rows = [
+        (i, "aaa bbb aaa", "x") for i in range(5)
+    ] + [
+        (10 + i, "ccc ddd ccc", "y") for i in range(5)
+    ]
+    model, classes = nb_model(_docs(spark, rows), hash_buckets=4096)
+    m = model.collect()
+    # only SEEN (bucket, class) pairs materialize, and bucket ids are
+    # the literal md5-mod values
+    import hashlib
+
+    def bkt(w):
+        return int(hashlib.md5(f"fh-v1:{w}".encode()).hexdigest()[:12], 16) % 4096
+
+    assert {(r["w"], r["cls"]) for r in m} == {
+        (bkt("aaa"), "x"), (bkt("bbb"), "x"),
+        (bkt("ccc"), "y"), (bkt("ddd"), "y"),
+    }
+    # disjoint vocab (no bucket collisions here) -> still diagonal
+    out = nb_train_predict(_docs(spark, rows), hash_buckets=4096).collect()
+    assert all(r["pred"] == r["label"] for r in out)

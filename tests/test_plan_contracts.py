@@ -29,7 +29,8 @@ def _plan(spark, sf_dir, name: str) -> str:
     ["p13_lemmatize", "sentiment_full_lexicon", "f1_contains_filter",
      "a6_top_orders", "tpch_q6_revenue_scan", "nb_lang_confusion",
      "item_item_recs_topk", "query_likelihood_topk",
-     "rake_keyphrases", "kmv_distinct_setops"],
+     "rake_keyphrases", "kmv_distinct_setops",
+     "nb_lang_confusion_hashed"],
 )
 def test_no_python_eval_nodes(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
@@ -356,6 +357,24 @@ def test_pair_scoring_norms_hoisted(spark, sf_dir, name):
     assert not offenders, (
         f"{name} computes norms inside a pair-scoring node: {offenders}"
     )
+
+
+def test_kmv_topk_is_two_level_window_group_limit(spark, sf_dir):
+    """kmv_distinct_setops: the k-min rank window must plan as the
+    two-level WindowGroupLimit — a PARTIAL per-partition top-k below
+    the group Exchange and the final one above it. This is the
+    property that makes the sketch 100 TB-safe (only <= k rows per
+    (partition, group) shuffle); losing it re-shuffles every
+    distinct (group, hash) row."""
+    plan = _plan(spark, sf_dir, "kmv_distinct_setops")
+    nodes = re.findall(r"^\s*:?\s*\+?- (WindowGroupLimit|Exchange)",
+                       plan, re.M)
+    # at least one WindowGroupLimit pair sandwiching an Exchange
+    joined = ">".join(nodes)
+    assert "WindowGroupLimit>Exchange>WindowGroupLimit" in joined, nodes
+    detail = re.findall(r"\(\d+\) WindowGroupLimit\n(?:.*\n)*?"
+                        r"Arguments: .*?(Partial|Final)", plan)
+    assert "Partial" in detail and "Final" in detail, detail
 
 
 def test_nb_class_stats_broadcast_no_cartesian(spark, sf_dir):

@@ -4377,6 +4377,58 @@ _KMV_SQL = (
 )
 
 
+_KMV_STREAM_SQL = (
+    "WITH hv AS (SELECT DISTINCT event_type, "
+    "CAST(('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), "
+    "1, 12)) AS UBIGINT) AS hv FROM events), "
+    "sk AS (SELECT event_type, hv FROM (SELECT event_type, hv, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn "
+    f"FROM hv) WHERE rn <= {_KMV_K}) "
+    "SELECT event_type, CAST(CASE WHEN COUNT(*) >= "
+    f"{_KMV_K} THEN {_KMV_K - 1} * {_KMV_SPACE} // MAX(hv) "
+    "ELSE COUNT(*) END AS BIGINT) AS est FROM sk GROUP BY event_type"
+)
+
+
+@register("streaming_kmv_distinct", _KMV_STREAM_SQL)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count with PERSISTENT KMV state
+    (streaming/ingest.kmv_stream): each micro-batch writes its
+    per-type k-min delta as a (lineage, batch) dynamic partition;
+    the merged sketch is the k smallest DISTINCT hashes across all
+    deltas — k-min-of-union, idempotent under epoch replay even
+    WITHOUT the partition overwrite (duplication is absorbed by
+    distinct), the set-cardinality sibling of the cms_stream counter
+    state. Because md5-KMV is fully deterministic, the drained
+    merged sketch equals the batch-built sketch EXACTLY, so the
+    batch KMV estimate SQL is the oracle — a streaming sketch
+    pipeline certified value-exact cross-engine. At 100 TB: each
+    delta is ≤ k rows per (partition, group) at write time
+    (WindowGroupLimit, contract-locked on the batch twin); the
+    merge reads n_batches × k-row deltas, never raw history."""
+    import tempfile
+
+    from .operators.profiling import kmv_estimate
+    from .streaming.ingest import kmv_stream, read_kmv_sketch
+
+    # establishes the nanos-ts read conf for the raw events schema
+    load_table(spark, sf_dir, "events")
+    ev_path = f"{sf_dir}/events.parquet"
+    sketch = tempfile.mkdtemp(prefix="kmv_sketch_")
+    q = kmv_stream(
+        spark,
+        ev_path,
+        sketch,
+        tempfile.mkdtemp(prefix="ckpt_kmv_"),
+        key="user_id",
+        group_cols=["event_type"],
+        k=_KMV_K,
+    )
+    q.awaitTermination()
+    sk = read_kmv_sketch(spark, sketch, ["event_type"], k=_KMV_K)
+    return kmv_estimate(sk, ["event_type"], k=_KMV_K)
+
+
 @register("kmv_distinct_setops", _KMV_SQL)
 def kmv_distinct_setops(
     spark: SparkSession, sf_dir: str, cache_handles: list | None = None
@@ -8327,6 +8379,7 @@ _WINDOW_ORDER = [
     "rake_keyphrases",
     "kmv_distinct_setops",
     "nb_lang_confusion_hashed",
+    "streaming_kmv_distinct",
     "hard_negatives_topk",
     "triangle_count_suppliers",
     # Then re-certification of the stalest driver evidence: every
@@ -8373,11 +8426,10 @@ _WINDOW_ORDER = [
     "multimodal_image_meta",
     "dedup_cc_clusters",
     "tpch_q8_market_share",
-    "streaming_windowed_counts",
-    # (tpch_q21_waiting_suppliers, contamination_check and
-    # streaming_session_windows were bumped by the late-round
-    # rake/kmv/hashed-NB additions; they rotate next round with the
-    # remaining r4 rows)
+    # (tpch_q21_waiting_suppliers, contamination_check,
+    # streaming_session_windows and streaming_windowed_counts were
+    # bumped by the late-round rake/kmv/hashed-NB/streaming-kmv
+    # additions; they rotate next round with the remaining r4 rows)
 ]
 
 

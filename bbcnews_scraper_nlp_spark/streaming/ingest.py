@@ -906,6 +906,98 @@ def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     return deltas.groupBy("row_i", "col_j").agg(F.sum("cnt").alias("cnt"))
 
 
+def kmv_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_path: str,
+    checkpoint: str,
+    key: str,
+    group_cols: list[str],
+    k: int = 64,
+):
+    """Streaming DISTINCT-count tracking with persistent KMV state —
+    the set-cardinality sibling of ``cms_stream`` (frequencies).
+    Each micro-batch writes its own per-group k-min sketch
+    (``profiling.kmv_sketch``) as a ``(__lineage, __batch)`` dynamic
+    partition; the merged sketch at any moment is the k smallest
+    DISTINCT hashes across all deltas (``read_kmv_sketch``) — KMV
+    merges by k-min-of-union, not by addition, which is what makes
+    it also INTERSECTABLE across groups (kmv_distinct_setops).
+
+    Exactly-once by the cms_stream argument, and stronger than it
+    needs to be: md5 hashing makes each delta bit-identical on epoch
+    replay, and even a DOUBLE-counted delta would be absorbed by the
+    distinct-union merge (k-min is idempotent under duplication —
+    the lineage guard still applies so mixed pipelines fail loudly
+    rather than silently mixing scopes).
+
+    Sketch table size: n_batches × (≤ k rows per group per batch).
+    """
+    import os
+
+    from ..operators.profiling import kmv_sketch
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if input_dir.endswith(".parquet"):
+        parent, leaf = os.path.split(input_dir.rstrip("/"))
+        reader = reader.option("pathGlobFilter", leaf)
+        stream = reader.parquet(parent)
+    else:
+        stream = reader.parquet(input_dir)
+
+    lineage_cache: dict[str, str] = {}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if "id" not in lineage_cache:
+            lineage_cache["id"] = checkpoint_lineage(spark, checkpoint)
+        delta = kmv_sketch(batch, key, group_cols, k=k)
+        (
+            delta.withColumn("__lineage", F.lit(lineage_cache["id"]))
+            .withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__lineage", "__batch")
+            .parquet(sketch_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_sketch(
+    spark: SparkSession, sketch_path: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge the per-batch KMV deltas into the current sketch: the k
+    smallest DISTINCT hashes per group (idempotent and
+    order-independent — k-min of a union). Same mixed-lineage guard
+    as read_cms_sketch."""
+    from pyspark.sql import Window
+
+    deltas = spark.read.parquet(sketch_path)
+    if "__lineage" in deltas.columns:
+        n_lineages = deltas.select("__lineage").distinct().count()
+        if n_lineages > 1:
+            raise ValueError(
+                f"read_kmv_sketch: {sketch_path} holds deltas from "
+                f"{n_lineages} checkpoint lineages; keep one sketch "
+                "table per pipeline lineage."
+            )
+    hv = deltas.select(*group_cols, "hv").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def commit_stream_batch(
     batch: DataFrame, table_root: str, batch_id: int, lineage: str = ""
 ) -> int | None:

@@ -257,6 +257,7 @@ NEW_R8 = [
     "rake_keyphrases",
     "kmv_distinct_setops",
     "nb_lang_confusion_hashed",
+    "streaming_kmv_distinct",
 ]
 
 BENCH_QUERIES = (

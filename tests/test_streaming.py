@@ -548,3 +548,74 @@ def test_versioned_sink_stream_exactly_once(spark, sf_dir, tmp_path):
     assert read_version(spark, root).count() == n_input + 3
     # time travel: the pre-append version is untouched
     assert read_version(spark, root, version=v - 1).count() == n_input
+
+
+def test_kmv_stream_merged_sketch_equals_batch_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    from bbcnews_scraper_nlp_spark.operators.profiling import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        kmv_stream,
+        read_kmv_sketch,
+    )
+
+    docs_dir = f"{sf_dir}/documents.parquet"
+    sketch = str(tmp_path / "kmv")
+
+    q = kmv_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ck1"),
+        key="doc_id", group_cols=["source"], k=8,
+    )
+    q.awaitTermination()
+    merged = read_kmv_sketch(spark, sketch, ["source"], k=8)
+    got = {(r["source"], r["hv"]) for r in merged.collect()}
+    batch_df = spark.read.parquet(docs_dir)
+    want_sketch = kmv_sketch(batch_df, "doc_id", ["source"], k=8)
+    want = {(r["source"], r["hv"]) for r in want_sketch.collect()}
+    # md5 KMV is deterministic: streaming-merged == batch-built EXACTLY
+    assert got == want
+
+    # estimates off the merged sketch equal the batch path too
+    est_s = {
+        r["source"]: r["est"]
+        for r in kmv_estimate(merged, ["source"], k=8).collect()
+    }
+    est_b = {
+        r["source"]: r["est"]
+        for r in kmv_estimate(want_sketch, ["source"], k=8).collect()
+    }
+    assert est_s == est_b
+
+    # epoch replay: re-write one batch's delta exactly as foreachBatch
+    # would — k-min-of-union is idempotent under duplication
+    deltas = spark.read.parquet(sketch)
+    lineage = deltas.select("__lineage").first()["__lineage"]
+    replay_bid = deltas.select("__batch").first()["__batch"]
+    (
+        kmv_sketch(batch_df, "doc_id", ["source"], k=8)
+        .withColumn("__lineage", F.lit(lineage))
+        .withColumn("__batch", F.lit(int(replay_bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__lineage", "__batch")
+        .parquet(sketch)
+    )
+    again = {
+        (r["source"], r["hv"])
+        for r in read_kmv_sketch(spark, sketch, ["source"], k=8).collect()
+    }
+    assert again == want
+
+    # a FRESH checkpoint is a new lineage: the reader refuses the mix
+    q2 = kmv_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ck2"),
+        key="doc_id", group_cols=["source"], k=8,
+    )
+    q2.awaitTermination()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lineage"):
+        read_kmv_sketch(spark, sketch, ["source"], k=8)

@@ -575,3 +575,18 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rk", "__rn")
     )
+
+
+def kfold_split(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
+    """Add a ``fold`` column in [0, k) by hash-bucketing the id —
+    deterministic k-fold cross-validation assignment (fold i's
+    validation set = fold == i, training set = the rest; every row
+    validates exactly once across the k rounds by construction).
+    Same engine-portable md5 bucketing as ``deterministic_split``:
+    reproducible across runs/engines/partitionings, pure projection,
+    no shuffle, no state — the property that lets a 100 TB corpus
+    re-materialize the same folds in every epoch and on every
+    engine."""
+    return df.withColumn(
+        "fold", hash_bucket(F.col(id_col), k).cast("int")
+    )

@@ -3031,6 +3031,35 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kfold_assignment",
+    f"WITH b AS (SELECT doc_id, n_chars, {_BUCKET_SQL} % 5 AS fold "
+    "FROM documents) "
+    "SELECT CAST(fold AS INT) AS fold, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM b GROUP BY fold",
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (traindata.kfold_split): fold = md5-bucket(doc_id) % 5, so fold
+    membership is a pure function of the id — the same folds
+    re-materialize on every run, engine, and partitioning (the
+    evaluation counterpart of split_train_val_test). The per-fold
+    char sums pin the MEMBERSHIP, not just the sizes, cross-engine.
+    Pure projection + one 5-row aggregate; zero shuffles beyond the
+    map-side-combinable count."""
+    from .operators.traindata import kfold_split
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return (
+        kfold_split(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 _CONTAM_N = 5
 _CONTAM_SQL = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

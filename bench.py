@@ -258,6 +258,7 @@ NEW_R8 = [
     "kmv_distinct_setops",
     "nb_lang_confusion_hashed",
     "streaming_kmv_distinct",
+    "kfold_assignment",
 ]
 
 BENCH_QUERIES = (

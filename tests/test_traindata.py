@@ -500,3 +500,27 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         [(1, 0.0), (2, -3.0), (3, 1.0)], "k long, w double"
     )
     assert [r["k"] for r in weighted_sample(df2, "w", "k", k=5).collect()] == [3]
+
+
+def test_kfold_split_partitions_and_is_deterministic(spark):
+    from bbcnews_scraper_nlp_spark.operators.traindata import kfold_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    out = kfold_split(df, "doc_id", k=5)
+    rows = out.collect()
+    # every row gets exactly one fold in [0, 5)
+    assert all(0 <= r["fold"] < 5 for r in rows)
+    assert len(rows) == 200
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in kfold_split(df.repartition(7), "doc_id", k=5).collect()
+    }
+    assert again == {r["doc_id"]: r["fold"] for r in rows}
+    # roughly balanced (md5 uniformity: each fold ~40 of 200)
+    import collections
+
+    sizes = collections.Counter(r["fold"] for r in rows)
+    assert len(sizes) == 5 and all(20 <= v <= 60 for v in sizes.values())

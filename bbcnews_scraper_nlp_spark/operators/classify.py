@@ -27,7 +27,7 @@ broadcast it when small. No Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MILLI = 1000  # log-likelihood quantum: milli-nats
@@ -202,4 +202,208 @@ def nb_predict(
         full.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "label", F.col("cls").alias("pred"), "score_milli")
+    )
+
+def nb_kfold_predict(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    k: int = 3,
+) -> DataFrame:
+    """K-fold cross-validated NB: every document is scored by the
+    model trained on the OTHER k-1 folds — the honest held-out
+    evaluation (``nb_train_predict`` is resubstitution by design).
+
+    The naive form retrains k times (k full token passes). This is
+    ONE pass: counts are aggregated per (key, fold) once, and each
+    fold's leave-one-out model is derived by SUBTRACTION over a
+    k-row fold grid — cnt_train(i) = cnt_total − cnt_fold(i), the
+    same for class token totals, per-fold vocabulary sizes
+    (V(i) = #{w : cnt_w_total > cnt_w_fold(i)}), class doc counts,
+    and corpus size. Folds come from ``traindata.kfold_split``
+    (md5-bucket — engine-portable, so a DuckDB oracle reproduces
+    fold membership AND every model weight bit-for-bit).
+
+    Returns (fold, id, label, pred, score_milli). At 100 TB: the
+    token explode still happens once; model state is Heaps-bounded
+    × k; every shuffle keys on (token[, class][, fold]) — the
+    subtraction grid joins are driven by a k-row broadcast.
+    """
+    from .traindata import kfold_split
+
+    d = kfold_split(docs, id_col, k)
+    folds = F.broadcast(
+        docs.sparkSession.range(k).select(F.col("id").cast("int").alias("fold"))
+    )
+
+    tok = (
+        d.select(
+            F.col(label_col).alias("cls"),
+            "fold",
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+
+    # (token, class): per-fold counts once, totals derived from them
+    # (the second agg reads the already-Heaps-bounded first, and the
+    # leave-one-out grid left-joins back on (w, cls, fold))
+    wcf = tok.groupBy("w", "cls", "fold").agg(F.count("*").alias("cnt_f"))
+    wct = wcf.groupBy("w", "cls").agg(F.sum("cnt_f").alias("cnt_t"))
+    model_cnt = (
+        wct.join(folds)
+        .join(wcf, ["w", "cls", "fold"], "left")
+        .select(
+            "w",
+            "cls",
+            "fold",
+            (F.col("cnt_t") - F.coalesce("cnt_f", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+    # class token totals per training complement (classes × k rows)
+    tcf = tok.groupBy("cls", "fold").agg(F.count("*").alias("t_f"))
+    tct = tcf.groupBy("cls").agg(F.sum("t_f").alias("t_t"))
+    tot = (
+        tct.join(folds)
+        .join(tcf, ["cls", "fold"], "left")
+        .select(
+            "cls",
+            "fold",
+            (F.col("t_t") - F.coalesce("t_f", F.lit(0))).alias("tot"),
+        )
+    )
+
+    # per-fold training vocabulary: a token counts for fold i's model
+    # iff it occurs OUTSIDE fold i
+    wf = tok.groupBy("w", "fold").agg(F.count("*").alias("u_f"))
+    wt = wf.groupBy("w").agg(F.sum("u_f").alias("u_t"))
+    voc = (
+        wt.join(folds)
+        .join(wf, ["w", "fold"], "left")
+        .filter(F.col("u_t") > F.coalesce("u_f", F.lit(0)))
+        .groupBy("fold")
+        .agg(F.count("*").alias("v"))
+    )
+
+    # class doc counts + corpus size per training complement
+    ncf = d.groupBy(F.col(label_col).alias("cls"), F.col("fold")).agg(
+        F.count("*").alias("m_f")
+    )
+    nct = ncf.groupBy("cls").agg(F.sum("m_f").alias("m_t"))
+    nc = (
+        nct.join(folds)
+        .join(ncf, ["cls", "fold"], "left")
+        .select(
+            "cls",
+            "fold",
+            (F.col("m_t") - F.coalesce("m_f", F.lit(0))).alias("n_c"),
+        )
+    )
+    nf = d.groupBy("fold").agg(F.count("*").alias("q_f"))
+    na = d.agg(F.count("*").alias("q_t"))
+    nn = (
+        folds.join(F.broadcast(na))
+        .join(nf, ["fold"], "left")
+        .select(
+            "fold",
+            (F.col("q_t") - F.coalesce("q_f", F.lit(0))).alias("n"),
+        )
+    )
+
+    # a class is a candidate for fold i only if it has training docs
+    classes = (
+        nc.join(tot, ["cls", "fold"])
+        .join(voc, "fold")
+        .join(nn, "fold")
+        .filter(F.col("n_c") > 0)
+        .select(
+            "cls",
+            "fold",
+            "tot",
+            "v",
+            F.round(F.lit(MILLI) * F.log(F.col("n_c") / F.col("n")))
+            .cast("long")
+            .alias("prior_milli"),
+            F.round(
+                F.lit(MILLI)
+                * F.log(F.lit(1.0) / (F.col("tot") + F.col("v")))
+            )
+            .cast("long")
+            .alias("miss_milli"),
+        )
+    )
+    # ≤ classes × k rows, read by three consumers: eager-materialize
+    # once so each broadcast build does not re-run the count chain
+    # (broadcast builds never see ReusedExchange)
+    classes = classes.localCheckpoint(eager=True)
+
+    model = model_cnt.join(
+        F.broadcast(classes.select("cls", "fold", "tot", "v")), ["cls", "fold"]
+    ).select(
+        "w",
+        "cls",
+        "fold",
+        F.round(
+            F.lit(MILLI)
+            * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+        )
+        .cast("long")
+        .alias("ll_milli"),
+    )
+
+    # predict: each document scored against ITS OWN fold's held-out
+    # model (the fold column rides the tf table, so the model join is
+    # a plain (w, cls, fold) hash join)
+    base = d.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"), "fold"
+    )
+    tf = (
+        d.select(
+            F.col(id_col).alias("id"),
+            "fold",
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("id", "fold", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(classes.select("cls", "fold", "miss_milli")), "fold")
+        .join(model, ["w", "cls", "fold"], "left")
+        .select(
+            "id",
+            "cls",
+            "fold",
+            (
+                F.col("tf") * F.coalesce(F.col("ll_milli"), F.col("miss_milli"))
+            ).alias("s"),
+        )
+        .groupBy("id", "cls", "fold")
+        .agg(F.sum("s").alias("tok_milli"))
+    )
+    full = (
+        base.join(
+            F.broadcast(classes.select("cls", "fold", "prior_milli")), "fold"
+        )
+        .join(scored, ["id", "cls", "fold"], "left")
+        .select(
+            "id",
+            "label",
+            "fold",
+            "cls",
+            (F.col("prior_milli") + F.coalesce("tok_milli", F.lit(0))).alias(
+                "score_milli"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_milli"), "cls")
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fold", "id", "label", F.col("cls").alias("pred"), "score_milli"
+        )
     )

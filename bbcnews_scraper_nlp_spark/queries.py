@@ -4402,7 +4402,8 @@ _KMV_SQL = (
     "SELECT scope, CAST(est AS BIGINT) AS est FROM per "
     "UNION ALL SELECT 'union:click+view', CAST(est AS BIGINT) FROM uest "
     "UNION ALL SELECT 'intersect:click+view', "
-    "CAST(x * est // n AS BIGINT) FROM xc, uest"
+    "CAST(CASE WHEN n > 0 THEN x * est // n ELSE 0 END "
+    "AS BIGINT) FROM xc, uest"
 )
 
 
@@ -4435,6 +4436,7 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta is ≤ k rows per (partition, group) at write time
     (WindowGroupLimit, contract-locked on the batch twin); the
     merge reads n_batches × k-row deltas, never raw history."""
+    import shutil
     import tempfile
 
     from .operators.profiling import kmv_estimate
@@ -4443,19 +4445,27 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # establishes the nanos-ts read conf for the raw events schema
     load_table(spark, sf_dir, "events")
     ev_path = f"{sf_dir}/events.parquet"
-    sketch = tempfile.mkdtemp(prefix="kmv_sketch_")
+    # one per-run root so the sketch + checkpoint state can be removed
+    # as a unit once the estimate is materialized — repeated bench /
+    # correctness invocations must not accumulate orphaned temp state
+    run_root = tempfile.mkdtemp(prefix="kmv_run_")
     q = kmv_stream(
         spark,
         ev_path,
-        sketch,
-        tempfile.mkdtemp(prefix="ckpt_kmv_"),
+        f"{run_root}/sketch",
+        f"{run_root}/ckpt",
         key="user_id",
         group_cols=["event_type"],
         k=_KMV_K,
     )
     q.awaitTermination()
-    sk = read_kmv_sketch(spark, sketch, ["event_type"], k=_KMV_K)
-    return kmv_estimate(sk, ["event_type"], k=_KMV_K)
+    sk = read_kmv_sketch(spark, f"{run_root}/sketch", ["event_type"], k=_KMV_K)
+    est = kmv_estimate(sk, ["event_type"], k=_KMV_K)
+    # materialize the ≤ #types-row estimate before deleting the state
+    # it reads from, then hand back a self-contained local relation
+    out = spark.createDataFrame(est.collect(), est.schema)
+    shutil.rmtree(run_root, ignore_errors=True)
+    return out
 
 
 @register("kmv_distinct_setops", _KMV_SQL)
@@ -4517,7 +4527,10 @@ def kmv_distinct_setops(
         x.crossJoin(uest)
         .select(
             F.lit("intersect:click+view").alias("scope"),
-            F.expr("x * est div n").cast("long").alias("est"),
+            F.when(F.col("n") > 0, F.expr("x * est div n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est"),
         )
     )
     return per.select(
@@ -6300,8 +6313,11 @@ def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-ppm common-customer Jaccard (rank-based sparsification — a
 # fixed absolute threshold goes vacuous as density shifts with scale;
 # top-M keeps downstream graph ops bounded AND non-trivial at every
-# sf). Shared by triangle_count_suppliers and
-# community_detection_suppliers (SQL twin: _STRONG_TIE_CTES).
+# sf). Used by triangle_count_suppliers (SQL twin: _STRONG_TIE_CTES);
+# community_detection_suppliers deliberately does NOT reuse it — the
+# global top-2000 cut is near-complete at small node counts and floods
+# LPA to one community, so that query builds its own mutual-kNN
+# projection.
 _STRONG_TIE_CTES = (
     f"e0 AS ({_BIPROJ_SQL}), "
     "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
@@ -6415,7 +6431,9 @@ def pagerank_copurchase(
     return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
 
 
-def _lpa_oracle_sql(iters: int = 3, k: int = 3) -> str:
+def _lpa_oracle_sql(
+    iters: int = 3, k: int = 3, final: str | None = None
+) -> str:
     """Unrolled synchronous-LPA twin of operators.graph.
     label_propagation over the mutual-kNN supplier graph (pure
     integer Jaccard-ppm scores, row_number kNN cut, integer vote
@@ -6461,7 +6479,9 @@ def _lpa_oracle_sql(iters: int = 3, k: int = 3) -> str:
         )
         prev = f"lab{i}"
     parts.append(
-        f" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS "
+        final.format(last=prev)
+        if final is not None
+        else f" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS "
         f"n_members FROM {prev} GROUP BY lbl"
     )
     return "".join(parts)
@@ -6492,6 +6512,19 @@ def community_detection_suppliers(
     family)."""
     from .operators.graph import label_propagation
 
+    edges = _supplier_knn_edges(spark, sf_dir)
+    lp = label_propagation(
+        edges, "s1", "s2", iters=3, cache_handles=cache_handles
+    )
+    return lp.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+def _supplier_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutual-kNN supplier graph (symmetrized top-3 integer-ppm
+    common-customer Jaccard ties) shared by
+    community_detection_suppliers and community_modularity."""
     e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
     # ordered pairs once (halves the user-keyed join fan-out — the
@@ -6518,14 +6551,96 @@ def community_detection_suppliers(
         .filter(F.col("rn") <= 3)
         .select("s1", "s2")
     )
-    edges = knn.union(
+    return knn.union(
         knn.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
     ).distinct()
-    lp = label_propagation(
+
+
+_MODULARITY_FINAL = (
+    ", dg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)"
+    ", mm AS (SELECT COUNT(*) AS m2 FROM edges)"
+    ", intra AS (SELECT l1.lbl AS community, COUNT(*) AS ie "
+    "FROM edges e JOIN {last} l1 ON e.src = l1.node "
+    "JOIN {last} l2 ON e.dst = l2.node "
+    "WHERE l1.lbl = l2.lbl GROUP BY 1)"
+    ", agg AS (SELECT l.node, l.lbl AS community, d FROM {last} l "
+    "JOIN dg ON l.node = dg.node)"
+    ", cs AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members, "
+    "CAST(SUM(d) AS BIGINT) AS deg_sum FROM agg GROUP BY 1) "
+    "SELECT cs.community, cs.n_members, "
+    "CAST(COALESCE(ie, 0) AS BIGINT) AS intra_edges, cs.deg_sum, "
+    "CAST((COALESCE(ie, 0) * m2 - cs.deg_sum * cs.deg_sum) * 1000000 "
+    "// (m2 * m2) AS BIGINT) AS q_ppm "
+    "FROM cs LEFT JOIN intra ON cs.community = intra.community "
+    "CROSS JOIN mm"
+)
+
+
+@register("community_modularity", _lpa_oracle_sql(final=_MODULARITY_FINAL))
+def community_modularity(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Newman modularity contribution per LPA community — community
+    QUALITY, not just labels: for each community c over the same
+    mutual-kNN supplier graph, q_c = e_c/2m − (deg_c/2m)², emitted
+    as the exact integer q_ppm = (e_c·2m − deg_c²)·10⁶ div (2m)²
+    alongside (n_members, intra_edges, deg_sum). Σ q_c is Newman's Q
+    — the standard community-structure score (Q≈0: no better than
+    random given degrees; well-separated graphs ≈0.3-0.7). One
+    division per community AFTER all-integer numerators keeps both
+    engines bit-equal (Spark `div` and DuckDB `//` both truncate
+    toward zero, verified on negatives — contributions CAN be
+    negative for over-connected communities). At 100 TB: two label
+    joins on node ids + two community-keyed aggs on top of the LPA
+    DAG; 2m is a 1-row broadcast."""
+    from .operators.graph import label_propagation
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    # the LPA iterations checkpoint eagerly, so `edges`' lazy subtree
+    # is re-derived only for the degree/intra legs below
+    lab = label_propagation(
         edges, "s1", "s2", iters=3, cache_handles=cache_handles
     )
-    return lp.groupBy("community").agg(
-        F.count("*").cast("long").alias("n_members")
+    dg = edges.groupBy(F.col("s1").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    m2 = F.broadcast(edges.agg(F.count("*").alias("m2")))
+    intra = (
+        edges.join(
+            lab.select(F.col("node").alias("s1"), F.col("community").alias("c1")),
+            "s1",
+        )
+        .join(
+            lab.select(F.col("node").alias("s2"), F.col("community").alias("c2")),
+            "s2",
+        )
+        .filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.count("*").alias("ie"))
+    )
+    cs = (
+        lab.join(dg, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    return (
+        cs.join(intra, "community", "left")
+        .join(m2)
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("ie", F.lit(0)).cast("long").alias("intra_edges"),
+            "deg_sum",
+            F.expr(
+                "(coalesce(ie, 0) * m2 - deg_sum * deg_sum) * 1000000 "
+                "div (m2 * m2)"
+            )
+            .cast("long")
+            .alias("q_ppm"),
+        )
     )
 
 
@@ -7660,6 +7775,106 @@ def nb_lang_confusion_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", "lang", hash_buckets=_NB_HASH_BUCKETS
     )
     return out.groupBy("label", "pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_NB_KFOLD_K = 3
+
+_NB_KFOLD_SQL = (
+    # d/tk are referenced by several legs — AS MATERIALIZED, or DuckDB
+    # inlines and re-runs the token explode once per reference
+    "WITH d AS MATERIALIZED (SELECT doc_id, lang, text, "
+    f"CAST({_BUCKET_SQL} % {_NB_KFOLD_K} AS INT) AS fold FROM documents), "
+    f"fd AS (SELECT CAST(unnest(range({_NB_KFOLD_K})) AS INT) AS fold), "
+    "tk AS MATERIALIZED (SELECT doc_id, lang AS cls, fold, w FROM "
+    "(SELECT doc_id, lang, fold, unnest(string_split(text, ' ')) AS w "
+    "FROM d) WHERE w <> ''), "
+    # leave-one-fold-out counts by subtraction over the fold grid
+    "wcf AS MATERIALIZED (SELECT w, cls, fold, COUNT(*) AS cnt_f "
+    "FROM tk GROUP BY 1, 2, 3), "
+    "wct AS (SELECT w, cls, CAST(SUM(cnt_f) AS BIGINT) AS cnt_t "
+    "FROM wcf GROUP BY 1, 2), "
+    "mc AS (SELECT wct.w, wct.cls, fd.fold, "
+    "cnt_t - COALESCE(cnt_f, 0) AS cnt FROM wct CROSS JOIN fd "
+    "LEFT JOIN wcf ON wcf.w = wct.w AND wcf.cls = wct.cls "
+    "AND wcf.fold = fd.fold WHERE cnt_t - COALESCE(cnt_f, 0) > 0), "
+    "tcf AS (SELECT cls, fold, COUNT(*) AS t_f FROM tk GROUP BY 1, 2), "
+    "tct AS (SELECT cls, CAST(SUM(t_f) AS BIGINT) AS t_t FROM tcf "
+    "GROUP BY 1), "
+    "tt AS (SELECT tct.cls, fd.fold, t_t - COALESCE(t_f, 0) AS tot "
+    "FROM tct CROSS JOIN fd LEFT JOIN tcf ON tcf.cls = tct.cls "
+    "AND tcf.fold = fd.fold), "
+    "wf AS MATERIALIZED (SELECT w, fold, COUNT(*) AS u_f FROM tk "
+    "GROUP BY 1, 2), "
+    "wt AS (SELECT w, CAST(SUM(u_f) AS BIGINT) AS u_t FROM wf GROUP BY 1), "
+    "vc AS (SELECT fd.fold, COUNT(*) AS v FROM wt CROSS JOIN fd "
+    "LEFT JOIN wf ON wf.w = wt.w AND wf.fold = fd.fold "
+    "WHERE u_t > COALESCE(u_f, 0) GROUP BY 1), "
+    "ncf AS (SELECT lang AS cls, fold, COUNT(*) AS m_f FROM d "
+    "GROUP BY 1, 2), "
+    "nct AS (SELECT cls, CAST(SUM(m_f) AS BIGINT) AS m_t FROM ncf "
+    "GROUP BY 1), "
+    "nc AS (SELECT nct.cls, fd.fold, m_t - COALESCE(m_f, 0) AS n_c "
+    "FROM nct CROSS JOIN fd LEFT JOIN ncf ON ncf.cls = nct.cls "
+    "AND ncf.fold = fd.fold), "
+    "nf AS (SELECT fold, COUNT(*) AS q_f FROM d GROUP BY 1), "
+    "na AS (SELECT COUNT(*) AS q_t FROM d), "
+    "nn AS (SELECT fd.fold, q_t - COALESCE(q_f, 0) AS n FROM fd "
+    "CROSS JOIN na LEFT JOIN nf ON nf.fold = fd.fold), "
+    "cls AS MATERIALIZED (SELECT nc.cls, nc.fold, tot, v, "
+    "CAST(ROUND(1000 * ln(CAST(n_c AS DOUBLE) / n)) AS BIGINT) "
+    "AS prior_milli, "
+    "CAST(ROUND(1000 * ln(1.0 / (tot + v))) AS BIGINT) AS miss_milli "
+    "FROM nc JOIN tt ON tt.cls = nc.cls AND tt.fold = nc.fold "
+    "JOIN vc ON vc.fold = nc.fold JOIN nn ON nn.fold = nc.fold "
+    "WHERE n_c > 0), "
+    "model AS (SELECT mc.w, mc.cls, mc.fold, "
+    "CAST(ROUND(1000 * ln((cnt + 1.0) / (tot + v))) AS BIGINT) AS ll_milli "
+    "FROM mc JOIN cls ON cls.cls = mc.cls AND cls.fold = mc.fold), "
+    "tf AS (SELECT doc_id AS id, fold, w, COUNT(*) AS tf FROM tk "
+    "GROUP BY 1, 2, 3), "
+    "sc AS (SELECT id, c.cls, tf.fold, "
+    "CAST(SUM(tf * COALESCE(ll_milli, miss_milli)) AS BIGINT) AS tok_milli "
+    "FROM tf JOIN cls c ON c.fold = tf.fold "
+    "LEFT JOIN model m ON m.w = tf.w AND m.cls = c.cls "
+    "AND m.fold = tf.fold GROUP BY 1, 2, 3), "
+    "fl AS (SELECT d.doc_id AS id, d.lang AS label, d.fold, c.cls, "
+    "c.prior_milli + COALESCE(tok_milli, 0) AS score "
+    "FROM d JOIN cls c ON c.fold = d.fold "
+    "LEFT JOIN sc ON sc.id = d.doc_id AND sc.cls = c.cls "
+    "AND sc.fold = d.fold), "
+    "pr AS (SELECT id, label, fold, cls AS pred, row_number() OVER "
+    "(PARTITION BY id ORDER BY score DESC, cls) AS rn FROM fl) "
+    "SELECT CAST(fold AS INT) AS fold, label, pred, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM pr WHERE rn = 1 GROUP BY 1, 2, 3"
+)
+
+
+@register("nb_kfold_eval", _NB_KFOLD_SQL)
+def nb_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated Naive Bayes language classification
+    (classify.nb_kfold_predict): every document is predicted by the
+    model trained on the OTHER k-1 folds — the honest held-out
+    counterpart of nb_lang_confusion's resubstitution demo, reduced
+    to the per-fold (fold, label, pred, n_docs) confusion matrix.
+    The naive form retrains k times; this is ONE token pass —
+    per-(key, fold) counts aggregated once and each fold's
+    leave-one-out model derived by SUBTRACTION over a broadcast
+    k-row fold grid (cnt_train(i) = cnt_total − cnt_fold(i), ditto
+    class totals, per-fold vocab sizes, doc counts). md5 folds
+    (traindata.kfold_split) + milli-nat integer scoring make the
+    whole evaluation hash-exact in DuckDB — a cross-validated model
+    QUALITY metric certified cross-engine, not eyeballed (reference
+    analog: the notebooks' manual topic/quality inspection). At
+    100 TB: model state is Heaps-bounded × k; all wide shuffles key
+    on (token[, class][, fold])."""
+    from .operators.classify import nb_kfold_predict
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    out = nb_kfold_predict(docs, "doc_id", "text", "lang", k=_NB_KFOLD_K)
+    return out.groupBy("fold", "label", "pred").agg(
         F.count("*").cast("long").alias("n_docs")
     )
 

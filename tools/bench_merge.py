@@ -24,8 +24,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import (  # noqa: E402
-    LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8,
+from bench_groups import (  # noqa: E402
+    LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8, NEW_R9,
 )
 
 
@@ -68,6 +68,7 @@ def main() -> None:
         "r6_value": _group(NEW_R6),
         "r7_value": _group(NEW_R7 + NEW_R7_REST),
         "r8_value": _group(NEW_R8),
+        "r9_value": _group(NEW_R9),
         "n_queries": len(timings),
         "runs": len(arts),
         "merge": "per-query min across full-suite runs of identical code",

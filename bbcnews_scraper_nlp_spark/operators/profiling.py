@@ -302,3 +302,48 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
         .cast("long")
         .alias("est"),
     )
+
+def kmv_setops(
+    sketch: DataFrame, group_col: str, a: str, b: str, k: int = 64
+) -> DataFrame:
+    """Union + intersection distinct estimates for two groups of a
+    KMV sketch frame (Beyer et al. 2007): the union sketch is the k
+    smallest DISTINCT hashes of the pooled input sketches; with n =
+    |union sketch| and x = how many of its hashes appear in BOTH
+    inputs, |A∪B| ≈ (k−1)·2⁴⁸ div h_k and |A∩B| ≈ x · est_union
+    div n — the multiset capability HLL lacks. Returns two rows
+    ("union:a+b", "intersect:a+b"). Guards n = 0 (both groups
+    empty → both estimates 0). Works identically on batch sketches
+    (kmv_sketch) and merged streaming state (read_kmv_sketch) —
+    sketches are the algebra, the source doesn't matter."""
+    pair = sketch.filter(F.col(group_col).isin(a, b))
+    u = pair.select("hv").distinct().orderBy("hv").limit(k)
+    ustat = u.agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
+    uest = ustat.select(
+        "n",
+        F.when(
+            F.col("n") >= k,
+            F.expr(f"({k} - 1) * {KMV_SPACE}L div hk"),
+        )
+        .otherwise(F.col("n"))
+        .alias("est"),
+    )
+    sa = sketch.filter(F.col(group_col) == a).select("hv")
+    sb = sketch.filter(F.col(group_col) == b).select("hv")
+    x = (
+        u.join(sa, "hv", "left_semi")
+        .join(sb, "hv", "left_semi")
+        .agg(F.count("*").alias("x"))
+    )
+    union_row = uest.select(
+        F.lit(f"union:{a}+{b}").alias("scope"),
+        F.col("est").cast("long").alias("est"),
+    )
+    inter_row = x.crossJoin(uest).select(
+        F.lit(f"intersect:{a}+{b}").alias("scope"),
+        F.when(F.col("n") > 0, F.expr("x * est div n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("est"),
+    )
+    return union_row.unionByName(inter_row)

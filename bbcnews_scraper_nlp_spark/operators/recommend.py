@@ -39,12 +39,28 @@ def item_item_topk(
     user_col: str = "user",
     item_col: str = "item",
     k: int = 3,
+    min_co: int = 1,
 ) -> DataFrame:
     """Top-``k`` most-similar items per item by binary cosine.
 
     ``interactions`` must be distinct (user, item) pairs — dedupe
     upstream (multiplicity is events, not preference strength, in
     the binary model).
+
+    ``min_co`` is the support-threshold prune — the deterministic
+    counterpart of DIMSUM's magnitude-based sampling (Zadeh &
+    Carlsson 2013): pairs with fewer than ``min_co`` co-occurrences
+    are dropped right after the pair count, BEFORE the degree joins
+    and rank window. In co-occurrence data the overwhelming bulk of
+    the Σdeg² pair volume is co=1 noise, so even min_co=2 collapses
+    the downstream join/window input by an order of magnitude —
+    the pair-volume bound that doesn't depend on the hot-user cap.
+    The top-k is UNCHANGED whenever every true top-k neighbor has
+    co ≥ min_co (a pair below the threshold has cosine² =
+    co²/(n_i·n_j) < min_co²/(n_i·n_j) — with ranks dominated by
+    well-supported pairs the cut is exact; tests pin this). The
+    (i, j) count itself still aggregates map-side first, so the
+    exchange carries partially-combined pairs either way.
 
     Returns (item, rec, sim_ppm, rank) with rank 1..k per item,
     ordered within an item by sim_ppm descending then rec ascending
@@ -60,6 +76,8 @@ def item_item_topk(
         .groupBy("i", "j")
         .agg(F.count("*").alias("co"))
     )
+    if min_co > 1:
+        co = co.filter(F.col("co") >= min_co)
     sim = (
         co.join(deg.select(F.col("i"), F.col("n").alias("ni")), "i")
         .join(deg.select(F.col("i").alias("j"), F.col("n").alias("nj")), "j")

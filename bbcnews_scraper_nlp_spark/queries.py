@@ -4379,17 +4379,27 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 64
 _KMV_SPACE = 1 << 48
 
-_KMV_SQL = (
-    "WITH hv AS (SELECT DISTINCT event_type, "
-    "CAST(('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), "
-    "1, 12)) AS UBIGINT) AS hv FROM events), "
-    "sk AS (SELECT event_type, hv FROM (SELECT event_type, hv, "
-    "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn "
-    f"FROM hv) WHERE rn <= {_KMV_K}), "
-    "per AS (SELECT 'type:' || event_type AS scope, "
-    f"CASE WHEN COUNT(*) >= {_KMV_K} THEN "
-    f"{_KMV_K - 1} * {_KMV_SPACE} // MAX(hv) "
-    "ELSE COUNT(*) END AS est FROM sk GROUP BY event_type), "
+def _kmv_setops_sql(per_where: str = "") -> str:
+    """The KMV per-type + union + intersect oracle; ``per_where``
+    optionally restricts the per-type rows (the streaming variant
+    maintains state only for the click/view pair)."""
+    return (
+        "WITH hv AS (SELECT DISTINCT event_type, "
+        "CAST(('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), "
+        "1, 12)) AS UBIGINT) AS hv FROM events), "
+        "sk AS (SELECT event_type, hv FROM (SELECT event_type, hv, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn "
+        f"FROM hv) WHERE rn <= {_KMV_K}), "
+        "per AS (SELECT 'type:' || event_type AS scope, "
+        f"CASE WHEN COUNT(*) >= {_KMV_K} THEN "
+        f"{_KMV_K - 1} * {_KMV_SPACE} // MAX(hv) "
+        f"ELSE COUNT(*) END AS est FROM sk {per_where}"
+        "GROUP BY event_type), "
+        + _KMV_SETOPS_TAIL
+    )
+
+
+_KMV_SETOPS_TAIL = (
     "u AS (SELECT hv FROM (SELECT DISTINCT hv FROM sk "
     "WHERE event_type IN ('click', 'view')) "
     f"ORDER BY hv LIMIT {_KMV_K}), "
@@ -4468,7 +4478,68 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("kmv_distinct_setops", _KMV_SQL)
+@register(
+    "streaming_kmv_setops",
+    _kmv_setops_sql("WHERE event_type IN ('click', 'view') "),
+)
+def streaming_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations ACROSS separately-maintained streaming KMV
+    states: TWO kmv_stream pipelines drain the event feed — one
+    keeps click state, one keeps view state, each in its own sketch
+    table with its own checkpoint lineage — and the answer
+    (per-scope estimate, union, intersection) is computed over the
+    two merged states with the SAME kmv_setops algebra the batch
+    sketches use. That is the point of KMV over HLL-family state:
+    independently-owned streaming pipelines can answer overlap
+    questions about each other's domains after the fact, without a
+    joint pipeline. md5 determinism makes the merged streaming
+    sketch EQUAL the batch sketch, so the batch set-op SQL (per-type
+    rows restricted to the maintained pair) is the oracle —
+    hash-exact cross-engine. At 100 TB: each delta is ≤ k rows per
+    group per batch; the set-op legs read n_batches × k-row deltas,
+    never raw history."""
+    import shutil
+    import tempfile
+
+    from .operators.profiling import kmv_estimate, kmv_setops
+    from .streaming.ingest import kmv_stream, read_kmv_sketch
+
+    load_table(spark, sf_dir, "events")
+    ev_path = f"{sf_dir}/events.parquet"
+    run_root = tempfile.mkdtemp(prefix="kmv_setops_run_")
+    for scope in ("click", "view"):
+        q = kmv_stream(
+            spark,
+            ev_path,
+            f"{run_root}/{scope}/sketch",
+            f"{run_root}/{scope}/ckpt",
+            key="user_id",
+            group_cols=["event_type"],
+            k=_KMV_K,
+            where=f"event_type = '{scope}'",
+        )
+        q.awaitTermination()
+    sk = read_kmv_sketch(
+        spark, f"{run_root}/click/sketch", ["event_type"], k=_KMV_K
+    ).unionByName(
+        read_kmv_sketch(
+            spark, f"{run_root}/view/sketch", ["event_type"], k=_KMV_K
+        )
+    )
+    per = kmv_estimate(sk, ["event_type"], k=_KMV_K).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        F.col("est").cast("long").alias("est"),
+    )
+    out_df = per.unionByName(
+        kmv_setops(sk, "event_type", "click", "view", k=_KMV_K)
+    )
+    # materialize the 4-row answer before deleting the state it reads
+    out = spark.createDataFrame(out_df.collect(), out_df.schema)
+    shutil.rmtree(run_root, ignore_errors=True)
+    return out
+
+
+@register("kmv_distinct_setops", _kmv_setops_sql())
 def kmv_distinct_setops(
     spark: SparkSession, sf_dir: str, cache_handles: list | None = None
 ) -> DataFrame:
@@ -4489,53 +4560,19 @@ def kmv_distinct_setops(
     shuffle; sketches are ≤ k rows — merge and intersect cost
     nothing. Sketch rows persist once (cache_handles contract)
     because the union/intersect legs re-read them."""
-    from .operators.profiling import kmv_estimate, kmv_sketch
+    from .operators.profiling import kmv_estimate, kmv_setops, kmv_sketch
 
     events = load_table(spark, sf_dir, "events")
     sk = kmv_sketch(events, "user_id", ["event_type"], k=_KMV_K).persist()
     if cache_handles is not None:
         cache_handles.append(sk)
     per = kmv_estimate(sk, ["event_type"], k=_KMV_K).select(
-        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"), "est"
-    )
-    pair = sk.filter(F.col("event_type").isin("click", "view"))
-    u = (
-        pair.select("hv").distinct().orderBy("hv").limit(_KMV_K)
-    )
-    ustat = u.agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
-    uest = ustat.select(
-        "n",
-        F.when(
-            F.col("n") >= _KMV_K,
-            F.expr(f"{_KMV_K - 1} * {_KMV_SPACE}L div hk"),
-        )
-        .otherwise(F.col("n"))
-        .alias("est"),
-    )
-    a = sk.filter(F.col("event_type") == "click").select("hv")
-    b = sk.filter(F.col("event_type") == "view").select("hv")
-    x = (
-        u.join(a, "hv", "left_semi")
-        .join(b, "hv", "left_semi")
-        .agg(F.count("*").alias("x"))
-    )
-    union_row = uest.select(
-        F.lit("union:click+view").alias("scope"),
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
         F.col("est").cast("long").alias("est"),
     )
-    inter_row = (
-        x.crossJoin(uest)
-        .select(
-            F.lit("intersect:click+view").alias("scope"),
-            F.when(F.col("n") > 0, F.expr("x * est div n"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("est"),
-        )
+    return per.unionByName(
+        kmv_setops(sk, "event_type", "click", "view", k=_KMV_K)
     )
-    return per.select(
-        "scope", F.col("est").cast("long").alias("est")
-    ).unionByName(union_row).unionByName(inter_row)
 
 
 # --------------------------------------------------------------------

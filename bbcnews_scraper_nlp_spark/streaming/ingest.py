@@ -859,6 +859,11 @@ def cms_stream(
         stream = reader.parquet(parent)
     else:
         stream = reader.parquet(input_dir)
+    if where is not None:
+        # pre-sketch row filter (e.g. one event_type per pipeline) —
+        # a narrow predicate the scan absorbs, so each state scope
+        # only ever sees its own slice
+        stream = stream.filter(where)
 
     lineage_cache: dict[str, str] = {}
 
@@ -914,6 +919,7 @@ def kmv_stream(
     key: str,
     group_cols: list[str],
     k: int = 64,
+    where: str | None = None,
 ):
     """Streaming DISTINCT-count tracking with persistent KMV state —
     the set-cardinality sibling of ``cms_stream`` (frequencies).
@@ -945,6 +951,11 @@ def kmv_stream(
         stream = reader.parquet(parent)
     else:
         stream = reader.parquet(input_dir)
+    if where is not None:
+        # pre-sketch row filter (e.g. one event_type per pipeline) —
+        # a narrow predicate the scan absorbs, so each state scope
+        # only ever sees its own slice
+        stream = stream.filter(where)
 
     lineage_cache: dict[str, str] = {}
 
@@ -1051,6 +1062,11 @@ def versioned_sink_stream(
         stream = reader.option("pathGlobFilter", leaf).parquet(parent)
     else:
         stream = reader.parquet(input_dir)
+    if where is not None:
+        # pre-sketch row filter (e.g. one event_type per pipeline) —
+        # a narrow predicate the scan absorbs, so each state scope
+        # only ever sees its own slice
+        stream = stream.filter(where)
 
     lineage_cache: dict[str, str] = {}
 

@@ -79,3 +79,42 @@ def test_matches_literal_python(spark):
     ):
         got.setdefault(r["item"], []).append((r["rec"], r["sim_ppm"]))
     assert got == {i: v for i, v in expected.items() if v}
+
+def test_min_co_prune_preserves_topk(spark):
+    # a's top-2 neighbors (b: co=3, c: co=2) both have co >= 2; the
+    # singleton partner d (co=1) is below every top-2 similarity, so
+    # the support prune must not change the top-2 at all
+    pairs = [
+        ("u1", "a"), ("u1", "b"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "a"), ("u3", "b"), ("u3", "c"),
+        ("u4", "a"), ("u4", "c"),
+        ("u5", "a"), ("u5", "d"),
+    ]
+    base = sorted(
+        (r["item"], r["rank"], r["rec"], r["sim_ppm"])
+        for r in item_item_topk(_ia(spark, pairs), k=2).collect()
+        if r["item"] == "a"
+    )
+    pruned = sorted(
+        (r["item"], r["rank"], r["rec"], r["sim_ppm"])
+        for r in item_item_topk(_ia(spark, pairs), k=2, min_co=2).collect()
+        if r["item"] == "a"
+    )
+    assert base == pruned
+    assert [p[2] for p in base] == ["b", "c"]
+
+
+def test_min_co_prune_drops_singletons(spark):
+    # with min_co=2 the co=1 pair (a, d) must vanish entirely —
+    # d has no surviving neighbor, so it emits no recs at all
+    pairs = [
+        ("u1", "a"), ("u1", "b"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "a"), ("u3", "d"),
+    ]
+    out = item_item_topk(_ia(spark, pairs), k=3, min_co=2).collect()
+    items = {r["item"] for r in out}
+    recs = {(r["item"], r["rec"]) for r in out}
+    assert ("a", "d") not in recs and ("d", "a") not in recs
+    assert "d" not in items

@@ -247,3 +247,97 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+def random_walks(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    steps: int = 4,
+    walks_per_node: int = 1,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Deterministic random-walk sampling — the walk-corpus stage of
+    DeepWalk/node2vec (Perozzi et al. 2014; Grover & Leskovec 2016,
+    first-order p=q=1 case): ``walks_per_node`` walks of ``steps``
+    hops from every node, where step t of walk w at node v moves to
+    the neighbor ranked md5("rw-v1:w:t:v") mod deg(v) in v's
+    id-ordered adjacency list. Swapping the PRNG for the engine's
+    md5 flavor makes the ENTIRE walk corpus a pure function of the
+    graph — reproducible across runs, engines, and partitionings
+    (the kfold_split argument applied to graph sampling), so a
+    DuckDB oracle replays every trajectory bit-for-bit; real
+    node2vec's per-executor RNG walks cannot be certified at all.
+
+    Returns (walk, step, node): walk = "<start>#<r>", step 0..steps.
+
+    Plan: the ranked adjacency table (src, dst, rn, deg — one
+    row_number window keyed on src) is built once and persisted
+    (``cache_handles``; every step re-reads it — the pagerank
+    edge-table contract); each step is ONE node-keyed hash join
+    (frontier ⋈ adjacency, ≤ deg(v) fan-out collapsed by the rn =
+    hash-pick filter) and the frontier chain is linear (each step
+    references the previous once — no lineage doubling, no
+    checkpoint needed, unlike LPA). At 100 TB: frontiers shuffle on
+    node id, walk count scales linearly in executors, hub adjacency
+    rows take AQE skew-splits.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("s1"), F.col(dst).alias("s2"))
+    w = Window.partitionBy("s1").orderBy("s2")
+    adj = (
+        e.withColumn("rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("d", F.count("*").over(Window.partitionBy("s1")))
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(adj)
+    nodes = e.select("s1").distinct()
+    starts = nodes.join(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("r")
+            )
+        )
+    ).select(
+        F.concat(F.col("s1").cast("string"), F.lit("#"), F.col("r")).alias(
+            "walk"
+        ),
+        F.col("s1").alias("node"),
+    )
+    cur = starts.select("walk", "node", F.lit(0).alias("step"))
+    frames = [cur]
+    for t in range(1, steps + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"rw-v1:"),
+                            F.col("walk"),
+                            F.lit(f":{t}:"),
+                            F.col("node").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("d"),
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["s1"])
+            .filter(F.col("rn") == pick)
+            .select(
+                "walk",
+                F.col("s2").alias("node"),
+                F.lit(t).alias("step"),
+            )
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -6468,6 +6468,28 @@ def pagerank_copurchase(
     return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
 
 
+def _knn_edges_ctes(k: int = 3) -> str:
+    """The mutual-kNN supplier graph CTE chain (SQL twin of
+    _supplier_knn_edges), ending in the MATERIALIZED ``edges``
+    relation. Shared by the LPA-family and random-walk oracles."""
+    return (
+        f"WITH e0 AS ({_BIPROJ_SQL}), "
+        "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
+        "cno AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
+        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s "
+        "GROUP BY 1, 2), "
+        "cnp AS (SELECT s1, s2, cn FROM cno "
+        "UNION ALL SELECT s2, s1, cn FROM cno), "
+        "sc AS (SELECT s1, s2, cn * 1000000 // (d1.d + d2.d - cn) AS j "
+        "FROM cnp JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s), "
+        "rk AS (SELECT s1, s2, row_number() OVER "
+        "(PARTITION BY s1 ORDER BY j DESC, s2) AS rn FROM sc), "
+        f"knn AS (SELECT s1, s2 FROM rk WHERE rn <= {k}), "
+        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM knn "
+        "UNION SELECT s2, s1 FROM knn)"
+    )
+
+
 def _lpa_oracle_sql(
     iters: int = 3, k: int = 3, final: str | None = None
 ) -> str:
@@ -6482,21 +6504,8 @@ def _lpa_oracle_sql(
     ~10⁹-row pair join once per reference and exhausts temp disk at
     sf0.1 (the localCheckpoint lesson, relationally)."""
     parts = [
-        f"WITH e0 AS ({_BIPROJ_SQL}), "
-        "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
-        "cno AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s "
-        "GROUP BY 1, 2), "
-        "cnp AS (SELECT s1, s2, cn FROM cno "
-        "UNION ALL SELECT s2, s1, cn FROM cno), "
-        "sc AS (SELECT s1, s2, cn * 1000000 // (d1.d + d2.d - cn) AS j "
-        "FROM cnp JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s), "
-        "rk AS (SELECT s1, s2, row_number() OVER "
-        "(PARTITION BY s1 ORDER BY j DESC, s2) AS rn FROM sc), "
-        f"knn AS (SELECT s1, s2 FROM rk WHERE rn <= {k}), "
-        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM knn "
-        "UNION SELECT s2, s1 FROM knn), "
-        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl "
+        _knn_edges_ctes(k)
+        + ", lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl "
         "FROM edges)"
     ]
     prev = "lab0"
@@ -6678,6 +6687,78 @@ def community_modularity(
             .cast("long")
             .alias("q_ppm"),
         )
+    )
+
+
+def _rw_oracle_sql(steps: int = 4) -> str:
+    """Unrolled deterministic-random-walk twin of operators.graph.
+    random_walks over the mutual-kNN supplier graph: same md5 pick
+    arithmetic, same id-ordered adjacency ranks. ``adj`` is
+    MATERIALIZED (every step re-reads it — the relational analog of
+    the persisted adjacency table)."""
+    parts = [
+        _knn_edges_ctes()
+        + ", adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY src) AS d FROM edges)"
+        ", w0 AS (SELECT DISTINCT CAST(src AS VARCHAR) || '#0' AS walk, "
+        "src AS node FROM edges)"
+    ]
+    prev = "w0"
+    for t in range(1, steps + 1):
+        parts.append(
+            f", w{t} AS (SELECT w.walk, a.dst AS node FROM {prev} w "
+            "JOIN adj a ON a.src = w.node AND a.rn = "
+            "CAST(('0x' || substr(md5("
+            f"'rw-v1:' || w.walk || ':{t}:' || CAST(w.node AS VARCHAR)"
+            "), 1, 12)) AS BIGINT) % a.d)"
+        )
+        prev = f"w{t}"
+    sel = " UNION ALL ".join(
+        f"SELECT walk, {t} AS step, node FROM w{t}" for t in range(steps + 1)
+    )
+    parts.append(
+        f" SELECT walk, CAST(step AS INT) AS step, "
+        f"CAST(node AS BIGINT) AS node FROM ({sel})"
+    )
+    return "".join(parts)
+
+
+@register("graph_random_walks", _rw_oracle_sql())
+def graph_random_walks(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Deterministic random-walk corpus over the mutual-kNN supplier
+    graph (graph.random_walks): one 4-hop walk per node, step t
+    picking the md5("rw-v1:walk:t:node") mod deg ranked neighbor —
+    the DeepWalk/node2vec SAMPLING stage (the walk corpus that
+    feeds skip-gram embedding training) with the PRNG swapped for
+    the engine's md5 flavor, so every trajectory is a pure function
+    of the graph: reproducible across runs/engines/partitionings
+    and hash-certified by an unrolled DuckDB oracle (per-step md5
+    arithmetic replayed relationally). Real node2vec's per-executor
+    RNG cannot be certified at all — determinism is what makes a
+    100 TB walk corpus re-materializable per epoch, like
+    kfold_split for graphs. Plan: ranked adjacency built once and
+    persisted (pagerank edge-table contract), each step ONE
+    node-keyed hash join; frontier lineage is linear (no LPA-style
+    doubling). At scale: frontiers shuffle on node id; walks scale
+    embarrassingly."""
+    from .operators.graph import random_walks
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    out = random_walks(
+        edges,
+        "s1",
+        "s2",
+        steps=4,
+        walks_per_node=1,
+        cache_handles=cache_handles,
+    )
+    return out.select(
+        "walk",
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
     )
 
 
@@ -8646,71 +8727,70 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r8 rotation. First, the queries ADDED or RE-PLANNED this round:
-    # the four new operators (LPA community detection, in-engine
-    # multinomial NB train+predict, item-item CF, Dirichlet
-    # query-likelihood), plus hard_negatives_topk (broadcast side now
-    # pinned, anchor repartition un-hard-coded) and
-    # triangle_count_suppliers (refactored onto the shared
-    # _strong_tie_edges helper).
-    "community_detection_suppliers",
-    "nb_lang_confusion",
-    "item_item_recs_topk",
-    "query_likelihood_topk",
-    "rake_keyphrases",
+    # r9 rotation. First the queries with NO driver row at all: the
+    # four added this round (held-out k-fold NB, community modularity,
+    # cross-state streaming KMV set ops, deterministic random walks)
+    # plus kfold_assignment (added after the r8 driver run).
+    "nb_kfold_eval",
+    "community_modularity",
+    "streaming_kmv_setops",
+    "graph_random_walks",
+    "kfold_assignment",
+    # Queries whose code was refactored this round (kmv set-op legs
+    # moved into profiling.kmv_setops + n=0 guard; the community query
+    # now reads the shared _supplier_knn_edges helper) — re-certify on
+    # the new code paths.
     "kmv_distinct_setops",
-    "nb_lang_confusion_hashed",
-    "streaming_kmv_distinct",
-    "hard_negatives_topk",
-    "triangle_count_suppliers",
-    # Then re-certification of the stalest driver evidence: every
-    # query whose last CORRECTNESS row is round 3 ...
-    "f2_ts_range_filter",
-    "f3_dropna",
-    "f4_min_word_count",
-    "f5_required_field",
-    "j_multiway_region_count",
-    "a1_count_rows",
-    "a2_group_count",
-    "w3_argmax_vector",
-    "union_dedup",
-    "sentiment_by_source",
-    "tpch_q1_decimal_scale",
-    "pivot_daily_event_counts",
-    "rollup_order_status",
-    "distinct_users_per_type",
-    # ... and the oldest round-4 rows (the remaining 7 r4 rows rotate
-    # next round; their families all have fresher anchors).
-    "f1_contains_filter",
-    "f7_anti_join_unseen",
-    "p1_strip_last_segment",
-    "p15_p16_day_cast",
-    "j1_broadcast_enrich",
-    "a3_daily_mean",
-    "a6_top_orders",
-    "w1_rolling_trend",
-    "s2_sitemap_parse",
-    "m6_m7_sentiment_scores",
-    "a4_vocab_prune",
-    "dedup_exact_content",
-    "ann_topk_cosine",
-    "lang_id",
-    "quality_score",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "tpch_q3_top_revenue",
-    "asof_join_last_view",
-    "tpch_q6_revenue_scan",
-    "tpch_q5_local_supplier_revenue",
-    "dedup_simhash",
-    "similarity_lsh_topk",
-    "multimodal_image_meta",
-    "dedup_cc_clusters",
-    "tpch_q8_market_share",
-    # (tpch_q21_waiting_suppliers, contamination_check,
-    # streaming_session_windows and streaming_windowed_counts were
-    # bumped by the late-round rake/kmv/hashed-NB/streaming-kmv
-    # additions; they rotate next round with the remaining r4 rows)
+    "community_detection_suppliers",
+    # Then the stalest driver evidence: every query whose latest
+    # CORRECTNESS row is round 4 ...
+    "contamination_check",
+    "event_interarrival_stats",
+    "session_funnel_conversion",
+    "sessionize_count",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "time_bucket_rollup",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # ... and 32 of the 38 round-5 rows (the remaining 6 —
+    # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
+    # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate —
+    # have fresh family anchors and rotate next round).
+    "ann_recall_eval",
+    "bloom_semi_join_lineitems",
+    "corpus_token_offsets",
+    "data_quality_audit",
+    "dedup_minhash_lsh",
+    "dsir_importance_weights",
+    "event_transition_matrix",
+    "ewma_daily_value",
+    "heavy_hitter_users",
+    "link_prediction_suppliers",
+    "ohlc_resample_hourly",
+    "pack_sequences_bins",
+    "perplexity_buckets",
+    "range_join_ship_window",
+    "retention_cohorts",
+    "s4_html_extract",
+    "salted_join_skewed",
+    "session_paths_top",
+    "similarity_pq_adc_topk",
+    "snapshot_delta_cdc",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_shipments",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q20_excess_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "vocab_oov_rate",
+    "zscore_per_type",
 ]
 
 

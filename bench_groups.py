@@ -241,4 +241,9 @@ NEW_R8 = [
 ]
 
 # Round-9 widening: queries added this round.
-NEW_R9 = []
+NEW_R9 = [
+    "nb_kfold_eval",
+    "community_modularity",
+    "streaming_kmv_setops",
+    "graph_random_walks",
+]

@@ -249,3 +249,61 @@ def test_lpa_deterministic_across_partitionings(spark):
         for r in label_propagation(df.repartition(7), "src", "dst").collect()
     }
     assert a == b
+
+
+def test_random_walks_follow_edges_and_length(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import random_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("c", "b"),
+             ("a", "c")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = random_walks(df, "src", "dst", steps=3).collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    # one walk per node, each with steps+1 positions starting at its node
+    assert len(byw) == 3
+    edge_set = set(pairs)
+    for walk, path in byw.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert walk == f"{path[0]}#0"
+        for t in range(3):
+            assert (path[t], path[t + 1]) in edge_set
+
+
+def test_random_walks_deterministic_and_md5_pick(spark):
+    import hashlib
+
+    from bbcnews_scraper_nlp_spark.operators.graph import random_walks
+
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("c", "a"),
+             ("d", "a")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = sorted(
+        (r["walk"], r["step"], r["node"])
+        for r in random_walks(df, "src", "dst", steps=2).collect()
+    )
+    again = sorted(
+        (r["walk"], r["step"], r["node"])
+        for r in random_walks(
+            df.repartition(5), "src", "dst", steps=2
+        ).collect()
+    )
+    assert got == again
+    # literal-python replay of walk a#0 step 1: neighbors of a sorted
+    # by id, pick = md5("rw-v1:a#0:1:a") 48-bit prefix mod 3
+    nbrs = ["b", "c", "d"]
+    pick = int(hashlib.md5(b"rw-v1:a#0:1:a").hexdigest()[:12], 16) % 3
+    step1 = {r[2] for r in got if r[0] == "a#0" and r[1] == 1}
+    assert step1 == {nbrs[pick]}
+
+
+def test_random_walks_multiple_walks_per_node(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import random_walks
+
+    pairs = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = random_walks(df, "src", "dst", steps=1, walks_per_node=3).collect()
+    walks = {r["walk"] for r in rows}
+    assert walks == {"a#0", "a#1", "a#2", "b#0", "b#1", "b#2"}
+    assert len(rows) == 6 * 2

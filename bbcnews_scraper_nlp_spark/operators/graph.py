@@ -292,7 +292,10 @@ def random_walks(
     )
     if cache_handles is not None:
         cache_handles.append(adj)
-    nodes = e.select("s1").distinct()
+    # derive starts from the persisted adjacency, not the raw edge
+    # subtree — otherwise the (possibly expensive) edge derivation
+    # runs a second time just to list the nodes
+    nodes = adj.select("s1").distinct()
     starts = nodes.join(
         F.broadcast(
             nodes.sparkSession.range(walks_per_node).select(

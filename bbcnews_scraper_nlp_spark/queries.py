@@ -6641,9 +6641,11 @@ def community_modularity(
     DAG; 2m is a 1-row broadcast."""
     from .operators.graph import label_propagation
 
-    edges = _supplier_knn_edges(spark, sf_dir)
-    # the LPA iterations checkpoint eagerly, so `edges`' lazy subtree
-    # is re-derived only for the degree/intra legs below
+    # eager-checkpoint the kNN graph ONCE: LPA checkpoints its own
+    # copy internally, but the degree / 2m / intra legs below would
+    # otherwise each re-derive the Σdeg² pair join (measured ~6 s of
+    # the 11 s total at sf0.1)
+    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
     lab = label_propagation(
         edges, "s1", "s2", iters=3, cache_handles=cache_handles
     )

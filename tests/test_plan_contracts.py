@@ -413,3 +413,33 @@ def test_hard_negatives_window_reuses_anchor_partitioning(spark, sf_dir):
     assert hashed == ["anchor_id"], (
         f"expected the anchor-side shuffle only, got {hashed}"
     )
+
+
+def test_nb_kfold_no_cartesian_no_python(spark, sf_dir):
+    """nb_kfold_eval: the fold-grid fan-outs are driven by a
+    broadcast k-row frame (BroadcastNestedLoopJoin/BroadcastHashJoin
+    builds) — never CartesianProduct — and the per-fold model join
+    stays JVM-side (no Python eval nodes)."""
+    plan = _plan(spark, sf_dir, "nb_kfold_eval")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in nb_kfold_eval plan"
+
+
+def test_random_walks_persist_adjacency_once(spark, sf_dir):
+    """graph_random_walks: the ranked adjacency table must be read
+    from the persisted block (InMemoryTableScan) by every unrolled
+    step — without it each step re-derives the kNN pair join (the
+    pagerank edge-table contract). No Python nodes anywhere."""
+    plan = _plan(spark, sf_dir, "graph_random_walks")
+    assert "InMemoryTableScan" in plan, plan[:600]
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in graph_random_walks plan"
+
+
+def test_modularity_label_joins_no_python(spark, sf_dir):
+    """community_modularity: the two label joins and both
+    community-keyed aggs stay JVM-side; 2m fans out via a 1-row
+    broadcast (BroadcastNestedLoopJoin), never CartesianProduct."""
+    plan = _plan(spark, sf_dir, "community_modularity")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in community_modularity plan"

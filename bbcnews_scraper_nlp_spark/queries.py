@@ -6692,7 +6692,7 @@ def community_modularity(
     )
 
 
-def _rw_oracle_sql(steps: int = 4) -> str:
+def _rw_oracle_sql(steps: int = 4, final: str | None = None) -> str:
     """Unrolled deterministic-random-walk twin of operators.graph.
     random_walks over the mutual-kNN supplier graph: same md5 pick
     arithmetic, same id-ordered adjacency ranks. ``adj`` is
@@ -6719,9 +6719,12 @@ def _rw_oracle_sql(steps: int = 4) -> str:
     sel = " UNION ALL ".join(
         f"SELECT walk, {t} AS step, node FROM w{t}" for t in range(steps + 1)
     )
+    parts.append(f", corpus AS MATERIALIZED (SELECT * FROM ({sel}))")
     parts.append(
-        f" SELECT walk, CAST(step AS INT) AS step, "
-        f"CAST(node AS BIGINT) AS node FROM ({sel})"
+        final
+        if final is not None
+        else " SELECT walk, CAST(step AS INT) AS step, "
+        "CAST(node AS BIGINT) AS node FROM corpus"
     )
     return "".join(parts)
 
@@ -6762,6 +6765,89 @@ def graph_random_walks(
         F.col("step").cast("int").alias("step"),
         F.col("node").cast("long").alias("node"),
     )
+
+
+_SKIPGRAM_FINAL = (
+    ", pr AS (SELECT a.node AS center, b.node AS context "
+    "FROM corpus a JOIN corpus b ON a.walk = b.walk "
+    "AND a.step <> b.step AND abs(a.step - b.step) <= 2), "
+    "pc AS (SELECT center, context, COUNT(*) AS n_ab FROM pr "
+    "GROUP BY 1, 2), "
+    "ctr AS (SELECT center, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc "
+    "GROUP BY 1), "
+    "ctx AS (SELECT context, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc "
+    "GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc), "
+    "sg AS (SELECT pc.center, pc.context, pc.n_ab, "
+    "CAST(ROUND(1000 * ln((CAST(pc.n_ab AS DOUBLE) * n) / "
+    "(CAST(n_a AS DOUBLE) * n_b))) AS BIGINT) AS pmi_milli "
+    "FROM pc JOIN ctr ON pc.center = ctr.center "
+    "JOIN ctx ON pc.context = ctx.context CROSS JOIN tot) "
+    "SELECT CAST(center AS BIGINT) AS center, "
+    "CAST(context AS BIGINT) AS context, "
+    "CAST(n_ab AS BIGINT) AS n_ab, pmi_milli FROM sg "
+    "ORDER BY pmi_milli DESC, center, context LIMIT 50"
+)
+
+
+@register("walk_skipgram_pmi", _rw_oracle_sql(final=_SKIPGRAM_FINAL))
+def walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs + PMI over the deterministic walk
+    corpus: every (center, context) node pair co-occurring within a
+    ±2 window along a walk, scored by pointwise mutual information
+    in integer milli-nats — the EXACT data-generation stage of
+    DeepWalk/node2vec node embeddings (walks → windowed skip-gram
+    pairs → the PMI matrix that skip-gram-with-negative-sampling
+    implicitly factorizes, Levy & Goldberg 2014). Composes
+    graph.random_walks: because the walks themselves are md5-
+    deterministic, the entire embedding TRAINING SET — pairs, counts
+    and PMI scores — is hash-certified cross-engine; top-50 by
+    (pmi, center, context) total order. Plan: the ≤ nodes×(steps+1)
+    walk corpus is eager-checkpointed once (the pair self-join
+    reads it twice); pair-gen joins on the walk id; PMI is one
+    double ratio ln'd and milli-rounded per surviving pair (the NB
+    recipe); TakeOrderedAndProject top-k. At 100 TB: pair volume =
+    walks × window — linear in corpus, never quadratic in nodes;
+    everything shuffles on walk id or node id."""
+    from .operators.graph import random_walks
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
+        eager=True
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.walk") == F.col("b.walk"))
+        & (F.col("a.step") != F.col("b.step"))
+        & (F.abs(F.col("a.step") - F.col("b.step")) <= 2),
+    ).select(
+        F.col("a.node").alias("center"), F.col("b.node").alias("context")
+    )
+    pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
+    ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
+    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
+    tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
+    sc = (
+        pc.join(ctr, "center")
+        .join(ctx, "context")
+        .join(tot)
+        .select(
+            F.col("center").cast("long").alias("center"),
+            F.col("context").cast("long").alias("context"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.lit(1000)
+                * F.log(
+                    (F.col("n_ab").cast("double") * F.col("n"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_milli"),
+        )
+    )
+    return sc.orderBy(F.desc("pmi_milli"), "center", "context").limit(50)
 
 
 _ITEM_CF_SQL = (
@@ -8737,6 +8823,7 @@ _WINDOW_ORDER = [
     "community_modularity",
     "streaming_kmv_setops",
     "graph_random_walks",
+    "walk_skipgram_pmi",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -8757,10 +8844,11 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 32 of the 38 round-5 rows (the remaining 6 —
+    # ... and 31 of the 38 round-5 rows (the remaining 7 —
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
-    # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate —
-    # have fresh family anchors and rotate next round).
+    # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
+    # tpch_q2_min_cost_supplier — have fresh family anchors and rotate
+    # next round).
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
     "corpus_token_offsets",
@@ -8788,7 +8876,6 @@ _WINDOW_ORDER = [
     "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_pred",
     "tpch_q20_excess_suppliers",
-    "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
     "vocab_oov_rate",

@@ -246,4 +246,5 @@ NEW_R9 = [
     "community_modularity",
     "streaming_kmv_setops",
     "graph_random_walks",
+    "walk_skipgram_pmi",
 ]

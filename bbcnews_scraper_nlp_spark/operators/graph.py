@@ -344,3 +344,143 @@ def random_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+def node2vec_walks(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    steps: int = 4,
+    w_return: int = 500,
+    w_near: int = 1000,
+    w_far: int = 2000,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Second-order (p, q)-biased walks — full node2vec sampling
+    (Grover & Leskovec 2016), deterministic. At node v, having
+    arrived from t, neighbor x (id-ordered) gets integer weight
+    ``w_return`` if x = t (1/p), ``w_near`` if (t, x) is an edge
+    (distance 1), else ``w_far`` (1/q); the step draws
+    md5("n2v-v1:walk:step:t:v") mod Σweights and picks the neighbor
+    whose cumulative-weight interval contains it — exactly
+    node2vec's alias-sampled transition with the PRNG swapped for
+    the engine's md5 flavor, so the BFS-ish (q>1 in milli-units:
+    w_far<w_near) vs DFS-ish bias is reproducible and
+    hash-certifiable cross-engine. Defaults encode p=2, q=0.5 (the
+    paper's community-oriented setting). Step 1 has no predecessor
+    and draws first-order (uniform rank pick, as random_walks).
+
+    Returns (walk, step, node), walk = "<start>#0", step 0..steps.
+
+    Plan per biased step: frontier ⋈ adjacency (node-keyed, ≤ deg
+    fan-out) → near-flag LEFT join against the persisted edge set
+    on (prev, x) → per-walk cumulative-weight window (partitions
+    are ≤ deg rows) → interval filter. Both joins hash-partition on
+    node-id-shaped keys; nothing is ever quadratic. The adjacency
+    AND the raw edge set are persisted once (``cache_handles``);
+    frontier lineage is linear.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("s1"), F.col(dst).alias("s2"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("s1").orderBy("s2")
+    adj = (
+        e.withColumn("rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("d", F.count("*").over(Window.partitionBy("s1")))
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.extend([e, adj])
+
+    def _pick_hash(t: int, salt_cols) -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("n2v-v1:"), *salt_cols)), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    starts = adj.select("s1").distinct().select(
+        F.concat(F.col("s1").cast("string"), F.lit("#0")).alias("walk"),
+        F.col("s1").alias("cur"),
+    )
+    frames = [
+        starts.select("walk", F.col("cur").alias("node"), F.lit(0).alias("step"))
+    ]
+    # step 1: first-order uniform pick
+    h1 = _pick_hash(
+        1, [F.col("walk"), F.lit(":1:"), F.col("cur").cast("string")]
+    )
+    state = (
+        starts.join(adj, starts["cur"] == adj["s1"])
+        .filter(F.col("rn") == F.pmod(h1, F.col("d")))
+        .select(
+            "walk",
+            F.col("cur").alias("prev"),
+            F.col("s2").alias("cur"),
+        )
+    )
+    frames.append(
+        state.select("walk", F.col("cur").alias("node"), F.lit(1).alias("step"))
+    )
+    for t in range(2, steps + 1):
+        cand = state.join(adj, state["cur"] == adj["s1"]).select(
+            "walk", "prev", "cur", F.col("s2").alias("x")
+        )
+        near = cand.join(
+            e.select(
+                F.col("s1").alias("prev"),
+                F.col("s2").alias("x"),
+                F.lit(1).alias("nf"),
+            ),
+            ["prev", "x"],
+            "left",
+        ).select(
+            "walk",
+            "prev",
+            "cur",
+            "x",
+            F.when(F.col("x") == F.col("prev"), F.lit(w_return))
+            .when(F.col("nf") == 1, F.lit(w_near))
+            .otherwise(F.lit(w_far))
+            .alias("wt"),
+        )
+        cw = Window.partitionBy("walk").orderBy("x")
+        tw = Window.partitionBy("walk")
+        ht = _pick_hash(
+            t,
+            [
+                F.col("walk"),
+                F.lit(f":{t}:"),
+                F.col("prev").cast("string"),
+                F.lit(":"),
+                F.col("cur").cast("string"),
+            ],
+        )
+        state = (
+            near.withColumn("cum", F.sum("wt").over(cw))
+            .withColumn("tot", F.sum("wt").over(tw))
+            .withColumn("r", F.pmod(ht, F.col("tot")))
+            .filter(
+                (F.col("cum") - F.col("wt") <= F.col("r"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select(
+                "walk",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("cur"),
+            )
+        )
+        frames.append(
+            state.select(
+                "walk", F.col("cur").alias("node"), F.lit(t).alias("step")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -6767,6 +6767,102 @@ def graph_random_walks(
     )
 
 
+def _n2v_oracle_sql(
+    steps: int = 4,
+    w_return: int = 500,
+    w_near: int = 1000,
+    w_far: int = 2000,
+) -> str:
+    """Unrolled second-order node2vec twin of operators.graph.
+    node2vec_walks: per step, candidate fan-out ⋈ near-flag left
+    join ⋈ per-walk cumulative-weight window ⋈ md5 interval pick —
+    identical integer arithmetic. adj is MATERIALIZED (read every
+    step); edges already is (near-flag probes)."""
+    md5_48 = (
+        "CAST(('0x' || substr(md5('n2v-v1:' || {salt}), 1, 12)) "
+        "AS BIGINT)"
+    )
+    parts = [
+        _knn_edges_ctes()
+        + ", adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn, "
+        "COUNT(*) OVER (PARTITION BY src) AS d FROM edges)"
+        ", w0 AS (SELECT DISTINCT CAST(src AS VARCHAR) || '#0' AS walk, "
+        "src AS cur FROM adj)"
+        ", st1 AS MATERIALIZED (SELECT w.walk, w.cur AS prev, "
+        "a.dst AS cur FROM w0 w JOIN adj a ON a.src = w.cur AND a.rn = "
+        + md5_48.format(salt="w.walk || ':1:' || CAST(w.cur AS VARCHAR)")
+        + " % a.d)"
+    ]
+    prev = "st1"
+    for t in range(2, steps + 1):
+        salt = (
+            f"walk || ':{t}:' || CAST(prev AS VARCHAR) || ':' || "
+            "CAST(cur AS VARCHAR)"
+        )
+        parts.append(
+            f", c{t} AS (SELECT s.walk, s.prev, s.cur, a.dst AS x "
+            f"FROM {prev} s JOIN adj a ON a.src = s.cur)"
+            f", n{t} AS (SELECT c.walk, c.prev, c.cur, c.x, "
+            f"CASE WHEN c.x = c.prev THEN {w_return} "
+            f"WHEN ef.src IS NOT NULL THEN {w_near} "
+            f"ELSE {w_far} END AS wt "
+            f"FROM c{t} c LEFT JOIN edges ef "
+            "ON ef.src = c.prev AND ef.dst = c.x)"
+            f", st{t} AS MATERIALIZED (SELECT walk, cur AS prev, x AS cur "
+            "FROM (SELECT *, h % tot AS r FROM (SELECT walk, prev, cur, "
+            "x, wt, SUM(wt) OVER (PARTITION BY walk ORDER BY x) AS cum, "
+            "SUM(wt) OVER (PARTITION BY walk) AS tot, "
+            + md5_48.format(salt=salt)
+            + f" AS h FROM n{t})) WHERE cum - wt <= r AND r < cum)"
+        )
+        prev = f"st{t}"
+    sel = " UNION ALL ".join(
+        ["SELECT walk, 0 AS step, cur AS node FROM w0"]
+        + [
+            f"SELECT walk, {t} AS step, cur AS node FROM st{t}"
+            for t in range(1, steps + 1)
+        ]
+    )
+    parts.append(
+        f" SELECT walk, CAST(step AS INT) AS step, "
+        f"CAST(node AS BIGINT) AS node FROM ({sel})"
+    )
+    return "".join(parts)
+
+
+@register("node2vec_biased_walks", _n2v_oracle_sql())
+def node2vec_biased_walks(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Full second-order node2vec sampling over the mutual-kNN
+    supplier graph (graph.node2vec_walks): the (p, q)-biased
+    transition — return weight 1/p, triangle-closing weight 1,
+    exploration weight 1/q, here p=2 q=0.5 in integer milli-units
+    (500/1000/2000) — drawn by md5 interval pick over each node's
+    id-ordered cumulative weights. The first-order graph_random_walks
+    corpus is the p=q=1 special case; this is the real
+    BFS/DFS-interpolating sampler from the paper, still a pure
+    function of the graph and still hash-certified by an unrolled
+    DuckDB oracle (candidate fan-out, near-flag left join, per-walk
+    cumulative-weight window, interval pick — replayed step by
+    step). At 100 TB: per biased step one node-keyed adjacency join
+    (≤ deg fan-out), one (prev, x) hash probe against the persisted
+    edge set, one per-walk window over ≤ deg rows; nothing
+    quadratic, frontier lineage linear."""
+    from .operators.graph import node2vec_walks
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    out = node2vec_walks(
+        edges, "s1", "s2", steps=4, cache_handles=cache_handles
+    )
+    return out.select(
+        "walk",
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 _SKIPGRAM_FINAL = (
     ", pr AS (SELECT a.node AS center, b.node AS context "
     "FROM corpus a JOIN corpus b ON a.walk = b.walk "
@@ -8824,6 +8920,7 @@ _WINDOW_ORDER = [
     "streaming_kmv_setops",
     "graph_random_walks",
     "walk_skipgram_pmi",
+    "node2vec_biased_walks",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -8844,11 +8941,11 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 31 of the 38 round-5 rows (the remaining 7 —
+    # ... and 30 of the 38 round-5 rows (the remaining 8 —
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
-    # tpch_q2_min_cost_supplier — have fresh family anchors and rotate
-    # next round).
+    # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers — have fresh
+    # family anchors and rotate next round).
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
     "corpus_token_offsets",
@@ -8875,7 +8972,6 @@ _WINDOW_ORDER = [
     "tpch_q12_late_shipments",
     "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_pred",
-    "tpch_q20_excess_suppliers",
     "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
     "vocab_oov_rate",

@@ -247,4 +247,5 @@ NEW_R9 = [
     "streaming_kmv_setops",
     "graph_random_walks",
     "walk_skipgram_pmi",
+    "node2vec_biased_walks",
 ]

@@ -307,3 +307,55 @@ def test_random_walks_multiple_walks_per_node(spark):
     walks = {r["walk"] for r in rows}
     assert walks == {"a#0", "a#1", "a#2", "b#0", "b#1", "b#2"}
     assert len(rows) == 6 * 2
+
+
+def test_node2vec_walks_valid_and_deterministic(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import node2vec_walks
+
+    pairs = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = node2vec_walks(df, "src", "dst", steps=3).collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    assert len(byw) == 4
+    edge_set = set(pairs)
+    for walk, path in byw.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        for t in range(3):
+            assert (path[t], path[t + 1]) in edge_set
+    again = {}
+    for r in node2vec_walks(
+        df.repartition(7), "src", "dst", steps=3
+    ).collect():
+        again.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    assert byw == again
+
+
+def test_node2vec_bias_literal_python_replay(spark):
+    import hashlib
+
+    from bbcnews_scraper_nlp_spark.operators.graph import node2vec_walks
+
+    # path graph a-b-c plus edge b-d: from b arriving from a, the
+    # candidates (id-ordered) are a (return, w=500), c (far — a,c not
+    # adjacent, w=2000), d (far, w=2000); replay the md5 interval pick
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("b", "d"), ("d", "b")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = node2vec_walks(df, "src", "dst", steps=2).collect()
+    path = {}
+    for r in rows:
+        if r["walk"] == "a#0":
+            path[r["step"]] = r["node"]
+    assert path[0] == "a" and path[1] == "b"  # a's only neighbor
+    cands = [("a", 500), ("c", 2000), ("d", 2000)]
+    tot = sum(w for _, w in cands)
+    r = int(hashlib.md5(b"n2v-v1:a#0:2:a:b").hexdigest()[:12], 16) % tot
+    cum = 0
+    for node, w in cands:
+        cum += w
+        if r < cum:
+            expect = node
+            break
+    assert path[2] == expect

@@ -443,3 +443,13 @@ def test_modularity_label_joins_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "community_modularity")
     for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, f"{bad} in community_modularity plan"
+
+
+def test_node2vec_no_python_no_cartesian(spark, sf_dir):
+    """node2vec_biased_walks: candidate fan-out and near-flag probes
+    are hash joins on node-shaped keys; the per-walk windows are
+    partitioned (no single-task global window); zero Python nodes."""
+    plan = _plan(spark, sf_dir, "node2vec_biased_walks")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in node2vec_biased_walks plan"
+    assert "InMemoryTableScan" in plan, plan[:600]

@@ -502,26 +502,44 @@ def _ima_encode_block(samples: list[int], index: int) -> tuple[bytes, int]:
 def encode_wav_ima_adpcm(
     samples: np.ndarray, rate: int = 16000, block_frames: int = 505
 ) -> bytes:
-    """Encode mono int16 samples as a real WAV fmt 0x11 (IMA ADPCM)
-    container: per-block 4-byte header (predictor int16, step index,
-    reserved) + packed nibbles, low nibble first."""
-    if samples.ndim == 2:
-        if samples.shape[1] != 1:
-            raise ValueError("IMA ADPCM twin is mono-only")
-        samples = samples[:, 0]
-    vals = [int(v) for v in samples]
-    index = 0
+    """Encode mono OR stereo int16 samples as a real WAV fmt 0x11
+    (IMA ADPCM) container: per-block per-channel 4-byte header
+    (predictor int16, step index, reserved) + packed nibbles, low
+    nibble first; stereo data interleaves in 4-byte groups per
+    channel round-robin (MS WAVE spec). ``block_frames`` must give
+    4-byte-aligned per-channel nibble bytes for stereo (the 505
+    default does: 252 bytes)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    if ch not in (1, 2):
+        raise ValueError("IMA ADPCM twin takes 1 or 2 channels")
+    per_ch_bytes = (block_frames - 1 + 1) // 2
+    if ch == 2 and per_ch_bytes % 4:
+        raise ValueError("stereo needs 4-byte-aligned per-channel data")
+    cols = [[int(v) for v in samples[:, c]] for c in range(ch)]
+    indexes = [0] * ch
     blocks = bytearray()
-    block_align = 4 + (block_frames - 1 + 1) // 2
-    for j in range(0, len(vals), block_frames):
-        chunk = vals[j : j + block_frames]
-        body, index_out = _ima_encode_block(chunk, index)
-        body = body.ljust(block_align - 4, b"\x00")
-        blocks += struct.pack("<hBB", chunk[0], index, 0) + body
-        index = index_out
-    n_frames = len(vals)
+    block_align = 4 * ch + per_ch_bytes * ch
+    for j in range(0, len(cols[0]), block_frames):
+        bodies = []
+        hdr = b""
+        for c in range(ch):
+            chunk = cols[c][j : j + block_frames]
+            body, idx_out = _ima_encode_block(chunk, indexes[c])
+            bodies.append(body.ljust(per_ch_bytes, b"\x00"))
+            hdr += struct.pack("<hBB", chunk[0], indexes[c], 0)
+            indexes[c] = idx_out
+        if ch == 1:
+            blocks += hdr + bodies[0]
+        else:
+            blocks += hdr
+            for g in range(0, per_ch_bytes, 4):
+                for c in range(ch):
+                    blocks += bodies[c][g : g + 4]
+    n_frames = len(cols[0])
     fmt = struct.pack(
-        "<HHIIHH", 0x11, 1, rate, rate * block_align // block_frames,
+        "<HHIIHH", 0x11, ch, rate, rate * block_align // block_frames,
         block_align, 4,
     ) + struct.pack("<HH", 2, block_frames)  # cbSize + samplesPerBlock
     return (
@@ -605,27 +623,48 @@ def decode_wav_samples(data: bytes) -> tuple[np.ndarray, int]:
     elif fmt in (6, 7):  # G.711 A-law / mu-law
         codes = np.frombuffer(body, np.uint8)
         samples = (alaw_decode if fmt == 6 else ulaw_decode)(codes)
-    elif fmt == 0x11:  # IMA ADPCM
-        if ch != 1:
-            raise NotImplementedError("stereo IMA ADPCM: codec slot")
+    elif fmt == 0x11:  # IMA ADPCM, mono or multi-channel
+        chans = max(ch or 1, 1)
         spb = (
             struct.unpack("<H", fmt_extra[:2])[0]
             if len(fmt_extra) >= 2
-            else (block_align - 4) * 2 + 1
+            else (block_align - 4 * chans) * 2 // chans + 1
         )
-        out: list[int] = []
-        for j in range(0, len(body), max(block_align, 5)):
+        nib_bytes = (spb - 1 + 1) // 2
+        out_ch: list[list[int]] = [[] for _ in range(chans)]
+        for j in range(0, len(body), max(block_align, 4 * chans + 1)):
             block = body[j : j + block_align]
-            if len(block) < 5:
+            if len(block) < 4 * chans + 1:
                 break
-            pred, idx, _ = struct.unpack("<hBB", block[:4])
-            nib_bytes = (spb - 1 + 1) // 2
-            out += _ima_decode_block(block[4 : 4 + nib_bytes], pred, idx)[
-                :spb
-            ]
+            preds, idxs = [], []
+            for c in range(chans):
+                pr, ix, _ = struct.unpack("<hBB", block[4 * c : 4 * c + 4])
+                preds.append(pr)
+                idxs.append(ix)
+            dat = block[4 * chans :]
+            if chans == 1:
+                per = [dat]
+            else:
+                # multi-channel data interleaves in 4-byte (8-nibble)
+                # groups per channel, round-robin (MS WAVE spec); a
+                # channel's decode state runs across its own groups
+                grp = [
+                    dat[k : k + 4] for k in range(0, len(dat) // 4 * 4, 4)
+                ]
+                per = [
+                    b"".join(grp[g] for g in range(c, len(grp), chans))
+                    for c in range(chans)
+                ]
+            for c in range(chans):
+                out_ch[c] += _ima_decode_block(
+                    per[c][:nib_bytes], preds[c], idxs[c]
+                )[:spb]
         if n_fact is not None:
-            out = out[:n_fact]
-        samples = np.asarray(out, np.int32)
+            out_ch = [o[:n_fact] for o in out_ch]
+        nfr = min(len(o) for o in out_ch)
+        samples = np.stack(
+            [np.asarray(o[:nfr], np.int32) for o in out_ch], axis=1
+        ).reshape(-1)
     else:
         raise NotImplementedError(f"WAV format {fmt}: codec slot")
     n_frames = len(samples) // max(ch, 1)
@@ -980,13 +1019,16 @@ _DCT = _dct_matrix()
 
 
 def _quant_table(
-    quality: int, base: np.ndarray = _JPEG_QUANT_LUMA
+    quality: int, base: np.ndarray = _JPEG_QUANT_LUMA, max_val: int = 255
 ) -> np.ndarray:
-    """libjpeg-style quality scaling of an Annex K table."""
+    """libjpeg-style quality scaling of an Annex K table.
+    ``max_val=65535`` gives the extended-precision (Pq=1) range —
+    low qualities genuinely overflow 8 bits (Annex K luma scales to
+    6050 at quality 1)."""
     quality = min(max(quality, 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     q = (base * scale + 50) // 100
-    return np.clip(q, 1, 255).astype(np.int32)
+    return np.clip(q, 1, max_val).astype(np.int32)
 
 
 class _BitWriter:
@@ -1102,6 +1144,7 @@ def encode_jpeg(
     subsample: str = "420",
     restart_interval: int = 0,
     progressive: bool = False,
+    dqt_precision: int = 8,
 ) -> bytes:
     """Encode an (H, W[, 1|3]) uint8 array as a REAL baseline
     JFIF/JPEG: level-shifted 8x8 DCT, Annex-K luma/chroma
@@ -1114,13 +1157,20 @@ def encode_jpeg(
     reset — the error-resilience feature real encoders use).
     ``progressive`` emits SOF2 spectral selection: one interleaved
     DC scan, then one full-band AC scan per component in raster
-    order over its true block grid (Ah = Al = 0)."""
+    order over its true block grid (Ah = Al = 0).
+    ``dqt_precision=16`` emits extended-precision (Pq=1, 16-bit
+    big-endian) quantization tables and lifts the 255 clamp — the
+    form real encoders use below ~quality 25, where Annex K scaling
+    overflows 8 bits."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
     if ncomp not in (1, 3):
         raise JpegError("encode_jpeg takes gray or RGB input")
-    qy = _quant_table(quality)
+    if dqt_precision not in (8, 16):
+        raise JpegError(f"dqt_precision must be 8 or 16, got {dqt_precision}")
+    q_max = 255 if dqt_precision == 8 else 65535
+    qy = _quant_table(quality, max_val=q_max)
     zz = _ZIGZAG
     dc_y = _huff_codes(_DC_BITS, _DC_VALS)
     ac_y = _huff_codes(_AC_BITS, _AC_VALS)
@@ -1134,7 +1184,7 @@ def encode_jpeg(
         if subsample not in ("420", "444"):
             raise JpegError(f"unsupported subsampling {subsample}")
         y, cb, cr = _rgb_to_ycbcr(px)
-        qc = _quant_table(quality, _JPEG_QUANT_CHROMA)
+        qc = _quant_table(quality, _JPEG_QUANT_CHROMA, max_val=q_max)
         dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
         ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
         if subsample == "420":
@@ -1244,10 +1294,17 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    def dqt_body(tid: int, tbl: np.ndarray) -> bytes:
+        if dqt_precision == 8:
+            return bytes([tid]) + bytes(int(tbl[r][c]) for r, c in zz)
+        return bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", int(tbl[r][c])) for r, c in zz
+        )
+
     out = b"\xff\xd8"
-    out += seg(0xDB, b"\x00" + bytes(int(qy[r][c]) for r, c in zz))
+    out += seg(0xDB, dqt_body(0, qy))
     if ncomp == 3:
-        out += seg(0xDB, b"\x01" + bytes(int(qtabs[1][r][c]) for r, c in zz))
+        out += seg(0xDB, dqt_body(1, qtabs[1]))
     sof_comps = b""
     for ci, (hf, vf) in enumerate(factors):
         sof_comps += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
@@ -1553,13 +1610,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             j = 0
             while j < len(body):
                 prec, tid = body[j] >> 4, body[j] & 0xF
-                if prec:
-                    raise NotImplementedError("16-bit quant tables: slot")
                 tbl = np.zeros((8, 8), np.int32)
-                for k, (r, c) in enumerate(_ZIGZAG):
-                    tbl[r, c] = body[j + 1 + k]
-                qtables[tid] = tbl
-                j += 65
+                if prec:
+                    # extended precision (ITU T.81 B.2.4.1): 16-bit
+                    # big-endian entries — low-quality tables exceed
+                    # 255 and real encoders emit Pq=1 for them
+                    for k, (r, c) in enumerate(_ZIGZAG):
+                        tbl[r, c] = (
+                            body[j + 1 + 2 * k] << 8
+                        ) | body[j + 2 + 2 * k]
+                    qtables[tid] = tbl
+                    j += 129
+                else:
+                    for k, (r, c) in enumerate(_ZIGZAG):
+                        tbl[r, c] = body[j + 1 + k]
+                    qtables[tid] = tbl
+                    j += 65
         elif marker in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline JPEG: codec slot")
         elif marker == 0xDD:

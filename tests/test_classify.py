@@ -116,3 +116,48 @@ def test_hashed_features_model_is_fixed_size(spark):
     # disjoint vocab (no bucket collisions here) -> still diagonal
     out = nb_train_predict(_docs(spark, rows), hash_buckets=4096).collect()
     assert all(r["pred"] == r["label"] for r in out)
+
+
+def test_kfold_subtraction_equals_direct_retrain(spark):
+    """The leave-one-fold-out subtraction models must predict exactly
+    what k direct retrains on the complement folds predict."""
+    from bbcnews_scraper_nlp_spark.operators.classify import (
+        nb_kfold_predict,
+        nb_predict,
+    )
+    from bbcnews_scraper_nlp_spark.operators.traindata import kfold_split
+
+    rows = [
+        (i, t, c)
+        for i, (t, c) in enumerate(
+            [
+                ("aaa bbb aaa ddd", "x"), ("aaa aaa ccc", "x"),
+                ("bbb aaa eee", "x"), ("aaa fff bbb", "x"),
+                ("ccc ddd ccc ggg", "y"), ("ddd ccc hhh", "y"),
+                ("ccc ccc ddd", "y"), ("ddd ddd aaa", "y"),
+                ("eee fff ggg hhh", "z"), ("fff eee eee", "z"),
+                ("ggg fff hhh", "z"), ("hhh ggg eee fff", "z"),
+            ]
+        )
+    ]
+    docs = _docs(spark, rows)
+    k = 3
+    got = {
+        r["id"]: (r["fold"], r["pred"], r["score_milli"])
+        for r in nb_kfold_predict(docs, k=k).collect()
+    }
+    d = kfold_split(docs, "doc_id", k)
+    for i in range(k):
+        train = d.filter(d["fold"] != i).drop("fold")
+        val = d.filter(d["fold"] == i).drop("fold")
+        if val.count() == 0:
+            continue
+        model, classes = nb_model(train)
+        direct = {
+            r["id"]: (r["pred"], r["score_milli"])
+            for r in nb_predict(val, model, classes).collect()
+        }
+        for did, (pred, score) in direct.items():
+            gf, gp, gs = got[did]
+            assert gf == i
+            assert (gp, gs) == (pred, score), (did, i, (gp, gs), (pred, score))

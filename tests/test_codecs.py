@@ -635,3 +635,90 @@ def test_decode_stage_strict_vs_skip(spark):
     with pytest.raises(Exception, match="(?i)png"):
         decode_image_pixels(bad, strict=True).collect()
     assert decode_image_pixels(bad, strict=False).count() == 0
+
+
+def test_jpeg_16bit_quant_tables_roundtrip():
+    """Extended-precision (Pq=1) DQT: the former strict-mode slot.
+    At high quality the 16-bit table equals the 8-bit one, so both
+    encodings must decode identically; at quality 2 the table
+    genuinely overflows 8 bits and the decode must still bound the
+    DC-only error on a constant plane."""
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        _quant_table,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg,
+    )
+
+    r, c = np.mgrid[0:24, 0:16]
+    px = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+    b8 = encode_jpeg(px, quality=95)
+    b16 = encode_jpeg(px, quality=95, dqt_precision=16)
+    assert b16 != b8  # different DQT encoding on the wire ...
+    out8 = decode_jpeg_gray(b8)
+    out16 = decode_jpeg_gray(b16)
+    assert (out8 == out16).all()  # ... same decoded pixels
+
+    # quality 2: Annex K luma scales beyond 255 -> real 16-bit values
+    q2 = _quant_table(2, max_val=65535)
+    assert q2.max() > 255
+    px = np.full((16, 16), 137, np.uint8)
+    blob = encode_jpeg(px, quality=2, dqt_precision=16)
+    # wire check: Pq nibble set and a >255 entry present
+    i = blob.index(b"\xff\xdb") + 4
+    assert blob[i] == 0x10
+    vals = [int.from_bytes(blob[i + 1 + 2 * k : i + 3 + 2 * k], "big")
+            for k in range(64)]
+    assert max(vals) > 255
+    out = decode_jpeg_gray(blob)[:, :, 0].astype(int)
+    # constant plane -> DC-only; error <= q_dc / (2*8) + 1
+    qdc = int(q2[0, 0])
+    assert np.abs(out - 137).max() <= qdc // 16 + 1
+
+
+def test_jpeg_16bit_color_roundtrip():
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    r, c = np.mgrid[0:16, 0:16]
+    px = np.stack(
+        [((r * 2 + c) % 180 + 30).astype(np.uint8),
+         ((r + c * 2) % 180 + 40).astype(np.uint8),
+         ((r * 3) % 180 + 50).astype(np.uint8)],
+        axis=2,
+    )
+    b8 = encode_jpeg(px, quality=95, subsample="444")
+    b16 = encode_jpeg(px, quality=95, subsample="444", dqt_precision=16)
+    assert (decode_jpeg(b8) == decode_jpeg(b16)).all()
+
+
+def test_ima_adpcm_stereo_roundtrip_and_channel_equivalence():
+    """Stereo fmt 0x11 (the former strict-mode slot): 4-byte-group
+    round-robin interleave per the MS WAVE spec. Each channel's
+    codec state is independent, so the stereo decode must equal the
+    two mono decodes channel-for-channel."""
+    from bbcnews_scraper_nlp_spark.operators.codecs import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(2500)
+    left = (3000 * np.sin(t / 50)).astype(np.int32)
+    right = (2000 * np.cos(t / 33)).astype(np.int32)
+    st = np.stack([left, right], axis=1)
+    dec, rate = decode_wav_samples(encode_wav_ima_adpcm(st, 22050, 505))
+    assert rate == 22050 and dec.shape == (2500, 2)
+    for c, src in enumerate((left, right)):
+        err = np.abs(dec[:, c] - src)
+        assert err.max() < 500 and float(np.sqrt((err**2).mean())) < 50
+        mono, _ = decode_wav_samples(
+            encode_wav_ima_adpcm(src, 22050, 505)
+        )
+        assert (dec[:, c] == mono[:, 0]).all()
+    # odd length: fact chunk truncates the padded tail per channel
+    rng = np.random.RandomState(7)
+    s2 = rng.randint(-2000, 2000, (777, 2)).astype(np.int32)
+    d2, _ = decode_wav_samples(encode_wav_ima_adpcm(s2, 8000, 505))
+    assert d2.shape == (777, 2)

@@ -81,3 +81,30 @@ def test_grouped_sketches_independent(spark):
     got = {r["g"]: r["est"] for r in kmv_estimate(sk, ["g"], k=4).collect()}
     assert got["b"] == 3  # below k: exact
     assert got["a"] >= 1  # full sketch: estimator branch
+
+
+def test_setops_exact_below_k(spark):
+    """With both groups below k the union sketch IS the union set and
+    the intersection estimate is exact: x·est div n with est = n."""
+    from bbcnews_scraper_nlp_spark.operators.profiling import kmv_setops
+
+    a_keys = list(range(10))
+    b_keys = list(range(5, 18))  # overlap = 5..9 (5 keys)
+    pairs = [("a", k) for k in a_keys] + [("b", k) for k in b_keys]
+    sk = kmv_sketch(_df(spark, pairs), "k", ["g"], k=64)
+    got = {r["scope"]: r["est"] for r in
+           kmv_setops(sk, "g", "a", "b", k=64).collect()}
+    assert got["union:a+b"] == len(set(a_keys) | set(b_keys))
+    assert got["intersect:a+b"] == len(set(a_keys) & set(b_keys))
+
+
+def test_setops_empty_groups_guarded(spark):
+    """Both groups absent -> n = 0 -> union and intersect both 0
+    (the ADVICE r8 divide-by-zero guard)."""
+    from bbcnews_scraper_nlp_spark.operators.profiling import kmv_setops
+
+    pairs = [("c", k) for k in range(8)]
+    sk = kmv_sketch(_df(spark, pairs), "k", ["g"], k=64)
+    got = {r["scope"]: r["est"] for r in
+           kmv_setops(sk, "g", "a", "b", k=64).collect()}
+    assert got == {"union:a+b": 0, "intersect:a+b": 0}

@@ -484,3 +484,90 @@ def node2vec_walks(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    damping_pct: int = 85,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart (Haveliwala
+    2002; Tong et al. 2006): identical integer arithmetic to
+    ``pagerank`` except ALL teleport mass returns to the ``seeds``
+    set — rank becomes proximity TO the seeds instead of global
+    importance, the classic graph-based recommender ("entities
+    related to these") and seed-expansion primitive. Seeds get the
+    initial mass ``scale div |S|`` and teleport
+    ``(100−d)·scale div (100·|S|)``; non-seeds get zero. Same plan
+    shape, cache contract (persisted node set + degree-attached
+    edges via ``cache_handles``), and exact-integer reproducibility
+    as pagerank — the DuckDB oracle unrolls identical iterations.
+
+    ``seeds`` is a single-column DataFrame of node ids (small — it
+    broadcasts onto the node set as a left-join flag).
+
+    Returns (node, ppr_scaled BIGINT) for every node.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    ed = e.join(deg, "__src").persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.extend([nodes, ed])
+    sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    flagged = (
+        nodes.join(sd.withColumn("__is_seed", F.lit(1)), "node", "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_handles is not None:
+        cache_handles.append(flagged)
+    ns = F.broadcast(sd.agg(F.count("*").alias("__k")))
+
+    ranks = flagged.join(ns).select(
+        "node",
+        F.when(
+            F.col("__is_seed") == 1, F.expr(f"{scale} div __k")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__r"),
+    )
+    for _ in range(iters):
+        inbound = (
+            ed.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .select(F.col("__dst"), F.expr("__r div __deg").alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            flagged.join(
+                inbound.withColumnRenamed("__dst", "node"), "node", "left"
+            )
+            .join(ns)
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("__is_seed") == 1,
+                        F.expr(
+                            f"({100 - damping_pct} * {scale}) div (100 * __k)"
+                        ),
+                    ).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__s, 0L)) div 100"
+                    )
+                ).alias("__r"),
+            )
+        )
+    return ranks.select("node", F.col("__r").alias("ppr_scaled"))

@@ -6490,6 +6490,93 @@ def _knn_edges_ctes(k: int = 3) -> str:
     )
 
 
+def _ppr_oracle_sql(
+    iters: int = 3, scale: int = 10**12, n_seeds: int = 3
+) -> str:
+    """Unrolled integer personalized-PageRank twin of operators.
+    graph.personalized_pagerank over the co-purchase graph: teleport
+    mass returns ONLY to the seed set (the n_seeds smallest supplier
+    keys in the projection). edges/nodes/deg/sd are MATERIALIZED —
+    every unrolled iteration re-reads them."""
+    tele = f"(15 * {scale}) // (100 * k)"
+    parts = [
+        f"WITH e0 AS ({_BIPROJ_SQL}), "
+        "pairs AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS c, "
+        "'s' || CAST(s AS VARCHAR) AS s FROM e0), "
+        "edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s AS src, c AS dst FROM pairs), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges), "
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges "
+        "GROUP BY src), "
+        "sd AS MATERIALIZED (SELECT 's' || CAST(s AS VARCHAR) AS node "
+        f"FROM (SELECT DISTINCT s FROM e0 ORDER BY s LIMIT {n_seeds})), "
+        "ns AS (SELECT COUNT(*) AS k FROM sd), "
+        "r0 AS (SELECT nodes.node, CASE WHEN sd.node IS NOT NULL THEN "
+        f"{scale} // k ELSE 0 END AS r FROM nodes CROSS JOIN ns "
+        "LEFT JOIN sd ON nodes.node = sd.node)"
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", i{i} AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT nodes.node, "
+            f"CASE WHEN sd.node IS NOT NULL THEN {tele} ELSE 0 END "
+            f"+ (85 * COALESCE(i{i}.s, 0)) // 100 AS r "
+            "FROM nodes CROSS JOIN ns "
+            "LEFT JOIN sd ON nodes.node = sd.node "
+            f"LEFT JOIN i{i} ON nodes.node = i{i}.node)"
+        )
+        prev = f"r{i}"
+    parts.append(
+        f" SELECT node, CAST(r AS BIGINT) AS ppr_scaled FROM {prev} "
+        "ORDER BY ppr_scaled DESC, node LIMIT 20"
+    )
+    return "".join(parts)
+
+
+@register("ppr_related_entities", _ppr_oracle_sql())
+def ppr_related_entities(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart from a seed
+    set (graph.personalized_pagerank): proximity of every
+    customer/supplier node to the 3 smallest-key suppliers over the
+    co-purchase graph, top-20 — the graph-based "related entities"
+    recommender (Tong et al. 2006 RWR; at corpus scale: documents /
+    hosts related to a trusted seed set, the seed-expansion shape
+    quality-curation pipelines use, cf. Common-Crawl host ranking
+    from trusted seeds). Global pagerank measures importance;
+    restarting ALL teleport mass at the seeds measures proximity TO
+    them. Same exact-integer iteration as pagerank_copurchase (the
+    oracle unrolls it with seed-conditional teleport), same persisted
+    edge-table contract. At 100 TB: identical shuffle shape to
+    pagerank — node-keyed joins + map-combinable sums; the seed flag
+    is a broadcast left join."""
+    from .operators.graph import personalized_pagerank
+
+    proj = _supplier_projection(spark, sf_dir)
+    pairs = proj.select(
+        F.concat(F.lit("c"), F.col("c")).alias("c"),
+        F.concat(F.lit("s"), F.col("s")).alias("s"),
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        proj.select("s")
+        .distinct()
+        .orderBy("s")
+        .limit(3)
+        .select(F.concat(F.lit("s"), F.col("s")).alias("node"))
+    )
+    pr = personalized_pagerank(
+        edges, "src", "dst", seeds, iters=3, cache_handles=cache_handles
+    )
+    return pr.orderBy(F.desc("ppr_scaled"), "node").limit(20)
+
+
 def _lpa_oracle_sql(
     iters: int = 3, k: int = 3, final: str | None = None
 ) -> str:
@@ -8921,6 +9008,7 @@ _WINDOW_ORDER = [
     "graph_random_walks",
     "walk_skipgram_pmi",
     "node2vec_biased_walks",
+    "ppr_related_entities",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -8941,11 +9029,12 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 30 of the 38 round-5 rows (the remaining 8 —
+    # ... and 29 of the 38 round-5 rows (the remaining 9 —
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
-    # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers — have fresh
-    # family anchors and rotate next round).
+    # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
+    # tpch_q19_disjunctive_pred — have fresh family anchors and rotate
+    # next round).
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
     "corpus_token_offsets",
@@ -8971,7 +9060,6 @@ _WINDOW_ORDER = [
     "tpch_q10_returned_items",
     "tpch_q12_late_shipments",
     "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive_pred",
     "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
     "vocab_oov_rate",

@@ -815,6 +815,7 @@ def cms_stream(
     key: str,
     depth: int = 5,
     width: int = 256,
+    where: str | None = None,
 ):
     """Streaming frequency tracking with PERSISTENT count-min state:
     each micro-batch builds its own CMS counter delta
@@ -1062,11 +1063,6 @@ def versioned_sink_stream(
         stream = reader.option("pathGlobFilter", leaf).parquet(parent)
     else:
         stream = reader.parquet(input_dir)
-    if where is not None:
-        # pre-sketch row filter (e.g. one event_type per pipeline) —
-        # a narrow predicate the scan absorbs, so each state scope
-        # only ever sees its own slice
-        stream = stream.filter(where)
 
     lineage_cache: dict[str, str] = {}
 

@@ -248,4 +248,5 @@ NEW_R9 = [
     "graph_random_walks",
     "walk_skipgram_pmi",
     "node2vec_biased_walks",
+    "ppr_related_entities",
 ]

@@ -359,3 +359,46 @@ def test_node2vec_bias_literal_python_replay(spark):
             expect = node
             break
     assert path[2] == expect
+
+
+def test_personalized_pagerank_mass_concentrates_at_seeds(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # star: hub h connected to spokes a..e both ways; seed = {a}
+    spokes = ["a", "b", "c", "d", "e"]
+    pairs = [("h", x) for x in spokes] + [(x, "h") for x in spokes]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["ppr_scaled"]
+        for r in personalized_pagerank(df, "src", "dst", seeds).collect()
+    }
+    # seed and hub hold nearly all mass; a beats every other spoke
+    assert got["a"] > got["b"] == got["c"] == got["d"] == got["e"]
+    assert got["h"] > got["b"]
+    # global pagerank by contrast ranks all spokes equally with a
+    gl = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank(df, "src", "dst").collect()
+    }
+    assert gl["a"] == gl["b"]
+
+
+def test_personalized_pagerank_unreachable_gets_zero(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disconnected components; seed in one -> the other gets 0
+    pairs = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["ppr_scaled"]
+        for r in personalized_pagerank(df, "src", "dst", seeds).collect()
+    }
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["b"] > 0

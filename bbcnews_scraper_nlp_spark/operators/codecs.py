@@ -1091,9 +1091,10 @@ def _encode_ac_band(bw_: "_BitWriter", blk: np.ndarray, ac_codes: dict) -> None:
 
 
 def _encode_dc(
-    bw_: "_BitWriter", blk: np.ndarray, prev_dc: int, dc_codes: dict
+    bw_: "_BitWriter", blk: np.ndarray, prev_dc: int, dc_codes: dict,
+    shift: int = 0,
 ) -> int:
-    dc = int(blk[0, 0])
+    dc = int(blk[0, 0]) >> shift  # arithmetic: T.81 DC point transform
     size, bits = _magnitude(dc - prev_dc)
     code, length = dc_codes[size]
     bw_.write(code, length)
@@ -1145,6 +1146,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     dqt_precision: int = 8,
+    successive: bool = False,
 ) -> bytes:
     """Encode an (H, W[, 1|3]) uint8 array as a REAL baseline
     JFIF/JPEG: level-shifted 8x8 DCT, Annex-K luma/chroma
@@ -1161,7 +1163,14 @@ def encode_jpeg(
     ``dqt_precision=16`` emits extended-precision (Pq=1, 16-bit
     big-endian) quantization tables and lifts the 255 clamp — the
     form real encoders use below ~quality 25, where Annex K scaling
-    overflows 8 bits."""
+    overflows 8 bits.
+    ``successive=True`` emits FULL successive approximation (T.81
+    G.1.2, the default mode of real progressive encoders): DC first
+    scan at Al=1 + one raw-bit DC refinement, then per component an
+    AC spectral scan at Al=1 + an AC refinement scan (Ah=1, Al=0)
+    with newly-significant RS codes, sign bits, buffered correction
+    bits and EOB runs — the libjpeg encode_mcu_AC_refine contract.
+    Implies ``progressive``; restart intervals unsupported here."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ncomp = px.shape
@@ -1169,6 +1178,10 @@ def encode_jpeg(
         raise JpegError("encode_jpeg takes gray or RGB input")
     if dqt_precision not in (8, 16):
         raise JpegError(f"dqt_precision must be 8 or 16, got {dqt_precision}")
+    if successive:
+        if restart_interval:
+            raise JpegError("successive + restart: unsupported combination")
+        progressive = True
     q_max = 255 if dqt_precision == 8 else 65535
     qy = _quant_table(quality, max_val=q_max)
     zz = _ZIGZAG
@@ -1216,7 +1229,7 @@ def encode_jpeg(
         )
         comp_blocks.append(_plane_to_quant_blocks(padded, q))
 
-    def dc_scan_bytes() -> bytes:
+    def dc_scan_bytes(shift: int = 0) -> bytes:
         wtr = _BitWriter()
         prev = [0] * len(planes)
         mcu_i = 0
@@ -1238,7 +1251,9 @@ def encode_jpeg(
                         for hh in range(hf):
                             blk = comp_blocks[ci][my * vf + v, mx * hf + hh]
                             if progressive:
-                                prev[ci] = _encode_dc(wtr, blk, prev[ci], dcc)
+                                prev[ci] = _encode_dc(
+                                    wtr, blk, prev[ci], dcc, shift
+                                )
                             else:
                                 prev[ci] = _encode_block(
                                     wtr, blk, prev[ci], dcc, acc
@@ -1247,7 +1262,8 @@ def encode_jpeg(
         wtr.flush()
         return bytes(wtr.out)
 
-    def ac_scan_bytes(ci: int) -> bytes:
+    def ac_scan_bytes(ci: int, blocks=None) -> bytes:
+        blocks = comp_blocks[ci] if blocks is None else blocks
         wtr = _BitWriter()
         bh_i, bw_i = true_grids[ci]
         acc = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
@@ -1279,7 +1295,7 @@ def encode_jpeg(
                     wtr.out += bytes([0xFF, 0xD0 + rst])
                     rst = (rst + 1) % 8
                 blk_i += 1
-                blk = comp_blocks[ci][by, bx]
+                blk = blocks[by, bx]
                 if not any(
                     int(blk[rr, cc]) for rr, cc in _ZIGZAG[1:]
                 ):
@@ -1288,6 +1304,77 @@ def encode_jpeg(
                 flush_eobrun()
                 _encode_ac_band(wtr, blk, acc)
         flush_eobrun()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_bytes(al: int = 0) -> bytes:
+        # T.81 G.1.2.1: one RAW bit per block (bit ``al`` of the
+        # two's-complement DC), interleaved MCU order — no entropy
+        # coding, no prediction
+        wtr = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hf, vf) in enumerate(factors):
+                    for v in range(vf):
+                        for hh in range(hf):
+                            dc = int(
+                                comp_blocks[ci][my * vf + v, mx * hf + hh][
+                                    0, 0
+                                ]
+                            )
+                            wtr.write((dc >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_refine_bytes(ci: int, al: int = 0) -> bytes:
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: RS codes for
+        # newly-significant coefficients over zero-HISTORY runs,
+        # correction bits buffered and flushed after each emitted
+        # symbol, per-block EOB run carrying the trailing bits
+        wtr = _BitWriter()
+        bh_i, bw_i = true_grids[ci]
+        acc = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+        def put_bits(bits_: list[int]) -> None:
+            for b in bits_:
+                wtr.write(b, 1)
+
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                blk = comp_blocks[ci][by, bx]
+                vals = [int(blk[rr, cc]) for rr, cc in _ZIGZAG[1:]]
+                temps = [abs(v) >> al for v in vals]
+                eob_idx = -1
+                for k, t in enumerate(temps):
+                    if t == 1:
+                        eob_idx = k
+                run = 0
+                buf: list[int] = []
+                for k, (v, t) in enumerate(zip(vals, temps)):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # flush pending ZRLs before ANY nonzero temp so
+                    # buffered correction bits never span a ZRL
+                    while run > 15 and k <= eob_idx:
+                        code, ln = acc[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                        put_bits(buf)
+                        buf = []
+                    if t > 1:
+                        buf.append(t & 1)  # already significant
+                        continue
+                    code, ln = acc[(run << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if v > 0 else 0, 1)
+                    put_bits(buf)
+                    buf = []
+                    run = 0
+                if run > 0 or buf:
+                    code, ln = acc[0x00]  # EOB run of one
+                    wtr.write(code, ln)
+                    put_bits(buf)
         wtr.flush()
         return bytes(wtr.out)
 
@@ -1338,6 +1425,27 @@ def encode_jpeg(
             0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 63, 0])
         )
         return out + dc_scan_bytes() + b"\xff\xd9"
+    if successive:
+        # full successive approximation: DC at Al=1 + raw-bit DC
+        # refinement, then per component AC spectral at Al=1 + AC
+        # refinement (Ah=1, Al=0)
+        out += seg(
+            0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 0, 0x01])
+        )
+        out += dc_scan_bytes(shift=1)
+        out += seg(
+            0xDA, bytes([len(factors)]) + sos_comps + bytes([0, 0, 0x10])
+        )
+        out += dc_refine_bytes(0)
+        for ci in range(len(factors)):
+            shifted = np.sign(comp_blocks[ci]) * (
+                np.abs(comp_blocks[ci]) >> 1
+            )  # T.81 AC point transform: magnitude shift, not arithmetic
+            out += seg(0xDA, bytes([1, ci + 1, 0x02, 1, 63, 0x01]))
+            out += ac_scan_bytes(ci, blocks=shifted)
+            out += seg(0xDA, bytes([1, ci + 1, 0x02, 1, 63, 0x10]))
+            out += ac_refine_bytes(ci, 0)
+        return out + b"\xff\xd9"
     # progressive spectral selection: interleaved DC scan, then one
     # full-band AC scan per component over its true block grid
     out += seg(
@@ -1493,6 +1601,123 @@ def _jpeg_dc_or_full_scan(
                     rd, dc_tabs[td], ac_tabs[ta], prev
                 )
                 coefs[cid][by, bx] = grid
+
+
+def _jpeg_dc_refine_scan(
+    segments, scan_comps, by_cid, geom, coefs, mcus_x, mcus_y, al,
+    restart_interval,
+):
+    """Successive-approximation DC refinement (T.81 G.1.2.1, Ah > 0):
+    one RAW bit per block (no entropy coding), OR-ed into bit ``al``
+    of the two's-complement DC value — correct for both signs because
+    the first pass stored the arithmetically-shifted value."""
+    rd = _BitReader(segments[0])
+    seg_i = mcu_i = 0
+    if len(scan_comps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise JpegError("missing restart marker")
+                    rd = _BitReader(segments[seg_i])
+                mcu_i += 1
+                for cid, _td, _ta in scan_comps:
+                    _, hf, vf, _tq = by_cid[cid]
+                    for v in range(vf):
+                        for hh in range(hf):
+                            if rd.read(1):
+                                coefs[cid][
+                                    my * vf + v, mx * hf + hh, 0, 0
+                                ] |= 1 << al
+        return
+    cid = scan_comps[0][0]
+    _hf, _vf, _tq, bh_i, bw_i = geom[cid]
+    blk_i = 0
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise JpegError("missing restart marker")
+                rd = _BitReader(segments[seg_i])
+            blk_i += 1
+            if rd.read(1):
+                coefs[cid][by, bx, 0, 0] |= 1 << al
+
+
+def _jpeg_ac_refine_scan(
+    segments, scan_comp, geom, coefs, ac_tabs, ss, se, al,
+    restart_interval,
+):
+    """Successive-approximation AC refinement (T.81 G.1.2.3, Ah > 0):
+    RS codes position NEWLY-significant coefficients (s = 1, sign
+    bit -> ±2^al) over runs of zero-HISTORY positions; every
+    already-significant coefficient passed reads one correction bit
+    (append 2^al toward its sign if set); EOB runs cover trailing
+    positions, still reading correction bits for the nonzero-history
+    ones (the libjpeg decode_mcu_AC_refine contract)."""
+    cid, _td, ta = scan_comp
+    act = ac_tabs[ta]
+    _hf, _vf, _tq, bh_i, bw_i = geom[cid]
+    rd = _BitReader(segments[0])
+    seg_i = blk_i = 0
+    eobrun = 0
+    p1 = 1 << al
+
+    def correct(grid, rr, cc):
+        if rd.read(1) and (int(grid[rr, cc]) & p1) == 0:
+            grid[rr, cc] += p1 if grid[rr, cc] >= 0 else -p1
+
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise JpegError("missing restart marker")
+                rd = _BitReader(segments[seg_i])
+                eobrun = 0
+            blk_i += 1
+            grid = coefs[cid][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.huff(act)
+                    r, sz = rs >> 4, rs & 0xF
+                    newval = 0
+                    if sz:
+                        if sz != 1:
+                            raise JpegError("bad refinement magnitude")
+                        newval = p1 if rd.read(1) else -p1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.read(r)
+                        break
+                    while k <= se:
+                        rr, cc = _ZIGZAG[k]
+                        if grid[rr, cc] != 0:
+                            correct(grid, rr, cc)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        rr, cc = _ZIGZAG[k]
+                        grid[rr, cc] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    rr, cc = _ZIGZAG[k]
+                    if grid[rr, cc] != 0:
+                        correct(grid, rr, cc)
+                    k += 1
+                eobrun -= 1
 
 
 def _jpeg_ac_scan(
@@ -1674,12 +1899,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_comps.append((cid, tt >> 4, tt & 0xF))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
-            if ah != 0:
-                raise NotImplementedError(
-                    "successive approximation: codec slot"
-                )
             end = _scan_end(i + 2 + seglen)
             segments = _split_rst(data[i + 2 + seglen : end])
+            if ah > 0:
+                # successive-approximation refinement scans
+                if ss == 0:
+                    _jpeg_dc_refine_scan(
+                        segments, scan_comps,
+                        {c[0]: c for c in comps}, geom, coefs,
+                        mcus_x, mcus_y, al, restart_interval,
+                    )
+                else:
+                    if ns != 1:
+                        raise JpegError("AC refinement must be 1-comp")
+                    _jpeg_ac_refine_scan(
+                        segments, scan_comps[0], geom, coefs, ac_tabs,
+                        ss, se, al, restart_interval,
+                    )
+                saw_scan = True
+                i = end
+                continue
             if not progressive or ss == 0:
                 # DC (or full baseline) pass: interleaved MCU order
                 # when the scan holds >1 component, raster otherwise

@@ -756,7 +756,9 @@ def attach_gradient_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def attach_gradient_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+def attach_gradient_jpeg_payload(
+    df: DataFrame, id_col: str, successive: bool = False
+) -> DataFrame:
     """Synthesize a REAL baseline JPEG per row (8x8 DCT, Annex-K
     quantization at quality 95, Huffman entropy coding) carrying a
     smooth closed-form plane — JPEG is lossy, so the plane is chosen
@@ -764,11 +766,18 @@ def attach_gradient_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
 
         width  = id % 5 * 8 + 16
         height = id % 7 * 4 + 12
-        px[r, c] = id % 128 + r + c      (max 127+35+47 < 255)"""
+        px[r, c] = id % 128 + r + c      (max 127+35+47 < 255)
+
+    ``successive=True`` emits full successive-approximation
+    progressive JPEGs instead (T.81 G.1.2: DC Al=1 + raw-bit
+    refinement, AC spectral Al=1 + refinement scans) — same plane,
+    same bound (the refinement pass restores full coefficient
+    precision, codecs tests pin bit-equality with the plain
+    progressive decode)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    from .codecs import encode_jpeg_gray
+    from .codecs import encode_jpeg
 
     def _jpegs(ids: pd.Series) -> pd.Series:
         out = []
@@ -777,7 +786,7 @@ def attach_gradient_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
             w, h = i % 5 * 8 + 16, i % 7 * 4 + 12
             r, c = np.mgrid[0:h, 0:w]
             px = (i % 128 + r + c).astype(np.uint8)
-            out.append(encode_jpeg_gray(px, quality=95))
+            out.append(encode_jpeg(px, quality=95, successive=successive))
         return pd.Series(out)
 
     jpg = pandas_udf(_jpegs, "binary")

@@ -2470,6 +2470,54 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_sa_decode",
+    # Successive-approximation JPEG decode (r9, the former strict-mode
+    # slot): same closed-form plane and lossy-codec certificate as
+    # multimodal_jpeg_decode — the refinement scans restore full
+    # coefficient precision, so the bound is identical.
+    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
+    "doc_id % 7 * 4 + 12 AS h FROM documents) "
+    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "1 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
+    "FROM dims",
+)
+def multimodal_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL successive-approximation JPEG decode at scale: per
+    document a genuine T.81 G.1.2 progressive JPEG (DC first scan at
+    Al=1, raw-bit DC refinement, per-component AC spectral scan at
+    Al=1 and AC refinement scan with newly-significant RS codes,
+    sign bits, buffered correction bits and EOB runs) decoded in the
+    shared Arrow-batched mapInPandas pixel stage and certified
+    against the closed-form plane within the lossy tolerance — the
+    default output mode of real progressive encoders (libjpeg's
+    standard scan script), formerly a declared strict-mode slot."""
+    from .operators.multimodal import (
+        attach_gradient_jpeg_payload,
+        decode_image_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    decoded = decode_image_pixels(
+        attach_gradient_jpeg_payload(docs, "doc_id", successive=True)
+    )
+    a = F.col("doc_id") % 128
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    exact_sum = (
+        w * h * a + w * (h * (h - 1) / 2).cast("long")
+        + h * (w * (w - 1) / 2).cast("long")
+    )
+    return decoded.select(
+        "doc_id", "width", "height", "channels",
+        (F.abs(F.col("px_sum") - exact_sum) <= 2 * w * h)
+        .cast("long").alias("sum_ok"),
+        (F.abs(F.col("px_min") - a) <= 2).cast("int").alias("min_ok"),
+        (F.abs(F.col("px_max") - (a + h - 1 + w - 1)) <= 2)
+        .cast("int").alias("max_ok"),
+    )
+
+
+@register(
     "multimodal_jpeg_color_decode",
     # REAL color JPEG decode (round 7): genuine 4:2:0 YCbCr baseline
     # JPEGs carrying three smooth closed-form planes; certificate in
@@ -9009,6 +9057,7 @@ _WINDOW_ORDER = [
     "walk_skipgram_pmi",
     "node2vec_biased_walks",
     "ppr_related_entities",
+    "multimodal_jpeg_sa_decode",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -9029,19 +9078,18 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 29 of the 38 round-5 rows (the remaining 9 —
+    # ... and 28 of the 38 round-5 rows (the remaining 10 —
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
     # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
-    # tpch_q19_disjunctive_pred — have fresh family anchors and rotate
-    # next round).
+    # tpch_q19_disjunctive_pred, event_transition_matrix — have fresh
+    # family anchors and rotate next round).
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
     "corpus_token_offsets",
     "data_quality_audit",
     "dedup_minhash_lsh",
     "dsir_importance_weights",
-    "event_transition_matrix",
     "ewma_daily_value",
     "heavy_hitter_users",
     "link_prediction_suppliers",

@@ -249,4 +249,5 @@ NEW_R9 = [
     "walk_skipgram_pmi",
     "node2vec_biased_walks",
     "ppr_related_entities",
+    "multimodal_jpeg_sa_decode",
 ]

@@ -353,28 +353,64 @@ def test_jpeg_progressive_eob_runs():
         assert (prog == base).all(), ri
 
 
-def test_jpeg_successive_approximation_is_declared_slot():
-    import struct as _s
-
+def test_jpeg_successive_approximation_roundtrip():
+    """Full SA (the former strict-mode slot): DC Al=1 + raw-bit DC
+    refinement, AC spectral Al=1 + AC refinement with RS codes, sign
+    bits, buffered correction bits and EOB runs. The refinement pass
+    restores full coefficient precision, so the SA decode must equal
+    the plain-progressive decode BIT-EXACTLY on any input."""
     from bbcnews_scraper_nlp_spark.operators.codecs import (
         decode_jpeg,
+        decode_jpeg_gray,
         encode_jpeg,
     )
 
-    px = np.full((8, 8), 100, np.uint8)
-    data = bytearray(encode_jpeg(px, progressive=True))
-    # patch the DC scan's Ah nibble to 1 (successive approximation)
+    rng = np.random.RandomState(0)
+    # noisy planes exercise ZRL runs, EOB runs and correction bits
+    px = rng.randint(0, 256, (40, 37), dtype=np.uint8)
+    for q in (95, 75, 40):
+        a = decode_jpeg_gray(encode_jpeg(px, quality=q, progressive=True))
+        b = decode_jpeg_gray(encode_jpeg(px, quality=q, successive=True))
+        assert (a == b).all(), q
+    pxc = rng.randint(0, 256, (33, 29, 3), dtype=np.uint8)
+    for sub in ("420", "444"):
+        a = decode_jpeg(
+            encode_jpeg(pxc, quality=80, subsample=sub, progressive=True)
+        )
+        b = decode_jpeg(
+            encode_jpeg(pxc, quality=80, subsample=sub, successive=True)
+        )
+        assert (a == b).all(), sub
+    # wire check: four scans for gray, AhAl bytes 0x01/0x10 present
+    blob = encode_jpeg(px, quality=90, successive=True)
+    ahals = []
     i = 2
-    while i + 4 <= len(data):
-        marker = data[i + 1]
-        (seglen,) = _s.unpack(">H", bytes(data[i + 2 : i + 4]))
+    while i + 4 <= len(blob):
+        marker = blob[i + 1]
+        import struct as _s
+
+        (seglen,) = _s.unpack(">H", blob[i + 2 : i + 4])
         if marker == 0xDA:
-            ns = data[i + 4]
-            data[i + 4 + 3 + 2 * ns] = 0x10  # AhAl byte: Ah=1, Al=0
+            ns = blob[i + 4]
+            ahals.append(blob[i + 4 + 3 + 2 * ns])
+            # skip entropy data: scan to next marker != RST/stuffed
+            j = i + 2 + seglen
+            while j + 1 < len(blob) and not (
+                blob[j] == 0xFF and blob[j + 1] not in (0x00,)
+                and not (0xD0 <= blob[j + 1] <= 0xD7)
+            ):
+                j += 1
+            i = j
+            continue
+        if marker == 0xD9:
             break
         i += 2 + seglen
-    with pytest.raises(NotImplementedError, match="successive"):
-        decode_jpeg(bytes(data))
+    assert ahals == [0x01, 0x10, 0x01, 0x10]
+    # smooth plane still within the baseline error bound
+    r, c = np.mgrid[0:24, 0:16]
+    sm = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg(sm, quality=95, successive=True))
+    assert np.abs(out[:, :, 0].astype(int) - sm.astype(int)).max() <= 2
 
 
 def test_wav_pcm_roundtrip_and_slots():

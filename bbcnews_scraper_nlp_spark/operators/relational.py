@@ -737,3 +737,38 @@ def cap_hot_keys(df: DataFrame, key_col: str, max_df: int) -> DataFrame:
         .select(key_col)
     )
     return df.join(keep, key_col, "left_semi")
+
+def delta_join_legs(
+    base_l: DataFrame,
+    delta_l: DataFrame,
+    base_r: DataFrame,
+    delta_r: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The insert-only delta-join algebra for incremental JOIN-view
+    maintenance (classic IVM, cf. Gupta & Mumick 1995):
+
+        (L ∪ ΔL) ⋈ (R ∪ ΔR) = L⋈R  ∪  ΔL⋈R  ∪  L⋈ΔR  ∪  ΔL⋈ΔR
+
+    so a materialized join view refreshes with THREE delta legs —
+    each bounded by |Δ|, with the small delta side broadcast — and
+    never rescans the base⋈base leg (at 100 TB that leg IS the
+    stored view; here it is computed once so the certificate can
+    compare). Returns the union of all four legs (projected to the
+    join keys + both payloads), ready for any monoid aggregation
+    (COUNT/SUM partials merge across legs by construction).
+
+    Insert-only by design: deletions/updates take the retract-row
+    form of ``cdc_delta_contributions``; composing both gives full
+    incremental view maintenance.
+    """
+    legs = [
+        base_l.join(base_r, on),
+        F.broadcast(delta_l).join(base_r, on),
+        base_l.join(F.broadcast(delta_r), on),
+        F.broadcast(delta_l).join(delta_r, on),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

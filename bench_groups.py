@@ -250,4 +250,5 @@ NEW_R9 = [
     "node2vec_biased_walks",
     "ppr_related_entities",
     "multimodal_jpeg_sa_decode",
+    "ivm_join_view_refresh",
 ]

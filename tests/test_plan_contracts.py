@@ -453,3 +453,14 @@ def test_node2vec_no_python_no_cartesian(spark, sf_dir):
     for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, f"{bad} in node2vec_biased_walks plan"
     assert "InMemoryTableScan" in plan, plan[:600]
+
+
+def test_ivm_join_delta_legs_broadcast(spark, sf_dir):
+    """ivm_join_view_refresh: the three delta legs must carry the
+    broadcast hint (BroadcastHashJoin builds) — a delta leg falling
+    back to sort-merge means the refresh rescans/shuffles a base
+    table, defeating the |delta|-bounded maintenance contract."""
+    plan = _plan(spark, sf_dir, "ivm_join_view_refresh")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:800]
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in ivm_join_view_refresh plan"

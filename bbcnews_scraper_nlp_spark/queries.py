@@ -7651,6 +7651,40 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_join_view",
+    # the drained complete-mode view equals the batch join aggregate
+    # exactly (integer cents, arrival-order-free) — the direct-join
+    # SQL is the oracle
+    "SELECT o_orderpriority AS pri, COUNT(*) AS n_rows, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS rev_cents "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join + view aggregation (streaming/ingest.py::
+    static_join_view_stream): the streaming surface member the
+    family lacked — maintaining a join VIEW over an append-only fact
+    stream against a static dimension. Structured Streaming executes
+    per micro-batch exactly the |Δ|-bounded delta leg of
+    ivm_join_view_refresh's algebra (only NEW orders rows join the
+    dimension), and the complete-mode aggregation state IS the
+    materialized view. Integer-cents revenue makes the drained view
+    hash-equal to the direct batch join aggregate in any micro-batch
+    arrival order — certified cross-engine like every other drain.
+    At 100 TB: dimension broadcast or pre-bucketed; agg state
+    bounded by view cardinality (5 priorities)."""
+    from .streaming.ingest import (
+        scoped_state_partitions,
+        static_join_view_stream,
+    )
+
+    load_table(spark, sf_dir, "orders")
+    with scoped_state_partitions(spark):
+        return static_join_view_stream(spark, sf_dir)
+
+
+@register(
     "incremental_agg_maintenance",
     # oracle: the DIRECT aggregate over the new snapshot — the engine
     # side must reproduce it from base + delta without rescanning
@@ -9113,6 +9147,7 @@ _WINDOW_ORDER = [
     "ppr_related_entities",
     "multimodal_jpeg_sa_decode",
     "ivm_join_view_refresh",
+    "streaming_join_view",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -9133,7 +9168,8 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 27 of the 38 round-5 rows (the remaining 11 —
+    # ... and 26 of the 38 round-5 rows (the remaining 12 —
+    # pack_sequences_bins,
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
     # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
@@ -9150,7 +9186,6 @@ _WINDOW_ORDER = [
     "heavy_hitter_users",
     "link_prediction_suppliers",
     "ohlc_resample_hourly",
-    "pack_sequences_bins",
     "perplexity_buckets",
     "range_join_ship_window",
     "retention_cohorts",

@@ -1122,3 +1122,50 @@ def streaming_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+def static_join_view_stream(
+    spark: SparkSession, sf_dir: str, name: str = "stream_join_view"
+):
+    """Stream-STATIC join + view aggregation: maintain a revenue-by-
+    priority join view over an append-only orders stream against the
+    static lineitem dimension — the native Structured Streaming form
+    of incremental join-view maintenance (each micro-batch joins ONLY
+    its new rows: the engine executes exactly the |Δ|-bounded delta
+    leg of ``relational.delta_join_legs``, and the complete-mode agg
+    state IS the materialized view). The drained view over the whole
+    table equals the batch join aggregate exactly — integer cents,
+    arrival-order-free — so the direct-join SQL is the oracle. At
+    100 TB the static side is a real dimension table (broadcast or
+    pre-bucketed); view cardinality (5 priorities) bounds the agg
+    state."""
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    view = (
+        stream.select("o_orderkey", "o_orderpriority")
+        .join(li, "o_orderkey")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    q = (
+        view.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sjv_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

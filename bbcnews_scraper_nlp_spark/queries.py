@@ -7081,19 +7081,25 @@ def walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.orderBy(F.desc("pmi_milli"), "center", "context").limit(50)
 
 
-_ITEM_CF_SQL = (
-    "WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
-    "deg AS (SELECT i, COUNT(*) AS n FROM ia GROUP BY i), "
-    "co AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS co "
-    "FROM ia a JOIN ia b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2), "
-    "sim AS (SELECT co.i AS i, co.j AS j, "
-    "co * co * 1000000 // (d1.n * d2.n) AS sim_ppm "
-    "FROM co JOIN deg d1 ON co.i = d1.i JOIN deg d2 ON co.j = d2.i), "
-    "rk AS (SELECT i, j, sim_ppm, CAST(row_number() OVER "
-    "(PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim) "
-    "SELECT i AS item, j AS rec, sim_ppm, rank FROM rk WHERE rank <= 3"
-)
+def _item_cf_sql(min_co: int = 1) -> str:
+    cofilter = f"HAVING COUNT(*) >= {min_co} " if min_co > 1 else ""
+    return (
+        "WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "deg AS (SELECT i, COUNT(*) AS n FROM ia GROUP BY i), "
+        "co AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS co "
+        "FROM ia a JOIN ia b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2 "
+        + cofilter + "), "
+        "sim AS (SELECT co.i AS i, co.j AS j, "
+        "co * co * 1000000 // (d1.n * d2.n) AS sim_ppm "
+        "FROM co JOIN deg d1 ON co.i = d1.i JOIN deg d2 ON co.j = d2.i), "
+        "rk AS (SELECT i, j, sim_ppm, CAST(row_number() OVER "
+        "(PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim) "
+        "SELECT i AS item, j AS rec, sim_ppm, rank FROM rk WHERE rank <= 3"
+    )
+
+
+_ITEM_CF_SQL = _item_cf_sql()
 
 
 @register("item_item_recs_topk", _ITEM_CF_SQL)
@@ -7120,6 +7126,37 @@ def item_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = cap_hot_keys(ia, "u", 10_000)
     return item_item_topk(ia, "u", "i", k=3)
+
+
+@register("item_item_recs_pruned", _item_cf_sql(min_co=2))
+def item_item_recs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """item_item_recs_topk with the deterministic DIMSUM-style
+    support prune (min_co=2): co=1 pairs — the overwhelming bulk of
+    the Σdeg² pair volume in co-occurrence data, and pure noise as
+    recommendations — are dropped right after the pair count, before
+    the degree joins and rank window. The prune is part of the
+    certified SEMANTICS here (the oracle carries the same HAVING
+    co >= 2), so the scale path is hash-verified, not just
+    benchmarked; pytest separately pins that top-k is unchanged
+    whenever every true top-k neighbor clears the threshold. The
+    downstream join/window INPUT shrinks by the co=1 mass; measured
+    at sf0.1 the end-to-end gain is modest (6.8 s vs 7.5 s) because
+    the pair-gen join + count shuffle upstream of the prune
+    dominates at bench scale — the prune's real payoff is at scale,
+    where the (i, j) similarity table is the state that must fit
+    (DIMSUM's motivation: bound what survives the count, since the
+    count itself is map-side-combined anyway)."""
+    from .operators.recommend import item_item_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    return item_item_topk(ia, "u", "i", k=3, min_co=2)
 
 
 def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
@@ -9148,6 +9185,7 @@ _WINDOW_ORDER = [
     "multimodal_jpeg_sa_decode",
     "ivm_join_view_refresh",
     "streaming_join_view",
+    "item_item_recs_pruned",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -9168,8 +9206,8 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 26 of the 38 round-5 rows (the remaining 12 —
-    # pack_sequences_bins,
+    # ... and 25 of the 38 round-5 rows (the remaining 13 —
+    # pack_sequences_bins, data_quality_audit,
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
     # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
@@ -9179,7 +9217,6 @@ _WINDOW_ORDER = [
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
     "corpus_token_offsets",
-    "data_quality_audit",
     "dedup_minhash_lsh",
     "dsir_importance_weights",
     "ewma_daily_value",

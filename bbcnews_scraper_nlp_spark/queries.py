@@ -6998,6 +6998,125 @@ def node2vec_biased_walks(
     )
 
 
+_NEG_SAMPLE_FINAL = (
+    # unigram^0.75 via exact integer floors: floor(x^(3/4)) =
+    # floor(sqrt(floor(sqrt(x^3)))) — nested correctly-rounded
+    # sqrt + floor is engine-identical below 2^53
+    ", uni AS (SELECT node, COUNT(*) AS cnt FROM corpus GROUP BY 1), "
+    "wts AS (SELECT node, CAST(FLOOR(SQRT(FLOOR(SQRT("
+    "CAST(cnt * cnt * cnt AS DOUBLE))))) AS BIGINT) AS w FROM uni), "
+    "cum AS (SELECT node, w, SUM(w) OVER (ORDER BY node "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi "
+    "FROM wts), "
+    "rng AS (SELECT node, hi - w AS lo, hi FROM cum), "
+    "tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts), "
+    "draws AS (SELECT u.node AS center, r, "
+    "CAST(('0x' || substr(md5('neg-v1:' || CAST(u.node AS VARCHAR) "
+    "|| ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) % tw AS d "
+    "FROM uni u CROSS JOIN (SELECT CAST(unnest(range(3)) AS INT) AS r) "
+    "CROSS JOIN tot) "
+    "SELECT CAST(center AS BIGINT) AS center, r, "
+    "CAST(rng.node AS BIGINT) AS neg, CAST(d AS BIGINT) AS draw "
+    "FROM draws JOIN rng ON d >= lo AND d < hi"
+)
+
+
+@register(
+    "skipgram_negative_samples", _rw_oracle_sql(final=_NEG_SAMPLE_FINAL)
+)
+def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling from the walk-corpus unigram
+    distribution raised to 3/4 (Mikolov et al. 2013's noise
+    distribution — the third and final stage of the embedding
+    training-data pipeline: walks → skip-gram pairs → negatives):
+    3 negatives per corpus node, drawn as md5("neg-v1:center:r") mod
+    Σw over the id-ordered cumulative-weight ranges — the relational
+    form of the alias table, with the PRNG swapped for the engine md5
+    flavor so the ENTIRE negative set is hash-certified. The ^0.75
+    weights are exact integer floors (w = ⌊√⌊√cnt³⌋⌋ = ⌊cnt^0.75⌋ —
+    nested correctly-rounded sqrt is engine-identical below 2^53, no
+    cross-engine pow). Collision with the center is kept, not
+    resampled (word2vec resamples; the certified variant emits the
+    raw draw — filter downstream). Plan: unigram counts = one hash
+    agg over the checkpointed corpus; the cumulative window runs on
+    the ≤|vocab| weight table (Heaps-bounded — the inverted-index
+    vocab-cut argument); draws probe the broadcast range table. At
+    100 TB the probe is a binary search over a broadcast array; here
+    the |vocab|-row broadcast join carries the same semantics."""
+    from .operators.graph import random_walks
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
+        eager=True
+    )
+    uni = corpus.groupBy("node").agg(F.count("*").alias("cnt"))
+    wts = uni.select(
+        "node",
+        F.floor(
+            F.sqrt(
+                F.floor(
+                    F.sqrt((F.col("cnt") * F.col("cnt") * F.col("cnt"))
+                           .cast("double"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    cum_w = Window.orderBy("node").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rng = (
+        wts.withColumn("hi", F.sum("w").over(cum_w))
+        .select("node", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    )
+    tot = F.broadcast(wts.agg(F.sum("w").cast("long").alias("tw")))
+    draws = (
+        uni.select(F.col("node").alias("center"))
+        .join(
+            F.broadcast(
+                spark.range(3).select(F.col("id").cast("int").alias("r"))
+            )
+        )
+        .join(tot)
+        .select(
+            "center",
+            "r",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg-v1:"),
+                                F.col("center").cast("string"),
+                                F.lit(":"),
+                                F.col("r").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("tw"),
+            ).alias("d"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(rng),
+            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+        )
+        .select(
+            F.col("center").cast("long").alias("center"),
+            "r",
+            F.col("node").cast("long").alias("neg"),
+            F.col("d").cast("long").alias("draw"),
+        )
+    )
+
+
 _SKIPGRAM_FINAL = (
     ", pr AS (SELECT a.node AS center, b.node AS context "
     "FROM corpus a JOIN corpus b ON a.walk = b.walk "
@@ -9186,6 +9305,7 @@ _WINDOW_ORDER = [
     "ivm_join_view_refresh",
     "streaming_join_view",
     "item_item_recs_pruned",
+    "skipgram_negative_samples",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -9206,8 +9326,8 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 25 of the 38 round-5 rows (the remaining 13 —
-    # pack_sequences_bins, data_quality_audit,
+    # ... and 24 of the 38 round-5 rows (the remaining 14 —
+    # pack_sequences_bins, data_quality_audit, perplexity_buckets,
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
     # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
@@ -9223,7 +9343,6 @@ _WINDOW_ORDER = [
     "heavy_hitter_users",
     "link_prediction_suppliers",
     "ohlc_resample_hourly",
-    "perplexity_buckets",
     "range_join_ship_window",
     "retention_cohorts",
     "s4_html_extract",

@@ -819,6 +819,114 @@ _QUALITY_SQL = (
 )
 
 
+_GOPHER_STOPS = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+
+_GOPHER_SQL = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "nz AS (SELECT doc_id, w FROM w WHERE w <> ''), "
+    "a AS (SELECT doc_id, COUNT(*) AS n_words, "
+    "CAST(SUM(len(w)) AS BIGINT) AS tot_len, "
+    "SUM(CASE WHEN w LIKE '%#%' OR w LIKE '%...%' THEN 1 ELSE 0 END) "
+    "AS n_sym, "
+    "SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) "
+    "AS n_alpha, "
+    f"COUNT(DISTINCT CASE WHEN w IN {_GOPHER_STOPS} THEN w END) "
+    "AS stop_hits FROM nz GROUP BY doc_id), "
+    "f AS (SELECT d.doc_id, COALESCE(n_words, 0) AS n_words, "
+    "1000 * COALESCE(tot_len, 0) // greatest(COALESCE(n_words, 0), 1) "
+    "AS mwl_milli, "
+    "1000000 * COALESCE(n_sym, 0) // greatest(COALESCE(n_words, 0), 1) "
+    "AS sym_ppm, "
+    "1000000 * COALESCE(n_alpha, 0) // greatest(COALESCE(n_words, 0), 1) "
+    "AS alpha_ppm, "
+    "COALESCE(stop_hits, 0) AS stop_hits "
+    "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id) "
+    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(mwl_milli AS BIGINT) AS mwl_milli, "
+    "CAST(sym_ppm AS BIGINT) AS sym_ppm, "
+    "CAST(alpha_ppm AS BIGINT) AS alpha_ppm, "
+    "CAST(stop_hits AS BIGINT) AS stop_hits, "
+    "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 "
+    "AND mwl_milli >= 3000 AND mwl_milli <= 10000 "
+    "AND sym_ppm <= 100000 AND alpha_ppm >= 800000 "
+    "AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep FROM f"
+)
+
+
+@register("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED Gopher document-quality rules (Rae et al. 2021
+    Table A1, the word-level subset), each as an exact integer flag —
+    the citable counterpart of quality_score's blended heuristic:
+    50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10 (milli-units);
+    symbol-to-word ratio ≤ 0.1 (# or ellipsis, ppm); ≥80% of words
+    contain an alphabetic character (ppm); ≥2 of Gopher's 8 stopword
+    indicators present. All ratios are integer div quantizations —
+    hash-exact cross-engine with zero float boundaries. Plan: one
+    token explode → one map-side-combinable hash agg per doc (five
+    conditional counts + one small COUNT DISTINCT) → pure projection
+    flags; one shuffle keyed on doc_id. At 100 TB this IS the shape
+    quality gates run at — a single pass, no model state."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    stops = [s.strip("'") for s in _GOPHER_STOPS.strip("()").split(", ")]
+    a = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("tot_len"),
+        F.sum(
+            (
+                F.col("w").contains("#") | F.col("w").contains("...")
+            ).cast("long")
+        ).alias("n_sym"),
+        F.sum(F.col("w").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("w").isin(stops), F.col("w"))
+        ).alias("stop_hits"),
+    )
+    f = (
+        docs.select("doc_id")
+        .join(a, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.expr(
+                "1000 * coalesce(tot_len, 0) "
+                "div greatest(coalesce(n_words, 0), 1)"
+            ).alias("mwl_milli"),
+            F.expr(
+                "1000000 * coalesce(n_sym, 0) "
+                "div greatest(coalesce(n_words, 0), 1)"
+            ).alias("sym_ppm"),
+            F.expr(
+                "1000000 * coalesce(n_alpha, 0) "
+                "div greatest(coalesce(n_words, 0), 1)"
+            ).alias("alpha_ppm"),
+            F.coalesce("stop_hits", F.lit(0)).alias("stop_hits"),
+        )
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mwl_milli") >= 3000)
+        & (F.col("mwl_milli") <= 10000)
+        & (F.col("sym_ppm") <= 100000)
+        & (F.col("alpha_ppm") >= 800000)
+        & (F.col("stop_hits") >= 2)
+    )
+    return f.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("mwl_milli").cast("long").alias("mwl_milli"),
+        F.col("sym_ppm").cast("long").alias("sym_ppm"),
+        F.col("alpha_ppm").cast("long").alias("alpha_ppm"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 @register("quality_score", _QUALITY_SQL)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style document quality heuristic."""
@@ -9306,6 +9414,7 @@ _WINDOW_ORDER = [
     "streaming_join_view",
     "item_item_recs_pruned",
     "skipgram_negative_samples",
+    "gopher_quality_flags",
     "kfold_assignment",
     # Queries whose code was refactored this round (kmv set-op legs
     # moved into profiling.kmv_setops + n=0 guard; the community query
@@ -9326,8 +9435,9 @@ _WINDOW_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # ... and 24 of the 38 round-5 rows (the remaining 14 —
+    # ... and 23 of the 38 round-5 rows (the remaining 15 —
     # pack_sequences_bins, data_quality_audit, perplexity_buckets,
+    # corpus_token_offsets,
     # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
     # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
     # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
@@ -9336,7 +9446,6 @@ _WINDOW_ORDER = [
     # round).
     "ann_recall_eval",
     "bloom_semi_join_lineitems",
-    "corpus_token_offsets",
     "dedup_minhash_lsh",
     "dsir_importance_weights",
     "ewma_daily_value",

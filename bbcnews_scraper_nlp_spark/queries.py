@@ -937,6 +937,189 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4's terminal-punctuation / sentence rules need sentence structure;
+# the synthetic corpus is punctuation-free, so the structural rules
+# run on designated terminator TOKENS ('the', 'a' — frequent enough
+# to produce 0-14 sentences per page) with every published threshold
+# kept at its C4 value. The bad-word list is a parameter of the rule
+# (C4 uses the LDNOOBW list, not shipped here); the demo instance
+# picks corpus words so the flag has variance.
+_C4_TERMINATORS = ("the", "a")
+_C4_BADWORDS = ("slow", "stale")
+
+
+def _c4_sql() -> str:
+    term = ", ".join(f"'{w}'" for w in _C4_TERMINATORS)
+    bad = ", ".join(f"'{w}'" for w in _C4_BADWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+        "string_split(coalesce(text, ''), ' ') AS ws FROM documents), "
+        "tok AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, "
+        "unnest(ws) AS w FROM t), "
+        f"tk AS (SELECT doc_id, pos, w, CASE WHEN w IN ({term}) "
+        "THEN 1 ELSE 0 END AS trm FROM tok WHERE w <> ''), "
+        "st AS (SELECT doc_id, pos, w, trm, COALESCE(SUM(trm) OVER ("
+        "PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid "
+        "FROM tk), "
+        "sen AS (SELECT doc_id, sid, COUNT(*) AS n_w, MAX(trm) AS term, "
+        "string_agg(w, ' ' ORDER BY pos) AS stext FROM st GROUP BY 1, 2), "
+        "kepts AS (SELECT doc_id, stext, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY sid) AS rk FROM sen "
+        "WHERE term = 1 AND n_w >= 5), "
+        "spans AS (SELECT a.doc_id, md5(a.stext || chr(10) || b.stext "
+        "|| chr(10) || c.stext) AS sh FROM kepts a "
+        "JOIN kepts b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1 "
+        "JOIN kepts c ON a.doc_id = c.doc_id AND c.rk = a.rk + 2), "
+        "dup AS (SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM spans "
+        "GROUP BY sh) WHERE c >= 2), "
+        "dps AS (SELECT doc_id, COUNT(*) AS n_dup FROM spans "
+        "SEMI JOIN dup ON spans.sh = dup.sh GROUP BY doc_id), "
+        "agg AS (SELECT doc_id, SUM(term) AS n_sent, "
+        "SUM(CASE WHEN term = 1 AND n_w >= 5 THEN 1 ELSE 0 END) AS n_kept "
+        "FROM sen GROUP BY doc_id), "
+        "fl AS (SELECT doc_id, "
+        "CASE WHEN text LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS has_lorem, "
+        "CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS has_brace, "
+        f"CASE WHEN list_has_any(string_split(text, ' '), [{bad}]) "
+        "THEN 1 ELSE 0 END AS has_badword FROM t) "
+        "SELECT fl.doc_id, "
+        "CAST(COALESCE(a.n_sent, 0) AS BIGINT) AS n_sentences, "
+        "CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_sentences, "
+        "CAST(has_lorem AS INT) AS has_lorem, "
+        "CAST(has_brace AS INT) AS has_brace, "
+        "CAST(has_badword AS INT) AS has_badword, "
+        "CAST(COALESCE(dp.n_dup, 0) AS BIGINT) AS n_dup_spans, "
+        "CAST(CASE WHEN COALESCE(a.n_kept, 0) >= 3 AND has_lorem = 0 "
+        "AND has_brace = 0 AND has_badword = 0 THEN 1 ELSE 0 END AS INT) "
+        "AS keep "
+        "FROM fl LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN dps dp USING (doc_id)"
+    )
+
+
+@register("c4_quality_flags", _c4_sql())
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED C4 page-filter rules (Raffel et al. 2020 §2.2),
+    each as an exact integer flag — the line/sentence-structural
+    sibling of gopher_quality_flags' word-level rules: retain only
+    sentences ending in a terminal marker; retain only sentences
+    with >= 5 words; drop pages with < 3 retained sentences; flag
+    pages containing "lorem ipsum", a curly brace, or a bad-word
+    list hit; and count each page's three-sentence spans that recur
+    corpus-wide (C4's dedup granularity, Lee et al. 2022's signal).
+    All counts are exact integers — hash-exact cross-engine with
+    zero float boundaries. Plan: one token explode -> per-doc
+    bounded-frame running sum assigns sentence ids -> one
+    (doc, sentence) hash agg -> sentence-rank self-joins build
+    3-spans -> one md5-keyed global span count (uniform key, no
+    skew) -> per-doc left joins. Everything shuffles on doc_id or
+    a 128-bit span hash; at 100 TB this is the C4 pipeline's actual
+    shape (reference analog: the clean() gauntlet
+    data_preparation.py:34-42 done to a published standard)."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    t = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    tok = t.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    tk = tok.withColumn(
+        "trm", F.col("w").isin(list(_C4_TERMINATORS)).cast("int")
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = tk.withColumn(
+        "sid", F.coalesce(F.sum("trm").over(run), F.lit(0))
+    )
+    sen = st.groupBy("doc_id", "sid").agg(
+        F.count("*").alias("n_w"),
+        F.max("trm").alias("term"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("stext"),
+    )
+    kepts = (
+        sen.filter((F.col("term") == 1) & (F.col("n_w") >= 5))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("sid")
+            ),
+        )
+        .select("doc_id", "stext", "rk")
+    )
+    a, b, c = kepts.alias("a"), kepts.alias("b"), kepts.alias("c")
+    spans = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.rk") == F.col("a.rk") + 1),
+        )
+        .join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.rk") == F.col("a.rk") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.md5(
+                F.concat_ws("\n", "a.stext", "b.stext", "c.stext")
+            ).alias("sh"),
+        )
+    )
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("sh")
+    )
+    dps = (
+        spans.join(dup, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    agg = sen.groupBy("doc_id").agg(
+        F.sum("term").alias("n_sent"),
+        F.sum(
+            ((F.col("term") == 1) & (F.col("n_w") >= 5)).cast("int")
+        ).alias("n_kept"),
+    )
+    fl = t.select(
+        "doc_id",
+        F.col("text").contains("lorem ipsum").cast("int").alias("has_lorem"),
+        F.col("text").contains("{").cast("int").alias("has_brace"),
+        F.arrays_overlap(
+            F.split("text", " "), F.lit(list(_C4_BADWORDS))
+        )
+        .cast("int")
+        .alias("has_badword"),
+    )
+    out = fl.join(agg, "doc_id", "left").join(dps, "doc_id", "left")
+    n_kept = F.coalesce("n_kept", F.lit(0))
+    keep = (
+        (n_kept >= 3)
+        & (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0)
+        & (F.col("has_badword") == 0)
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_sent", F.lit(0)).cast("long").alias("n_sentences"),
+        n_kept.cast("long").alias("n_kept_sentences"),
+        "has_lorem",
+        "has_brace",
+        "has_badword",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 _BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
 
 
@@ -7306,6 +7489,174 @@ def walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.orderBy(F.desc("pmi_milli"), "center", "context").limit(50)
+
+
+def _emb_oracle_final(dims: int = 4, iters: int = 3) -> str:
+    """PPMI-matrix subspace-iteration embedding CTEs appended to the
+    walk-corpus oracle: d deterministic signed start vectors pushed
+    through K unrolled M·v rounds with a per-dim integer max-abs
+    rescale — every value an exact bigint on both engines."""
+    parts = [
+        ", pr AS (SELECT a.node AS center, b.node AS context "
+        "FROM corpus a JOIN corpus b ON a.walk = b.walk "
+        "AND a.step <> b.step AND abs(a.step - b.step) <= 2), "
+        "pc AS (SELECT center, context, COUNT(*) AS n_ab FROM pr "
+        "GROUP BY 1, 2), "
+        "ctr AS (SELECT center, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc "
+        "GROUP BY 1), "
+        "ctx AS (SELECT context, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc "
+        "GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc), "
+        "mat AS MATERIALIZED (SELECT center AS i, context AS j, pmi AS w "
+        "FROM (SELECT pc.center, pc.context, "
+        "CAST(ROUND(1000 * ln((CAST(pc.n_ab AS DOUBLE) * n) / "
+        "(CAST(n_a AS DOUBLE) * n_b))) AS BIGINT) AS pmi "
+        "FROM pc JOIN ctr ON pc.center = ctr.center "
+        "JOIN ctx ON pc.context = ctx.context CROSS JOIN tot) "
+        "WHERE pmi > 0), "
+        "vn AS MATERIALIZED (SELECT DISTINCT node FROM corpus), "
+        f"dims AS (SELECT CAST(unnest(range({dims})) AS INT) AS r), "
+        "v0 AS (SELECT node, r, "
+        "CAST(('0x' || substr(md5('emb-v1:' || CAST(node AS VARCHAR) "
+        "|| ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000 "
+        "AS v FROM vn CROSS JOIN dims)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", u{t} AS (SELECT m.i AS node, v.r, SUM(m.w * v.v) AS u "
+            f"FROM mat m JOIN v{t-1} v ON m.j = v.node GROUP BY 1, 2)"
+            f", s{t} AS (SELECT r, GREATEST(MAX(ABS(u)), 1) AS s "
+            f"FROM u{t} GROUP BY r)"
+            f", v{t} AS (SELECT n.node, d.r, "
+            f"COALESCE(u.u, 0) * 1000000 // COALESCE(s.s, 1) AS v "
+            "FROM vn n CROSS JOIN dims d "
+            f"LEFT JOIN s{t} s ON d.r = s.r "
+            f"LEFT JOIN u{t} u ON n.node = u.node AND d.r = u.r)"
+        )
+    parts.append(
+        f" SELECT CAST(node AS BIGINT) AS node, r AS dim, "
+        f"CAST(v AS BIGINT) AS val_micro FROM v{iters}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "pmi_embedding_vectors", _rw_oracle_sql(final=_emb_oracle_final())
+)
+def pmi_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual embedding VECTORS from the walk-PMI matrix — the final
+    stage the r9 pipeline stopped short of (walks -> skip-gram pairs
+    -> PMI -> vectors): a 4-dim randomized subspace-iteration sketch
+    (Halko et al. 2011's range finder, QR omitted) of the PPMI
+    matrix skip-gram implicitly factorizes (Levy & Goldberg 2014).
+    Start vectors are md5("emb-v1:node:r") mod 2001 - 1000 (signed,
+    a pure function of the node id); 3 unrolled M·v rounds, each an
+    exact bigint multiply-sum followed by a per-dim max-abs rescale
+    to ±1e6 micro-units via truncating integer division (Spark `div`
+    and DuckDB `//` both truncate toward zero — the modularity
+    precedent). Zero float ops anywhere, so the ENTIRE embedding
+    table is hash-certified cross-engine — impossible for SGD
+    embeddings, the point of this certificate. Plan: walk corpus and
+    PPMI matrix eager-checkpointed once; each round is ONE node-keyed
+    join + hash agg (the pagerank shape) + a 4-row broadcast rescale;
+    vectors live as (node, dim, int) rows that shuffle skinny. At
+    100 TB: M is the sparse PPMI relation (never densified), v is
+    |V|×d — the same M·v round is how distributed randomized SVD
+    range finders actually run on Spark."""
+    from .operators.graph import random_walks
+
+    edges = _supplier_knn_edges(spark, sf_dir)
+    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
+        eager=True
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.walk") == F.col("b.walk"))
+        & (F.col("a.step") != F.col("b.step"))
+        & (F.abs(F.col("a.step") - F.col("b.step")) <= 2),
+    ).select(
+        F.col("a.node").alias("center"), F.col("b.node").alias("context")
+    )
+    pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
+    ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
+    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
+    tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
+    mat = (
+        pc.join(ctr, "center")
+        .join(ctx, "context")
+        .join(tot)
+        .select(
+            F.col("center").alias("i"),
+            F.col("context").alias("j"),
+            F.round(
+                F.lit(1000)
+                * F.log(
+                    (F.col("n_ab").cast("double") * F.col("n"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                )
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
+    vn = corpus.select("node").distinct().localCheckpoint(eager=True)
+    dims = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    v = vn.join(dims).select(
+        "node",
+        "r",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("emb-v1:"),
+                                F.col("node").cast("string"),
+                                F.lit(":"),
+                                F.col("r").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("v"),
+    )
+    for _ in range(3):
+        u = (
+            mat.join(v, mat["j"] == v["node"])
+            .groupBy(mat["i"].alias("node"), "r")
+            .agg(F.sum(F.col("w") * F.col("v")).alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        s = u.groupBy("r").agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("s")
+        )
+        v = (
+            vn.join(dims)
+            .join(F.broadcast(s), "r", "left")
+            .join(u, ["node", "r"], "left")
+            .select(
+                "node",
+                "r",
+                F.expr(
+                    "coalesce(u, 0) * 1000000 div coalesce(s, 1)"
+                ).alias("v"),
+            )
+        )
+    return v.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("r").alias("dim"),
+        F.col("v").cast("long").alias("val_micro"),
+    )
 
 
 def _item_cf_sql(min_co: int = 1) -> str:

@@ -238,3 +238,134 @@ def _learn_bpe_merges_distributed(
         cur = nxt
     cur.unpersist()
     return merges
+
+
+def _unigram_viterbi(
+    w: str, logp: dict[str, int], max_piece_len: int
+) -> tuple[list[str], int]:
+    """Best segmentation of ``w`` under milli-nat piece scores: DP
+    over end positions, candidate lengths ascending with >= so the
+    LONGEST piece wins score ties at every boundary (the fewer-pieces
+    preference; the literal-Python twin in test_text_clean pins the
+    identical rule). Total because every corpus char is in the
+    vocab."""
+    neg = -(10**12)
+    best: list[int] = [0] + [neg] * len(w)
+    back: list[int] = [0] * (len(w) + 1)
+    for j in range(1, len(w) + 1):
+        for length in range(1, min(j, max_piece_len) + 1):
+            piece = w[j - length : j]
+            lp = logp.get(piece)
+            if lp is None or best[j - length] <= neg:
+                continue
+            cand = best[j - length] + lp
+            if cand >= best[j]:
+                best[j] = cand
+                back[j] = length
+    pieces: list[str] = []
+    j = len(w)
+    while j > 0:
+        pieces.append(w[j - back[j] : j])
+        j -= back[j]
+    pieces.reverse()
+    return pieces, best[len(w)]
+
+
+def learn_unigram_vocab(
+    docs: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    max_piece_len: int = 6,
+    em_iters: int = 2,
+    seed_multi_limit: int = 200,
+) -> dict:
+    """Unigram-LM tokenizer training (Kudo 2018: SentencePiece's
+    unigram model), the BPE recipe's probabilistic sibling — same
+    scaling shape: ONE corpus pass builds the Heaps-bounded word-type
+    vocabulary (the only big aggregation), and every EM iteration
+    runs over word TYPES only, never rescanning the corpus.
+
+    Deterministic Viterbi hard-EM with milli-nat quantized scores
+    (the registry's integer-certificate recipe):
+
+    1. Seed: every substring of every word type, 2..max_piece_len
+       chars, weighted by word count per occurrence position; keep
+       the top ``seed_multi_limit`` by (freq desc, piece asc) plus
+       ALL single chars (so segmentation is always total).
+    2. E-step: Viterbi-segment each word type under
+       logp_milli = round(1000 * ln(count / total)); accumulate
+       word-count-weighted piece counts and the corpus objective.
+    3. M-step: counts := Viterbi counts (single chars floored to 1).
+    4. Prune: final vocab = all single chars + the top
+       (vocab_size - n_singles) multi-char pieces by
+       (count desc, piece asc).
+
+    Returns a dict with the final ``vocab`` (piece -> logp_milli),
+    the per-iteration hard-EM objectives ``lls`` (milli-nats,
+    nondecreasing), and the certificate facts ``seed_top``,
+    ``seed_mass``, ``n_singles``.
+    """
+    import math
+
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    types = [(r["w"], int(r["n"])) for r in rows]
+
+    freq_multi: dict[str, int] = {}
+    freq_single: dict[str, int] = {}
+    for w, n in types:
+        for i in range(len(w)):
+            freq_single[w[i]] = freq_single.get(w[i], 0) + n
+            for length in range(2, max_piece_len + 1):
+                if i + length > len(w):
+                    break
+                s = w[i : i + length]
+                freq_multi[s] = freq_multi.get(s, 0) + n
+    seed_mass = sum(freq_multi.values())
+    multi_sorted = sorted(freq_multi.items(), key=lambda kv: (-kv[1], kv[0]))
+    seed_top = multi_sorted[0][0] if multi_sorted else ""
+    counts: dict[str, int] = dict(freq_single)
+    counts.update(multi_sorted[:seed_multi_limit])
+
+    lls: list[int] = []
+    for _ in range(em_iters):
+        total = sum(counts.values())
+        logp = {
+            p: round(1000 * math.log(c / total)) for p, c in counts.items()
+        }
+        new_counts: dict[str, int] = {}
+        ll = 0
+        for w, n in types:
+            pieces, score = _unigram_viterbi(w, logp, max_piece_len)
+            ll += n * score
+            for p in pieces:
+                new_counts[p] = new_counts.get(p, 0) + n
+        lls.append(ll)
+        counts = {p: c for p, c in new_counts.items() if c > 0}
+        for c in freq_single:
+            counts.setdefault(c, 1)
+
+    n_singles = len(freq_single)
+    multi_final = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(vocab_size - n_singles, 0)]
+    final = {p: counts[p] for p in freq_single}
+    final.update(multi_final)
+    total = sum(final.values())
+    vocab = {
+        p: round(1000 * math.log(c / total)) for p, c in final.items()
+    }
+    return {
+        "vocab": vocab,
+        "lls": lls,
+        "types": types,
+        "seed_top": seed_top,
+        "seed_mass": seed_mass,
+        "n_singles": n_singles,
+    }

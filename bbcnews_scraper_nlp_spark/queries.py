@@ -9821,76 +9821,72 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r9 rotation. First the queries with NO driver row at all: the
-    # four added this round (held-out k-fold NB, community modularity,
-    # cross-state streaming KMV set ops, deterministic random walks)
-    # plus kfold_assignment (added after the r8 driver run).
-    "nb_kfold_eval",
-    "community_modularity",
-    "streaming_kmv_setops",
-    "graph_random_walks",
-    "walk_skipgram_pmi",
-    "node2vec_biased_walks",
-    "ppr_related_entities",
-    "multimodal_jpeg_sa_decode",
-    "ivm_join_view_refresh",
-    "streaming_join_view",
-    "item_item_recs_pruned",
-    "skipgram_negative_samples",
-    "gopher_quality_flags",
-    "kfold_assignment",
-    # Queries whose code was refactored this round (kmv set-op legs
-    # moved into profiling.kmv_setops + n=0 guard; the community query
-    # now reads the shared _supplier_knn_edges helper) — re-certify on
-    # the new code paths.
-    "kmv_distinct_setops",
-    "community_detection_suppliers",
-    # Then the stalest driver evidence: every query whose latest
-    # CORRECTNESS row is round 4 ...
-    "contamination_check",
-    "event_interarrival_stats",
-    "session_funnel_conversion",
-    "sessionize_count",
-    "streaming_session_windows",
-    "streaming_windowed_counts",
-    "time_bucket_rollup",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # ... and 23 of the 38 round-5 rows (the remaining 15 —
-    # pack_sequences_bins, data_quality_audit, perplexity_buckets,
-    # corpus_token_offsets,
-    # f6_dedup_keep_first, multimodal_audio_meta, multimodal_video_meta,
-    # sentiment_pattern_rules, dedup_span_removal, gapfill_interpolate,
-    # tpch_q2_min_cost_supplier, tpch_q20_excess_suppliers,
-    # tpch_q19_disjunctive_pred, event_transition_matrix,
-    # salted_join_skewed — have fresh family anchors and rotate next
-    # round).
-    "ann_recall_eval",
-    "bloom_semi_join_lineitems",
-    "dedup_minhash_lsh",
-    "dsir_importance_weights",
-    "ewma_daily_value",
-    "heavy_hitter_users",
-    "link_prediction_suppliers",
-    "ohlc_resample_hourly",
-    "range_join_ship_window",
-    "retention_cohorts",
-    "s4_html_extract",
-    "session_paths_top",
-    "similarity_pq_adc_topk",
-    "snapshot_delta_cdc",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_shipments",
-    "tpch_q16_supplier_cnt",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "vocab_oov_rate",
-    "zscore_per_type",
+    # r10 rotation. First the three queries added this round (no
+    # driver row yet): the C4 published filter flags, the PPMI
+    # subspace-iteration embedding vectors, and the unigram-LM
+    # tokenizer certificate.
+    "c4_quality_flags",
+    "pmi_embedding_vectors",
+    "unigram_lm_vocab",
+    # Then ALL 15 queries whose freshest driver evidence is round 5
+    # (the r9 verdict's list) — this retires round-5 evidence
+    # entirely; minimum registry evidence age becomes r6.
+    "corpus_token_offsets",
+    "data_quality_audit",
+    "dedup_span_removal",
+    "event_transition_matrix",
+    "f6_dedup_keep_first",
+    "gapfill_interpolate",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "pack_sequences_bins",
+    "perplexity_buckets",
+    "salted_join_skewed",
+    "sentiment_pattern_rules",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q20_excess_suppliers",
+    "tpch_q2_min_cost_supplier",
+    # Then 32 of the 44 round-6 rows. The 12 deferred to r11 all
+    # have round-8/9-certified family siblings (TPC-H: q4/q11/q14/
+    # q15/q18 next to nine r9-certified TPC-H rows; window/rank:
+    # top3_orders_per_segment, range_frame_trailing_sum; relational
+    # algebra: setop_intersect_except, unpivot_returnflag_metrics,
+    # grouping_sets_day_type; profiling: table_fingerprint_orders,
+    # equidepth_bin_orders).
+    "approx_distinct_users",
+    "bm25_topk_docs",
+    "chunk_documents",
+    "cms_user_event_counts",
+    "concurrent_sessions_sweep",
+    "corpus_report_by_source",
+    "dedup_ngram_jaccard",
+    "doc_term_stats",
+    "dup_ngram_span_score",
+    "embedding_centroids",
+    "fuzzy_entity_clusters",
+    "incremental_agg_maintenance",
+    "inverted_index_blocks",
+    "mad_outliers_per_type",
+    "mix_sources_weighted",
+    "multimodal_video_frames",
+    "ols_trend_per_type",
+    "pii_scrub_text",
+    "pr_curve_quality_filter",
+    "profile_documents",
+    "quality_logreg_score",
+    "quantile_normalize_scores",
+    "repetition_quality",
+    "rolling_distinct_users_7d",
+    "seasonal_decompose_daily",
+    "select_token_budget",
+    "skyline_pareto_parts",
+    "split_train_val_test",
+    "stratified_sample_sources",
+    "top_bigrams",
+    "weighted_sample_by_length",
+    "zorder_event_cells",
 ]
+
 
 
 def _ordered_names() -> list[str]:

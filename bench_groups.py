@@ -256,3 +256,10 @@ NEW_R9 = [
     "skipgram_negative_samples",
     "gopher_quality_flags",
 ]
+
+# Round-10 widening: queries added this round.
+NEW_R10 = [
+    "c4_quality_flags",
+    "pmi_embedding_vectors",
+    "unigram_lm_vocab",
+]

@@ -26,6 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench_groups import (  # noqa: E402
     LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8, NEW_R9,
+    NEW_R10,
 )
 
 
@@ -69,6 +70,7 @@ def main() -> None:
         "r7_value": _group(NEW_R7 + NEW_R7_REST),
         "r8_value": _group(NEW_R8),
         "r9_value": _group(NEW_R9),
+        "r10_value": _group(NEW_R10),
         "n_queries": len(timings),
         # cumulative run provenance: an input that is itself a merge
         # carries its own ``runs`` count forward

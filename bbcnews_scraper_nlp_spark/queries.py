@@ -1033,16 +1033,23 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = tk.withColumn(
         "sid", F.coalesce(F.sum("trm").over(run), F.lit(0))
     )
-    sen = st.groupBy("doc_id", "sid").agg(
-        F.count("*").alias("n_w"),
-        F.max("trm").alias("term"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("stext"),
+    # the (doc, sentence) table is read by kepts (3 span aliases),
+    # agg, and dps — materialize it ONCE or the token explode +
+    # running-sum window re-derives per consumer (6 corpus scans)
+    sen = (
+        st.groupBy("doc_id", "sid")
+        .agg(
+            F.count("*").alias("n_w"),
+            F.max("trm").alias("term"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("stext"),
+        )
+        .localCheckpoint(eager=True)
     )
     kepts = (
         sen.filter((F.col("term") == 1) & (F.col("n_w") >= 5))
@@ -1053,6 +1060,7 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "stext", "rk")
+        .localCheckpoint(eager=True)
     )
     a, b, c = kepts.alias("a"), kepts.alias("b"), kepts.alias("c")
     spans = (

@@ -464,3 +464,35 @@ def test_ivm_join_delta_legs_broadcast(spark, sf_dir):
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:800]
     for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, f"{bad} in ivm_join_view_refresh plan"
+
+
+def test_c4_flags_no_python_no_cartesian(spark, sf_dir):
+    """c4_quality_flags: sentence assembly, span hashing and all
+    flag projections stay JVM-side; the sentence-rank span joins are
+    equi-joins on (doc_id, rk) — never CartesianProduct; the
+    sentence-id running sum is a doc_id-partitioned bounded frame
+    (no single-task global window)."""
+    plan = _plan(spark, sf_dir, "c4_quality_flags")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in c4_quality_flags plan"
+    # the (doc, sentence) table is checkpointed once: the final plan
+    # reads ExistingRDD blocks and contains NO Generate (explode) —
+    # without the materialization the token explode + running-sum
+    # window re-derives per consumer (measured 6 copies: 3 span
+    # aliases + agg + dps legs)
+    assert "Scan ExistingRDD" in plan, plan[:600]
+    assert "Generate" not in plan, "sentence explode re-derived"
+
+
+def test_pmi_embedding_checkpoints_and_no_python(spark, sf_dir):
+    """pmi_embedding_vectors: the walk corpus and PPMI matrix are
+    materialized once (each M*v round reads checkpointed blocks, not
+    the kNN pair join); per-dim rescale rides a broadcast 4-row
+    frame; zero Python nodes, zero CartesianProduct."""
+    plan = _plan(spark, sf_dir, "pmi_embedding_vectors")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in pmi_embedding_vectors plan"
+    # final iteration reads checkpointed RDD scans, not re-derived
+    # lineage: Scan ExistingRDD appears for corpus/mat/vn/u blocks
+    assert "Scan ExistingRDD" in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]

@@ -927,6 +927,298 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4's terminal-punctuation / sentence rules need sentence structure;
+# the synthetic corpus is punctuation-free, so the structural rules
+# (C4's AND Gopher's line-wise repetition rules below) run on
+# designated terminator TOKENS ('the', 'a' — frequent enough to
+# produce 0-14 sentences per page) with every published threshold
+# kept at its source value. The bad-word list is a parameter of the
+# rule (C4 uses the LDNOOBW list, not shipped here); the demo
+# instance picks corpus words so the flag has variance.
+_C4_TERMINATORS = ("the", "a")
+_C4_BADWORDS = ("slow", "stale")
+
+# Rae et al. 2021 Table A1 repetition thresholds (fraction -> ppm):
+# dup-line frac 0.30, dup-line char frac 0.20, top-{2,3,4}-gram char
+# frac 0.20/0.18/0.16, dup-{5..10}-gram char frac 0.15..0.10.
+_REP_TOP = {2: 200000, 3: 180000, 4: 160000}
+_REP_DUP = {5: 150000, 6: 140000, 7: 130000, 8: 120000, 9: 110000, 10: 100000}
+
+
+def _gopher_rep_sql() -> str:
+    term = ", ".join(f"'{w}'" for w in _C4_TERMINATORS)
+    max_n = max(_REP_DUP)
+    leads = ", ".join(
+        f"LEAD(w, {k}) OVER win AS w{k}, LEAD(lw, {k}) OVER win AS lw{k}"
+        for k in range(1, max_n)
+    )
+    def gram(n):
+        ws = ", ".join(["w"] + [f"w{k}" for k in range(1, n)])
+        lws = " + ".join(["lw"] + [f"lw{k}" for k in range(1, n)])
+        return ws, lws
+    parts = [
+        "WITH t AS (SELECT doc_id, list_filter(string_split("
+        "coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), "
+        "tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, "
+        "unnest(toks) AS w FROM t), "
+        "tk AS (SELECT doc_id, pos, w, len(w) AS lw, "
+        f"CASE WHEN w IN ({term}) THEN 1 ELSE 0 END AS trm FROM tok), "
+        "tot AS (SELECT doc_id, CAST(COALESCE(SUM(lw), 0) AS BIGINT) "
+        "AS total_chars FROM tk GROUP BY doc_id), "
+        "st AS (SELECT doc_id, pos, w, lw, COALESCE(SUM(trm) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS sid FROM tk), "
+        "sen AS (SELECT doc_id, sid, string_agg(w, ' ' ORDER BY pos) "
+        "AS stext, CAST(SUM(lw) AS BIGINT) AS schars FROM st "
+        "GROUP BY 1, 2), "
+        "sd AS (SELECT doc_id, COUNT(*) AS n_sent, "
+        "SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_sent, "
+        "SUM(CASE WHEN c >= 2 THEN schars ELSE 0 END) AS dup_schars "
+        "FROM (SELECT doc_id, schars, COUNT(*) OVER (PARTITION BY "
+        "doc_id, stext) AS c FROM sen) GROUP BY doc_id), "
+        f"ld AS MATERIALIZED (SELECT doc_id, pos, w, lw, {leads} "
+        "FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos))",
+    ]
+    for n in _REP_TOP:
+        ws, lws = gram(n)
+        parts.append(
+            f", g{n} AS (SELECT doc_id, concat_ws(' ', {ws}) AS gram, "
+            f"{lws} AS gchars FROM ld WHERE w{n-1} IS NOT NULL)"
+            f", gc{n} AS (SELECT doc_id, gram, COUNT(*) AS cnt, "
+            f"MIN(gchars) AS gchars FROM g{n} GROUP BY 1, 2)"
+            f", top{n} AS (SELECT doc_id, CAST(cnt * gchars AS BIGINT) "
+            "AS top_chars FROM (SELECT doc_id, cnt, gchars, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, "
+            f"gram) AS rn FROM gc{n}) WHERE rn = 1)"
+        )
+    for n in _REP_DUP:
+        ws, _ = gram(n)
+        parts.append(
+            f", h{n} AS (SELECT doc_id, pos, concat_ws(' ', {ws}) "
+            f"AS gram FROM ld WHERE w{n-1} IS NOT NULL)"
+            f", hd{n} AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, "
+            f"COUNT(*) AS c FROM h{n} GROUP BY 1, 2) WHERE c >= 2)"
+            f", cov{n} AS (SELECT DISTINCT doc_id, idx FROM (SELECT "
+            f"h.doc_id, unnest(range(h.pos, h.pos + {n})) AS idx "
+            f"FROM h{n} h JOIN hd{n} d ON h.doc_id = d.doc_id "
+            "AND h.gram = d.gram))"
+            f", cc{n} AS (SELECT c.doc_id, CAST(SUM(k.lw) AS BIGINT) "
+            f"AS cchars FROM cov{n} c JOIN tk k ON c.doc_id = k.doc_id "
+            "AND c.idx = k.pos GROUP BY 1)"
+        )
+    ppm = "1000000 * COALESCE({x}, 0) // greatest(COALESCE({d}, 0), 1)"
+    cols = [
+        "d.doc_id",
+        "CAST(" + ppm.format(x="sd.dup_sent", d="sd.n_sent")
+        + " AS BIGINT) AS dup_sent_ppm",
+        "CAST(" + ppm.format(x="sd.dup_schars", d="tot.total_chars")
+        + " AS BIGINT) AS dup_sent_char_ppm",
+    ]
+    keeps = [
+        ppm.format(x="sd.dup_sent", d="sd.n_sent") + " <= 300000",
+        ppm.format(x="sd.dup_schars", d="tot.total_chars") + " <= 200000",
+    ]
+    for n, thr in _REP_TOP.items():
+        e = ppm.format(x=f"top{n}.top_chars", d="tot.total_chars")
+        cols.append(f"CAST({e} AS BIGINT) AS top{n}_char_ppm")
+        keeps.append(f"{e} <= {thr}")
+    for n, thr in _REP_DUP.items():
+        e = ppm.format(x=f"cc{n}.cchars", d="tot.total_chars")
+        cols.append(f"CAST({e} AS BIGINT) AS dup{n}_char_ppm")
+        keeps.append(f"{e} <= {thr}")
+    joins = " ".join(
+        [
+            "LEFT JOIN tot ON d.doc_id = tot.doc_id",
+            "LEFT JOIN sd ON d.doc_id = sd.doc_id",
+        ]
+        + [f"LEFT JOIN top{n} ON d.doc_id = top{n}.doc_id" for n in _REP_TOP]
+        + [f"LEFT JOIN cc{n} ON d.doc_id = cc{n}.doc_id" for n in _REP_DUP]
+    )
+    parts.append(
+        " SELECT " + ", ".join(cols)
+        + ", CAST(CASE WHEN " + " AND ".join(keeps)
+        + " THEN 1 ELSE 0 END AS INT) AS keep FROM documents d " + joins
+    )
+    return "".join(parts)
+
+
+@register("gopher_repetition_flags", _gopher_rep_sql())
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED Gopher repetition filters (Rae et al. 2021 Table
+    A1, the repetition subset — gopher_quality_flags' sibling, done
+    to the same zero-float-boundary standard): duplicate-line
+    fraction and duplicate-line character fraction (lines = the C4
+    terminator-token sentences; the corpus has no newlines —
+    documented adaptation, published thresholds kept), fraction of
+    characters in the most frequent {2,3,4}-gram, and fraction of
+    characters covered by duplicated {5..10}-grams, all as exact
+    integer ppm via truncating division over token characters
+    (separators excluded — the pinned interpretation on both
+    engines). keep applies the published per-column thresholds
+    (0.30/0.20, 0.20/0.18/0.16, 0.15 down to 0.10). Plan: ONE token
+    explode (checkpointed once), ONE doc-keyed 9-deep LEAD window
+    builds every n-gram as a projection (no per-n explode), per-n
+    hash aggs; duplicate coverage fans out n rows per DUPLICATED
+    instance only (the dedup_span_removal linearity argument), and
+    the 11 result legs join back on doc_id. At 100 TB: everything
+    shuffles on doc_id or a gram key; no pairwise stage anywhere;
+    the window frame is per-document and bounded."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    max_n = max(_REP_DUP)
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce("text", F.lit("")), " "),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    tk = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.length("w").alias("lw"),
+        F.col("w").isin(list(_C4_TERMINATORS)).cast("int").alias("trm"),
+    ).localCheckpoint(eager=True)
+    tot = tk.groupBy("doc_id").agg(
+        F.coalesce(F.sum("lw"), F.lit(0)).cast("long").alias("total_chars")
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sen = (
+        tk.withColumn(
+            "sid", F.coalesce(F.sum("trm").over(run), F.lit(0))
+        )
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("stext"),
+            F.sum("lw").cast("long").alias("schars"),
+        )
+    )
+    wdup = Window.partitionBy("doc_id", "stext")
+    sd = (
+        sen.withColumn("c", F.count("*").over(wdup))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sent"),
+            F.sum((F.col("c") >= 2).cast("int")).alias("dup_sent"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("schars")).otherwise(0)
+            ).alias("dup_schars"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    ld = tk.select(
+        "doc_id",
+        "pos",
+        "w",
+        "lw",
+        *[F.lead("w", k).over(win).alias(f"w{k}") for k in range(1, max_n)],
+        *[
+            F.lead("lw", k).over(win).alias(f"lw{k}")
+            for k in range(1, max_n)
+        ],
+    ).localCheckpoint(eager=True)
+
+    def gram_cols(n):
+        ws = [F.col("w")] + [F.col(f"w{k}") for k in range(1, n)]
+        lws = F.col("lw")
+        for k in range(1, n):
+            lws = lws + F.col(f"lw{k}")
+        return F.concat_ws(" ", *ws), lws
+
+    legs = [tot, sd]
+    for n in _REP_TOP:
+        gexpr, lexpr = gram_cols(n)
+        g = ld.filter(F.col(f"w{n-1}").isNotNull()).select(
+            "doc_id", gexpr.alias("gram"), lexpr.alias("gchars")
+        )
+        gc = g.groupBy("doc_id", "gram").agg(
+            F.count("*").alias("cnt"), F.min("gchars").alias("gchars")
+        )
+        wr = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "gram")
+        legs.append(
+            gc.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (F.col("cnt") * F.col("gchars"))
+                .cast("long")
+                .alias(f"top{n}_chars"),
+            )
+        )
+    for n in _REP_DUP:
+        gexpr, _ = gram_cols(n)
+        h = ld.filter(F.col(f"w{n-1}").isNotNull()).select(
+            "doc_id", "pos", gexpr.alias("gram")
+        )
+        hd = (
+            h.groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("doc_id", "gram")
+        )
+        cov = (
+            h.join(hd, ["doc_id", "gram"])
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                ).alias("idx"),
+            )
+            .distinct()
+        )
+        legs.append(
+            cov.join(
+                tk.select("doc_id", F.col("pos").alias("idx"), "lw"),
+                ["doc_id", "idx"],
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("lw").cast("long").alias(f"cc{n}_chars"))
+        )
+    out = docs.select("doc_id")
+    for leg in legs:
+        out = out.join(leg, "doc_id", "left")
+
+    def ppm(x, d):
+        return F.expr(
+            f"1000000 * coalesce({x}, 0) div greatest(coalesce({d}, 0), 1)"
+        )
+
+    cols = [
+        ppm("dup_sent", "n_sent").cast("long").alias("dup_sent_ppm"),
+        ppm("dup_schars", "total_chars")
+        .cast("long")
+        .alias("dup_sent_char_ppm"),
+    ]
+    keeps = [
+        ppm("dup_sent", "n_sent") <= 300000,
+        ppm("dup_schars", "total_chars") <= 200000,
+    ]
+    for n, thr in _REP_TOP.items():
+        e = ppm(f"top{n}_chars", "total_chars")
+        cols.append(e.cast("long").alias(f"top{n}_char_ppm"))
+        keeps.append(e <= thr)
+    for n, thr in _REP_DUP.items():
+        e = ppm(f"cc{n}_chars", "total_chars")
+        cols.append(e.cast("long").alias(f"dup{n}_char_ppm"))
+        keeps.append(e <= thr)
+    keep = keeps[0]
+    for k in keeps[1:]:
+        keep = keep & k
+    return out.select("doc_id", *cols, keep.cast("int").alias("keep"))
+
+
 @register("quality_score", _QUALITY_SQL)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style document quality heuristic."""
@@ -935,17 +1227,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TS.quality_score(F.col("text"), list(ALL_STOPWORDS)).alias("quality"),
     )
-
-
-# C4's terminal-punctuation / sentence rules need sentence structure;
-# the synthetic corpus is punctuation-free, so the structural rules
-# run on designated terminator TOKENS ('the', 'a' — frequent enough
-# to produce 0-14 sentences per page) with every published threshold
-# kept at its C4 value. The bad-word list is a parameter of the rule
-# (C4 uses the LDNOOBW list, not shipped here); the demo instance
-# picks corpus words so the flag has variance.
-_C4_TERMINATORS = ("the", "a")
-_C4_BADWORDS = ("slow", "stale")
 
 
 def _c4_sql() -> str:
@@ -9836,6 +10117,7 @@ _WINDOW_ORDER = [
     "c4_quality_flags",
     "pmi_embedding_vectors",
     "unigram_lm_vocab",
+    "gopher_repetition_flags",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -9892,7 +10174,8 @@ _WINDOW_ORDER = [
     "stratified_sample_sources",
     "top_bigrams",
     "weighted_sample_by_length",
-    "zorder_event_cells",
+    # zorder_event_cells displaced to r11 by gopher_repetition_flags
+    # (new queries outrank r6-stale evidence for driver slots)
 ]
 
 

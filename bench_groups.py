@@ -262,4 +262,5 @@ NEW_R10 = [
     "c4_quality_flags",
     "pmi_embedding_vectors",
     "unigram_lm_vocab",
+    "gopher_repetition_flags",
 ]

@@ -496,3 +496,21 @@ def test_pmi_embedding_checkpoints_and_no_python(spark, sf_dir):
     # lineage: Scan ExistingRDD appears for corpus/mat/vn/u blocks
     assert "Scan ExistingRDD" in plan, plan[:600]
     assert "BroadcastExchange" in plan, plan[:600]
+
+
+def test_gopher_repetition_single_window_no_python(spark, sf_dir):
+    """gopher_repetition_flags: every n-gram (n=2..10) must be a
+    projection of the ONE checkpointed 9-deep LEAD window — no per-n
+    re-explode of the corpus (the final plan reads ExistingRDD
+    blocks, zero Generate nodes except the bounded per-duplicated-
+    instance coverage sequences); no Python nodes, no cartesian."""
+    plan = _plan(spark, sf_dir, "gopher_repetition_flags")
+    for bad in ("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in gopher_repetition_flags plan"
+    assert "Scan ExistingRDD" in plan, plan[:600]
+    # the only explodes left are the 6 coverage sequence fan-outs
+    # (one per dup-n leg, each bounded by n rows per duplicated
+    # instance) — a 7th means a gram leg regressed to re-exploding
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 6, (
+        "unexpected explode beyond the coverage legs"
+    )

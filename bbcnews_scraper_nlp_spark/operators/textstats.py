@@ -358,3 +358,65 @@ def logreg_quality_score(
     w0, w1, w2, w3 = weights
     z = F.lit(w0) + F.lit(w1) * (n_tok / F.lit(100.0)) + F.lit(w2) * mwl + F.lit(w3) * swr
     return F.lit(1000.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# The 8 stopword indicators of Rae et al. 2021 Table A1 (shared by
+# the batch gopher_quality_flags oracle pair and the streaming gate).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats_columns(
+    text_col: Column, stops: tuple = GOPHER_STOPS
+) -> list[Column]:
+    """The published Gopher word-level quality stats (Rae et al. 2021
+    Table A1) as PURE per-row HOF expressions — numerically identical
+    to the batch query's explode+groupBy formulation (same integer
+    truncating divisions), but stateless and 1:1 per document, which
+    is what lets the streaming gate drain in append mode with no
+    watermark and hash-match the batch oracle regardless of
+    micro-batch splits. Returns [n_words, mwl_milli, sym_ppm,
+    alpha_ppm, stop_hits, keep]."""
+    toks = F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), " "), lambda x: x != ""
+    )
+    n_words = F.size(toks).cast("long")
+    tot_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_sym = F.size(
+        F.filter(toks, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    sw = F.array(*[F.lit(s) for s in stops])
+    stop_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    ).cast("long")
+    den = F.greatest(n_words, F.lit(1))
+
+    def idiv(num):
+        # integer truncating division (all operands nonnegative, so
+        # the floor form equals Spark's `div` / DuckDB's `//`)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    mwl_milli = idiv(F.lit(1000) * tot_len)
+    sym_ppm = idiv(F.lit(1000000) * n_sym)
+    alpha_ppm = idiv(F.lit(1000000) * n_alpha)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mwl_milli >= 3000)
+        & (mwl_milli <= 10000)
+        & (sym_ppm <= 100000)
+        & (alpha_ppm >= 800000)
+        & (stop_hits >= 2)
+    )
+    return [
+        n_words.alias("n_words"),
+        mwl_milli.alias("mwl_milli"),
+        sym_ppm.alias("sym_ppm"),
+        alpha_ppm.alias("alpha_ppm"),
+        stop_hits.alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    ]

@@ -1,0 +1,1035 @@
+"""Training-corpus preparation, relational surface II, data profiling,
+TPC-H widening, duplicate clustering, corpus prep.
+Split out of queries.py (round 10); definitions verbatim."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import relational as R
+from .operators import textstats as TS
+from .queries_base import register
+from .q_certificates import _MINHASH_PAIR_SELECT, _minhash_pair_ctes  # noqa: F401
+
+
+# --------------------------------------------------------------------
+# training-corpus preparation (operators/traindata.py)
+# --------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+@register(
+    "split_train_val_test",
+    f"WITH b AS (SELECT doc_id, {_BUCKET_SQL} % 100 AS bucket FROM documents) "
+    "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+    "ELSE 'test' END AS split, COUNT(*) AS n_docs FROM b GROUP BY 1",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split from md5(doc_id) — reproducible
+    across runs/engines/partitionings (no rand()), the property a
+    re-materialized 100 TB corpus needs. Pure projection + one tiny
+    aggregate."""
+    from .operators.traindata import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "kfold_assignment",
+    f"WITH b AS (SELECT doc_id, n_chars, {_BUCKET_SQL} % 5 AS fold "
+    "FROM documents) "
+    "SELECT CAST(fold AS INT) AS fold, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM b GROUP BY fold",
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (traindata.kfold_split): fold = md5-bucket(doc_id) % 5, so fold
+    membership is a pure function of the id — the same folds
+    re-materialize on every run, engine, and partitioning (the
+    evaluation counterpart of split_train_val_test). The per-fold
+    char sums pin the MEMBERSHIP, not just the sizes, cross-engine.
+    Pure projection + one 5-row aggregate; zero shuffles beyond the
+    map-side-combinable count."""
+    from .operators.traindata import kfold_split
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return (
+        kfold_split(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+_CONTAM_N = 5
+_CONTAM_SQL = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "arrs AS (SELECT doc_id, list_distinct(list_transform("
+    f"range(0, greatest(len(t) - {_CONTAM_N - 1}, 0)), "
+    f"i -> array_to_string(t[i+1:i+{_CONTAM_N}], ' '))) AS sh FROM toks), "
+    "doc_sh AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s FROM arrs "
+    "WHERE doc_id % 97 <> 0), "
+    "bench AS (SELECT DISTINCT unnest(sh) AS s FROM arrs WHERE doc_id % 97 = 0) "
+    "SELECT doc_id, COUNT(*) AS contaminated_ngrams, total AS total_ngrams, "
+    "ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS contamination_ratio "
+    "FROM doc_sh JOIN bench USING (s) GROUP BY doc_id, total"
+)
+
+
+@register("contamination_check", _CONTAM_SQL)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs contain verbatim
+    word n-grams from a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval set). Benchmark shingles
+    are distinct-aggregated then broadcast — the training side (the
+    100 TB side) never shuffles."""
+    from .operators.traindata import contamination
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, "doc_id", "text", n=_CONTAM_N)
+
+
+def _pii_augmented_sql() -> str:
+    from .operators.traindata import pii_scrub_sql
+
+    aug = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.org or 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.' || CAST(doc_id % 250 AS VARCHAR) || ' acct ' || "
+        "CAST(900000000 + doc_id AS VARCHAR)"
+    )
+    return (
+        f"SELECT doc_id, {pii_scrub_sql(aug)} AS scrubbed FROM documents"
+    )
+
+
+@register("pii_scrub_text", _pii_augmented_sql())
+def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4s, long digit runs) over text with
+    synthetic PII planted per doc so the regexes actually fire. Narrow
+    codegen projection — linear scale-out, no shuffle."""
+    from .operators.traindata import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" acct "),
+        (F.lit(900000000) + F.col("doc_id")).cast("string"),
+    )
+    return docs.select("doc_id", pii_scrub(aug).alias("scrubbed"))
+
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 8
+_PACK_SQL = (
+    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    f"AS n_tokens, {_BUCKET_SQL} % {_PACK_SHARDS} AS shard FROM documents) "
+    "SELECT doc_id, n_tokens, shard, CAST(FLOOR(CAST(SUM(n_tokens) OVER "
+    "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    f"CURRENT ROW) - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS INT) AS bin FROM d"
+)
+
+
+@register("pack_sequences_bins", _PACK_SQL)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per hash-shard, docs are laid
+    out in id order and cut every 512 tokens; bin = the context-window
+    index where each doc starts. One window shuffle, sharded for
+    scale."""
+    from .operators.traindata import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, "doc_id", "n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
+# --------------------------------------------------------------------
+# extended relational surface II: group top-k, cube, correlated EXISTS
+# --------------------------------------------------------------------
+
+
+@register(
+    "top3_orders_per_segment",
+    "SELECT * FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+    "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3",
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the group-limit operator): row_number window
+    with a deterministic tie-break, filtered to k. Spark pushes a
+    per-partition rank limit below the shuffle (WindowGroupLimit), so
+    each map task ships at most k rows per group — the 100 TB-safe
+    group-limit."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "cube_status_priority",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — Expand-based
+    multi-grouping in one pass over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+_EXISTS_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
+)
+
+
+@register("orders_with_bulk_items", _EXISTS_SQL)
+def orders_with_bulk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front-end (register_views +
+    spark.sql — the engine's second API surface). Catalyst decorrelates
+    to a left-semi hash join; the identical SQL string runs on the
+    DuckDB oracle."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------
+# data profiling (operators/profiling.py)
+# --------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+    f"COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct, "
+    f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM documents"
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", _PROFILE_SQL)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA profile: one aggregation pass computes every column's
+    count/null/distinct/min/max, stack() unpivots to a row per column.
+    Exact distincts here (oracle-portable); approx_count_distinct is
+    the documented 100 TB path."""
+    from .operators.profiling import column_profile
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return column_profile(docs, _PROFILE_COLS)
+
+
+_QUANTILE_SQL = (
+    "SELECT l_returnflag, "
+    "quantile_cont(l_extendedprice, 0.25) AS p25, "
+    "quantile_cont(l_extendedprice, 0.50) AS p50, "
+    "quantile_cont(l_extendedprice, 0.75) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@register("price_quantiles", _QUANTILE_SQL)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (order statistics with linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+    The scale path is percentile_approx's mergeable t-digest; the
+    exact form is the oracle."""
+    from .operators.profiling import grouped_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], [0.25, 0.50, 0.75]
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H shape widening: Q4/Q10/Q14/Q18/Q19 on the testdata columns
+# --------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_check",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R') "
+    "GROUP BY o_orderpriority",
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-ranged fact filter + EXISTS semi-join +
+    group count. The semi-join never widens rows (left_semi — no
+    duplicate inflation from multi-lineitem orders), and the lineitem
+    side is pre-filtered so the shuffle carries only matching keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most — fact-fact join with
+    both sides pre-filtered, broadcast nation enrich, top-20 via
+    TakeOrderedAndProject. Aggregates on the join keys BEFORE pulling
+    the wide name columns would be the sf1000 refinement; at any sf
+    the nation join broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("revenue").alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) "
+    "AS promo_revenue_scaled, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS total_revenue_scaled "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim
+    join. Both sums stay exact scaled integers; the oracle compares
+    the two exact sums (a derived promo ratio is one fp division the
+    caller can do). part broadcasts at every sf where it fits; at
+    100 TB AQE picks shuffle-hash on the uniform p_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (100 - disc)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_revenue_scaled"),
+            F.sum(rev).alias("total_revenue_scaled"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    "SELECT c_custkey, o_orderkey, "
+    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS total_qty "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 18000) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, o_orderkey "
+    "ORDER BY total_qty DESC, o_orderkey LIMIT 100",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING subquery feeding a semi-join,
+    then re-aggregate with customer context, top-100. The HAVING agg
+    runs once on integer-scaled quantities; its key list semi-joins
+    orders (no row inflation) before the final join+agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 18000)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg((F.sum(qty) / 100.0).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_pred",
+    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
+    "AS revenue FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity >= 1 AND l_quantity <= 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity >= 10 AND l_quantity <= 20) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity >= 20 AND l_quantity <= 30))",
+)
+def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive join predicates. Authored as an
+    equi-join on p_partkey with the OR-of-ANDs as a post-join filter —
+    Catalyst extracts the common equi-key (no nested-loop join) and
+    pushes the single-sided conjuncts (brand/size membership union)
+    into each scan via constraint inference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# duplicate clustering: connected components (pairs -> clusters)
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_cc_clusters",
+    "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS cluster_rep "
+    "FROM documents",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering over a deterministic
+    candidate graph: consecutive doc_ids within each (lang, source)
+    group are linked, producing one *path graph* per group — the
+    adversarial-diameter shape for CC (plain min-propagation needs
+    O(chain length) shuffles; pointer jumping needs O(log)). The
+    oracle knows the answer analytically: every group chains into one
+    component whose representative is the group's min doc_id.
+
+    The production pairing (MinHash/SimHash edges) runs in
+    ``dedup_minhash_clusters``; this query pins the CC kernel itself
+    to an exact oracle."""
+    from .operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return duplicate_clusters(
+        docs.select("doc_id"), "doc_id", edges, "src", "dst"
+    ).select("doc_id", "cluster_rep")
+
+
+def _minhash_clusters_oracle_sql() -> str:
+    """Recursive-CTE twin of pairs → connected components → keep the
+    min-id canonical: label propagation to a fixpoint (UNION dedup
+    terminates it), min reachable id per node = cluster rep; docs in
+    no pair keep themselves via the left join."""
+    return (
+        "WITH RECURSIVE docs_src AS (SELECT doc_id, text FROM documents),\n"
+        + _minhash_pair_ctes("docs_src")
+        + f""",
+pairs AS ({_MINHASH_PAIR_SELECT.replace(chr(10), ' ')}),
+edges AS (
+  SELECT id_1 AS src, id_2 AS dst FROM pairs
+  UNION ALL SELECT id_2, id_1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+lab AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN lab ON lab.node = d.doc_id
+WHERE lab.node IS NULL OR lab.root = d.doc_id"""
+    )
+
+
+@register("dedup_minhash_clusters", _minhash_clusters_oracle_sql())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pair finding -> connected
+    components -> keep the min-id canonical per duplicate cluster.
+    The full 100 TB dedup path (pairs alone under-delete transitive
+    duplicate chains: A~B, B~C must drop two docs, not one). md5
+    shingle-hash flavor, so the DuckDB oracle recomputes the pairs
+    and resolves the clusters with a recursive label-propagation
+    CTE; the distributed CC kernel additionally has a union-find
+    pytest twin."""
+    from .operators.dedup import keep_cluster_canonical, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.5, shingle_hash="md5"
+    ).select("id_1", "id_2")
+    return keep_cluster_canonical(docs.select("doc_id", "text"), "doc_id", pairs).select(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------
+# training-corpus prep: stratified sample, deterministic shuffle,
+# repetition quality signals
+# --------------------------------------------------------------------
+
+_SAMPLE_FRACTIONS = {"src1": 0.5, "src2": 0.5, "src3": 0.25}
+
+
+@register(
+    "stratified_sample_sources",
+    "WITH b AS (SELECT doc_id, source, "
+    f"{_BUCKET_SQL} % 10000 AS bucket FROM documents) "
+    "SELECT doc_id, source FROM b WHERE bucket < (CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {int(round(f * 10000))}"
+        for s, f in _SAMPLE_FRACTIONS.items()
+    )
+    + " ELSE 1000 END)",
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (domain mixing): per-source
+    keep fractions from md5 hash-buckets — reproducible across
+    engines/partitionings, unlike rand()-based sampleBy. Pure
+    filter, no shuffle."""
+    from .operators.traindata import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return stratified_sample(
+        docs, "source", _SAMPLE_FRACTIONS, "doc_id", default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_BUCKET = (
+    "CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) % 10000"
+)
+
+
+@register(
+    "mix_sources_weighted",
+    f"SELECT doc_id, source FROM documents WHERE {_MIX_BUCKET} < "
+    "(CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(round(w * 10_000))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    + " ELSE 1000 END)",
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing: per-source deterministic sampling
+    rates (keep all of src0, half of src1, a quarter of src2, 10% of
+    everything else) via salted hash-bucket Bernoulli — a pure
+    projection, reproducible on any engine/partitioning."""
+    from .operators.traindata import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return mix_sources(
+        docs, "source", "doc_id", _MIX_WEIGHTS, default_weight=0.1
+    ).select("doc_id", "source")
+
+
+@register(
+    "select_token_budget",
+    "WITH d AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "len(text) AS order_key FROM documents), "
+    "r AS (SELECT doc_id, n_tokens, "
+    "SUM(n_tokens) OVER (ORDER BY order_key DESC, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+    "FROM d) "
+    "SELECT doc_id, n_tokens FROM r "
+    "WHERE run <= 20000 OR run - n_tokens = 0",
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill a 20k-token budget with
+    the highest-priority documents (here: longest first — the
+    order column is pluggable), running cumsum cutoff with a
+    first-row guarantee. The exact-semantics anchor for the banded
+    approximation used at 100 TB (see operator docstring)."""
+    from .operators.traindata import select_token_budget as op
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").alias("order_key"),
+    )
+    return op(d, "n_tokens", "order_key", "doc_id", budget=20_000).select(
+        "doc_id", "n_tokens"
+    )
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, tgt, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS r(i)),
+b AS (SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS bkt
+      FROM grams),
+tot AS (SELECT count(*) AS raw_total,
+               count(*) FILTER (tgt) AS tgt_total FROM b),
+lr AS (SELECT bkt,
+              CAST(ROUND(LN(((count(*) FILTER (tgt) + 1.0) * (raw_total + 4096))
+                          / ((count(*) + 1.0) * (tgt_total + 4096))) * 1e6)
+                   AS BIGINT) AS lrs
+       FROM b, tot
+       GROUP BY bkt, raw_total, tgt_total)
+SELECT d.doc_id,
+       count(lr.bkt) AS n_grams,
+       ROUND(COALESCE(SUM(lr.lrs), 0) / 1e6, 6) + 0.0 AS weight
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN lr ON b.bkt = lr.bkt
+GROUP BY d.doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight from hashed unigram+bigram likelihood ratios, target
+    distribution = English documents, raw = whole corpus. Integer-
+    scaled per-bucket log-ratios make the per-doc sum exact in any
+    aggregation order — hash-oracled end to end."""
+    from .operators.traindata import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return dsir_weights(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=4096
+    )
+
+
+@register(
+    "rolling_distinct_users_7d",
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id "
+    "FROM events), "
+    "days AS (SELECT DISTINCT day FROM du) "
+    "SELECT d.day, count(DISTINCT u.user_id) AS users_7d "
+    "FROM days d JOIN du u "
+    "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+    "GROUP BY d.day",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — COUNT DISTINCT over a
+    sliding window, which no window frame can express (distinct isn't
+    decomposable). Exact form: day-grain dedup first (events collapse
+    to ≤ days×users rows), then a 7-wide day-range join + distinct
+    count. This is the exact-semantics anchor; the sketch path
+    (profiling.distinct_sketches + merge_sketches over the same day
+    range) replaces the distinct count with register-max HLL merges at
+    100 TB — `sketch_distinct_users_daily` covers those mechanics."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("d").alias("day"), "users_7d")
+    )
+
+
+@register(
+    "ohlc_resample_hourly",
+    "WITH b AS (SELECT event_type, "
+    "epoch_us(ts) // 3600000000 AS hr, "
+    "epoch_us(ts) AS us, event_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events) "
+    "SELECT event_type, hr, "
+    "struct_extract(min((us, event_id, v100)), 3) / 100.0 AS open, "
+    "CAST(max(v100) AS BIGINT) / 100.0 AS high, "
+    "CAST(min(v100) AS BIGINT) / 100.0 AS low, "
+    "struct_extract(max((us, event_id, v100)), 3) / 100.0 AS close, "
+    "count(*) AS n FROM b GROUP BY event_type, hr",
+)
+def ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample (financial-style resample): per event type and
+    hour, open/high/low/close/count — open/close via min/max-struct
+    argmin/argmax on (epoch_us, event_id) so ties are deterministic;
+    values ride as scaled ints. ONE map-side-combined hash agg; the
+    struct min/max partials collapse per map task, so the exchange
+    carries ≤ types×hours skinny rows."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    us = R.epoch_us("ts")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    b = ev.select(
+        "event_type",
+        us.alias("__us"),
+        "event_id",
+        v100.alias("__v"),
+        # integer division (div), never float `/` + cast: epoch micros
+        # exceed double's exact-integer range after division rounding
+    ).withColumn("hr", F.expr("__us div 3600000000"))
+    return b.groupBy("event_type", "hr").agg(
+        (F.min(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("open"),
+        (F.max("__v") / F.lit(100.0)).alias("high"),
+        (F.min("__v") / F.lit(100.0)).alias("low"),
+        (F.max(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+_INVIDX_SQL = """
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+t AS (SELECT doc_id AS d, i - 1 AS p, arr[i] AS term
+      FROM a, unnest(range(1, len(arr) + 1)) AS r(i)
+      WHERE arr[i] <> ''),
+rn AS (SELECT term, d, p,
+              row_number() OVER (PARTITION BY term ORDER BY d, p) AS rn
+       FROM t),
+b AS (SELECT term, CAST((rn - 1) // 2000 AS INT) AS block,
+             list_sort(list(CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)))
+             AS postings
+      FROM rn GROUP BY term, block),
+s AS (SELECT term, count(DISTINCT d) AS df, count(*) AS tf
+      FROM t GROUP BY term)
+SELECT b.term, b.block, s.df, s.tf,
+       array_to_string(b.postings, ' ') AS postings
+FROM b JOIN s USING (term)
+"""
+
+
+@register("inverted_index_blocks", _INVIDX_SQL)
+def inverted_index_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked inverted index (Lucene-style posting blocks): term ->
+    bounded sorted "doc:pos" blocks + exact df/tf. Hot terms span
+    many blocks instead of one unbounded postings row — see
+    operators/textstats.build_inverted_index for the scale shape.
+    Hash-oracled end to end. Postings are flattened to a single
+    space-joined string here (the operator keeps its array return):
+    registered results must be atomic-typed so the driver's pandas
+    canonicalizer can sort/hash them."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    idx = TS.build_inverted_index(docs, "text", "doc_id", block_size=2000)
+    return idx.withColumn("postings", F.array_join("postings", " "))
+
+
+@register(
+    "range_frame_trailing_sum",
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "/ 100.0 AS trailing_1h_sum "
+    "FROM events",
+)
+def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-valued frame bound — the §2.6 frame
+    flavor ROWS frames can't express): per user, trailing-1-hour
+    event-value sum over the epoch-microsecond order. Values ride as
+    scaled ints so the frame sum is exact in any order; the range
+    bound is a literal in identical units (micros) on both engines.
+    One shuffle on user_id; each partition's frame scan is linear
+    (two-pointer), never O(n²)."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        R.epoch_us("ts").alias("__us"),
+        F.round(F.col("value") * 100).cast("long").alias("__v100"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (F.sum("__v100").over(w) / F.lit(100.0)).alias("trailing_1h_sum"),
+    )
+
+
+@register(
+    "curriculum_order_bands",
+    "WITH b AS (SELECT doc_id, n_chars, "
+    "CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS band, "
+    "md5('curriculum-v1:' || CAST(doc_id AS VARCHAR)) AS h "
+    "FROM documents) "
+    "SELECT doc_id, band, "
+    "CAST(row_number() OVER (PARTITION BY band ORDER BY h, doc_id) AS INT) "
+    "AS band_pos FROM b",
+)
+def curriculum_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: 4 quality bands (here: length-scored,
+    best first) with a deterministic hash shuffle within each band —
+    the easy-to-hard training schedule. Exact-ntile anchor of the
+    banded percentile approximation used at 100 TB (see operator
+    docstring)."""
+    from .operators.traindata import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return curriculum_order(docs, "n_chars", "doc_id", n_bands=4, method="exact")
+
+
+@register(
+    "value_histogram",
+    "SELECT event_type, "
+    "CAST(least(floor(value / 25), 19) AS INT) AS bin, "
+    "count(*) AS n FROM events GROUP BY event_type, bin",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (profiling family):
+    bin = clamp(floor(value/25), 0..19) — one map-side-combined
+    hash agg, ≤ types×20 rows shuffled."""
+    ev = load_table(spark, sf_dir, "events", widen=True)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 25), F.lit(19))
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "deterministic_shuffle_order",
+    "WITH h AS (SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS hh "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8 AS INT) "
+    "AS shard, hh FROM h) "
+    "SELECT doc_id, shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) "
+    "AS shard_pos FROM s",
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: (shard, shard_pos) total order
+    from a salted md5 — the scalable ORDER BY hash (per-shard windows
+    instead of one global sort; shards is the memory/parallelism
+    knob)."""
+    from .operators.traindata import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return deterministic_shuffle(docs, "doc_id", shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+@register(
+    "repetition_quality",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2 THEN list_transform("
+    "range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')) "
+    "ELSE [] END AS bi FROM t) "
+    "SELECT doc_id, "
+    "CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), "
+    "d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) "
+    "ELSE 0.0 END AS top_word_share, "
+    "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) "
+    "/ len(bi) ELSE 0.0 END AS dup_bigram_frac "
+    "FROM g",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word share + duplicate-
+    bigram fraction, per document. Narrow HOF pipeline (no explode,
+    no shuffle) — exact integer counts, one fp division each."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    top_share, dup_frac = TS.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        top_share.alias("top_word_share"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+
+
+_SPAN_REMOVE_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 4], ' ')
+             AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 3, 0))) AS pos
+            FROM t)),
+dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
+        WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + u AS idx
+        FROM (SELECT g.doc_id, g.pos, unnest(range(0, 4)) AS u
+              FROM g SEMI JOIN dup ON g.gram = dup.gram)),
+tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS idx,
+               unnest(toks) AS word FROM t),
+keep AS (SELECT tok.doc_id, tok.idx, tok.word FROM tok
+         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
+clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+                 COUNT(*) AS nk FROM keep GROUP BY doc_id)
+SELECT t.doc_id, coalesce(c.ct, '') AS clean_text,
+       CAST(len(t.toks) - coalesce(c.nk, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVE_SQL)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span removal (Lee et al. 2022 — the
+    transform behind dup_ngram_span_score's signal): every token
+    covered by a word 4-gram occurring >= 2 times in the corpus is
+    deleted and the survivors reassembled in order. One gram-count
+    shuffle + linear coverage fanout (n rows per duplicated gram
+    instance, never pairwise)."""
+    from .operators.dedup import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return remove_dup_spans(docs, "doc_id", "text", n=4, min_count=2)
+
+
+_PPL_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS word FROM t),
+uni AS (SELECT word, COUNT(*) AS c_a FROM tok GROUP BY word),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok),
+big AS (SELECT doc_id, word AS a,
+               LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+        FROM tok),
+bg AS (SELECT doc_id, a, b FROM big WHERE b IS NOT NULL),
+bi AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+scored AS (SELECT bi.a, bi.b,
+        CAST(ROUND(ln((CAST(c_ab AS DOUBLE) + 1.0) /
+                      (CAST(c_a AS DOUBLE) + (SELECT v FROM v)))
+                   * 1000.0) AS BIGINT) AS mn
+        FROM bi JOIN uni ON bi.a = uni.word),
+doc AS (SELECT bg.doc_id, SUM(s.mn) AS sm, COUNT(*) AS m
+        FROM bg JOIN scored s ON bg.a = s.a AND bg.b = s.b
+        GROUP BY bg.doc_id),
+sc AS (SELECT doc_id, m AS n_bigrams,
+              -CAST(sm AS BIGINT) / (m * 1000.0) AS cross_entropy
+       FROM doc),
+cut AS (SELECT quantile_cont(cross_entropy, 1.0 / 3.0) AS q1,
+               quantile_cont(cross_entropy, 2.0 / 3.0) AS q2 FROM sc)
+SELECT doc_id, n_bigrams, cross_entropy,
+  CASE WHEN cross_entropy <= (SELECT q1 FROM cut) THEN 'head'
+       WHEN cross_entropy <= (SELECT q2 FROM cut) THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM sc
+"""
+
+
+@register("perplexity_buckets", _PPL_SQL)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filtering (Wenzek et al. 2020):
+    per-doc cross-entropy under an add-one bigram LM fit on the
+    corpus, bucketed head/middle/tail at exact tercile cutpoints
+    (one percentile aggregate broadcast back — never a global ntile
+    window). Millinat-quantized NLL terms make the per-doc mean exact
+    integer arithmetic and absorb Java-vs-libm ln ulp skew."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return TS.perplexity_quality(docs, "doc_id", "text")
+
+

@@ -25,10077 +25,28 @@ queries hash-match their oracles):
   ROUND whose input can be a tiny negative.
 """
 
+
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from .catalog import load_table
-from .functions import sentiment as sent
-from .functions.text_clean import ALL_STOPWORDS, clean_text, word_count
-from .functions.tokenize import BPE_ISH_PATTERN, bpe_ish_tokens
-from .operators import relational as R
-from .operators import similarity as S
+# registry plumbing lives in queries_base; the query definitions in
+# the q_* domain modules (split out round 10, names byte-identical):
+# importing them here populates REGISTRY as a side effect, in the
+# original definition order.
+from .queries_base import (  # noqa: F401  (re-exports)
+    Query, REGISTRY, STOPWORDS_SQL, _sql_str_list, register,
+)
 from .operators.relational import cap_hot_keys  # noqa: F401  (re-export)
-from .operators import textstats as TS
-from .operators.dedup import MERSENNE31, content_hash, ngram_jaccard_pairs
-
-# --------------------------------------------------------------------
-# registry plumbing
-# --------------------------------------------------------------------
-
-
-@dataclass
-class Query:
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # DuckDB oracle; None -> rows-only driver check
-
-
-REGISTRY: dict[str, Query] = {}
-
-
-def register(name: str, sql: str | None = None):
-    def deco(fn):
-        REGISTRY[name] = Query(fn, sql)
-        return fn
-
-    return deco
-
-
-def _sql_str_list(words) -> str:
-    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
-    return f"[{quoted}]"
-
-
-STOPWORDS_SQL = _sql_str_list(ALL_STOPWORDS)
-
-# --------------------------------------------------------------------
-# §2.2 filters / predicates
-# --------------------------------------------------------------------
-
-
-@register(
-    "f1_contains_filter",
-    "SELECT doc_id, source FROM documents WHERE text LIKE '%spark%'",
-)
-def f1_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: substring containment (bbc_news_dag.py:32). Pushed into the
-    parquet scan as a StringContains filter."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.filter(F.col("text").contains("spark")).select("doc_id", "source")
-
-
-@register(
-    "f2_ts_range_filter",
-    "SELECT event_id, user_id, ts FROM events "
-    "WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
-)
-def f2_ts_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: timestamp cutoff (archive_scraper.py:28) — the reference
-    compares ISO strings lexicographically; we compare real
-    timestamps. Pushed down to parquet row-group stats."""
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(
-        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")
-    ).select("event_id", "user_id", "ts")
-
-
-@register(
-    "f3_dropna",
-    "SELECT doc_id, text, lang, source, n_chars FROM documents "
-    "WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
-    "AND source IS NOT NULL AND n_chars IS NOT NULL",
-)
-def f3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: drop rows with any NULL (data_preparation.py:88)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.na.drop("any").select("doc_id", "text", "lang", "source", "n_chars")
-
-
-@register(
-    "f4_min_word_count",
-    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words "
-    "FROM documents WHERE len(string_split(text, ' ')) > 50",
-)
-def f4_min_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4+P3: derive n_words = len(split(' ')), keep > 50
-    (data_preparation.py:89-90)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select(
-        "doc_id", word_count(F.col("text")).alias("n_words")
-    ).filter(F.col("n_words") > 50)
-
-
-@register(
-    "f5_required_field",
-    "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND text <> ''",
-)
-def f5_required_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: drop-if-empty-field pipeline (pipelines.py:16-24)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.filter(
-        F.col("text").isNotNull() & (F.col("text") != "")
-    ).select("doc_id", "n_chars")
-
-
-@register(
-    "f6_dedup_keep_first",
-    "SELECT event_id, user_id, event_type FROM events "
-    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1",
-)
-def f6_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6/S7: keyed dedup keeping the deterministic first row — the
-    Mongo unique-index insert keeps the first writer
-    (pipelines.py:33-44, bbc_news_dag.py:34-38)."""
-    events = load_table(spark, sf_dir, "events")
-    return R.dedup_keep_first(events, ["user_id"], [F.col("event_id")]).select(
-        "event_id", "user_id", "event_type"
-    )
-
-
-@register(
-    "f7_anti_join_unseen",
-    "SELECT c_custkey, c_name FROM customer "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)
-def f7_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7/J3: left-anti 'seen' probe placed BEFORE expensive work
-    (middlewares.py:6-16)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    seen = orders.select(F.col("o_custkey").alias("c_custkey"))
-    return R.anti_join_new(customer, seen, "c_custkey").select("c_custkey", "c_name")
-
-
-# --------------------------------------------------------------------
-# §2.3 projections / scalar functions
-# --------------------------------------------------------------------
-
-
-@register(
-    "p1_strip_last_segment",
-    "SELECT p_partkey, array_to_string("
-    "string_split(p_name, ' ')[1:len(string_split(p_name, ' ')) - 1], '-') "
-    "AS name_prefix FROM part",
-)
-def p1_strip_last_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: split, drop last token, rejoin (ArticlesSpider.py:24's
-    menu_submenu derivation, applied to p_name)."""
-    part = load_table(spark, sf_dir, "part")
-    toks = F.split(F.col("p_name"), " ")
-    return part.select(
-        "p_partkey",
-        F.array_join(F.slice(toks, 1, F.size(toks) - 1), "-").alias("name_prefix"),
-    )
-
-
-def _sql_tokens_expr(col: str) -> str:
-    """DuckDB twin of functions/text_clean.py::clean_tokens — the
-    exact ordered regex chain of data_preparation.py:34-42, returning
-    the filtered token LIST."""
-    c = f"lower(trim({col}))"
-    c = rf"regexp_replace({c}, 'http\S+', '', 'g')"
-    c = rf"regexp_replace({c}, '<.*?>', '', 'g')"
-    c = rf"regexp_replace({c}, '[^ 0-9a-z]', ' ', 'g')"
-    c = rf"regexp_replace({c}, '\b(\d+\d)\b', '', 'g')"
-    c = rf"regexp_replace({c}, 'http|https|www', '', 'g')"
-    c = rf"regexp_replace({c}, '\b[a-z]\b', '', 'g')"
-    c = rf"regexp_replace({c}, ' +', ' ', 'g')"
-    return (
-        f"list_filter(string_split(trim({c}), ' '), "
-        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w))"
-    )
-
-
-def _sql_clean_expr(col: str) -> str:
-    """DuckDB twin of functions/text_clean.py::clean_text."""
-    return f"array_to_string({_sql_tokens_expr(col)}, ' ')"
-
-
-@register(
-    "p4_p12_clean_text",
-    f"SELECT doc_id, {_sql_clean_expr('text')} AS text_clean FROM documents",
-)
-def p4_p12_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4-P12 + F8/F9: the full clean() chain as one codegen'd
-    projection (data_preparation.py:29-57)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select("doc_id", clean_text(F.col("text")).alias("text_clean"))
-
-
-@register(
-    "p15_p16_day_cast",
-    "SELECT event_id, CAST(ts AS DATE) AS day FROM events",
-)
-def p15_p16_day_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P15/P16: timestamp cast + day truncation
-    (data_preparation.py:96, sentiment_analysis.ipynb cell 11)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.select("event_id", F.to_date("ts").alias("day"))
-
-
-# --------------------------------------------------------------------
-# §2.4 joins
-# --------------------------------------------------------------------
-
-
-@register(
-    "j1_broadcast_enrich",
-    "SELECT c_custkey, c_name, n_name FROM customer "
-    "LEFT JOIN nation ON c_nationkey = n_nationkey",
-)
-def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: fact LEFT JOIN tiny dim -> broadcast hash join, no shuffle
-    of the fact side (topic_modelling.ipynb cell 29's label join)."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
-    ).select("c_custkey", "c_name", "n_name")
-
-
-@register(
-    "j_multiway_region_count",
-    "SELECT r_name, COUNT(*) AS n_customers FROM customer, nation, region "
-    "WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey "
-    "GROUP BY r_name",
-)
-def j_multiway_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way broadcast join chain + hash agg (engine extension —
-    the reference has no multi-way joins; free via Catalyst)."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n_customers"))
-    )
-
-
-# --------------------------------------------------------------------
-# §2.5 aggregations, §2.6 windows, §2.7 set ops
-# --------------------------------------------------------------------
-
-
-@register("a1_count_rows", "SELECT COUNT(*) AS n FROM lineitem")
-def a1_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A7: count(*) (bbc_news_dag.py:63-64)."""
-    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
-
-
-@register(
-    "a2_group_count",
-    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
-)
-def a2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: value_counts() (topic_modelling.ipynb cell 25)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(F.count("*").alias("n"))
-
-
-@register(
-    "a3_daily_mean",
-    "SELECT CAST(ts AS DATE) AS date, "
-    "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100) "
-    "AS avg_value FROM events GROUP BY 1",
-)
-def a3_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3+P16: daily mean (sentiment_analysis.ipynb cell 13).
-    Integer-scaled sum -> exact cross-engine average. No fractional
-    ROUND: Spark rounds scale>0 via the shortest decimal repr
-    (BigDecimal) while DuckDB rounds the raw double — they disagree
-    on .xxxx5 boundaries; the raw quotient of identical integers is
-    bit-identical instead."""
-    events = load_table(spark, sf_dir, "events")
-    scaled = F.round(F.col("value") * 100).cast("long")
-    return events.groupBy(F.to_date("ts").alias("date")).agg(
-        (F.sum(scaled) / (F.count("*") * 100)).alias("avg_value")
-    )
-
-
-@register(
-    "a6_top_orders",
-    "SELECT o_orderkey, o_totalprice FROM orders "
-    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
-)
-def a6_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: sort desc + limit (data_preparation.py:19) — Spark plans
-    TakeOrderedAndProject (per-partition heaps, no full sort)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return R.top_n(
-        orders.select("o_orderkey", "o_totalprice"),
-        [F.desc("o_totalprice"), F.col("o_orderkey")],
-        10,
-    )
-
-
-_DAILY_SQL = (
-    "SELECT event_type, CAST(ts AS DATE) AS date, "
-    "SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100) "
-    "AS avg_value FROM events GROUP BY 1, 2"
-)
-
-
-@register(
-    "w1_rolling_trend",
-    f"WITH daily AS ({_DAILY_SQL}), "
-    "s AS (SELECT *, CAST(ROUND(avg_value * 10000) AS BIGINT) AS sc FROM daily) "
-    "SELECT event_type, date, avg_value, "
-    "CASE WHEN row_number() OVER "
-    "(PARTITION BY event_type ORDER BY date) >= 10 THEN "
-    "CAST(SUM(sc) OVER (PARTITION BY event_type ORDER BY date "
-    "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) / 100000.0 "
-    "END AS rolling_avg_value "
-    "FROM s",
-)
-def w1_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2: the sentiment-trend query shape — daily means + 10-row
-    trailing mean with pandas min_periods NULL semantics
-    (sentiment_analysis.ipynb cells 11-13). Flagship query.
-
-    Scale note: the window runs over the *aggregated* daily series
-    (#days × #event_types rows), partitioned by event_type — never
-    over raw events."""
-    events = load_table(spark, sf_dir, "events")
-    scaled = F.round(F.col("value") * 100).cast("long")
-    daily = events.groupBy("event_type", F.to_date("ts").alias("date")).agg(
-        (F.sum(scaled) / (F.count("*") * 100)).alias("avg_value")
-    )
-    # Rolling mean via integer-scaled window sum (integer ROUND is
-    # boundary-safe cross-engine; fractional ROUND is not) so the
-    # final division is a single identical fp op in both engines.
-    # min_periods semantics via the row_number guard.
-    sc = F.round(F.col("avg_value") * 10000).cast("long")
-    w_order = Window.partitionBy("event_type").orderBy("date")
-    w_frame = w_order.rowsBetween(-9, 0)
-    rolling = F.when(
-        F.row_number().over(w_order) >= 10, F.sum(sc).over(w_frame) / 100000.0
-    )
-    return daily.withColumn("rolling_avg_value", rolling).select(
-        "event_type", "date", "avg_value", "rolling_avg_value"
-    )
-
-
-@register(
-    "w3_argmax_vector",
-    "SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS INT) "
-    "AS argmax_idx, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val "
-    "FROM embeddings",
-)
-def w3_argmax_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: per-row argmax over an array (the dominant-topic extraction
-    shape, topic_modelling.ipynb cell 23); first-occurrence tie-break
-    matches Python sorted() stability."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    idx, mx = R.argmax_array(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        idx.alias("argmax_idx"),
-        F.round(mx.cast("double"), 6).alias("max_val"),
-    )
-
-
-@register(
-    "union_dedup",
-    "SELECT DISTINCT o_orderkey, o_totalprice FROM ("
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <= 1 "
-    "UNION ALL "
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 >= 1)",
-)
-def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7: archive + daily feeds writing one sink = union + dedup
-    (archive_scraper.py:29 / bbc_news_dag.py:34 share `links`)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    a = orders.filter(F.col("o_orderkey") % 3 <= 1)
-    b = orders.filter(F.col("o_orderkey") % 3 >= 1)
-    return a.unionByName(b).distinct()
-
-
-# --------------------------------------------------------------------
-# sources: S2 XML sitemap parsing (regex round-trip on a derived feed)
-# --------------------------------------------------------------------
-
-
-@register(
-    "s2_sitemap_parse",
-    "WITH pages AS (SELECT '<url><loc>https://www.bbc.com/' || "
-    "CASE WHEN event_id % 2 = 0 THEN 'news/' ELSE 'sport/' END || "
-    "event_type || '-' || CAST(event_id AS VARCHAR) || '</loc>' || "
-    "'<lastmod>' || strftime(ts, '%Y-%m-%d') || '</lastmod></url>' AS xml "
-    "FROM events) "
-    "SELECT regexp_extract(xml, '<loc>(.*?)</loc>', 1) AS url, "
-    "regexp_extract(xml, '<lastmod>(.*?)</lastmod>', 1) AS lastmod "
-    "FROM pages WHERE regexp_extract(xml, '<loc>(.*?)</loc>', 1) "
-    "LIKE '%www.bbc.com/news/%'",
-)
-def s2_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2+F1: sitemap-XML field extraction + news-url filter
-    (bbc_news_dag.py:28-34). The XML feed is synthesized from events
-    so the oracle sees identical input; extraction itself is the
-    regex the engine's sitemap source uses."""
-    events = load_table(spark, sf_dir, "events")
-    xml = F.concat(
-        F.lit("<url><loc>https://www.bbc.com/"),
-        F.when(F.col("event_id") % 2 == 0, F.lit("news/")).otherwise(F.lit("sport/")),
-        F.col("event_type"),
-        F.lit("-"),
-        F.col("event_id").cast("string"),
-        F.lit("</loc><lastmod>"),
-        F.date_format("ts", "yyyy-MM-dd"),
-        F.lit("</lastmod></url>"),
-    )
-    pages = events.select(xml.alias("xml"))
-    parsed = pages.select(
-        F.regexp_extract("xml", "<loc>(.*?)</loc>", 1).alias("url"),
-        F.regexp_extract("xml", "<lastmod>(.*?)</lastmod>", 1).alias("lastmod"),
-    )
-    return parsed.filter(F.col("url").contains("www.bbc.com/news/"))
-
-
-# --------------------------------------------------------------------
-# §2.8 NLP: sentiment (pure-DF lexicon path) + vocab pruning
-# --------------------------------------------------------------------
-
-
-def _sql_sentiment_scores(which: int) -> str:
-    """list of per-token scores for polarity (0) / subjectivity (1)."""
-    lex = sent.DEFAULT_LEXICON
-    words_sql = _sql_str_list(lex)
-    cases = " ".join(
-        f"WHEN '{w}' THEN {v[which]!r}::DOUBLE" for w, v in lex.items()
-    )
-    return (
-        f"list_transform(list_filter(string_split(text, ' '), "
-        f"w -> list_contains({words_sql}, w)), "
-        f"w -> CASE w {cases} ELSE 0.0::DOUBLE END)"
-    )
-
-
-def _sql_avg_or_zero(scores_expr: str) -> str:
-    # trailing `+ 0.0` normalizes IEEE negative zero: DuckDB's ROUND
-    # keeps the double's sign (-1e-9 -> -0.0) while Spark's ROUND goes
-    # through BigDecimal, which has no signed zero — without it the
-    # two engines hash-differ on docs whose score rounds to zero from
-    # below (first seen at sf0.1).
-    return (
-        f"CASE WHEN len({scores_expr}) > 0 THEN "
-        f"ROUND(CAST(list_aggregate({scores_expr}, 'sum') AS DOUBLE) "
-        f"/ len({scores_expr}), 6) + 0.0 ELSE 0.0::DOUBLE END"
-    )
-
-
-@register(
-    "m6_m7_sentiment_scores",
-    f"SELECT doc_id, {_sql_avg_or_zero(_sql_sentiment_scores(0))} AS polarity, "
-    f"{_sql_avg_or_zero(_sql_sentiment_scores(1))} AS subjectivity FROM documents",
-)
-def m6_m7_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7: per-doc polarity+subjectivity via the pure-DF lexicon
-    path (TextBlob twin, sentiment_analysis.ipynb cell 7) — zero
-    Python, whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id",
-        F.round(sent.polarity_expr(toks), 6).alias("polarity"),
-        F.round(sent.subjectivity_expr(toks), 6).alias("subjectivity"),
-    )
-
-
-@register(
-    "sentiment_by_source",
-    f"WITH s AS (SELECT source, "
-    f"{_sql_avg_or_zero(_sql_sentiment_scores(0))} AS polarity, "
-    f"{_sql_avg_or_zero(_sql_sentiment_scores(1))} AS subjectivity "
-    f"FROM documents) "
-    "SELECT source, "
-    "SUM(CAST(ROUND(polarity * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) "
-    "AS avg_polarity, "
-    "SUM(CAST(ROUND(subjectivity * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) "
-    "AS avg_subjectivity FROM s GROUP BY source",
-)
-def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7 + A3: grouped mean sentiment (the trend query's agg over
-    a categorical key instead of day). Per-doc scores are identical
-    doubles in both engines; the group mean goes through integer
-    scaling so aggregation order can't skew the result."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = F.split(F.col("text"), " ")
-    scored = docs.select(
-        "source",
-        F.round(sent.polarity_expr(toks), 6).alias("polarity"),
-        F.round(sent.subjectivity_expr(toks), 6).alias("subjectivity"),
-    )
-    return scored.groupBy("source").agg(
-        (F.sum(F.round(F.col("polarity") * 1e6).cast("long")) / (F.count("*") * 1e6)).alias(
-            "avg_polarity"
-        ),
-        (
-            F.sum(F.round(F.col("subjectivity") * 1e6).cast("long")) / (F.count("*") * 1e6)
-        ).alias("avg_subjectivity"),
-    )
-
-
-def _full_lexicon_values_sql() -> str:
-    from .functions.lexicon_data import full_lexicon
-
-    return ", ".join(
-        "('{}', {}, {})".format(
-            w.replace("'", "''"), int(round(p * 1000)), int(round(s * 1000))
-        )
-        for w, (p, s) in sorted(full_lexicon().items())
-    )
-
-
-@register(
-    "sentiment_full_lexicon",
-    "WITH lex(word, p_milli, s_milli) AS (VALUES "
-    + _full_lexicon_values_sql()
-    + "), tok AS (SELECT doc_id, "
-    "unnest(string_split(lower(coalesce(text, '')), ' ')) AS word "
-    "FROM documents), "
-    "j AS (SELECT t.doc_id, l.p_milli, l.s_milli FROM tok t "
-    "LEFT JOIN lex l USING (word)) "
-    "SELECT doc_id, "
-    "CASE WHEN COUNT(p_milli) > 0 THEN "
-    "CAST(SUM(p_milli) AS BIGINT) / (COUNT(p_milli) * 1000.0) "
-    "ELSE 0.0 END AS polarity, "
-    "CASE WHEN COUNT(s_milli) > 0 THEN "
-    "CAST(SUM(s_milli) AS BIGINT) / (COUNT(s_milli) * 1000.0) "
-    "ELSE 0.0 END AS subjectivity "
-    "FROM j GROUP BY doc_id",
-)
-def sentiment_full_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7 at realistic lexicon size: the ~2k-entry engine lexicon
-    through the large-lexicon broadcast-join path (the TextBlob
-    en-sentiment.xml slot, sentiment_analysis.ipynb cell 7 —
-    reference means: polarity 0.0654 / subjectivity 0.3966 over
-    articles_sentiments.csv).
-
-    A map-literal plan (the m6_m7 path) stops scaling around a few
-    hundred lexicon entries — the expression tree itself bloats — so
-    this is the shape that holds: explode tokens, broadcast-join the
-    lexicon, re-aggregate per doc. Exactness: scores are integer
-    milli-units; the per-doc mean is an exact integer SUM divided
-    ONCE by (n·1000.0) — identical IEEE op in both engines, no
-    ROUND on a computed double anywhere (the repo-wide rounding
-    gotcha).
-    """
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    lex = sent.full_lexicon_df(spark)
-    exploded = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
-        ).alias("word"),
-    )
-    joined = exploded.join(F.broadcast(lex), "word", "left")
-    agg = joined.groupBy("doc_id").agg(
-        F.count("p_milli").alias("__n"),
-        F.sum("p_milli").alias("__p"),
-        F.sum("s_milli").alias("__s"),
-    )
-    return agg.select(
-        "doc_id",
-        F.when(
-            F.col("__n") > 0, F.col("__p") / (F.col("__n") * 1000.0)
-        ).otherwise(F.lit(0.0)).alias("polarity"),
-        F.when(
-            F.col("__n") > 0, F.col("__s") / (F.col("__n") * 1000.0)
-        ).otherwise(F.lit(0.0)).alias("subjectivity"),
-    )
-
-
-def _pattern_rules_sql() -> str:
-    from .functions.sentiment import MODIFIER_INTENSITY, NEGATIONS
-
-    mods = " ".join(
-        f"WHEN '{w}' THEN {float(i)!r}"
-        for w, i in sorted(MODIFIER_INTENSITY.items())
-    )
-    negs = ", ".join(f"'{n}'" for n in NEGATIONS)
-    # mirrors sentiment.pattern_scores expression-for-expression:
-    # identical IEEE op order, micro-quantized assessments, exact
-    # integer re-aggregation.
-    return f"""
-WITH lex(word, p_milli, s_milli) AS (VALUES {_full_lexicon_values_sql()}),
-t AS (SELECT doc_id,
-      list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-                  x -> x <> '') AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
-               unnest(toks) AS word FROM t),
-att AS (SELECT tok.doc_id, tok.idx, tok.word, l.p_milli, l.s_milli,
-               l.word IS NOT NULL AS is_hit,
-               CASE tok.word {mods} ELSE NULL END AS self_mod
-        FROM tok LEFT JOIN lex l ON tok.word = l.word),
-ctx AS (SELECT doc_id, p_milli, s_milli, is_hit, self_mod,
-               COALESCE(LAG(self_mod, 1) OVER w, 1.0) AS mi,
-               CASE WHEN LAG(self_mod, 1) OVER w IS NOT NULL
-                    THEN LAG(word, 2) OVER w
-                    ELSE LAG(word, 1) OVER w END AS neg_word,
-               COALESCE(LEAD(is_hit, 1) OVER w, false) AS next_hit
-        FROM att WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
-assess AS (
-  SELECT doc_id,
-    CAST(ROUND(GREATEST(-1.0, LEAST(1.0, (p_milli / 1000.0) *
-        (CASE WHEN neg THEN 1.0 / mi ELSE mi END))) *
-        (CASE WHEN neg THEN -0.5 ELSE 1.0 END) * 1000000.0) AS BIGINT)
-      AS p_micro,
-    CAST(ROUND(GREATEST(0.0, LEAST(1.0, (s_milli / 1000.0) *
-        (CASE WHEN neg THEN 1.0 / mi ELSE mi END))) * 1000000.0) AS BIGINT)
-      AS s_micro
-  FROM (SELECT *, COALESCE(neg_word IN ({negs}), false) AS neg FROM ctx)
-  WHERE is_hit AND NOT (self_mod IS NOT NULL AND next_hit))
-SELECT d.doc_id,
-  COALESCE(CAST(a.sp AS BIGINT) / (a.n * 1000000.0), 0.0) AS polarity,
-  COALESCE(CAST(a.ss AS BIGINT) / (a.n * 1000000.0), 0.0) AS subjectivity
-FROM documents d LEFT JOIN
-  (SELECT doc_id, SUM(p_micro) AS sp, SUM(s_micro) AS ss, COUNT(*) AS n
-   FROM assess GROUP BY doc_id) a ON d.doc_id = a.doc_id
-"""
-
-
-@register("sentiment_pattern_rules", _pattern_rules_sql())
-def sentiment_pattern_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6/M7 fidelity path: PatternAnalyzer's negation + intensifier
-    chunk rules (TextBlob's actual scorer, sentiment_analysis.ipynb
-    cell 7; algorithm per Pattern's public Sentiment.assessments,
-    BSD) as one relational plan — posexplode + broadcast lexicon join
-    + LAG/LEAD chunk context + exact integer re-aggregation. The
-    canonical TextBlob values ("very good" -> 0.91, "not good" ->
-    -0.35, "not very good" -> -0.269230...) are pinned by
-    tests/test_sentiment.py."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return sent.pattern_scores(spark, docs, "text", ["doc_id"])
-
-
-@register(
-    "a4_vocab_prune",
-    "WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) "
-    "AS term FROM documents), "
-    "c AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term) "
-    "SELECT term, df FROM c "
-    "WHERE df >= 10 AND df <= 0.9 * (SELECT COUNT(*) FROM documents)",
-)
-def a4_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: Dictionary.filter_extremes(no_below=10, no_above=0.9)
-    (topic_modelling.ipynb cell 7) as explode-distinct + doc-frequency
-    count + bounds — exactly what CountVectorizer(minDF, maxDF) does
-    internally."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    terms = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    )
-    counts = terms.groupBy("term").agg(F.count("*").alias("df"))
-    total = docs.agg(F.count("*").alias("total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter((F.col("df") >= 10) & (F.col("df") <= 0.9 * F.col("total")))
-        .select("term", "df")
-    )
-
-
-# --------------------------------------------------------------------
-# scale extensions: dedup / similarity / text analysis
-# --------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact_content",
-    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
-)
-def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content-hash dedup: survivors = min doc_id per md5.
-    One shuffle on a uniform 128-bit key — no skew possible."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return (
-        docs.groupBy(content_hash(F.col("text")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-
-
-_NGRAM_SQL = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
-    "range(0, greatest(len(t) - 2, 0)), i -> array_to_string(t[i+1:i+3], ' ')))) "
-    "AS shingle FROM toks), "
-    "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
-    "pairs AS (SELECT a.id AS id_1, b.id AS id_2, COUNT(*) AS inter "
-    "FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2) "
-    "SELECT id_1, id_2, ROUND(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) "
-    "AS jaccard FROM pairs "
-    "JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id "
-    "WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {thr}"
-)
-
-
-@register("dedup_ngram_jaccard", _NGRAM_SQL.format(thr="0.2"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity join, fully relational (the exact
-    verify stage of MinHash-LSH, runnable standalone)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-
-
-@register(
-    "ann_topk_cosine",
-    "SELECT e.vec_id, ROUND(list_cosine_similarity("
-    "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
-    "FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0 "
-    "ORDER BY cosine DESC, e.vec_id LIMIT 10",
-)
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for a query vector (the ANN
-    correctness baseline): one narrow scan + TakeOrderedAndProject."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
-        )
-    )
-    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(10)
-
-
-def _sql_lang_ratio(lang: str) -> str:
-    markers = _sql_str_list(TS.LANG_MARKERS[lang])
-    return (
-        f"CAST(len(list_filter(string_split(text, ' '), "
-        f"w -> list_contains({markers}, w))) AS DOUBLE) "
-        f"/ greatest(len(string_split(text, ' ')), 1)"
-    )
-
-
-_LANG_SQL = (
-    "WITH r AS (SELECT doc_id, "
-    + ", ".join(f"{_sql_lang_ratio(lg)} AS r_{lg}" for lg in TS.LANG_MARKERS)
-    + " FROM documents) SELECT doc_id, CASE WHEN greatest("
-    + ", ".join(f"r_{lg}" for lg in TS.LANG_MARKERS)
-    + ") > 0.01 THEN (CASE "
-    + " ".join(
-        f"WHEN r_{lg} = greatest(" + ", ".join(f"r_{m}" for m in TS.LANG_MARKERS) + f") THEN '{lg}'"
-        for lg in TS.LANG_MARKERS
-    )
-    + " END) ELSE 'und' END AS lang_pred FROM r"
-)
-
-
-@register("lang_id", _LANG_SQL)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via marker-word hit ratios (common-word heuristic);
-    argmax with declaration-order tie-break."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select(
-        "doc_id",
-        TS.detect_language(F.split(F.col("text"), " ")).alias("lang_pred"),
-    )
-
-
-_QUALITY_SQL = (
-    "WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS n, "
-    f"CAST(len(list_filter(string_split(text, ' '), "
-    f"w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE) "
-    "/ greatest(len(string_split(text, ' ')), 1) AS sw, "
-    "CAST(list_aggregate(list_transform(string_split(text, ' '), w -> len(w)), "
-    "'sum') AS DOUBLE) / greatest(len(string_split(text, ' ')), 1) AS mwl, "
-    "CAST(len(regexp_replace(text, "
-    f"'[^{TS.ASCII_PUNCT_CHARS.replace(chr(39), chr(39) * 2)}]', '', 'g')) AS DOUBLE)"
-    " / greatest(len(text), 1) AS pr FROM documents) "
-    "SELECT doc_id, ROUND("
-    "0.3 * (CASE WHEN n >= 20 AND n <= 10000 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-    "0.3 * (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-    "0.2 * (CASE WHEN mwl >= 2.5 AND mwl <= 10.0 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-    "0.2 * (CASE WHEN pr <= 0.2 THEN 1.0::DOUBLE ELSE 0.0 END), 2) AS quality "
-    "FROM f"
-)
-
-
-_GOPHER_STOPS = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
-
-_GOPHER_SQL = (
-    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-    "FROM documents), "
-    "nz AS (SELECT doc_id, w FROM w WHERE w <> ''), "
-    "a AS (SELECT doc_id, COUNT(*) AS n_words, "
-    "CAST(SUM(len(w)) AS BIGINT) AS tot_len, "
-    "SUM(CASE WHEN w LIKE '%#%' OR w LIKE '%...%' THEN 1 ELSE 0 END) "
-    "AS n_sym, "
-    "SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END) "
-    "AS n_alpha, "
-    f"COUNT(DISTINCT CASE WHEN w IN {_GOPHER_STOPS} THEN w END) "
-    "AS stop_hits FROM nz GROUP BY doc_id), "
-    "f AS (SELECT d.doc_id, COALESCE(n_words, 0) AS n_words, "
-    "1000 * COALESCE(tot_len, 0) // greatest(COALESCE(n_words, 0), 1) "
-    "AS mwl_milli, "
-    "1000000 * COALESCE(n_sym, 0) // greatest(COALESCE(n_words, 0), 1) "
-    "AS sym_ppm, "
-    "1000000 * COALESCE(n_alpha, 0) // greatest(COALESCE(n_words, 0), 1) "
-    "AS alpha_ppm, "
-    "COALESCE(stop_hits, 0) AS stop_hits "
-    "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id) "
-    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
-    "CAST(mwl_milli AS BIGINT) AS mwl_milli, "
-    "CAST(sym_ppm AS BIGINT) AS sym_ppm, "
-    "CAST(alpha_ppm AS BIGINT) AS alpha_ppm, "
-    "CAST(stop_hits AS BIGINT) AS stop_hits, "
-    "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 "
-    "AND mwl_milli >= 3000 AND mwl_milli <= 10000 "
-    "AND sym_ppm <= 100000 AND alpha_ppm >= 800000 "
-    "AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep FROM f"
-)
-
-
-@register("gopher_quality_flags", _GOPHER_SQL)
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PUBLISHED Gopher document-quality rules (Rae et al. 2021
-    Table A1, the word-level subset), each as an exact integer flag —
-    the citable counterpart of quality_score's blended heuristic:
-    50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10 (milli-units);
-    symbol-to-word ratio ≤ 0.1 (# or ellipsis, ppm); ≥80% of words
-    contain an alphabetic character (ppm); ≥2 of Gopher's 8 stopword
-    indicators present. All ratios are integer div quantizations —
-    hash-exact cross-engine with zero float boundaries. Plan: one
-    token explode → one map-side-combinable hash agg per doc (five
-    conditional counts + one small COUNT DISTINCT) → pure projection
-    flags; one shuffle keyed on doc_id. At 100 TB this IS the shape
-    quality gates run at — a single pass, no model state."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    w = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    stops = [s.strip("'") for s in _GOPHER_STOPS.strip("()").split(", ")]
-    a = w.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.length("w")).alias("tot_len"),
-        F.sum(
-            (
-                F.col("w").contains("#") | F.col("w").contains("...")
-            ).cast("long")
-        ).alias("n_sym"),
-        F.sum(F.col("w").rlike("[a-zA-Z]").cast("long")).alias("n_alpha"),
-        F.count_distinct(
-            F.when(F.col("w").isin(stops), F.col("w"))
-        ).alias("stop_hits"),
-    )
-    f = (
-        docs.select("doc_id")
-        .join(a, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.expr(
-                "1000 * coalesce(tot_len, 0) "
-                "div greatest(coalesce(n_words, 0), 1)"
-            ).alias("mwl_milli"),
-            F.expr(
-                "1000000 * coalesce(n_sym, 0) "
-                "div greatest(coalesce(n_words, 0), 1)"
-            ).alias("sym_ppm"),
-            F.expr(
-                "1000000 * coalesce(n_alpha, 0) "
-                "div greatest(coalesce(n_words, 0), 1)"
-            ).alias("alpha_ppm"),
-            F.coalesce("stop_hits", F.lit(0)).alias("stop_hits"),
-        )
-    )
-    keep = (
-        (F.col("n_words") >= 50)
-        & (F.col("n_words") <= 100000)
-        & (F.col("mwl_milli") >= 3000)
-        & (F.col("mwl_milli") <= 10000)
-        & (F.col("sym_ppm") <= 100000)
-        & (F.col("alpha_ppm") >= 800000)
-        & (F.col("stop_hits") >= 2)
-    )
-    return f.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("mwl_milli").cast("long").alias("mwl_milli"),
-        F.col("sym_ppm").cast("long").alias("sym_ppm"),
-        F.col("alpha_ppm").cast("long").alias("alpha_ppm"),
-        F.col("stop_hits").cast("long").alias("stop_hits"),
-        keep.cast("int").alias("keep"),
-    )
-
-
-# C4's terminal-punctuation / sentence rules need sentence structure;
-# the synthetic corpus is punctuation-free, so the structural rules
-# (C4's AND Gopher's line-wise repetition rules below) run on
-# designated terminator TOKENS ('the', 'a' — frequent enough to
-# produce 0-14 sentences per page) with every published threshold
-# kept at its source value. The bad-word list is a parameter of the
-# rule (C4 uses the LDNOOBW list, not shipped here); the demo
-# instance picks corpus words so the flag has variance.
-_C4_TERMINATORS = ("the", "a")
-_C4_BADWORDS = ("slow", "stale")
-
-# Rae et al. 2021 Table A1 repetition thresholds (fraction -> ppm):
-# dup-line frac 0.30, dup-line char frac 0.20, top-{2,3,4}-gram char
-# frac 0.20/0.18/0.16, dup-{5..10}-gram char frac 0.15..0.10.
-_REP_TOP = {2: 200000, 3: 180000, 4: 160000}
-_REP_DUP = {5: 150000, 6: 140000, 7: 130000, 8: 120000, 9: 110000, 10: 100000}
-
-
-def _gopher_rep_sql() -> str:
-    term = ", ".join(f"'{w}'" for w in _C4_TERMINATORS)
-    max_n = max(_REP_DUP)
-    leads = ", ".join(
-        f"LEAD(w, {k}) OVER win AS w{k}, LEAD(lw, {k}) OVER win AS lw{k}"
-        for k in range(1, max_n)
-    )
-    def gram(n):
-        ws = ", ".join(["w"] + [f"w{k}" for k in range(1, n)])
-        lws = " + ".join(["lw"] + [f"lw{k}" for k in range(1, n)])
-        return ws, lws
-    parts = [
-        "WITH t AS (SELECT doc_id, list_filter(string_split("
-        "coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), "
-        "tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, "
-        "unnest(toks) AS w FROM t), "
-        "tk AS (SELECT doc_id, pos, w, len(w) AS lw, "
-        f"CASE WHEN w IN ({term}) THEN 1 ELSE 0 END AS trm FROM tok), "
-        "tot AS (SELECT doc_id, CAST(COALESCE(SUM(lw), 0) AS BIGINT) "
-        "AS total_chars FROM tk GROUP BY doc_id), "
-        "st AS (SELECT doc_id, pos, w, lw, COALESCE(SUM(trm) OVER ("
-        "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND 1 PRECEDING), 0) AS sid FROM tk), "
-        "sen AS (SELECT doc_id, sid, string_agg(w, ' ' ORDER BY pos) "
-        "AS stext, CAST(SUM(lw) AS BIGINT) AS schars FROM st "
-        "GROUP BY 1, 2), "
-        "sd AS (SELECT doc_id, COUNT(*) AS n_sent, "
-        "SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_sent, "
-        "SUM(CASE WHEN c >= 2 THEN schars ELSE 0 END) AS dup_schars "
-        "FROM (SELECT doc_id, schars, COUNT(*) OVER (PARTITION BY "
-        "doc_id, stext) AS c FROM sen) GROUP BY doc_id), "
-        f"ld AS MATERIALIZED (SELECT doc_id, pos, w, lw, {leads} "
-        "FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos))",
-    ]
-    for n in _REP_TOP:
-        ws, lws = gram(n)
-        parts.append(
-            f", g{n} AS (SELECT doc_id, concat_ws(' ', {ws}) AS gram, "
-            f"{lws} AS gchars FROM ld WHERE w{n-1} IS NOT NULL)"
-            f", gc{n} AS (SELECT doc_id, gram, COUNT(*) AS cnt, "
-            f"MIN(gchars) AS gchars FROM g{n} GROUP BY 1, 2)"
-            f", top{n} AS (SELECT doc_id, CAST(cnt * gchars AS BIGINT) "
-            "AS top_chars FROM (SELECT doc_id, cnt, gchars, "
-            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, "
-            f"gram) AS rn FROM gc{n}) WHERE rn = 1)"
-        )
-    for n in _REP_DUP:
-        ws, _ = gram(n)
-        parts.append(
-            f", h{n} AS (SELECT doc_id, pos, concat_ws(' ', {ws}) "
-            f"AS gram FROM ld WHERE w{n-1} IS NOT NULL)"
-            f", hd{n} AS (SELECT doc_id, gram FROM (SELECT doc_id, gram, "
-            f"COUNT(*) AS c FROM h{n} GROUP BY 1, 2) WHERE c >= 2)"
-            f", cov{n} AS (SELECT DISTINCT doc_id, idx FROM (SELECT "
-            f"h.doc_id, unnest(range(h.pos, h.pos + {n})) AS idx "
-            f"FROM h{n} h JOIN hd{n} d ON h.doc_id = d.doc_id "
-            "AND h.gram = d.gram))"
-            f", cc{n} AS (SELECT c.doc_id, CAST(SUM(k.lw) AS BIGINT) "
-            f"AS cchars FROM cov{n} c JOIN tk k ON c.doc_id = k.doc_id "
-            "AND c.idx = k.pos GROUP BY 1)"
-        )
-    ppm = "1000000 * COALESCE({x}, 0) // greatest(COALESCE({d}, 0), 1)"
-    cols = [
-        "d.doc_id",
-        "CAST(" + ppm.format(x="sd.dup_sent", d="sd.n_sent")
-        + " AS BIGINT) AS dup_sent_ppm",
-        "CAST(" + ppm.format(x="sd.dup_schars", d="tot.total_chars")
-        + " AS BIGINT) AS dup_sent_char_ppm",
-    ]
-    keeps = [
-        ppm.format(x="sd.dup_sent", d="sd.n_sent") + " <= 300000",
-        ppm.format(x="sd.dup_schars", d="tot.total_chars") + " <= 200000",
-    ]
-    for n, thr in _REP_TOP.items():
-        e = ppm.format(x=f"top{n}.top_chars", d="tot.total_chars")
-        cols.append(f"CAST({e} AS BIGINT) AS top{n}_char_ppm")
-        keeps.append(f"{e} <= {thr}")
-    for n, thr in _REP_DUP.items():
-        e = ppm.format(x=f"cc{n}.cchars", d="tot.total_chars")
-        cols.append(f"CAST({e} AS BIGINT) AS dup{n}_char_ppm")
-        keeps.append(f"{e} <= {thr}")
-    joins = " ".join(
-        [
-            "LEFT JOIN tot ON d.doc_id = tot.doc_id",
-            "LEFT JOIN sd ON d.doc_id = sd.doc_id",
-        ]
-        + [f"LEFT JOIN top{n} ON d.doc_id = top{n}.doc_id" for n in _REP_TOP]
-        + [f"LEFT JOIN cc{n} ON d.doc_id = cc{n}.doc_id" for n in _REP_DUP]
-    )
-    parts.append(
-        " SELECT " + ", ".join(cols)
-        + ", CAST(CASE WHEN " + " AND ".join(keeps)
-        + " THEN 1 ELSE 0 END AS INT) AS keep FROM documents d " + joins
-    )
-    return "".join(parts)
-
-
-@register("gopher_repetition_flags", _gopher_rep_sql())
-def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PUBLISHED Gopher repetition filters (Rae et al. 2021 Table
-    A1, the repetition subset — gopher_quality_flags' sibling, done
-    to the same zero-float-boundary standard): duplicate-line
-    fraction and duplicate-line character fraction (lines = the C4
-    terminator-token sentences; the corpus has no newlines —
-    documented adaptation, published thresholds kept), fraction of
-    characters in the most frequent {2,3,4}-gram, and fraction of
-    characters covered by duplicated {5..10}-grams, all as exact
-    integer ppm via truncating division over token characters
-    (separators excluded — the pinned interpretation on both
-    engines). keep applies the published per-column thresholds
-    (0.30/0.20, 0.20/0.18/0.16, 0.15 down to 0.10). Plan: ONE token
-    explode (checkpointed once), ONE doc-keyed 9-deep LEAD window
-    builds every n-gram as a projection (no per-n explode), per-n
-    hash aggs; duplicate coverage fans out n rows per DUPLICATED
-    instance only (the dedup_span_removal linearity argument), and
-    the 11 result legs join back on doc_id. At 100 TB: everything
-    shuffles on doc_id or a gram key; no pairwise stage anywhere;
-    the window frame is per-document and bounded."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    max_n = max(_REP_DUP)
-    t = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.coalesce("text", F.lit("")), " "),
-            lambda x: x != "",
-        ).alias("toks"),
-    )
-    tk = t.select(
-        "doc_id", F.posexplode("toks").alias("pos", "w")
-    ).select(
-        "doc_id",
-        "pos",
-        "w",
-        F.length("w").alias("lw"),
-        F.col("w").isin(list(_C4_TERMINATORS)).cast("int").alias("trm"),
-    ).localCheckpoint(eager=True)
-    tot = tk.groupBy("doc_id").agg(
-        F.coalesce(F.sum("lw"), F.lit(0)).cast("long").alias("total_chars")
-    )
-    run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sen = (
-        tk.withColumn(
-            "sid", F.coalesce(F.sum("trm").over(run), F.lit(0))
-        )
-        .groupBy("doc_id", "sid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("stext"),
-            F.sum("lw").cast("long").alias("schars"),
-        )
-    )
-    wdup = Window.partitionBy("doc_id", "stext")
-    sd = (
-        sen.withColumn("c", F.count("*").over(wdup))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_sent"),
-            F.sum((F.col("c") >= 2).cast("int")).alias("dup_sent"),
-            F.sum(
-                F.when(F.col("c") >= 2, F.col("schars")).otherwise(0)
-            ).alias("dup_schars"),
-        )
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    ld = tk.select(
-        "doc_id",
-        "pos",
-        "w",
-        "lw",
-        *[F.lead("w", k).over(win).alias(f"w{k}") for k in range(1, max_n)],
-        *[
-            F.lead("lw", k).over(win).alias(f"lw{k}")
-            for k in range(1, max_n)
-        ],
-    ).localCheckpoint(eager=True)
-
-    def gram_cols(n):
-        ws = [F.col("w")] + [F.col(f"w{k}") for k in range(1, n)]
-        lws = F.col("lw")
-        for k in range(1, n):
-            lws = lws + F.col(f"lw{k}")
-        return F.concat_ws(" ", *ws), lws
-
-    legs = [tot, sd]
-    for n in _REP_TOP:
-        gexpr, lexpr = gram_cols(n)
-        g = ld.filter(F.col(f"w{n-1}").isNotNull()).select(
-            "doc_id", gexpr.alias("gram"), lexpr.alias("gchars")
-        )
-        gc = g.groupBy("doc_id", "gram").agg(
-            F.count("*").alias("cnt"), F.min("gchars").alias("gchars")
-        )
-        wr = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "gram")
-        legs.append(
-            gc.withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (F.col("cnt") * F.col("gchars"))
-                .cast("long")
-                .alias(f"top{n}_chars"),
-            )
-        )
-    for n in _REP_DUP:
-        gexpr, _ = gram_cols(n)
-        h = ld.filter(F.col(f"w{n-1}").isNotNull()).select(
-            "doc_id", "pos", gexpr.alias("gram")
-        )
-        hd = (
-            h.groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= 2)
-            .select("doc_id", "gram")
-        )
-        cov = (
-            h.join(hd, ["doc_id", "gram"])
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-                ).alias("idx"),
-            )
-            .distinct()
-        )
-        legs.append(
-            cov.join(
-                tk.select("doc_id", F.col("pos").alias("idx"), "lw"),
-                ["doc_id", "idx"],
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("lw").cast("long").alias(f"cc{n}_chars"))
-        )
-    out = docs.select("doc_id")
-    for leg in legs:
-        out = out.join(leg, "doc_id", "left")
-
-    def ppm(x, d):
-        return F.expr(
-            f"1000000 * coalesce({x}, 0) div greatest(coalesce({d}, 0), 1)"
-        )
-
-    cols = [
-        ppm("dup_sent", "n_sent").cast("long").alias("dup_sent_ppm"),
-        ppm("dup_schars", "total_chars")
-        .cast("long")
-        .alias("dup_sent_char_ppm"),
-    ]
-    keeps = [
-        ppm("dup_sent", "n_sent") <= 300000,
-        ppm("dup_schars", "total_chars") <= 200000,
-    ]
-    for n, thr in _REP_TOP.items():
-        e = ppm(f"top{n}_chars", "total_chars")
-        cols.append(e.cast("long").alias(f"top{n}_char_ppm"))
-        keeps.append(e <= thr)
-    for n, thr in _REP_DUP.items():
-        e = ppm(f"cc{n}_chars", "total_chars")
-        cols.append(e.cast("long").alias(f"dup{n}_char_ppm"))
-        keeps.append(e <= thr)
-    keep = keeps[0]
-    for k in keeps[1:]:
-        keep = keep & k
-    return out.select("doc_id", *cols, keep.cast("int").alias("keep"))
-
-
-@register("quality_score", _QUALITY_SQL)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style document quality heuristic."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select(
-        "doc_id",
-        TS.quality_score(F.col("text"), list(ALL_STOPWORDS)).alias("quality"),
-    )
-
-
-def _c4_sql() -> str:
-    term = ", ".join(f"'{w}'" for w in _C4_TERMINATORS)
-    bad = ", ".join(f"'{w}'" for w in _C4_BADWORDS)
-    return (
-        "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
-        "string_split(coalesce(text, ''), ' ') AS ws FROM documents), "
-        "tok AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, "
-        "unnest(ws) AS w FROM t), "
-        f"tk AS (SELECT doc_id, pos, w, CASE WHEN w IN ({term}) "
-        "THEN 1 ELSE 0 END AS trm FROM tok WHERE w <> ''), "
-        "st AS (SELECT doc_id, pos, w, trm, COALESCE(SUM(trm) OVER ("
-        "PARTITION BY doc_id ORDER BY pos "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid "
-        "FROM tk), "
-        "sen AS (SELECT doc_id, sid, COUNT(*) AS n_w, MAX(trm) AS term, "
-        "string_agg(w, ' ' ORDER BY pos) AS stext FROM st GROUP BY 1, 2), "
-        "kepts AS (SELECT doc_id, stext, row_number() OVER ("
-        "PARTITION BY doc_id ORDER BY sid) AS rk FROM sen "
-        "WHERE term = 1 AND n_w >= 5), "
-        "spans AS (SELECT a.doc_id, md5(a.stext || chr(10) || b.stext "
-        "|| chr(10) || c.stext) AS sh FROM kepts a "
-        "JOIN kepts b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1 "
-        "JOIN kepts c ON a.doc_id = c.doc_id AND c.rk = a.rk + 2), "
-        "dup AS (SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM spans "
-        "GROUP BY sh) WHERE c >= 2), "
-        "dps AS (SELECT doc_id, COUNT(*) AS n_dup FROM spans "
-        "SEMI JOIN dup ON spans.sh = dup.sh GROUP BY doc_id), "
-        "agg AS (SELECT doc_id, SUM(term) AS n_sent, "
-        "SUM(CASE WHEN term = 1 AND n_w >= 5 THEN 1 ELSE 0 END) AS n_kept "
-        "FROM sen GROUP BY doc_id), "
-        "fl AS (SELECT doc_id, "
-        "CASE WHEN text LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS has_lorem, "
-        "CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS has_brace, "
-        f"CASE WHEN list_has_any(string_split(text, ' '), [{bad}]) "
-        "THEN 1 ELSE 0 END AS has_badword FROM t) "
-        "SELECT fl.doc_id, "
-        "CAST(COALESCE(a.n_sent, 0) AS BIGINT) AS n_sentences, "
-        "CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_sentences, "
-        "CAST(has_lorem AS INT) AS has_lorem, "
-        "CAST(has_brace AS INT) AS has_brace, "
-        "CAST(has_badword AS INT) AS has_badword, "
-        "CAST(COALESCE(dp.n_dup, 0) AS BIGINT) AS n_dup_spans, "
-        "CAST(CASE WHEN COALESCE(a.n_kept, 0) >= 3 AND has_lorem = 0 "
-        "AND has_brace = 0 AND has_badword = 0 THEN 1 ELSE 0 END AS INT) "
-        "AS keep "
-        "FROM fl LEFT JOIN agg a USING (doc_id) "
-        "LEFT JOIN dps dp USING (doc_id)"
-    )
-
-
-@register("c4_quality_flags", _c4_sql())
-def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PUBLISHED C4 page-filter rules (Raffel et al. 2020 §2.2),
-    each as an exact integer flag — the line/sentence-structural
-    sibling of gopher_quality_flags' word-level rules: retain only
-    sentences ending in a terminal marker; retain only sentences
-    with >= 5 words; drop pages with < 3 retained sentences; flag
-    pages containing "lorem ipsum", a curly brace, or a bad-word
-    list hit; and count each page's three-sentence spans that recur
-    corpus-wide (C4's dedup granularity, Lee et al. 2022's signal).
-    All counts are exact integers — hash-exact cross-engine with
-    zero float boundaries. Plan: one token explode -> per-doc
-    bounded-frame running sum assigns sentence ids -> one
-    (doc, sentence) hash agg -> sentence-rank self-joins build
-    3-spans -> one md5-keyed global span count (uniform key, no
-    skew) -> per-doc left joins. Everything shuffles on doc_id or
-    a 128-bit span hash; at 100 TB this is the C4 pipeline's actual
-    shape (reference analog: the clean() gauntlet
-    data_preparation.py:34-42 done to a published standard)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    t = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
-    tok = t.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    tk = tok.withColumn(
-        "trm", F.col("w").isin(list(_C4_TERMINATORS)).cast("int")
-    )
-    run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    st = tk.withColumn(
-        "sid", F.coalesce(F.sum("trm").over(run), F.lit(0))
-    )
-    # the (doc, sentence) table is read by kepts (3 span aliases),
-    # agg, and dps — materialize it ONCE or the token explode +
-    # running-sum window re-derives per consumer (6 corpus scans)
-    sen = (
-        st.groupBy("doc_id", "sid")
-        .agg(
-            F.count("*").alias("n_w"),
-            F.max("trm").alias("term"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("stext"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    kepts = (
-        sen.filter((F.col("term") == 1) & (F.col("n_w") >= 5))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("sid")
-            ),
-        )
-        .select("doc_id", "stext", "rk")
-        .localCheckpoint(eager=True)
-    )
-    a, b, c = kepts.alias("a"), kepts.alias("b"), kepts.alias("c")
-    spans = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.rk") == F.col("a.rk") + 1),
-        )
-        .join(
-            c,
-            (F.col("a.doc_id") == F.col("c.doc_id"))
-            & (F.col("c.rk") == F.col("a.rk") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.md5(
-                F.concat_ws("\n", "a.stext", "b.stext", "c.stext")
-            ).alias("sh"),
-        )
-    )
-    dup = (
-        spans.groupBy("sh")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("sh")
-    )
-    dps = (
-        spans.join(dup, "sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup"))
-    )
-    agg = sen.groupBy("doc_id").agg(
-        F.sum("term").alias("n_sent"),
-        F.sum(
-            ((F.col("term") == 1) & (F.col("n_w") >= 5)).cast("int")
-        ).alias("n_kept"),
-    )
-    fl = t.select(
-        "doc_id",
-        F.col("text").contains("lorem ipsum").cast("int").alias("has_lorem"),
-        F.col("text").contains("{").cast("int").alias("has_brace"),
-        F.arrays_overlap(
-            F.split("text", " "), F.lit(list(_C4_BADWORDS))
-        )
-        .cast("int")
-        .alias("has_badword"),
-    )
-    out = fl.join(agg, "doc_id", "left").join(dps, "doc_id", "left")
-    n_kept = F.coalesce("n_kept", F.lit(0))
-    keep = (
-        (n_kept >= 3)
-        & (F.col("has_lorem") == 0)
-        & (F.col("has_brace") == 0)
-        & (F.col("has_badword") == 0)
-    )
-    return out.select(
-        "doc_id",
-        F.coalesce("n_sent", F.lit(0)).cast("long").alias("n_sentences"),
-        n_kept.cast("long").alias("n_kept_sentences"),
-        "has_lorem",
-        "has_brace",
-        "has_badword",
-        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
-        keep.cast("int").alias("keep"),
-    )
-
-
-_BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
-
-
-@register(
-    "token_count_bpe",
-    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 1)) AS INT) "
-    "AS n_tokens FROM documents",
-)
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (training-data budgeting)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select(
-        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_tokens")
-    )
-
-
-@register(
-    "doc_fingerprint",
-    "SELECT doc_id, list_reduce(list_transform(string_split(text, ' '), "
-    f"w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {MERSENNE31}), "
-    f"(a, b) -> (a * 31 + b) % {MERSENNE31}) AS fingerprint FROM documents",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling hash over the token stream.
-    Cross-engine variant: token hash = first 8 md5 hex digits (md5 is
-    identical in both engines; xxhash64 is not)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = F.split(F.col("text"), " ")
-    hashed = F.transform(
-        toks,
-        lambda w: F.pmod(
-            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-            F.lit(MERSENNE31),
-        ),
-    )
-    fp = F.aggregate(
-        hashed,
-        F.lit(0).cast("long"),
-        lambda acc, h: F.pmod(acc * 31 + h, F.lit(MERSENNE31)),
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
-# --------------------------------------------------------------------
-# TPC-H-shaped headline aggregations (bench workhorses)
-# --------------------------------------------------------------------
-
-
-@register(
-    "tpch_q1_pricing_summary",
-    "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 "
-    "AS sum_base_price, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
-    "AS sum_disc_price, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) "
-    "/ (COUNT(*) * 100.0) AS avg_qty, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
-    "/ (COUNT(*) * 100.0) AS avg_price, "
-    "CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) "
-    "/ (COUNT(*) * 100.0) AS avg_disc, "
-    "COUNT(*) AS count_order "
-    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
-    "GROUP BY l_returnflag, l_linestatus",
-)
-def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-heavy multi-agg — the engine's headline
-    batch-agg benchmark. Integer-scaled money math -> exact sums in
-    any aggregation order (the 100 TB-safe formulation; int64
-    headroom to ~sf1000 for the scaled products)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            (F.sum(qty) / 100.0).alias("sum_qty"),
-            (F.sum(price) / 100.0).alias("sum_base_price"),
-            (F.sum(price * (100 - disc)) / 10000.0).alias("sum_disc_price"),
-            (F.sum(qty) / (F.count("*") * 100.0)).alias("avg_qty"),
-            (F.sum(price) / (F.count("*") * 100.0)).alias("avg_price"),
-            (F.sum(disc) / (F.count("*") * 100.0)).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@register(
-    "tpch_q1_decimal_scale",
-    "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS DOUBLE) / 100.0 "
-    "AS sum_qty, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS HUGEINT))) AS DOUBLE) / 10000.0 "
-    "AS sum_disc_price, "
-    "COUNT(*) AS count_order "
-    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
-    "GROUP BY l_returnflag, l_linestatus",
-)
-def tpch_q1_decimal_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1's beyond-sf1000 formulation: scaled money sums in
-    Decimal(38,0) (vs int64 in tpch_q1, which overflows once
-    sum(price_s * (100-disc_s)) passes 2^63 at ~sf1000) — oracle side
-    uses HUGEINT, both cast to double only after the exact sum.
-    Decimal aggregation is still exact integer arithmetic in any
-    partial-agg order; ~30% slower than int64, which is why both
-    formulations exist."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(38,0)"
-    qty = F.round(F.col("l_quantity") * 100).cast(dec)
-    price = F.round(F.col("l_extendedprice") * 100).cast(dec)
-    disc = F.round(F.col("l_discount") * 100).cast(dec)
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            (F.sum(qty).cast("double") / 100.0).alias("sum_qty"),
-            (F.sum(price * (F.lit(100).cast(dec) - disc)).cast("double") / 10000.0)
-            .alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@register(
-    "tpch_q3_top_revenue",
-    "SELECT o_orderkey, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
-    "AS revenue "
-    "FROM customer, orders, lineitem "
-    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
-    "AND l_orderkey = o_orderkey "
-    "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10",
-)
-def tpch_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer filter applied BEFORE the join (prunes the build side);
-    top-k via TakeOrderedAndProject."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    agg = (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .select("o_orderkey")
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey")
-        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
-    )
-    return agg.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
-
-
-# --------------------------------------------------------------------
-# extended relational surface: as-of join, sessionization, pivot,
-# rollup, distinct aggs, Q6 scan (all oracle-checked)
-# --------------------------------------------------------------------
-
-
-@register(
-    "asof_join_last_view",
-    "SELECT c.event_id, c.user_id, c.ts, v.value AS asof_value "
-    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
-    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-    "ON c.user_id = v.user_id AND c.ts >= v.ts",
-)
-def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click picks up the user's latest prior view's
-    value. Spark lacks a native as-of join; this is the union-window
-    composition (ONE shuffle — no range-join explosion). Oracle is
-    DuckDB's native ASOF LEFT JOIN."""
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    views = events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
-    )
-    return R.asof_join(
-        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["value"],
-    ).select("event_id", "user_id", "ts", F.col("asof_value").alias("asof_value"))
-
-
-@register(
-    "sessionize_count",
-    "WITH g AS (SELECT user_id, ts, CASE WHEN "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
-    "IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
-    "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS is_new "
-    "FROM events) "
-    "SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions "
-    "FROM g GROUP BY user_id",
-)
-def sessionize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (30-min gap) -> sessions per user. lag +
-    conditional cumsum; one shuffle on the key."""
-    events = load_table(spark, sf_dir, "events")
-    with_sessions = R.sessionize(events, "user_id", "ts", gap_minutes=30)
-    return with_sessions.groupBy("user_id").agg(
-        F.max("session_id").cast("long").alias("n_sessions")
-    )
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-@register(
-    "pivot_daily_event_counts",
-    "SELECT CAST(ts AS DATE) AS date, "
-    + ", ".join(
-        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES
-    )
-    + " FROM events GROUP BY 1",
-)
-def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: daily counts per event type as columns (engine
-    extension; Catalyst rewrites pivot into conditional aggs)."""
-    events = load_table(spark, sf_dir, "events")
-    out = (
-        events.groupBy(F.to_date("ts").alias("date"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-    )
-    # pivot yields NULL for empty cells; align with COUNT FILTER's 0
-    return out.select(
-        "date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
-    )
-
-
-@register(
-    "rollup_order_status",
-    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
-    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 "
-    "AS sum_total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
-)
-def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP subtotals (engine extension — free via Catalyst's
-    Expand; the reference has no grouping sets)."""
-    orders = load_table(spark, sf_dir, "orders")
-    scaled = F.round(F.col("o_totalprice") * 100).cast("long")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), (F.sum(scaled) / 100.0).alias("sum_total")
-    )
-
-
-@register(
-    "distinct_users_per_type",
-    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
-    "FROM events GROUP BY event_type",
-)
-def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (Expand-based two-phase distinct)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
-    )
-
-
-@register(
-    "tpch_q6_revenue_scan",
-    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue "
-    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
-    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
-)
-def tpch_q6_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure filtered scan + single agg — measures
-    pushdown + codegen throughput (all four predicates reach the
-    parquet reader)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg((F.sum(price * disc) / 10000.0).alias("revenue"))
-    )
-
-
-@register(
-    "tpch_q5_local_supplier_revenue",
-    "SELECT n_name, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
-    "AS revenue "
-    "FROM customer, orders, lineitem, supplier, nation, region "
-    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
-    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
-    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
-    "AND r_name = 'ASIA' "
-    "GROUP BY n_name",
-)
-def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join with a region filter — exercises
-    Catalyst join reordering and broadcast of the dim chain
-    (region -> nation -> supplier filters flow into the fact join)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        region.filter(F.col("r_name") == "ASIA")
-        .join(nation, nation.n_regionkey == region.r_regionkey)
-        .join(supplier, supplier.s_nationkey == nation.n_nationkey)
-        .join(li, li.l_suppkey == supplier.s_suppkey)
-        .join(orders, orders.o_orderkey == li.l_orderkey)
-        .join(
-            customer,
-            (customer.c_custkey == orders.o_custkey)
-            & (customer.c_nationkey == supplier.s_nationkey),
-        )
-        .groupBy("n_name")
-        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
-    )
-
-
-_Z_SQL = (
-    "WITH s AS (SELECT event_id, event_type, value, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
-    "(PARTITION BY event_type) AS BIGINT) AS s1, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * "
-    "CAST(ROUND(value * 100) AS BIGINT)) OVER "
-    "(PARTITION BY event_type) AS BIGINT) AS s2, "
-    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
-    "SELECT event_id, event_type, "
-    "CASE WHEN (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1) > 0 "
-    "THEN (value - s1 / (n * 100.0)) / "
-    "sqrt((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)) "
-    "ELSE 0.0 END AS zscore FROM s"
-)
-
-
-@register(
-    "salted_join_skewed",
-    # salted_join's contract: row-identical to the plain equi-join —
-    # the salt only rewrites the shuffle key. The oracle IS the plain
-    # join, so the determinism contract is hash-checked end to end.
-    "SELECT e.event_id, e.user_id, e.event_type, "
-    "CAST(EXTRACT(hour FROM e.ts) AS INT) AS hr "
-    "FROM events e JOIN (SELECT DISTINCT event_type FROM events) d "
-    "USING (event_type)",
-)
-def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant salted equi-join on a genuinely skewed key
-    (event_type: 5 distinct values over the whole table — every key
-    is a hot key). The salt spreads each hot key across 16 shuffle
-    partitions; output is row-identical to the unsalted join, which
-    is exactly what the oracle checks."""
-    events = load_table(spark, sf_dir, "events")
-    dim = events.select("event_type").distinct()
-    joined = R.salted_join(events, dim, "event_type", n_salts=16)
-    return joined.select(
-        "event_id", "user_id", "event_type",
-        F.hour("ts").cast("int").alias("hr"),
-    )
-
-
-@register("zscore_per_type", _Z_SQL)
-def zscore_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped normalization (z-score per event_type) via unordered
-    analytic windows. mean/var derive from integer-scaled first and
-    second moments (exact in any aggregation order), so z is the same
-    double in both engines — stddev_samp() directly would diverge
-    cross-engine. The applyInPandas twin (grouped-map UDF surface,
-    SURVEY §2.9) is pytest-checked against this plan."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    sc = F.round(F.col("value") * 100).cast("long")
-    s1 = F.sum(sc).over(w)
-    s2 = F.sum(sc * sc).over(w)
-    n = F.count(F.lit(1)).over(w)
-    var = (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)
-    mean = s1 / (n * 100.0)
-    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(0.0)
-    return events.select("event_id", "event_type", z.alias("zscore"))
-
-
-# --------------------------------------------------------------------
-# rows-only queries: ops with no SQL-expressible oracle (the driver
-# records a weaker rows-only check; pytest covers their semantics)
-# --------------------------------------------------------------------
-
-
-def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ mutated copies (last 2 words dropped, ids offset by
-    1M) — planted near-duplicates so dedup operators have positives."""
-    docs = load_table(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    mutated = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ").alias(
-            "text"
-        ),
-    ).filter(F.col("doc_id") % 5 == 0)
-    return docs.unionByName(mutated)
-
-
-def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
-    """DuckDB twin of minhash_lsh_pairs on the planted-dups fixture.
-
-    Recomputes the whole pipeline from first principles: md5-prefix
-    shingle hash (mod 2^31-1), the same LCG affine coefficients, the
-    64 signature minima as plain MIN aggregates, band membership as
-    explicit 4-way tuple equality over an all-pairs join (fine at
-    oracle scale; the Spark side's banded shuffle exists precisely to
-    avoid this at real scale), and exact Jaccard verification on the
-    hashed shingle sets."""
-    from .operators.dedup import MERSENNE31, _coeffs
-
-    return (
-        f"WITH {_PLANTED_DOCS_CTE},\n"
-        + _minhash_pair_ctes("alldocs", num_hashes, bands)
-        + f"\n{_MINHASH_PAIR_SELECT}"
-    )
-
-
-_PLANTED_DOCS_CTE = """alldocs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(
-           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
-           ' ') AS text
-  FROM documents WHERE (doc_id + 1000000) % 5 = 0
-)"""
-
-_MINHASH_PAIR_SELECT = """SELECT id_1, id_2,
-       ROUND(CAST(i AS DOUBLE) / (z1.n + z2.n - i), 6) AS jaccard
-FROM inter
-JOIN sz z1 ON z1.doc_id = id_1
-JOIN sz z2 ON z2.doc_id = id_2
-WHERE CAST(i AS DOUBLE) / (z1.n + z2.n - i) >= 0.5"""
-
-
-def _minhash_pair_ctes(source: str, num_hashes: int = 64, bands: int = 16) -> str:
-    """The shared CTE chain (shingle → sig → cand → inter) of the
-    MinHash oracle, over any (doc_id, text) CTE named ``source``."""
-    from .operators.dedup import MERSENNE31, _coeffs
-
-    coeffs = _coeffs(num_hashes)
-    rows_per_band = num_hashes // bands
-    mins = ", ".join(
-        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS m{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_clauses = " OR ".join(
-        "("
-        + " AND ".join(
-            f"a.m{i} = b.m{i}"
-            for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
-        )
-        + ")"
-        for bnd in range(bands)
-    )
-    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
-shingle AS (
-  SELECT DISTINCT doc_id,
-         CAST(('0x' || substr(md5(array_to_string(t[j:j+2], ' ')), 1, 15))
-              AS UBIGINT) % {MERSENNE31} AS h
-  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS j) s
-  WHERE len(t) >= 3
-),
-sig AS (SELECT doc_id, {mins} FROM shingle GROUP BY doc_id),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
-cand AS (
-  SELECT a.doc_id AS id_1, b.doc_id AS id_2
-  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-  WHERE {band_clauses}
-),
-inter AS (
-  SELECT c.id_1, c.id_2, COUNT(*) AS i
-  FROM cand c
-  JOIN shingle s1 ON s1.doc_id = c.id_1
-  JOIN shingle s2 ON s2.doc_id = c.id_2 AND s2.h = s1.h
-  GROUP BY c.id_1, c.id_2
-)"""
-
-
-@register("dedup_minhash_lsh", _minhash_oracle_sql())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents with planted dups,
-    in the md5 shingle-hash flavor so the DuckDB oracle can recompute
-    signatures bit-for-bit (xxhash64 stays the production default).
-    pytest additionally checks recall of planted pairs and precision
-    vs exact Jaccard."""
-    from .operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        _docs_with_near_dups(spark, sf_dir),
-        "doc_id",
-        "text",
-        num_hashes=64,
-        bands=16,
-        jaccard_threshold=0.5,
-        shingle_hash="md5",
-    )
-
-
-# The oracle recomputes SimHash from scratch in SQL: md5-prefix token
-# hash (60 usable bits — identical in both engines), per-bit ±1
-# majority vote, then ALL-PAIRS Hamming via bit_count(xor). The Spark
-# side bands on 4x16-bit chunks instead of all-pairs, but banding is
-# a lossless pigeonhole prune at Hamming<=3, so the outputs are
-# set-identical.
-_SIMHASH_ORACLE = """
-WITH alldocs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(
-           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)],
-           ' ') AS text
-  FROM documents WHERE (doc_id + 1000000) % 5 = 0
-),
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM alldocs),
-th AS (SELECT doc_id,
-              CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h
-       FROM tok),
-bitcnt AS (
-  SELECT doc_id, j,
-         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
-  FROM th, (SELECT unnest(range(60)) AS j) bits
-  GROUP BY doc_id, j
-),
-fp AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN c > 0 THEN (1::UBIGINT << j) ELSE 0 END)
-              AS BIGINT) AS f
-  FROM bitcnt GROUP BY doc_id
-)
-SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-FROM fp a, fp b
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3
-"""
-
-
-@register("dedup_simhash", _SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints)
-    over documents with planted dups. Uses the md5 token-hash flavor
-    so the fingerprints are engine-independent and the DuckDB oracle
-    can recompute them bit-for-bit (the xxhash64 flavor is the
-    default for production corpora)."""
-    from .operators.dedup import simhash_pairs
-
-    return simhash_pairs(
-        _docs_with_near_dups(spark, sf_dir), "doc_id", "text",
-        token_hash="md5",
-    )
-
-
-def _lsh_topk_oracle_sql() -> str:
-    """DuckDB twin of rp_lsh_topk (r=6, seed=42, dim=64): recompute
-    the sign-pattern bucket of every vector AND of the query (vec_id
-    0) from the same deterministic LCG hyperplanes inlined as
-    literals, filter to the query's bucket, brute-force cosine top-k
-    inside it. The sub-bucket cap never triggers at driver scale
-    (bucket sizes << max_bucket), so the uncapped bucket id is the
-    one to match."""
-    from .operators.similarity import make_planes
-
-    planes = make_planes(64, 6, 42)
-
-    def bucket_expr(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({vec}, "
-            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
-    return (
-        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id = 0), "
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings WHERE vec_id != 0), "
-        f"b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e), "
-        f"qb AS (SELECT {bucket_expr('v')} AS bucket FROM q) "
-        "SELECT vec_id, "
-        "ROUND(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cosine "
-        "FROM b WHERE bucket = (SELECT bucket FROM qb) "
-        "ORDER BY cosine DESC, vec_id LIMIT 10"
-    )
-
-
-@register("similarity_lsh_topk", _lsh_topk_oracle_sql())
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-pruned cosine top-k (the ANN scale path;
-    brute-force twin ann_topk_cosine is the oracle-checked baseline).
-    Oracle-checked too: the DuckDB twin recomputes the deterministic
-    LCG hyperplane buckets in SQL and scans the query's bucket."""
-    from .operators.similarity import rp_lsh_topk
-
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return rp_lsh_topk(
-        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id",
-        [float(x) for x in query], k=10, r=6,
-    )
-
-
-@register(
-    "dedup_embedding_cosine",
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
-    "SELECT a.vec_id AS id_1, b.vec_id AS id_2, "
-    "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
-    "FROM e a, e b WHERE a.vec_id < b.vec_id "
-    "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, brute-force exact (the oracle
-    baseline; the LSH-bucketed variant in similarity.cosine_pairs is
-    the scale path, pytest-checked for recall). Threshold 0.4 chosen
-    so the synthetic embeddings (max pairwise cosine ~0.51) yield a
-    non-empty result."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    return S.cosine_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, brute_force=True
-    )
-
-
-_IVF_FIXED_SQL = """
-WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings ORDER BY vec_id LIMIT 16),
-q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-      WHERE vec_id = 0),
-e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ev
-      FROM embeddings),
-a AS (SELECT vid,
-             -struct_extract(
-                 max((ROUND(list_cosine_similarity(ev, cv), 6), -cell)), 2)
-             AS cell
-      FROM e, cent GROUP BY vid),
-probe AS (SELECT cell FROM cent, q
-          ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, cell
-          LIMIT 3)
-SELECT e.vid AS vec_id, ROUND(list_cosine_similarity(e.ev, q.qv), 6) AS cosine
-FROM a JOIN e ON a.vid = e.vid, q
-WHERE a.cell IN (SELECT cell FROM probe) AND e.vid <> 0
-ORDER BY cosine DESC, e.vid LIMIT 10
-"""
-
-
-@register("similarity_ivf_fixed_topk", _IVF_FIXED_SQL)
-def similarity_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with deterministic (first-16-by-id) centroids — the
-    hash-oracled twin of similarity_ivf_topk: argmax-cosine cell
-    assignment on ROUND-6 similarities (engine-portable, id
-    tie-break), probe the 3 cells nearest the query, brute-force
-    top-10 within. KMeans centroids stay the quality path
-    (rows-only); this pins the whole IVF probe/score machinery to a
-    cross-engine value hash."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    return S.ivf_fixed_topk(
-        emb, "embedding", "vec_id", query_id=0, k=10, n_centroids=16, n_probe=3
-    )
-
-
-_PQ_ADC_SQL = """
-WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-cent AS (SELECT vid, v FROM e ORDER BY vid LIMIT 16),
-js AS (SELECT unnest(range(0, 8)) AS j),
-cb AS (SELECT cent.vid AS code, j, v[j*8+1 : j*8+8] AS cw FROM cent, js),
-sub AS (SELECT vid, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
-enc AS (SELECT vid, j,
-               struct_extract(min((
-                   CAST(ROUND((ROUND(list_dot_product(sv, sv), 6)
-                             + ROUND(list_dot_product(cw, cw), 6)
-                             - 2 * ROUND(list_dot_product(sv, cw), 6)) * 1e6)
-                        AS BIGINT),
-                   code)), 2) AS code
-        FROM sub JOIN cb USING (j) GROUP BY vid, j),
-qd AS (SELECT j, code,
-              CAST(ROUND((ROUND(list_dot_product(sv, sv), 6)
-                        + ROUND(list_dot_product(cw, cw), 6)
-                        - 2 * ROUND(list_dot_product(sv, cw), 6)) * 1e6)
-                   AS BIGINT) AS ds
-       FROM sub JOIN cb USING (j) WHERE vid = 0)
-SELECT enc.vid AS vec_id,
-       CAST(SUM(qd.ds) AS BIGINT) / 1e6 AS adc_dist
-FROM enc JOIN qd USING (j, code)
-WHERE enc.vid <> 0
-GROUP BY enc.vid
-ORDER BY adc_dist, vec_id
-LIMIT 10
-"""
-
-
-@register("similarity_pq_adc_topk", _PQ_ADC_SQL)
-def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): 8 subspaces x 16
-    deterministic Forgy codewords, integer-scaled ROUND-6 distances,
-    Asymmetric Distance Computation top-10 for query vec_id 0 — the
-    compressed-index ANN tier beside brute force / LSH / IVF, fully
-    hash-oracled. See operators/similarity.pq_adc_topk for the 100 TB
-    shape (codes = m small ints per vector, broadcast distance
-    table, no raw-vector shuffle)."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    return S.pq_adc_topk(
-        emb, "embedding", "vec_id", query_id=0, m=8, dsub=8, ksub=16, k=10
-    )
-
-
-@register(
-    "ann_topk_batch",
-    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
-    "FROM embeddings WHERE vec_id < 4), "
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-    "FROM embeddings), "
-    "s AS (SELECT q.qid, e.vec_id, "
-    "ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine "
-    "FROM e, q), "
-    "r AS (SELECT qid, vec_id, cosine, "
-    "CAST(row_number() OVER (PARTITION BY qid "
-    "ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s) "
-    "SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 5",
-)
-def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched ANN serving: top-5 neighbors for a 4-query batch in
-    ONE plan — broadcast query table onto the corpus scan (corpus
-    never shuffles for the join), per-query rank-filtered window.
-    The exact baseline the batched LSH/IVFADC probes approximate."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("qid"), F.col("embedding")
-    )
-    # self-match rides along (rank 1 == the query itself at cosine
-    # 1.0) — the standard serving sanity row, identical in the oracle
-    return S.cosine_topk_batch(
-        emb, "embedding", "vec_id", queries, "qid", "embedding", k=5
-    ).select("qid", "vec_id", "cosine", "rank")
-
-
-@register(
-    "hard_negatives_topk",
-    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
-    "FROM embeddings), "
-    "p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label, "
-    "b.vec_id AS neg_id, "
-    "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
-    "FROM e a JOIN e b ON a.label <> b.label), "
-    "r AS (SELECT anchor_id, anchor_label, neg_id, cosine, "
-    "CAST(row_number() OVER (PARTITION BY anchor_id "
-    "ORDER BY cosine DESC, neg_id) AS INT) AS rank FROM p) "
-    "SELECT anchor_id, anchor_label, neg_id, cosine, rank "
-    "FROM r WHERE rank <= 3",
-)
-def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per anchor, the
-    3 most-similar vectors of a DIFFERENT label (the negatives that
-    actually move the loss). Brute-force pair scoring is the oracle
-    baseline at this sf; at 100 TB the pair generation swaps to the
-    LSH/IVFADC candidate join (same downstream rank window), exactly
-    like cosine_pairs' documented scale path.
-
-    Pair-loop shape: each side's norm is factored into a projection
-    BELOW the join, so the O(n^2) inner loop evaluates ONE dot
-    product per pair instead of dot + two norms (bit-identical
-    values — `dot/(na*nb)` with na hoisted is the same IEEE
-    expression tree; 3x less interpreted-HOF work, and each row's
-    norm is computed once, not once per partner). The anchor side is
-    pre-partitioned on anchor_id at the session shuffle parallelism
-    (no hard-coded count), and the negative side is explicitly
-    broadcast: BroadcastNestedLoopJoin then preserves the STREAMED
-    (anchor) side's partitioning, so the rank window needs no
-    exchange of the n^2 pair rows — only the tiny anchor table ever
-    shuffles. test_plan_contracts pins the no-Exchange-above-join
-    property."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = e.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("v").alias("va"),
-        S.norm(F.col("v")).alias("na"),
-    ).repartition(
-        # session parallelism, passed EXPLICITLY: a column-only
-        # repartition is AQE-coalescable, and AQE sees only the tiny
-        # anchor table — it coalesces to ~1 partition and serializes
-        # the n² broadcast loop below it (measured 2.1s -> 24.9s).
-        # The explicit count pins the fan-out parallelism without
-        # hard-coding a magic number.
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        "anchor_id",
-    )
-    b = e.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("neg_label"),
-        F.col("v").alias("vb"),
-        S.norm(F.col("v")).alias("nb"),
-    )
-    pairs = a.join(
-        F.broadcast(b), F.col("anchor_label") != F.col("neg_label")
-    ).select(
-        "anchor_id",
-        "anchor_label",
-        "neg_id",
-        F.round(
-            S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine"), F.col("neg_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("anchor_id", "anchor_label", "neg_id", "cosine", "rank")
-    )
-
-
-@register(
-    "weighted_sample_by_length",
-    "WITH b AS (SELECT lang, doc_id, n_chars, "
-    "ROUND(LN((CAST('0x' || substr(md5('wsample-v1:' || "
-    "CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0) "
-    "/ 4503599627370497.0) / n_chars, 6) AS rk "
-    "FROM documents WHERE n_chars > 0), "
-    "r AS (SELECT lang, doc_id, n_chars, "
-    "row_number() OVER (PARTITION BY lang ORDER BY rk DESC, doc_id) AS rn "
-    "FROM b) "
-    "SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20",
-)
-def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES):
-    top-20 per language by u^(1/w) rank with md5-uniform u and
-    length weights — exact-size, weight-proportional, reproducible
-    across runs/engines (no rand()). See traindata.weighted_sample
-    for the TakeOrdered swap at global-k scale."""
-    from .operators.traindata import weighted_sample
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return weighted_sample(
-        docs, "n_chars", "doc_id", k=20, strata_cols=["lang"]
-    ).select("lang", "doc_id", "n_chars")
-
-
-_BPE_CERT_SQL = r"""
-WITH wr AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
-            FROM documents),
-v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wr WHERE w <> ''
-      GROUP BY w),
-p AS (SELECT w[i] AS a, w[i+1] AS b, SUM(n) AS cnt
-      FROM v, UNNEST(range(1, length(w))) AS t(i)
-      GROUP BY a, b),
-fm AS (SELECT a, b FROM p ORDER BY cnt DESC, a, b LIMIT 1)
-SELECT 'first_merge' AS chk,
-       CAST(CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS UBIGINT)
-            AS BIGINT) AS val FROM fm
-UNION ALL SELECT 'n_merges', 8
-UNION ALL SELECT 'merges_distinct', 1
-UNION ALL SELECT 'syms_nonempty', 1
-"""
-
-
-@register("bpe_learned_merges", _BPE_CERT_SQL)
-def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
-    8 merge rules from the corpus — one corpus pass builds the word
-    vocab, merges iterate over the tiny vocab table only (the
-    sequential driver loop is inherent to BPE; it never rescans the
-    corpus). The full merge SEQUENCE is iterative and not
-    SQL-expressible, but step 0 IS: the certificate's exact
-    cross-engine part is the 60-bit md5 of the argmax initial
-    adjacent-char pair (count desc, pair lexicographic tie-break) —
-    DuckDB recomputes it relationally from the corpus, pinning the
-    word split, char symbolization, weighting, and tie-break the
-    whole loop is built from. Booleans certify the sequence's
-    invariants (8 merges, all distinct, nonempty symbols); the
-    literal-Python BPE pytest pins the remaining merges exactly."""
-    import hashlib
-
-    from .functions.tokenize import learn_bpe_merges
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    merges = learn_bpe_merges(docs, "text", n_merges=8)
-    first = merges[0] if merges else ("", "")
-    fm_hash = int(
-        hashlib.md5(f"{first[0]}|{first[1]}".encode()).hexdigest()[:15], 16
-    )
-    rows = [
-        ("first_merge", fm_hash),
-        ("n_merges", len(merges)),
-        ("merges_distinct", int(len(set(merges)) == len(merges))),
-        ("syms_nonempty", int(all(a and b for a, b in merges))),
-    ]
-    return spark.createDataFrame(rows, "chk string, val long")
-
-
-# A fixed English merge table (rank order) for the ENCODE query: the
-# apply step must be hash-oracled for a known merge sequence — the
-# learned sequence is pinned separately (bpe_learned_merges
-# certificate + literal-Python pytest), and encode(learned_merges)
-# is pytest-pinned against a Python reference.
-_BPE_APPLY_MERGES = [
-    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
-    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("in", "g"),
-    ("e", "n"), ("o", "r"),
-]
-
-
-def _bpe_encode_oracle_sql() -> str:
-    chain = "' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
-    for a, b in _BPE_APPLY_MERGES:
-        chain = f"replace({chain}, ' {a}  {b} ', ' {a}{b} ')"
-    return (
-        "WITH w AS (SELECT doc_id, "
-        r"unnest(string_split_regex(lower(text), '\s+')) AS word "
-        "FROM documents), "
-        "occ AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt "
-        "FROM w WHERE word <> '' GROUP BY doc_id, word), "
-        "types AS (SELECT DISTINCT word FROM occ), "
-        f"enc AS (SELECT word, {chain} AS sym FROM types), "
-        "n AS (SELECT word, CAST(len(string_split(trim(sym), '  ')) "
-        "AS BIGINT) AS n_sub FROM enc) "
-        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
-        "CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subwords "
-        "FROM occ JOIN n USING (word) GROUP BY doc_id"
-    )
-
-
-@register("bpe_encode_subwords", _bpe_encode_oracle_sql())
-def bpe_encode_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer APPLICATION — the production step the registry's
-    learn (bpe_learned_merges) and count (token_count_bpe) queries
-    bracket: tokenize the corpus under a fixed merge table and report
-    per-doc word and subword counts. The encode is a pure codegen
-    replace-chain over a two-space symbol string
-    (tokenize.bpe_encode_expr — no UDF; DuckDB mirrors the identical
-    chain), and it runs per word TYPE: one narrow pass explodes
-    words, one shuffle builds the (doc, word, cnt) occurrence table,
-    the Heaps-bounded distinct vocab takes the replace chain, and
-    occurrences join the subword counts back — at 100 TB the chain
-    cost is ~|vocab|, not ~|tokens|, and the joins shuffle skinny
-    (word, counts) rows only. Learned-merge encode is the same
-    expression with learn_bpe_merges output (pytest-pinned to a
-    literal-Python BPE apply)."""
-    from .functions.tokenize import bpe_subword_count
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    w = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
-    ).filter(F.col("word") != "")
-    occ = w.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    types = occ.select("word").distinct()
-    n = types.select(
-        "word",
-        bpe_subword_count(F.col("word"), _BPE_APPLY_MERGES)
-        .cast("long")
-        .alias("n_sub"),
-    )
-    return (
-        occ.join(n, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
-        )
-    )
-
-
-_UNIGRAM_CERT_SQL = r"""
-WITH wr AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
-            FROM documents),
-v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wr WHERE w <> ''
-      GROUP BY w),
-subs AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS s,
-                SUM(n) AS f
-         FROM v, UNNEST(range(1, length(w) + 1)) AS t(i),
-              UNNEST(range(2, 7)) AS u(l)
-         WHERE i + l <= length(w) + 1 GROUP BY s),
-topm AS (SELECT s FROM subs ORDER BY f DESC, s LIMIT 1),
-mass AS (SELECT CAST(SUM(f) AS BIGINT) AS m FROM subs),
-ch AS (SELECT CAST(COUNT(DISTINCT substr(w, CAST(i AS INT), 1))
-              AS BIGINT) AS nc
-       FROM v, UNNEST(range(1, length(w) + 1)) AS t(i))
-SELECT 'seed_top' AS chk,
-       CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
-       AS val FROM topm
-UNION ALL SELECT 'seed_mass', m FROM mass
-UNION ALL SELECT 'n_single_chars', nc FROM ch
-UNION ALL SELECT 'vocab_le_target', 1
-UNION ALL SELECT 'multi_are_substrings', 1
-UNION ALL SELECT 'logp_nonpositive', 1
-UNION ALL SELECT 'em_nonworse', 1
-"""
-
-
-@register("unigram_lm_vocab", _UNIGRAM_CERT_SQL)
-def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer TRAINING (Kudo 2018 — SentencePiece's
-    unigram model), closing the tokenizer-training family next to
-    BPE learn/encode: deterministic Viterbi hard-EM over the
-    substring candidate vocabulary with milli-nat quantized scores
-    (functions/tokenize.learn_unigram_vocab). Same scaling recipe as
-    bpe_learned_merges: ONE corpus pass builds the Heaps-bounded
-    word-type table, EM iterates over word TYPES only — the corpus
-    is never rescanned. The EM itself is iterative and not
-    SQL-expressible, so the certificate's exact cross-engine parts
-    pin the machinery it is built from: the 60-bit md5 of the argmax
-    seed candidate substring (freq desc, lexicographic tie-break —
-    DuckDB re-enumerates every weighted substring occurrence
-    relationally), the total multi-char seed mass, and the single-
-    char alphabet size; booleans certify the run's invariants
-    (vocab within target, every multi-char piece a corpus substring,
-    quantized scores nonpositive, hard-EM objective nondecreasing).
-    The full final vocab is pinned by the literal-Python EM twin in
-    test_text_clean. At 100 TB the word-type table is ~1M rows (the
-    BPE argument); seed enumeration is Σ|w|·L over TYPES."""
-    import hashlib
-
-    from .functions.tokenize import learn_unigram_vocab
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    res = learn_unigram_vocab(docs, "text", vocab_size=64)
-    vocab, lls = res["vocab"], res["lls"]
-    top_hash = int(hashlib.md5(res["seed_top"].encode()).hexdigest()[:15], 16)
-    multi_ok = all(
-        len(p) == 1 or any(p in w for w, _ in res["types"])
-        for p in vocab
-    )
-    rows = [
-        ("seed_top", top_hash),
-        ("seed_mass", int(res["seed_mass"])),
-        ("n_single_chars", int(res["n_singles"])),
-        ("vocab_le_target", int(len(vocab) <= max(64, res["n_singles"]))),
-        ("multi_are_substrings", int(bool(multi_ok))),
-        ("logp_nonpositive", int(all(lp <= 0 for lp in vocab.values()))),
-        ("em_nonworse", int(lls[-1] >= lls[0])),
-    ]
-    return spark.createDataFrame(rows, "chk string, val long")
-
-
-def _ivfadc_oracle_sql() -> str:
-    d2s = (
-        "CAST(ROUND((ROUND(list_dot_product({a}, {a}), 6) "
-        "+ ROUND(list_dot_product({b}, {b}), 6) "
-        "- 2 * ROUND(list_dot_product({a}, {b}), 6)) * 1e6) AS BIGINT)"
-    )
-    return f"""
-WITH e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-cent AS (SELECT vid AS cell, v AS cv FROM e ORDER BY vid LIMIT 16),
-a AS (SELECT vid,
-             -struct_extract(
-                 max((ROUND(list_cosine_similarity(v, cv), 6), -cell)), 2)
-             AS cell
-      FROM e, cent GROUP BY vid),
-r AS (SELECT a.vid, a.cell,
-             list_transform(range(1, len(e.v) + 1),
-                            i -> e.v[i] - cent.cv[i]) AS rv
-      FROM a JOIN e ON a.vid = e.vid JOIN cent ON a.cell = cent.cell),
-js AS (SELECT unnest(range(0, 8)) AS j),
-cbase AS (SELECT vid, rv FROM r ORDER BY vid LIMIT 16),
-cb AS (SELECT cbase.vid AS code, j, rv[j*8+1 : j*8+8] AS cw
-       FROM cbase, js),
-sub AS (SELECT vid, cell, j, rv[j*8+1 : j*8+8] AS sv FROM r, js),
-enc AS (SELECT vid, cell, j,
-               struct_extract(min(({d2s.format(a='sv', b='cw')}, code)), 2)
-               AS code
-        FROM sub JOIN cb USING (j) GROUP BY vid, cell, j),
-q AS (SELECT v AS qv FROM e WHERE vid = 0),
-probe AS (SELECT cell, cv FROM cent, q
-          ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, cell
-          LIMIT 4),
-qr AS (SELECT cell,
-              list_transform(range(1, len(qv) + 1),
-                             i -> qv[i] - cv[i]) AS qres
-       FROM probe, q),
-qsub AS (SELECT cell, j, qres[j*8+1 : j*8+8] AS sv FROM qr, js),
-qd AS (SELECT cell, j, code, {d2s.format(a='sv', b='cw')} AS ds
-       FROM qsub JOIN cb USING (j))
-SELECT enc.vid AS vec_id, CAST(SUM(qd.ds) AS BIGINT) / 1e6 AS adc_dist
-FROM enc JOIN qd USING (cell, j, code)
-WHERE enc.vid <> 0
-GROUP BY enc.vid ORDER BY adc_dist, vec_id LIMIT 10
-"""
-
-
-@register("similarity_ivfadc_topk", _ivfadc_oracle_sql())
-def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC (Jégou et al. 2011) — the production faiss index shape:
-    coarse cells prune (4 of 16 probed), PQ over cell residuals
-    compresses (8×16 codebook), ADC scores from a broadcast per-cell
-    distance table. Deterministic Forgy coarse/PQ inits make the
-    whole build + probe hash-oracled; see
-    operators/similarity.ivfadc_topk for the 100 TB shape."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    return S.ivfadc_topk(
-        emb, "embedding", "vec_id",
-        query_id=0, n_centroids=16, n_probe=4, m=8, dsub=8, ksub=16, k=10,
-    )
-
-
-_IVF_CERT_SQL = """
-SELECT 'n_corpus' AS chk, CAST(count(*) AS BIGINT) AS val
-FROM embeddings WHERE vec_id <> 0
-UNION ALL SELECT 'k_rows', 10
-UNION ALL SELECT 'ids_distinct_and_valid', 1
-UNION ALL SELECT 'scores_exact_cosine', 1
-UNION ALL SELECT 'brute_dominates_rankwise', 1
-UNION ALL SELECT 'recall_ge_one', 1
-"""
-
-
-@register("similarity_ivf_topk", _IVF_CERT_SQL)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN (KMeans cells, probe nearest 3 of 16) —
-    the second scale path beside rp-LSH — as a deterministic-bound
-    certificate (the ``lda_topics`` pattern): MLlib KMeans centroids
-    are library-numeric, so the returned id SET can't hash across
-    engines, but everything around it can be audited. The oracle
-    hash-checks the exact corpus size; booleans certify the probe
-    returned exactly k distinct valid corpus ids, every returned
-    score equals the exact ROUND-6 cosine recomputed from the raw
-    embeddings (the scoring path is honest), the brute-force scores
-    dominate rank-wise (a subset probe can never beat the full
-    scan), and recall vs the brute-force top-k (itself hash-oracled
-    as ``ann_topk_cosine``) is ≥ 1. The recall bound is the honest
-    one for THIS corpus: the synthetic embeddings are near-uniform
-    on the sphere (IVF's worst case — the true top-10 spreads across
-    many cells; measured 1-3/10 at 3/16 probes across the SFs),
-    while on clustered data the same operator achieves the pytest
-    bound of ≥ 1/2 (test_ivf_topk_recall's planted clusters). The raw (vec_id, cosine) relation stays
-    available via operators/similarity.ivf_topk; the deterministic
-    twin ``similarity_ivf_fixed_topk`` pins the probe/score
-    machinery end-to-end by hash."""
-    from .operators.similarity import cosine, cosine_topk, ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    qarr = [float(x) for x in query]
-    corpus = emb.filter(F.col("vec_id") != 0)
-    ivf = ivf_topk(corpus, "embedding", "vec_id", qarr, k=10)
-    brute = cosine_topk(corpus, "embedding", "vec_id", qarr, k=10)
-
-    q = F.lit(qarr).cast("array<double>")
-    exact = corpus.select(
-        "vec_id",
-        F.round(cosine(F.col("embedding").cast("array<double>"), q), 6).alias(
-            "__exact"
-        ),
-    )
-    rk_ivf = F.row_number().over(
-        Window.orderBy(F.desc("cosine"), F.col("vec_id"))
-    )
-    checked = (
-        ivf.withColumn("__rk", rk_ivf)
-        .join(exact, "vec_id", "left")
-        .join(
-            brute.select(F.col("vec_id"), F.lit(1).alias("__hit")),
-            "vec_id",
-            "left",
-        )
-        .join(
-            brute.select(
-                F.row_number()
-                .over(Window.orderBy(F.desc("cosine"), F.col("vec_id")))
-                .alias("__rk"),
-                F.col("cosine").alias("__brute_c"),
-            ),
-            "__rk",
-            "left",
-        )
-    )
-    agg = checked.agg(
-        F.count("*").alias("k_rows"),
-        F.count_distinct("vec_id").alias("n_ids"),
-        F.min(
-            F.when(F.col("__exact").isNotNull() & (F.col("vec_id") != 0), 1)
-            .otherwise(0)
-        ).alias("valid_ok"),
-        F.min(
-            F.when(F.col("cosine") == F.col("__exact"), 1).otherwise(0)
-        ).alias("score_ok"),
-        # rank-wise domination: probing a subset of cells can never
-        # BEAT the full scan, so the i-th best IVF score must be ≤
-        # the i-th best brute score
-        F.min(
-            F.when(F.col("cosine") <= F.col("__brute_c"), 1).otherwise(0)
-        ).alias("dom_ok"),
-        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_recall"),
-    )
-    n_corpus = corpus.agg(F.count("*").cast("long").alias("v"))
-    cert = agg.selectExpr(
-        "CAST(k_rows AS BIGINT) AS k_rows",
-        "CAST(n_ids = k_rows AND valid_ok = 1 AS BIGINT) AS ids_ok",
-        "CAST(score_ok AS BIGINT) AS score_ok",
-        "CAST(dom_ok AS BIGINT) AS dom_ok",
-        "CAST(n_recall >= 1 AS BIGINT) AS recall_ok",
-    ).selectExpr(
-        "stack(5, "
-        "'k_rows', k_rows, "
-        "'ids_distinct_and_valid', ids_ok, "
-        "'scores_exact_cosine', score_ok, "
-        "'brute_dominates_rankwise', dom_ok, "
-        "'recall_ge_one', recall_ok"
-        ") AS (chk, val)"
-    )
-    return n_corpus.selectExpr("'n_corpus' AS chk", "v AS val").unionByName(
-        cert
-    )
-
-
-_SEMDEDUP_SQL = """
-WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings ORDER BY vec_id LIMIT 16),
-e AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ev
-      FROM embeddings),
-a AS (SELECT vid,
-             -struct_extract(
-                 max((ROUND(list_cosine_similarity(ev, cv), 6), -cell)), 2)
-             AS cell
-      FROM e, cent GROUP BY vid),
-c AS (SELECT a.vid, a.cell, e.ev FROM a JOIN e ON a.vid = e.vid),
-d AS (SELECT DISTINCT y.vid
-      FROM c x JOIN c y ON x.cell = y.cell AND x.vid < y.vid
-      WHERE ROUND(list_cosine_similarity(x.ev, y.ev), 6) >= 0.4)
-SELECT c.vid AS vec_id, c.cell,
-       (c.vid IN (SELECT vid FROM d)) AS is_dup
-FROM c
-"""
-
-
-@register("semdedup_embeddings", _SEMDEDUP_SQL)
-def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) semantic dedup: deterministic-
-    centroid cells (ivf_fixed_topk's Forgy init, argmax ROUND-6
-    cosine) + within-cell keep-first cosine dedup at 0.4 — one row
-    per vector with its cell and dup flag. Hash-oracled end to end;
-    the production path swaps KMeans centroids in and enables the
-    max_cell hyperplane re-split (operators/similarity.semdedup)."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    return S.semdedup(
-        emb, "embedding", "vec_id",
-        n_centroids=16, threshold=0.4, max_cell=None,
-    )
-
-
-_LDA_CERT_SQL = f"""
-WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents)
-SELECT 'n_docs_scored' AS chk, CAST(count(*) AS BIGINT) AS val
-FROM toks WHERE len(t) > 0
-UNION ALL SELECT 'one_row_per_doc', 1
-UNION ALL SELECT 'topics_in_range', 1
-UNION ALL SELECT 'weights_in_unit_interval', 1
-UNION ALL SELECT 'weight_ge_uniform', 1
-UNION ALL SELECT 'keywords_have_10_terms', 1
-"""
-
-
-@register("lda_topics", _LDA_CERT_SQL)
-def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1/M4/M5/W3: CountVectorizer -> LDA(k=4, seed=42) -> dominant
-    topic + weight + keywords per document, folded to a
-    deterministic-bound certificate (the ``approx_distinct_users``
-    oracle pattern): θ values are library-numeric (SURVEY §7.4.2), so
-    the oracle hash-checks the exact cross-engine part (scored-doc
-    count = docs with a nonempty clean-token chain, recomputed by
-    DuckDB from the corpus) plus invariants the fit must satisfy
-    (one row per doc, dominant topic ∈ [0,k), weight ∈ (0,1] and
-    ≥ 1/k since it's the argmax of a k-simplex row, 10 keywords per
-    topic). The per-doc relation itself stays available via
-    operators/topics.lda_pipeline; pytest covers planted-cluster
-    recovery and seed stability."""
-    from .functions.text_clean import clean_tokens
-    from .operators.topics import lda_pipeline
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = docs.select(
-        "doc_id", clean_tokens(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    out = lda_pipeline(
-        toks, id_col="doc_id", tokens_col="tokens", k=4, max_iter=10,
-        min_df=2.0, seed=42,
-    )
-    agg = out.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.count_distinct("doc_id").cast("long").alias("n_ids"),
-        F.min(
-            F.when(
-                (F.col("dominant_topic") >= 0) & (F.col("dominant_topic") < 4), 1
-            ).otherwise(0)
-        ).alias("t_ok"),
-        F.min(
-            F.when((F.col("weight") > 0) & (F.col("weight") <= 1), 1).otherwise(0)
-        ).alias("w_ok"),
-        F.min(F.when(F.col("weight") >= 0.2499, 1).otherwise(0)).alias("w_unif"),
-        F.min(
-            F.when(F.size(F.split("keywords", ", ")) == 10, 1).otherwise(0)
-        ).alias("kw_ok"),
-    )
-    return agg.selectExpr(
-        "stack(6, "
-        "'n_docs_scored', n_rows, "
-        "'one_row_per_doc', CAST(n_ids = n_rows AS BIGINT), "
-        "'topics_in_range', CAST(t_ok AS BIGINT), "
-        "'weights_in_unit_interval', CAST(w_ok AS BIGINT), "
-        "'weight_ge_uniform', CAST(w_unif AS BIGINT), "
-        "'keywords_have_10_terms', CAST(kw_ok AS BIGINT)"
-        ") AS (chk, val)"
-    )
-
-
-_UMASS_CERT_SQL = f"""
-WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents),
-tp AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS topic)
-SELECT 'n_docs' AS chk, CAST(-1 AS BIGINT) AS topic,
-       CAST(count(*) AS BIGINT) AS val FROM toks WHERE len(t) > 0
-UNION ALL SELECT 'n_terms', topic, 10 FROM tp
-UNION ALL SELECT 'n_pairs', topic, 45 FROM tp
-UNION ALL SELECT 'df_ge_min_df', topic, 1 FROM tp
-UNION ALL SELECT 'co_le_marginal', topic, 1 FROM tp
-UNION ALL SELECT 'coherence_lower_ok', topic, 1 FROM tp
-UNION ALL SELECT 'coherence_upper_ok', topic, 1 FROM tp
-"""
-
-
-@register("m3_coherence_umass", _UMASS_CERT_SQL)
-def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: UMass topic coherence (the documented c_v swap, SURVEY
-    §7.4.3) over an LDA fit, as a deterministic-bound certificate:
-    the topic terms are library-numeric so the coherence VALUE can't
-    hash across engines, but its count machinery is relational —
-    the oracle pins the exact corpus doc count plus per-topic
-    invariants (45 ordered pairs over 10 terms, every model term's
-    doc-freq ≥ minDF, D(wi,wj) ≤ min marginal, coherence ∈
-    [-ln n_docs, ln 1.5]). See operators/coherence.umass_certificate;
-    the raw (topic, coherence, n_pairs) relation stays available via
-    umass_coherence + a 1e-9 literal-Python pytest oracle."""
-    from .functions.text_clean import clean_tokens
-    from .operators.coherence import topics_terms_from_model, umass_certificate
-    from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = docs.select(
-        "doc_id", clean_tokens(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0).cache()
-    n_docs = toks.count()
-    cv = fit_count_vectorizer(toks, min_df=2.0)
-    feat = cv.transform(toks)
-    target = fit_partitions(feat, n_docs)
-    if target < feat.rdd.getNumPartitions():
-        feat = feat.coalesce(target)
-    model = fit_lda(feat, k=4, max_iter=10, seed=42)
-    terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    out = umass_certificate(toks, terms, min_df=2)
-    toks.unpersist(blocking=False)
-    return out
-
-
-_CV_CERT_SQL = f"""
-WITH toks AS (SELECT {_sql_tokens_expr('text')} AS t FROM documents),
-tp AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS topic)
-SELECT 'n_windows' AS chk, CAST(-1 AS BIGINT) AS topic,
-       CAST(SUM(GREATEST(1, len(t) - 109)) AS BIGINT) AS val
-FROM toks WHERE len(t) > 0
-UNION ALL SELECT 'n_terms', topic, 10 FROM tp
-UNION ALL SELECT 'n_ctx_rows', topic, 100 FROM tp
-UNION ALL SELECT 'co_le_marginal', topic, 1 FROM tp
-UNION ALL SELECT 'marginal_le_total', topic, 1 FROM tp
-UNION ALL SELECT 'npmi_in_range', topic, 1 FROM tp
-UNION ALL SELECT 'cos_in_range', topic, 1 FROM tp
-UNION ALL SELECT 'coherence_in_range', topic, 1 FROM tp
-"""
-
-
-@register("m3_coherence_cv", _CV_CERT_SQL)
-def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 faithful form: c_v coherence (sliding-window NPMI +
-    one-set indirect cosine, Röder et al. 2015) — the exact measure
-    the reference selects LDA models with
-    (topic_modelling.ipynb:366-372 cell 8), folded to a
-    deterministic-bound certificate (the ``umass_certificate``
-    pattern): the oracle hash-checks the exact cross-engine part —
-    the total virtual sliding-window count Σ max(len−109, 1),
-    recomputed by DuckDB from the token chain, which pins BOTH the
-    tokenization and the window arithmetic — plus invariants of the
-    count machinery the metric consumed (100 context-matrix rows per
-    topic, co-window-count ≤ min marginal ≤ total windows, NPMI and
-    indirect cosine in range). Relational plan: window coverage as
-    merged interval lists per (doc, term), so the 110× boolean-window
-    expansion is never materialized (operators/coherence.py::
-    cv_certificate); the raw (topic, coherence, n_terms) relation
-    stays available via cv_coherence + its 1e-9 literal-Python
-    pytest oracle."""
-    from .functions.text_clean import clean_tokens
-    from .operators.coherence import cv_certificate, topics_terms_from_model
-    from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    toks = docs.select(
-        "doc_id", clean_tokens(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") > 0).cache()
-    n_docs = toks.count()
-    cv = fit_count_vectorizer(toks, min_df=2.0)
-    feat = cv.transform(toks)
-    target = fit_partitions(feat, n_docs)
-    if target < feat.rdd.getNumPartitions():
-        feat = feat.coalesce(target)
-    model = fit_lda(feat, k=4, max_iter=10, seed=42)
-    terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
-    out = cv_certificate(toks, terms, window=110)
-    toks.unpersist(blocking=False)
-    return out
-
-
-@register(
-    "multimodal_image_meta",
-    # payloads are the raw UTF-8 text bytes (no container magic), so
-    # the extractor's deterministic fallback fires: fake dims keyed to
-    # md5(payload) — recomputable in SQL, making the whole Arrow
-    # binary-column round trip hash-checkable (the sha1 content-id
-    # column stays pytest-checked; DuckDB lacks sha1)
-    "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-    "CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS hv FROM documents) "
-    "SELECT doc_id, 'image/png' AS media_type, n_bytes, "
-    "CAST(hv % 1920 + 1 AS INT) AS width, "
-    "CAST((hv // 1920) % 1080 + 1 AS INT) AS height, "
-    "'unknown' AS format FROM h",
-)
-def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column -> Arrow-batched
-    mapInPandas metadata extraction (header parsing real, codec
-    stubbed — see operators/multimodal.py)."""
-    from .operators.multimodal import attach_binary_payload, image_meta
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return image_meta(attach_binary_payload(docs, "text", "doc_id")).select(
-        "doc_id", "media_type", "n_bytes", "width", "height", "format"
-    )
-
-
-@register(
-    "multimodal_audio_meta",
-    # the WAV payloads are synthesized with rate/width derived from
-    # doc_id and the text bytes as the data chunk, so the chunk-walk
-    # parse is verifiable against ground truth: n_bytes = 44-byte
-    # header + body, n_frames = body_bytes // block_align(2),
-    # duration = frames*1000 // rate (integer math in both engines)
-    "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS body, "
-    "CAST(doc_id % 3 * 8000 + 8000 AS INT) AS rate FROM documents) "
-    "SELECT doc_id, 'audio/wav' AS media_type, 44 + body AS n_bytes, "
-    "rate AS sample_rate, 1 AS channels, 16 AS bits_per_sample, "
-    "CAST(body // 2 AS BIGINT) AS n_frames, "
-    "CAST((body // 2) * 1000 // rate AS BIGINT) AS duration_ms, "
-    "'wav' AS format FROM b",
-)
-def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio plumbing: RIFF/WAVE payload column ->
-    Arrow-batched mapInPandas metadata extraction (chunk-walk header
-    parse real — rate/channels/bit depth/duration; non-WAV codecs
-    stubbed — see operators/multimodal.py). Oracle = the synthesis
-    parameters recomputed (parse must recover exactly what the WAV
-    writer embedded); the sha1 content id stays pytest-checked."""
-    from .operators.multimodal import attach_audio_payload, audio_meta
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return audio_meta(attach_audio_payload(docs, "text", "doc_id")).select(
-        "doc_id", "media_type", "n_bytes", "sample_rate", "channels",
-        "bits_per_sample", "n_frames", "duration_ms", "format"
-    )
-
-
-@register(
-    "multimodal_video_meta",
-    # the AVI payloads are synthesized with timing/dimensions derived
-    # from doc_id and the text bytes as the movi body, so the RIFF
-    # chunk-walk demux is verifiable against ground truth: n_bytes =
-    # 100-byte container + body (+1 word-align pad when odd),
-    # duration = frames * us_per_frame // 1000 (integer math in both
-    # engines); the sha1 content id stays pytest-checked
-    "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS body, "
-    "CAST(doc_id % 3 * 8334 + 33333 AS INT) AS upf, "
-    "CAST(doc_id % 3 * 160 + 320 AS INT) AS w FROM documents) "
-    "SELECT doc_id, 'video/avi' AS media_type, "
-    "CAST(100 + body + body % 2 AS INT) AS n_bytes, "
-    "w AS width, CAST(w * 3 // 4 AS INT) AS height, "
-    "upf AS us_per_frame, "
-    "CAST(body % 240 + 24 AS BIGINT) AS n_frames, "
-    "CAST((body % 240 + 24) * upf // 1000 AS BIGINT) AS duration_ms, "
-    "'avi' AS format FROM b",
-)
-def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video plumbing: RIFF/AVI payload column ->
-    Arrow-batched mapInPandas metadata extraction (chunk-walk avih
-    demux real — dimensions/frame timing/duration; non-AVI codecs
-    stubbed — see operators/multimodal.py). Oracle = the synthesis
-    parameters recomputed (demux must recover exactly what the AVI
-    writer embedded)."""
-    from .operators.multimodal import attach_video_payload, video_meta
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return video_meta(attach_video_payload(docs, "text", "doc_id")).select(
-        "doc_id", "media_type", "n_bytes", "width", "height",
-        "us_per_frame", "n_frames", "duration_ms", "format"
-    )
-
-
-@register(
-    "multimodal_video_frames",
-    # the demux-driven 1->N fan-out is the Spark-side logic under
-    # test: every 10th frame index of the avih TotalFrames count.
-    # The stub per-frame hash (sha1 over payload+idx — a codec slot)
-    # stays pytest-checked; DuckDB lacks sha1
-    "WITH b AS (SELECT doc_id, "
-    "octet_length(encode(text)) % 240 + 24 AS nf FROM documents) "
-    "SELECT doc_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx "
-    "FROM b",
-)
-def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: AVI container demux drives a 1->N row
-    fan-out (every 10th frame index), per-frame decode stubbed as a
-    deterministic content hash. The fan-out (doc_id, frame_idx) is
-    hash-oracled against the synthesis ground truth; frame_sha1 is
-    pytest-checked (operators/multimodal.py)."""
-    from .operators.multimodal import attach_video_payload, video_frame_samples
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return video_frame_samples(
-        attach_video_payload(docs, "text", "doc_id"), every_n=10
-    ).select("doc_id", "frame_idx")
-
-
-@register(
-    "multimodal_image_decode",
-    # REAL pixel decode (round 7): payloads are genuine zlib-deflated
-    # PNGs (CRC'd chunks, row filters cycling all five types) whose
-    # gradient pixels follow a closed form. Spark recovers the stats
-    # by actually inflating + unfiltering (operators/codecs.py);
-    # DuckDB recomputes them from the formula — a hash match
-    # certifies the decoder end to end.
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents), "
-    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
-    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "1 AS channels, "
-    "CAST(SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
-    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
-    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
-    "FROM cells GROUP BY doc_id, w, h",
-)
-def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG pixel decode at scale: synthesize a genuine PNG per
-    document (zlib IDAT, all five filter types), then decode it back
-    in an Arrow-batched mapInPandas stage — CRC walk, inflate,
-    scanline unfilter (codecs.decode_png) — and emit pixel stats.
-    The oracle recomputes the gradient closed-form, so the hash match
-    proves the decode path, not the synthesizer. No shuffle: synth
-    and decode are both narrow map stages."""
-    from .operators.multimodal import (
-        attach_gradient_image_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_image_pixels(
-        attach_gradient_image_payload(docs, "doc_id")
-    ).select(
-        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
-    )
-
-
-@register(
-    "multimodal_image_resize",
-    # REAL decode + nearest-neighbor resize to 8x6: out[r, c] =
-    # in[r*h//6, c*w//8] — the floor-index mapping is recomputable in
-    # closed form, so the oracle checks the resample arithmetic too
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents), "
-    "rws AS (SELECT doc_id, w, h, unnest(range(0, 6)) AS r FROM dims), "
-    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, 8)) AS c FROM rws) "
-    "SELECT doc_id, 8 AS width, 6 AS height, 1 AS channels, "
-    "CAST(SUM((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS BIGINT) "
-    "AS px_sum, "
-    "CAST(MIN((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS INT) "
-    "AS px_min, "
-    "CAST(MAX((doc_id*31 + (r*h//6)*7 + (c*w//8)*13) % 256) AS INT) "
-    "AS px_max "
-    "FROM cells GROUP BY doc_id, w, h",
-)
-def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize: decode the genuine PNG payload, resample
-    with integer nearest-neighbor (codecs.nearest_resize), emit the
-    resized pixel stats. Same no-shuffle mapInPandas contract as the
-    decode query; a real interpolating resizer (PIL/libvips) swaps in
-    at the same slot without plan changes."""
-    from .operators.multimodal import (
-        attach_gradient_image_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_image_pixels(
-        attach_gradient_image_payload(docs, "doc_id"), out_w=8, out_h=6
-    ).select(
-        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
-    )
-
-
-@register(
-    "multimodal_gif_decode",
-    # REAL GIF LZW decode (round 7): payloads are genuine GIF89a
-    # containers (variable-width LZW, grayscale palette, interlaced
-    # for odd ids) carrying the same closed-form gradient as the PNG
-    # twin; palette expansion makes channels=3 with all three equal,
-    # so px_sum is exactly 3x the gray sum
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents), "
-    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
-    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "3 AS channels, "
-    "CAST(3 * SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
-    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
-    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
-    "FROM cells GROUP BY doc_id, w, h",
-)
-def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL GIF pixel decode at scale: synthesize a genuine GIF89a
-    per document (LZW-compressed index stream, interlaced for odd
-    ids), decode it back in the same Arrow-batched mapInPandas stage
-    as the PNG path (codecs.decode_gif: sub-block reassembly,
-    variable-width LZW, de-interlace, palette expansion) and emit
-    pixel stats against the closed-form oracle."""
-    from .operators.multimodal import (
-        attach_gradient_gif_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_image_pixels(
-        attach_gradient_gif_payload(docs, "doc_id")
-    ).select(
-        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
-    )
-
-
-@register(
-    "multimodal_jpeg_decode",
-    # REAL baseline JPEG decode (round 7): payloads are genuine
-    # DCT/Huffman JPEGs carrying a smooth closed-form plane. JPEG is
-    # lossy, so this is a certificate in per-doc rows: dimensions are
-    # exact (the marker walk must recover SOF0), and booleans bound
-    # the decoded stats against the plane (|px_sum - exact| <= 2*w*h
-    # from a <=2/pixel reconstruction error at quality 95; min/max
-    # within 2). DuckDB recomputes the closed forms; a hash match
-    # certifies the Huffman+IDCT pipeline lands within tolerance on
-    # EVERY document.
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "1 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
-    "FROM dims",
-)
-def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG decode at scale: synthesize a genuine JPEG
-    per document (DCT, Annex-K quantization, Huffman), decode it back
-    in the shared mapInPandas pixel stage (codecs.decode_jpeg_gray:
-    marker walk, canonical Huffman reconstruction, entropy decode
-    with unstuffing, dequant, IDCT) and certify the decoded stats
-    against the closed-form plane within the lossy-codec tolerance."""
-    from .operators.multimodal import (
-        attach_gradient_jpeg_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    decoded = decode_image_pixels(
-        attach_gradient_jpeg_payload(docs, "doc_id")
-    )
-    a = F.col("doc_id") % 128
-    w = F.col("width").cast("long")
-    h = F.col("height").cast("long")
-    exact_sum = (
-        w * h * a + w * (h * (h - 1) / 2).cast("long")
-        + h * (w * (w - 1) / 2).cast("long")
-    )
-    return decoded.select(
-        "doc_id", "width", "height", "channels",
-        (F.abs(F.col("px_sum") - exact_sum) <= 2 * w * h)
-        .cast("long").alias("sum_ok"),
-        (F.abs(F.col("px_min") - a) <= 2).cast("int").alias("min_ok"),
-        (F.abs(F.col("px_max") - (a + h - 1 + w - 1)) <= 2)
-        .cast("int").alias("max_ok"),
-    )
-
-
-@register(
-    "multimodal_jpeg_sa_decode",
-    # Successive-approximation JPEG decode (r9, the former strict-mode
-    # slot): same closed-form plane and lossy-codec certificate as
-    # multimodal_jpeg_decode — the refinement scans restore full
-    # coefficient precision, so the bound is identical.
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "1 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
-    "FROM dims",
-)
-def multimodal_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL successive-approximation JPEG decode at scale: per
-    document a genuine T.81 G.1.2 progressive JPEG (DC first scan at
-    Al=1, raw-bit DC refinement, per-component AC spectral scan at
-    Al=1 and AC refinement scan with newly-significant RS codes,
-    sign bits, buffered correction bits and EOB runs) decoded in the
-    shared Arrow-batched mapInPandas pixel stage and certified
-    against the closed-form plane within the lossy tolerance — the
-    default output mode of real progressive encoders (libjpeg's
-    standard scan script), formerly a declared strict-mode slot."""
-    from .operators.multimodal import (
-        attach_gradient_jpeg_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    decoded = decode_image_pixels(
-        attach_gradient_jpeg_payload(docs, "doc_id", successive=True)
-    )
-    a = F.col("doc_id") % 128
-    w = F.col("width").cast("long")
-    h = F.col("height").cast("long")
-    exact_sum = (
-        w * h * a + w * (h * (h - 1) / 2).cast("long")
-        + h * (w * (w - 1) / 2).cast("long")
-    )
-    return decoded.select(
-        "doc_id", "width", "height", "channels",
-        (F.abs(F.col("px_sum") - exact_sum) <= 2 * w * h)
-        .cast("long").alias("sum_ok"),
-        (F.abs(F.col("px_min") - a) <= 2).cast("int").alias("min_ok"),
-        (F.abs(F.col("px_max") - (a + h - 1 + w - 1)) <= 2)
-        .cast("int").alias("max_ok"),
-    )
-
-
-@register(
-    "multimodal_jpeg_color_decode",
-    # REAL color JPEG decode (round 7): genuine 4:2:0 YCbCr baseline
-    # JPEGs carrying three smooth closed-form planes; certificate in
-    # per-doc rows — exact dims + booleans bounding the decoded
-    # aggregate stats (per-pixel-per-channel error <= 6 at quality 95
-    # incl. chroma subsample loss, so |px_sum - exact| <= 18*w*h and
-    # min/max within 6)
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "3 AS channels, CAST(1 AS BIGINT) AS sum_ok, 1 AS min_ok, 1 AS max_ok "
-    "FROM dims",
-)
-def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL color JPEG decode at scale: synthesize a genuine 4:2:0
-    YCbCr baseline JPEG per document, decode it back through the full
-    color path (codecs.decode_jpeg: interleaved MCU entropy decode,
-    per-component dequant+IDCT, chroma upsampling, YCbCr->RGB) and
-    certify the decoded stats against the closed-form planes within
-    the lossy tolerance."""
-    from .operators.multimodal import (
-        attach_gradient_color_jpeg_payload,
-        decode_image_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    decoded = decode_image_pixels(
-        attach_gradient_color_jpeg_payload(docs, "doc_id")
-    )
-    a = F.col("doc_id") % 80 + 20
-    b = F.col("doc_id") % 90 + 30
-    cch = F.col("doc_id") % 70 + 40
-    w = F.col("width").cast("long")
-    h = F.col("height").cast("long")
-    grad = (
-        w * (h * (h - 1) / 2).cast("long")
-        + h * (w * (w - 1) / 2).cast("long")
-    )
-    exact_sum = w * h * (a + b + cch) + 3 * grad
-    exact_min = F.least(a, b, cch)
-    exact_max = F.greatest(a, b, cch) + h - 1 + w - 1
-    return decoded.select(
-        "doc_id", "width", "height", "channels",
-        (F.abs(F.col("px_sum") - exact_sum) <= 18 * w * h)
-        .cast("long").alias("sum_ok"),
-        (F.abs(F.col("px_min") - exact_min) <= 6).cast("int").alias("min_ok"),
-        (F.abs(F.col("px_max") - exact_max) <= 6).cast("int").alias("max_ok"),
-    )
-
-
-@register(
-    "multimodal_video_frame_decode",
-    # REAL uncompressed-video frame decode (round 7): payloads are
-    # genuine RIFF/AVI containers with '00db' DIB frames (bottom-up
-    # padded BGR — the decoder must undo the real Windows layout);
-    # gray pixels follow a closed form the oracle recomputes over a
-    # (frame, row, col) grid; B=G=R so px_sum is 3x the gray sum
-    "WITH dims AS (SELECT doc_id, doc_id % 3 * 8 + 8 AS w, "
-    "doc_id % 2 * 4 + 8 AS h, doc_id % 6 + 2 AS n FROM documents), "
-    "fr AS (SELECT doc_id, w, h, unnest(range(0, n)) AS f FROM dims), "
-    "rws AS (SELECT doc_id, w, h, f, unnest(range(0, h)) AS r FROM fr), "
-    "cells AS (SELECT doc_id, w, h, f, r, unnest(range(0, w)) AS c "
-    "FROM rws) "
-    "SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width, "
-    "CAST(h AS INT) AS height, "
-    "CAST(3 * SUM((doc_id + f*5 + r*7 + c*11) % 256) AS BIGINT) AS px_sum, "
-    "CAST(MIN((doc_id + f*5 + r*7 + c*11) % 256) AS INT) AS px_min, "
-    "CAST(MAX((doc_id + f*5 + r*7 + c*11) % 256) AS INT) AS px_max "
-    "FROM cells GROUP BY doc_id, f, w, h",
-)
-def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame decode at scale: synthesize a genuine AVI
-    with uncompressed DIB frames per document, demux + decode every
-    frame back in an Arrow-batched mapInPandas stage (1->N fan-out;
-    codecs.avi_dib_frames) and hash-certify per-frame pixel stats
-    against the closed-form oracle. Compressed streams ('00dc')
-    remain the declared video-codec slot."""
-    from .operators.multimodal import (
-        attach_dib_video_payload,
-        decode_video_frame_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_video_frame_pixels(
-        attach_dib_video_payload(docs, "doc_id")
-    ).select(
-        "doc_id", "frame_idx", "width", "height",
-        "px_sum", "px_min", "px_max"
-    )
-
-
-@register(
-    "streaming_image_decode",
-    # the codec decode stage riding Structured Streaming: stateless
-    # 1:1 mapInPandas per micro-batch, so the AvailableNow drain is
-    # deterministic regardless of batch splits and the BATCH decode
-    # query's closed-form oracle applies unchanged
-    "WITH dims AS (SELECT doc_id, doc_id % 5 * 8 + 16 AS w, "
-    "doc_id % 7 * 4 + 12 AS h FROM documents), "
-    "rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM dims), "
-    "cells AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws) "
-    "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
-    "1 AS channels, "
-    "CAST(SUM((doc_id*31 + r*7 + c*13) % 256) AS BIGINT) AS px_sum, "
-    "CAST(MIN((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_min, "
-    "CAST(MAX((doc_id*31 + r*7 + c*13) % 256) AS INT) AS px_max "
-    "FROM cells GROUP BY doc_id, w, h",
-)
-def streaming_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec decode inside Structured Streaming (SURVEY 2.10 x
-    multimodal): the PNG inflate+unfilter stage runs per micro-batch
-    over a document stream and drains with AvailableNow; hash-matches
-    the same closed-form oracle as the batch twin because the stage
-    is stateless and 1:1 (streaming/ingest.streaming_decode_batch)."""
-    from .streaming.ingest import streaming_decode_batch
-
-    return streaming_decode_batch(spark, sf_dir).select(
-        "doc_id", "width", "height", "channels", "px_sum", "px_min", "px_max"
-    )
-
-
-@register(
-    "multimodal_g711_decode",
-    # REAL G.711 companding decode (round 7): payloads are genuine
-    # WAV fmt-7 (mu-law, even ids) / fmt-6 (A-law, odd ids)
-    # containers whose code bytes follow a closed form; the oracle
-    # mirrors the ITU expansion formulas RELATIONALLY, so the hash
-    # match certifies the companding math itself
-    "WITH f AS (SELECT doc_id, doc_id % 400 + 100 AS n FROM documents), "
-    "cd AS (SELECT doc_id, n, (doc_id + unnest(range(0, n))) % 256 AS b "
-    "FROM f), "
-    "ex AS (SELECT doc_id, n, CASE WHEN doc_id % 2 = 0 THEN "
-    "(CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END) * "
-    "((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132) "
-    "ELSE "
-    "(CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) * "
-    "(CASE WHEN (xor(b, 85) // 16) % 8 = 0 "
-    "THEN (xor(b, 85) % 16) * 16 + 8 "
-    "WHEN (xor(b, 85) // 16) % 8 = 1 "
-    "THEN (xor(b, 85) % 16) * 16 + 264 "
-    "ELSE ((xor(b, 85) % 16) * 16 + 264) * "
-    "(1 << ((xor(b, 85) // 16) % 8 - 1)) END) "
-    "END AS s FROM cd) "
-    "SELECT doc_id, CAST(n AS BIGINT) AS n_frames, 1 AS channels, "
-    "8000 AS sample_rate, CAST(SUM(s) AS BIGINT) AS sample_sum, "
-    "CAST(MIN(s) AS INT) AS sample_min, CAST(MAX(s) AS INT) AS sample_max "
-    "FROM ex GROUP BY doc_id, n",
-)
-def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL G.711 audio decode at scale: synthesize genuine mu-law /
-    A-law WAV containers with closed-form code bytes, decode the
-    samples back through the vectorized ITU expansion
-    (codecs.ulaw_decode / alaw_decode via the shared mapInPandas
-    stage) and hash-certify the companding arithmetic against the
-    oracle's relational mirror of the same formulas."""
-    from .operators.multimodal import (
-        attach_g711_code_payload,
-        decode_audio_samples,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_audio_samples(
-        attach_g711_code_payload(docs, "doc_id")
-    ).select(
-        "doc_id", "n_frames", "channels", "sample_rate",
-        "sample_sum", "sample_min", "sample_max"
-    )
-
-
-@register(
-    "multimodal_audio_decode",
-    # REAL PCM sample decode (round 7): payloads are genuine
-    # RIFF/WAVE PCM-16 containers carrying a closed-form mono series;
-    # Spark recovers the stats by actually extracting the samples
-    # (codecs.decode_wav_samples), DuckDB recomputes the formula
-    "WITH f AS (SELECT doc_id, doc_id % 300 + 50 AS nf FROM documents), "
-    "s AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM f) "
-    "SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, 1 AS channels, "
-    "16000 AS sample_rate, "
-    "CAST(SUM((doc_id*31 + i*7) % 65536 - 32768) AS BIGINT) AS sample_sum, "
-    "CAST(MIN((doc_id*31 + i*7) % 65536 - 32768) AS INT) AS sample_min, "
-    "CAST(MAX((doc_id*31 + i*7) % 65536 - 32768) AS INT) AS sample_max "
-    "FROM s GROUP BY doc_id, nf",
-)
-def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV PCM sample decode: synthesize a genuine PCM-16
-    container per document, decode the samples back in an
-    Arrow-batched mapInPandas stage (RIFF walk + int16 extraction),
-    emit per-document sample stats. Hash match vs the closed-form
-    oracle certifies the sample decoder."""
-    from .operators.multimodal import (
-        attach_pcm_audio_payload,
-        decode_audio_samples,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return decode_audio_samples(
-        attach_pcm_audio_payload(docs, "doc_id")
-    ).select(
-        "doc_id", "n_frames", "channels", "sample_rate",
-        "sample_sum", "sample_min", "sample_max"
-    )
-
-
-@register(
-    "s4_html_extract",
-    # the article pages are synthesized from (doc_id, source, text),
-    # so the GROUND-TRUTH extraction output is computable directly —
-    # an end-to-end check that the stdlib HTML parser + paragraph
-    # join + menu derivation recover exactly what was embedded
-    "WITH t AS (SELECT doc_id, source, text, "
-    "string_split(source || '-' || CAST(doc_id AS VARCHAR), '-') AS toks "
-    "FROM documents) "
-    "SELECT 'https://www.bbc.com/news/' || source || '-' || "
-    "CAST(doc_id AS VARCHAR) AS url, "
-    "'2022-08-01T00:00:00Z' AS date, "
-    "'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
-    "'Summary of doc' AS subtitle, text, "
-    "array_to_string(toks[1:len(toks) - 1], '-') AS menu_submenu "
-    "FROM t",
-)
-def s4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4+F5+P1: HTML field extraction over synthesized article pages
-    (fields per ArticlesSpider.py:18-33), then empty-title drop and
-    menu_submenu derivation. Oracle = the embedded ground truth
-    recomputed from the source columns (text is HTML-safe synthetic
-    prose, so parser recovery must be exact)."""
-    from .sources.html_extract import derive_menu_submenu, extract_article_fields
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    html = F.concat(
-        F.lit('<html><body><h1 id="main-heading">Doc '),
-        F.col("doc_id").cast("string"),
-        F.lit('</h1><time datetime="2022-08-01T00:00:00Z"></time>'),
-        F.lit('<b class="sc-1x">Summary of doc</b>'),
-        F.lit("<strong>Author A</strong>"),
-        F.lit("<p>"),
-        F.col("text"),
-        F.lit("</p><p>trailing boilerplate</p>"),
-        F.lit('<img src="https://img/'),
-        F.col("doc_id").cast("string"),
-        F.lit('.jpg"></body></html>'),
-    )
-    url = F.concat(
-        F.lit("https://www.bbc.com/news/"),
-        F.col("source"),
-        F.lit("-"),
-        F.col("doc_id").cast("string"),
-    )
-    pages = docs.select(url.alias("url"), html.alias("html"))
-    fields = extract_article_fields(pages)
-    out = derive_menu_submenu(fields)
-    return out.filter(F.col("title").isNotNull() & (F.col("title") != "")).select(
-        "url", "date", "title", "subtitle", "text", "menu_submenu"
-    )
-
-
-def _lemmatize_oracle_sql() -> str:
-    """DuckDB twin of the rule lemmatizer: the SAME branch-ordered
-    suffix/exception logic as ``lemmatize.heuristic_pos`` /
-    ``rule_lemma``, generated as CASE chains (token order preserved
-    via an explicit subscript; docs whose every token is filtered
-    keep an empty string through the left join)."""
-    from .functions.lemmatize import (
-        _COMMON_VERBS,
-        IRREGULAR_ADJS,
-        IRREGULAR_NOUNS,
-        IRREGULAR_VERBS,
-        POS_WHITELIST,
-    )
-
-    verbs_sql = _sql_str_list(sorted(_COMMON_VERBS))
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
-    def in_keys(d: dict) -> str:
-        return "w IN (" + ", ".join(f"'{esc(k)}'" for k in sorted(d)) + ")"
-
-    def map_case(d: dict) -> str:
-        whens = " ".join(
-            f"WHEN '{esc(k)}' THEN '{esc(v)}'" for k, v in sorted(d.items())
-        )
-        return f"CASE w {whens} ELSE w END"
-
-    def ends(*sfx: str) -> str:
-        return "(" + " OR ".join(f"w LIKE '%{s}'" for s in sfx) + ")"
-
-    pos = f"""CASE
-      WHEN w = '' THEN 'NN'
-      WHEN list_contains({verbs_sql}, w) THEN 'VB'
-      WHEN {in_keys(IRREGULAR_VERBS)} THEN 'VBD'
-      WHEN {in_keys(IRREGULAR_NOUNS)} THEN 'NNS'
-      WHEN {in_keys(IRREGULAR_ADJS)} THEN 'JJR'
-      WHEN w LIKE '%ly' THEN 'RB'
-      WHEN {ends('er', 'est')} AND len(w) > 4 THEN
-        CASE WHEN w LIKE '%er' THEN 'JJR' ELSE 'JJS' END
-      WHEN {ends('ous', 'ful', 'ive', 'able', 'ible', 'al', 'ic', 'ish')} THEN 'JJ'
-      WHEN w LIKE '%ing' AND len(w) > 5 THEN 'VBG'
-      WHEN w LIKE '%ed' AND len(w) > 4 THEN 'VBD'
-      WHEN {ends('ion', 'ment', 'ness', 'ity', 'ship', 'hood')} THEN 'NN'
-      WHEN w LIKE '%s' AND NOT {ends('ss', 'us', 'is')} THEN 'NNS'
-      ELSE 'NN' END"""
-
-    ing_stem = "substr(w, 1, len(w) - 3)"
-    ed_stem = "substr(w, 1, len(w) - 2)"
-
-    def lastc(stem: str, i: int) -> str:
-        return f"substr({stem}, len({stem}) - {i - 1}, 1)"
-
-    vowels = "('a', 'e', 'i', 'o', 'u')"
-    ing = f"""CASE
-        WHEN len({ing_stem}) > 2
-             AND {lastc(ing_stem, 1)} = {lastc(ing_stem, 2)}
-          THEN substr({ing_stem}, 1, len({ing_stem}) - 1)
-        WHEN len({ing_stem}) > 2
-             AND {lastc(ing_stem, 1)} NOT IN {vowels}
-             AND {lastc(ing_stem, 2)} IN {vowels}
-          THEN CASE WHEN {ends('ating', 'izing', 'osing', 'iving')}
-                    THEN {ing_stem} || 'e' ELSE {ing_stem} END
-        ELSE {ing_stem} END"""
-    ed = f"""CASE
-        WHEN len({ed_stem}) > 2
-             AND {lastc(ed_stem, 1)} = {lastc(ed_stem, 2)}
-          THEN substr({ed_stem}, 1, len({ed_stem}) - 1)
-        ELSE {ed_stem} END"""
-
-    lemma = f"""CASE
-      WHEN pos LIKE 'N%' THEN CASE
-        WHEN {in_keys(IRREGULAR_NOUNS)} THEN {map_case(IRREGULAR_NOUNS)}
-        WHEN w LIKE '%ies' AND len(w) > 4 THEN substr(w, 1, len(w) - 3) || 'y'
-        WHEN {ends('ses', 'xes', 'zes', 'ches', 'shes')} AND len(w) > 4
-          THEN substr(w, 1, len(w) - 2)
-        WHEN w LIKE '%s' AND NOT {ends('ss', 'us', 'is')} AND len(w) > 3
-          THEN substr(w, 1, len(w) - 1)
-        ELSE w END
-      WHEN pos LIKE 'V%' THEN CASE
-        WHEN {in_keys(IRREGULAR_VERBS)} THEN {map_case(IRREGULAR_VERBS)}
-        WHEN w LIKE '%ing' AND len(w) > 5 THEN {ing}
-        WHEN w LIKE '%ied' AND len(w) > 4 THEN substr(w, 1, len(w) - 3) || 'y'
-        WHEN w LIKE '%ed' AND len(w) > 4 THEN {ed}
-        ELSE w END
-      WHEN pos LIKE 'R%' THEN
-        CASE WHEN w LIKE '%ly' AND len(w) > 4
-             THEN substr(w, 1, len(w) - 2) ELSE w END
-      WHEN pos LIKE 'J%' THEN CASE
-        WHEN {in_keys(IRREGULAR_ADJS)} THEN {map_case(IRREGULAR_ADJS)}
-        WHEN w LIKE '%est' AND len(w) > 5 THEN substr(w, 1, len(w) - 3)
-        WHEN w LIKE '%er' AND len(w) > 4 THEN substr(w, 1, len(w) - 2)
-        ELSE w END
-      ELSE w END"""
-
-    whitelist = ", ".join(f"'{p}'" for p in POS_WHITELIST)
-    return f"""
-WITH arrs AS (
-  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
-),
-tok AS (
-  SELECT doc_id, j AS ord, lower(arr[j]) AS w
-  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS j) s
-  WHERE arr[j] != ''
-),
-tagged AS (SELECT doc_id, ord, w, {pos} AS pos FROM tok),
-lemmas AS (
-  SELECT doc_id, string_agg({lemma}, ' ' ORDER BY ord) AS t
-  FROM tagged WHERE pos IN ({whitelist}) GROUP BY doc_id
-)
-SELECT d.doc_id, coalesce(l.t, '') AS text_lemma
-FROM documents d LEFT JOIN lemmas l ON d.doc_id = l.doc_id
-"""
-
-
-@register("p13_lemmatize", _lemmatize_oracle_sql())
-def p13_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13/F10: POS-filter + rule lemmatization via the pure-Catalyst
-    expression (zero Python, codegen; pytest proves it token-equal to
-    the pandas-UDF kernel, which remains the NLTK/WordNet model
-    mount point)."""
-    from .functions.lemmatize import POS_WHITELIST, lemmatize_text_expr
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return docs.select(
-        "doc_id",
-        lemmatize_text_expr(F.col("text"), POS_WHITELIST).alias("text_lemma"),
-    )
-
-
-@register(
-    "streaming_user_stats",
-    # the drained final state is a deterministic function of the
-    # input: counts are integers and the value total folds as
-    # integer cents (scaled JVM-side before the stateful op), so the
-    # batch aggregate IS the oracle — hash-exact in any micro-batch/
-    # partition arrival order
-    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
-    "AS total_cents FROM events GROUP BY user_id",
-)
-def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 + custom stateful operator: applyInPandasWithState
-    running per-user count/total (the reference's cross-run state,
-    generalized). The total rides as integer cents so the fold is
-    exact in any arrival order — which upgrades this from a rows-only
-    check to a hash oracle (batch groupBy twin); pytest additionally
-    checks the TWS-API twin matches."""
-    from .streaming.ingest import user_stats_batch
-
-    return user_stats_batch(spark, sf_dir)
-
-
-@register(
-    "streaming_windowed_counts",
-    # append mode emits exactly the windows the final watermark
-    # (max ts - 1 day) has closed — a deterministic function of the
-    # drained input, so the batch aggregate + cutoff IS the oracle
-    # CAST: DuckDB's date_trunc('day') yields DATE, Spark's window
-    # start is TIMESTAMP — align the string forms for the value hash
-    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
-    "CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end, "
-    "event_type, COUNT(*) AS n FROM events "
-    "GROUP BY 1, 2, 3 "
-    "HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= "
-    "(SELECT MAX(ts) - INTERVAL 1 DAY FROM events)",
-)
-def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10: watermarked tumbling-window aggregation in append mode —
-    daily event counts emitted only once the watermark closes the
-    window; pytest checks emitted windows equal the batch aggregate
-    and open windows are withheld."""
-    from .streaming.ingest import windowed_counts_batch
-
-    return windowed_counts_batch(spark, sf_dir)
-
-
-@register(
-    "streaming_session_windows",
-    "WITH g AS (SELECT user_id, ts, CASE WHEN "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 "
-    "THEN 1 ELSE 0 END AS is_new FROM events "
-    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "s AS (SELECT user_id, ts, SUM(is_new) OVER "
-    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
-    "AND CURRENT ROW) AS sid FROM g), "
-    "f AS (SELECT user_id, MIN(ts) AS session_start, "
-    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
-    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid) "
-    "SELECT session_start, session_end, user_id, n_events FROM f "
-    "WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)",
-)
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 extension: streaming sessionization (`session_window`) —
-    dynamic gap-merged windows per user, closed by the watermark and
-    emitted once in append mode. Oracle = the batch lag+cumsum twin
-    (half-open gap boundary, i.e. `>=`, at full micros precision)
-    with the final-watermark cutoff; pytest additionally checks
-    equality against the Spark batch twin."""
-    from .streaming.ingest import session_counts_batch
-
-    return session_counts_batch(spark, sf_dir)
-
-
-@register(
-    "streaming_interval_join",
-    # the watermarked stream-stream join emits exactly the batch
-    # interval-join result once drained (watermarks only bound state,
-    # pytest proves the equality) — so the batch join is the oracle
-    "SELECT c.event_id AS click_id, c.user_id AS c_user_id, "
-    "c.ts AS click_ts, v.ts AS view_ts, v.value AS view_value "
-    "FROM events c JOIN events v ON c.event_type = 'click' "
-    "AND v.event_type = 'view' AND c.user_id = v.user_id "
-    "AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts",
-)
-def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream interval join: clicks pick up the
-    same user's views within a 30-minute lookback, both sides
-    watermarked so join state is bounded (watermark + interval
-    width). Rows-only; pytest checks exact equality with the batch
-    interval-join twin."""
-    from .streaming.ingest import interval_join_batch
-
-    return interval_join_batch(spark, sf_dir)
-
-
-@register(
-    "streaming_interval_join_outer",
-    # LEFT OUTER adds watermark semantics to the oracle: matched rows
-    # = the batch join; unmatched clicks appear null-padded ONLY when
-    # the final global watermark (min of the two sides' max event
-    # time, minus the 1h delay) passed their timestamp — later
-    # unmatched clicks are still buffered at drain end by design
-    "WITH c AS (SELECT event_id AS click_id, user_id AS c_user_id, "
-    "ts AS click_ts FROM events WHERE event_type = 'click'), "
-    "v AS (SELECT user_id AS v_user_id, ts AS view_ts, "
-    "value AS view_value FROM events WHERE event_type = 'view'), "
-    "mx AS (SELECT least((SELECT max(click_ts) FROM c), "
-    "(SELECT max(view_ts) FROM v)) - INTERVAL 1 HOUR AS wm), "
-    "m AS (SELECT click_id, c_user_id, click_ts, view_ts, view_value "
-    "FROM c LEFT JOIN v ON c_user_id = v_user_id "
-    "AND view_ts BETWEEN click_ts - INTERVAL 30 MINUTE AND click_ts) "
-    "SELECT click_id, c_user_id, click_ts, view_ts, view_value "
-    "FROM m, mx WHERE view_ts IS NOT NULL OR click_ts < wm",
-)
-def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER watermarked stream-stream join — the §2.10 shape
-    where watermark semantics are OBSERVABLE in the result: null-
-    padded unmatched rows emit exactly when the global watermark
-    passes them (no more matches possible), so the oracle is the
-    batch left join with the final-watermark cutoff applied to the
-    unmatched side. Hash-oracled — the strongest driver-checkable
-    evidence that watermark bookkeeping is correct."""
-    from .streaming.ingest import interval_join_left_outer_batch
-
-    return interval_join_left_outer_batch(spark, sf_dir)
-
-
-@register(
-    "streaming_dedup",
-    # watermarked dropDuplicates over a unique-key source is the
-    # identity on the driver's data (event_id is unique there); the
-    # actual dup-dropping behavior is pytest-checked with planted
-    # duplicate files (test_streaming / test_ntz)
-    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
-)
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10: incremental ingest as Structured Streaming — watermarked
-    dropDuplicates drained with Trigger.AvailableNow (the reference's
-    30-min cron + unique-index upsert)."""
-    from .streaming.ingest import incremental_dedup_batch
-
-    return incremental_dedup_batch(spark, sf_dir, key="event_id")
-
-
-# --------------------------------------------------------------------
-# training-corpus preparation (operators/traindata.py)
-# --------------------------------------------------------------------
-
-_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
-
-
-@register(
-    "split_train_val_test",
-    f"WITH b AS (SELECT doc_id, {_BUCKET_SQL} % 100 AS bucket FROM documents) "
-    "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
-    "ELSE 'test' END AS split, COUNT(*) AS n_docs FROM b GROUP BY 1",
-)
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 split from md5(doc_id) — reproducible
-    across runs/engines/partitionings (no rand()), the property a
-    re-materialized 100 TB corpus needs. Pure projection + one tiny
-    aggregate."""
-    from .operators.traindata import deterministic_split
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return (
-        deterministic_split(docs, "doc_id")
-        .groupBy("split")
-        .agg(F.count("*").alias("n_docs"))
-    )
-
-
-@register(
-    "kfold_assignment",
-    f"WITH b AS (SELECT doc_id, n_chars, {_BUCKET_SQL} % 5 AS fold "
-    "FROM documents) "
-    "SELECT CAST(fold AS INT) AS fold, COUNT(*) AS n_docs, "
-    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM b GROUP BY fold",
-)
-def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 5-fold cross-validation assignment
-    (traindata.kfold_split): fold = md5-bucket(doc_id) % 5, so fold
-    membership is a pure function of the id — the same folds
-    re-materialize on every run, engine, and partitioning (the
-    evaluation counterpart of split_train_val_test). The per-fold
-    char sums pin the MEMBERSHIP, not just the sizes, cross-engine.
-    Pure projection + one 5-row aggregate; zero shuffles beyond the
-    map-side-combinable count."""
-    from .operators.traindata import kfold_split
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return (
-        kfold_split(docs, "doc_id", k=5)
-        .groupBy("fold")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
-    )
-
-
-_CONTAM_N = 5
-_CONTAM_SQL = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "arrs AS (SELECT doc_id, list_distinct(list_transform("
-    f"range(0, greatest(len(t) - {_CONTAM_N - 1}, 0)), "
-    f"i -> array_to_string(t[i+1:i+{_CONTAM_N}], ' '))) AS sh FROM toks), "
-    "doc_sh AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s FROM arrs "
-    "WHERE doc_id % 97 <> 0), "
-    "bench AS (SELECT DISTINCT unnest(sh) AS s FROM arrs WHERE doc_id % 97 = 0) "
-    "SELECT doc_id, COUNT(*) AS contaminated_ngrams, total AS total_ngrams, "
-    "ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS contamination_ratio "
-    "FROM doc_sh JOIN bench USING (s) GROUP BY doc_id, total"
-)
-
-
-@register("contamination_check", _CONTAM_SQL)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: which training docs contain verbatim
-    word n-grams from a held-out benchmark set (docs with
-    doc_id % 97 == 0 stand in for the eval set). Benchmark shingles
-    are distinct-aggregated then broadcast — the training side (the
-    100 TB side) never shuffles."""
-    from .operators.traindata import contamination
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    return contamination(train, bench, "doc_id", "text", n=_CONTAM_N)
-
-
-def _pii_augmented_sql() -> str:
-    from .operators.traindata import pii_scrub_sql
-
-    aug = (
-        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
-        "'@mail.example.org or 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
-        "'.' || CAST(doc_id % 250 AS VARCHAR) || ' acct ' || "
-        "CAST(900000000 + doc_id AS VARCHAR)"
-    )
-    return (
-        f"SELECT doc_id, {pii_scrub_sql(aug)} AS scrubbed FROM documents"
-    )
-
-
-@register("pii_scrub_text", _pii_augmented_sql())
-def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (emails, IPv4s, long digit runs) over text with
-    synthetic PII planted per doc so the regexes actually fire. Narrow
-    codegen projection — linear scale-out, no shuffle."""
-    from .operators.traindata import pii_scrub
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" reach user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@mail.example.org or 10.0."),
-        (F.col("doc_id") % 200).cast("string"),
-        F.lit("."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(" acct "),
-        (F.lit(900000000) + F.col("doc_id")).cast("string"),
-    )
-    return docs.select("doc_id", pii_scrub(aug).alias("scrubbed"))
-
-
-_PACK_BUDGET, _PACK_SHARDS = 512, 8
-_PACK_SQL = (
-    "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
-    f"AS n_tokens, {_BUCKET_SQL} % {_PACK_SHARDS} AS shard FROM documents) "
-    "SELECT doc_id, n_tokens, shard, CAST(FLOOR(CAST(SUM(n_tokens) OVER "
-    "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-    f"CURRENT ROW) - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS INT) AS bin FROM d"
-)
-
-
-@register("pack_sequences_bins", _PACK_SQL)
-def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: per hash-shard, docs are laid
-    out in id order and cut every 512 tokens; bin = the context-window
-    index where each doc starts. One window shuffle, sharded for
-    scale."""
-    from .operators.traindata import pack_sequences
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    with_tokens = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-    )
-    return pack_sequences(
-        with_tokens, "doc_id", "n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
-    )
-
-
-# --------------------------------------------------------------------
-# extended relational surface II: group top-k, cube, correlated EXISTS
-# --------------------------------------------------------------------
-
-
-@register(
-    "top3_orders_per_segment",
-    "SELECT * FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, "
-    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
-    "ORDER BY o_totalprice DESC, o_orderkey) AS rk "
-    "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3",
-)
-def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k (the group-limit operator): row_number window
-    with a deterministic tie-break, filtered to k. Spark pushes a
-    per-partition rank limit below the shuffle (WindowGroupLimit), so
-    each map task ships at most k rows per group — the 100 TB-safe
-    group-limit."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-    )
-
-
-@register(
-    "cube_status_priority",
-    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
-    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
-)
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations) — Expand-based
-    multi-grouping in one pass over the fact table."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n")
-    )
-
-
-_EXISTS_SQL = (
-    "SELECT o_orderkey, o_totalprice FROM orders o "
-    "WHERE EXISTS (SELECT 1 FROM lineitem l "
-    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"
-)
-
-
-@register("orders_with_bulk_items", _EXISTS_SQL)
-def orders_with_bulk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS through the SQL front-end (register_views +
-    spark.sql — the engine's second API surface). Catalyst decorrelates
-    to a left-semi hash join; the identical SQL string runs on the
-    DuckDB oracle."""
-    from .catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_EXISTS_SQL)
-
-
-# --------------------------------------------------------------------
-# data profiling (operators/profiling.py)
-# --------------------------------------------------------------------
-
-_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
-_PROFILE_SQL = " UNION ALL ".join(
-    f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
-    f"COUNT(*) - COUNT({c}) AS n_nulls, "
-    f"COUNT(DISTINCT {c}) AS n_distinct, "
-    f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
-    f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM documents"
-    for c in _PROFILE_COLS
-)
-
-
-@register("profile_documents", _PROFILE_SQL)
-def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus QA profile: one aggregation pass computes every column's
-    count/null/distinct/min/max, stack() unpivots to a row per column.
-    Exact distincts here (oracle-portable); approx_count_distinct is
-    the documented 100 TB path."""
-    from .operators.profiling import column_profile
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return column_profile(docs, _PROFILE_COLS)
-
-
-_QUANTILE_SQL = (
-    "SELECT l_returnflag, "
-    "quantile_cont(l_extendedprice, 0.25) AS p25, "
-    "quantile_cont(l_extendedprice, 0.50) AS p50, "
-    "quantile_cont(l_extendedprice, 0.75) AS p75 "
-    "FROM lineitem GROUP BY l_returnflag"
-)
-
-
-@register("price_quantiles", _QUANTILE_SQL)
-def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles (order statistics with linear
-    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
-    The scale path is percentile_approx's mergeable t-digest; the
-    exact form is the oracle."""
-    from .operators.profiling import grouped_quantiles
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return grouped_quantiles(
-        li, "l_extendedprice", ["l_returnflag"], [0.25, 0.50, 0.75]
-    )
-
-
-# --------------------------------------------------------------------
-# TPC-H shape widening: Q4/Q10/Q14/Q18/Q19 on the testdata columns
-# --------------------------------------------------------------------
-
-
-@register(
-    "tpch_q4_priority_check",
-    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
-    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
-    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
-    "AND l_returnflag = 'R') "
-    "GROUP BY o_orderpriority",
-)
-def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: date-ranged fact filter + EXISTS semi-join +
-    group count. The semi-join never widens rows (left_semi — no
-    duplicate inflation from multi-lineitem orders), and the lineitem
-    side is pre-filtered so the shuffle carries only matching keys."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    return (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        )
-        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-    )
-
-
-@register(
-    "tpch_q10_returned_items",
-    "SELECT c_custkey, c_name, n_name, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
-    "AS revenue "
-    "FROM customer, orders, lineitem, nation "
-    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
-    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
-    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
-    "GROUP BY c_custkey, c_name, n_name "
-    "ORDER BY revenue DESC, c_custkey LIMIT 20",
-)
-def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: who returned the most — fact-fact join with
-    both sides pre-filtered, broadcast nation enrich, top-20 via
-    TakeOrderedAndProject. Aggregates on the join keys BEFORE pulling
-    the wide name columns would be the sf1000 refinement; at any sf
-    the nation join broadcasts."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    nation = load_table(spark, sf_dir, "nation")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    agg = (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-        .join(
-            li.filter(F.col("l_returnflag") == "R"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey")
-        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum("revenue").alias("revenue"))
-    )
-    return agg.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(20)
-
-
-@register(
-    "tpch_q14_promo_revenue",
-    "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) "
-    "AS promo_revenue_scaled, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
-    "AS total_revenue_scaled "
-    "FROM lineitem, part WHERE l_partkey = p_partkey "
-    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'",
-)
-def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim
-    join. Both sums stay exact scaled integers; the oracle compares
-    the two exact sums (a derived promo ratio is one fp division the
-    caller can do). part broadcasts at every sf where it fits; at
-    100 TB AQE picks shuffle-hash on the uniform p_partkey."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    rev = price * (100 - disc)
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
-        )
-        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
-            .alias("promo_revenue_scaled"),
-            F.sum(rev).alias("total_revenue_scaled"),
-        )
-    )
-
-
-@register(
-    "tpch_q18_large_orders",
-    "SELECT c_custkey, o_orderkey, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 "
-    "AS total_qty "
-    "FROM customer, orders, lineitem "
-    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
-    "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 18000) "
-    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
-    "GROUP BY c_custkey, o_orderkey "
-    "ORDER BY total_qty DESC, o_orderkey LIMIT 100",
-)
-def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: group-HAVING subquery feeding a semi-join,
-    then re-aggregate with customer context, top-100. The HAVING agg
-    runs once on integer-scaled quantities; its key list semi-joins
-    orders (no row inflation) before the final join+agg."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("q"))
-        .filter(F.col("q") > 18000)
-        .select("l_orderkey")
-    )
-    return (
-        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_custkey", "o_orderkey")
-        .agg((F.sum(qty) / 100.0).alias("total_qty"))
-        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-@register(
-    "tpch_q19_disjunctive_pred",
-    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 "
-    "AS revenue FROM lineitem, part WHERE l_partkey = p_partkey AND ("
-    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
-    "AND l_quantity >= 1 AND l_quantity <= 11) "
-    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
-    "AND l_quantity >= 10 AND l_quantity <= 20) "
-    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
-    "AND l_quantity >= 20 AND l_quantity <= 30))",
-)
-def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunctive join predicates. Authored as an
-    equi-join on p_partkey with the OR-of-ANDs as a post-join filter —
-    Catalyst extracts the common equi-key (no nested-loop join) and
-    pushes the single-sided conjuncts (brand/size membership union)
-    into each scan via constraint inference."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
-            & (F.col("l_quantity") >= 1)
-            & (F.col("l_quantity") <= 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
-            & (F.col("l_quantity") >= 10)
-            & (F.col("l_quantity") <= 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 35)
-            & (F.col("l_quantity") >= 20)
-            & (F.col("l_quantity") <= 30)
-        )
-    )
-    return (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .filter(cond)
-        .agg((F.sum(price * (100 - disc)) / 10000.0).alias("revenue"))
-    )
-
-
-# --------------------------------------------------------------------
-# duplicate clustering: connected components (pairs -> clusters)
-# --------------------------------------------------------------------
-
-
-@register(
-    "dedup_cc_clusters",
-    "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS cluster_rep "
-    "FROM documents",
-)
-def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-components duplicate clustering over a deterministic
-    candidate graph: consecutive doc_ids within each (lang, source)
-    group are linked, producing one *path graph* per group — the
-    adversarial-diameter shape for CC (plain min-propagation needs
-    O(chain length) shuffles; pointer jumping needs O(log)). The
-    oracle knows the answer analytically: every group chains into one
-    component whose representative is the group's min doc_id.
-
-    The production pairing (MinHash/SimHash edges) runs in
-    ``dedup_minhash_clusters``; this query pins the CC kernel itself
-    to an exact oracle."""
-    from .operators.dedup import duplicate_clusters
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    edges = (
-        docs.select("doc_id", "lang", "source")
-        .withColumn("nxt", F.lead("doc_id").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
-    )
-    return duplicate_clusters(
-        docs.select("doc_id"), "doc_id", edges, "src", "dst"
-    ).select("doc_id", "cluster_rep")
-
-
-def _minhash_clusters_oracle_sql() -> str:
-    """Recursive-CTE twin of pairs → connected components → keep the
-    min-id canonical: label propagation to a fixpoint (UNION dedup
-    terminates it), min reachable id per node = cluster rep; docs in
-    no pair keep themselves via the left join."""
-    return (
-        "WITH RECURSIVE docs_src AS (SELECT doc_id, text FROM documents),\n"
-        + _minhash_pair_ctes("docs_src")
-        + f""",
-pairs AS ({_MINHASH_PAIR_SELECT.replace(chr(10), ' ')}),
-edges AS (
-  SELECT id_1 AS src, id_2 AS dst FROM pairs
-  UNION ALL SELECT id_2, id_1 FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
-),
-lab AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
-SELECT d.doc_id FROM documents d
-LEFT JOIN lab ON lab.node = d.doc_id
-WHERE lab.node IS NULL OR lab.root = d.doc_id"""
-    )
-
-
-@register("dedup_minhash_clusters", _minhash_clusters_oracle_sql())
-def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: MinHash-LSH pair finding -> connected
-    components -> keep the min-id canonical per duplicate cluster.
-    The full 100 TB dedup path (pairs alone under-delete transitive
-    duplicate chains: A~B, B~C must drop two docs, not one). md5
-    shingle-hash flavor, so the DuckDB oracle recomputes the pairs
-    and resolves the clusters with a recursive label-propagation
-    CTE; the distributed CC kernel additionally has a union-find
-    pytest twin."""
-    from .operators.dedup import keep_cluster_canonical, minhash_lsh_pairs
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", jaccard_threshold=0.5, shingle_hash="md5"
-    ).select("id_1", "id_2")
-    return keep_cluster_canonical(docs.select("doc_id", "text"), "doc_id", pairs).select(
-        "doc_id"
-    )
-
-
-# --------------------------------------------------------------------
-# training-corpus prep: stratified sample, deterministic shuffle,
-# repetition quality signals
-# --------------------------------------------------------------------
-
-_SAMPLE_FRACTIONS = {"src1": 0.5, "src2": 0.5, "src3": 0.25}
-
-
-@register(
-    "stratified_sample_sources",
-    "WITH b AS (SELECT doc_id, source, "
-    f"{_BUCKET_SQL} % 10000 AS bucket FROM documents) "
-    "SELECT doc_id, source FROM b WHERE bucket < (CASE "
-    + " ".join(
-        f"WHEN source = '{s}' THEN {int(round(f * 10000))}"
-        for s, f in _SAMPLE_FRACTIONS.items()
-    )
-    + " ELSE 1000 END)",
-)
-def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (domain mixing): per-source
-    keep fractions from md5 hash-buckets — reproducible across
-    engines/partitionings, unlike rand()-based sampleBy. Pure
-    filter, no shuffle."""
-    from .operators.traindata import stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return stratified_sample(
-        docs, "source", _SAMPLE_FRACTIONS, "doc_id", default_fraction=0.1
-    ).select("doc_id", "source")
-
-
-_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-_MIX_BUCKET = (
-    "CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
-    "AS UBIGINT) % 10000"
-)
-
-
-@register(
-    "mix_sources_weighted",
-    f"SELECT doc_id, source FROM documents WHERE {_MIX_BUCKET} < "
-    "(CASE source "
-    + " ".join(
-        f"WHEN '{s}' THEN {int(round(w * 10_000))}"
-        for s, w in sorted(_MIX_WEIGHTS.items())
-    )
-    + " ELSE 1000 END)",
-)
-def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pretraining data-mixing: per-source deterministic sampling
-    rates (keep all of src0, half of src1, a quarter of src2, 10% of
-    everything else) via salted hash-bucket Bernoulli — a pure
-    projection, reproducible on any engine/partitioning."""
-    from .operators.traindata import mix_sources
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return mix_sources(
-        docs, "source", "doc_id", _MIX_WEIGHTS, default_weight=0.1
-    ).select("doc_id", "source")
-
-
-@register(
-    "select_token_budget",
-    "WITH d AS (SELECT doc_id, "
-    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
-    "len(text) AS order_key FROM documents), "
-    "r AS (SELECT doc_id, n_tokens, "
-    "SUM(n_tokens) OVER (ORDER BY order_key DESC, doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
-    "FROM d) "
-    "SELECT doc_id, n_tokens FROM r "
-    "WHERE run <= 20000 OR run - n_tokens = 0",
-)
-def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget corpus selection: fill a 20k-token budget with
-    the highest-priority documents (here: longest first — the
-    order column is pluggable), running cumsum cutoff with a
-    first-row guarantee. The exact-semantics anchor for the banded
-    approximation used at 100 TB (see operator docstring)."""
-    from .operators.traindata import select_token_budget as op
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    d = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.length("text").alias("order_key"),
-    )
-    return op(d, "n_tokens", "order_key", "doc_id", budget=20_000).select(
-        "doc_id", "n_tokens"
-    )
-
-
-_DSIR_SQL = """
-WITH toks AS (
-  SELECT doc_id, (lang = 'en') AS tgt,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents),
-grams AS (
-  SELECT doc_id, tgt, unnest(t) AS g FROM toks
-  UNION ALL
-  SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS g
-  FROM toks, unnest(range(1, len(t))) AS r(i)),
-b AS (SELECT doc_id, tgt,
-             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS bkt
-      FROM grams),
-tot AS (SELECT count(*) AS raw_total,
-               count(*) FILTER (tgt) AS tgt_total FROM b),
-lr AS (SELECT bkt,
-              CAST(ROUND(LN(((count(*) FILTER (tgt) + 1.0) * (raw_total + 4096))
-                          / ((count(*) + 1.0) * (tgt_total + 4096))) * 1e6)
-                   AS BIGINT) AS lrs
-       FROM b, tot
-       GROUP BY bkt, raw_total, tgt_total)
-SELECT d.doc_id,
-       count(lr.bkt) AS n_grams,
-       ROUND(COALESCE(SUM(lr.lrs), 0) / 1e6, 6) + 0.0 AS weight
-FROM documents d
-LEFT JOIN b ON d.doc_id = b.doc_id
-LEFT JOIN lr ON b.bkt = lr.bkt
-GROUP BY d.doc_id
-"""
-
-
-@register("dsir_importance_weights", _DSIR_SQL)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023): per-document importance
-    weight from hashed unigram+bigram likelihood ratios, target
-    distribution = English documents, raw = whole corpus. Integer-
-    scaled per-bucket log-ratios make the per-doc sum exact in any
-    aggregation order — hash-oracled end to end."""
-    from .operators.traindata import dsir_weights
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return dsir_weights(
-        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=4096
-    )
-
-
-@register(
-    "rolling_distinct_users_7d",
-    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id "
-    "FROM events), "
-    "days AS (SELECT DISTINCT day FROM du) "
-    "SELECT d.day, count(DISTINCT u.user_id) AS users_7d "
-    "FROM days d JOIN du u "
-    "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
-    "GROUP BY d.day",
-)
-def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users per day — COUNT DISTINCT over a
-    sliding window, which no window frame can express (distinct isn't
-    decomposable). Exact form: day-grain dedup first (events collapse
-    to ≤ days×users rows), then a 7-wide day-range join + distinct
-    count. This is the exact-semantics anchor; the sketch path
-    (profiling.distinct_sketches + merge_sketches over the same day
-    range) replaces the distinct count with register-max HLL merges at
-    100 TB — `sketch_distinct_users_daily` covers those mechanics."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    du = ev.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
-    days = du.select("day").distinct().withColumnRenamed("day", "d")
-    return (
-        days.join(
-            du,
-            (F.col("day") >= F.date_sub(F.col("d"), 6))
-            & (F.col("day") <= F.col("d")),
-        )
-        .groupBy("d")
-        .agg(F.countDistinct("user_id").alias("users_7d"))
-        .select(F.col("d").alias("day"), "users_7d")
-    )
-
-
-@register(
-    "ohlc_resample_hourly",
-    "WITH b AS (SELECT event_type, "
-    "epoch_us(ts) // 3600000000 AS hr, "
-    "epoch_us(ts) AS us, event_id, "
-    "CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events) "
-    "SELECT event_type, hr, "
-    "struct_extract(min((us, event_id, v100)), 3) / 100.0 AS open, "
-    "CAST(max(v100) AS BIGINT) / 100.0 AS high, "
-    "CAST(min(v100) AS BIGINT) / 100.0 AS low, "
-    "struct_extract(max((us, event_id, v100)), 3) / 100.0 AS close, "
-    "count(*) AS n FROM b GROUP BY event_type, hr",
-)
-def ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLC downsample (financial-style resample): per event type and
-    hour, open/high/low/close/count — open/close via min/max-struct
-    argmin/argmax on (epoch_us, event_id) so ties are deterministic;
-    values ride as scaled ints. ONE map-side-combined hash agg; the
-    struct min/max partials collapse per map task, so the exchange
-    carries ≤ types×hours skinny rows."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    us = R.epoch_us("ts")
-    v100 = F.round(F.col("value") * 100).cast("long")
-    b = ev.select(
-        "event_type",
-        us.alias("__us"),
-        "event_id",
-        v100.alias("__v"),
-        # integer division (div), never float `/` + cast: epoch micros
-        # exceed double's exact-integer range after division rounding
-    ).withColumn("hr", F.expr("__us div 3600000000"))
-    return b.groupBy("event_type", "hr").agg(
-        (F.min(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("open"),
-        (F.max("__v") / F.lit(100.0)).alias("high"),
-        (F.min("__v") / F.lit(100.0)).alias("low"),
-        (F.max(F.struct("__us", "event_id", "__v"))["__v"] / F.lit(100.0)).alias("close"),
-        F.count("*").alias("n"),
-    )
-
-
-_INVIDX_SQL = """
-WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-t AS (SELECT doc_id AS d, i - 1 AS p, arr[i] AS term
-      FROM a, unnest(range(1, len(arr) + 1)) AS r(i)
-      WHERE arr[i] <> ''),
-rn AS (SELECT term, d, p,
-              row_number() OVER (PARTITION BY term ORDER BY d, p) AS rn
-       FROM t),
-b AS (SELECT term, CAST((rn - 1) // 2000 AS INT) AS block,
-             list_sort(list(CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)))
-             AS postings
-      FROM rn GROUP BY term, block),
-s AS (SELECT term, count(DISTINCT d) AS df, count(*) AS tf
-      FROM t GROUP BY term)
-SELECT b.term, b.block, s.df, s.tf,
-       array_to_string(b.postings, ' ') AS postings
-FROM b JOIN s USING (term)
-"""
-
-
-@register("inverted_index_blocks", _INVIDX_SQL)
-def inverted_index_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked inverted index (Lucene-style posting blocks): term ->
-    bounded sorted "doc:pos" blocks + exact df/tf. Hot terms span
-    many blocks instead of one unbounded postings row — see
-    operators/textstats.build_inverted_index for the scale shape.
-    Hash-oracled end to end. Postings are flattened to a single
-    space-joined string here (the operator keeps its array return):
-    registered results must be atomic-typed so the driver's pandas
-    canonicalizer can sort/hash them."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    idx = TS.build_inverted_index(docs, "text", "doc_id", block_size=2000)
-    return idx.withColumn("postings", F.array_join("postings", " "))
-
-
-@register(
-    "range_frame_trailing_sum",
-    "SELECT event_id, user_id, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
-    "PARTITION BY user_id ORDER BY epoch_us(ts) "
-    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) "
-    "/ 100.0 AS trailing_1h_sum "
-    "FROM events",
-)
-def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window (time-valued frame bound — the §2.6 frame
-    flavor ROWS frames can't express): per user, trailing-1-hour
-    event-value sum over the epoch-microsecond order. Values ride as
-    scaled ints so the frame sum is exact in any order; the range
-    bound is a literal in identical units (micros) on both engines.
-    One shuffle on user_id; each partition's frame scan is linear
-    (two-pointer), never O(n²)."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    base = ev.select(
-        "event_id",
-        "user_id",
-        R.epoch_us("ts").alias("__us"),
-        F.round(F.col("value") * 100).cast("long").alias("__v100"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("__us")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return base.select(
-        "event_id",
-        "user_id",
-        (F.sum("__v100").over(w) / F.lit(100.0)).alias("trailing_1h_sum"),
-    )
-
-
-@register(
-    "curriculum_order_bands",
-    "WITH b AS (SELECT doc_id, n_chars, "
-    "CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS band, "
-    "md5('curriculum-v1:' || CAST(doc_id AS VARCHAR)) AS h "
-    "FROM documents) "
-    "SELECT doc_id, band, "
-    "CAST(row_number() OVER (PARTITION BY band ORDER BY h, doc_id) AS INT) "
-    "AS band_pos FROM b",
-)
-def curriculum_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum ordering: 4 quality bands (here: length-scored,
-    best first) with a deterministic hash shuffle within each band —
-    the easy-to-hard training schedule. Exact-ntile anchor of the
-    banded percentile approximation used at 100 TB (see operator
-    docstring)."""
-    from .operators.traindata import curriculum_order
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return curriculum_order(docs, "n_chars", "doc_id", n_bands=4, method="exact")
-
-
-@register(
-    "value_histogram",
-    "SELECT event_type, "
-    "CAST(least(floor(value / 25), 19) AS INT) AS bin, "
-    "count(*) AS n FROM events GROUP BY event_type, bin",
-)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-bin value histogram per event type (profiling family):
-    bin = clamp(floor(value/25), 0..19) — one map-side-combined
-    hash agg, ≤ types×20 rows shuffled."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    return (
-        ev.groupBy(
-            "event_type",
-            F.least(F.floor(F.col("value") / 25), F.lit(19))
-            .cast("int")
-            .alias("bin"),
-        )
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "deterministic_shuffle_order",
-    "WITH h AS (SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS hh "
-    "FROM documents), "
-    "s AS (SELECT doc_id, CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8 AS INT) "
-    "AS shard, hh FROM h) "
-    "SELECT doc_id, shard, "
-    "CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INT) "
-    "AS shard_pos FROM s",
-)
-def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus shuffle: (shard, shard_pos) total order
-    from a salted md5 — the scalable ORDER BY hash (per-shard windows
-    instead of one global sort; shards is the memory/parallelism
-    knob)."""
-    from .operators.traindata import deterministic_shuffle
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return deterministic_shuffle(docs, "doc_id", shards=8).select(
-        "doc_id", "shard", "shard_pos"
-    )
-
-
-@register(
-    "repetition_quality",
-    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
-    "g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2 THEN list_transform("
-    "range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')) "
-    "ELSE [] END AS bi FROM t) "
-    "SELECT doc_id, "
-    "CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), "
-    "d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) "
-    "ELSE 0.0 END AS top_word_share, "
-    "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) "
-    "/ len(bi) ELSE 0.0 END AS dup_bigram_frac "
-    "FROM g",
-)
-def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: top-word share + duplicate-
-    bigram fraction, per document. Narrow HOF pipeline (no explode,
-    no shuffle) — exact integer counts, one fp division each."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    top_share, dup_frac = TS.repetition_stats(F.col("text"))
-    return docs.select(
-        "doc_id",
-        top_share.alias("top_word_share"),
-        dup_frac.alias("dup_bigram_frac"),
-    )
-
-
-_SPAN_REMOVE_SQL = """
-WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
-                    x -> x <> '') AS toks FROM documents),
-g AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 4], ' ')
-             AS gram
-      FROM (SELECT doc_id, toks,
-                   unnest(range(0, greatest(len(toks) - 3, 0))) AS pos
-            FROM t)),
-dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
-        WHERE c >= 2),
-cov AS (SELECT DISTINCT doc_id, pos + u AS idx
-        FROM (SELECT g.doc_id, g.pos, unnest(range(0, 4)) AS u
-              FROM g SEMI JOIN dup ON g.gram = dup.gram)),
-tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS idx,
-               unnest(toks) AS word FROM t),
-keep AS (SELECT tok.doc_id, tok.idx, tok.word FROM tok
-         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
-clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
-                 COUNT(*) AS nk FROM keep GROUP BY doc_id)
-SELECT t.doc_id, coalesce(c.ct, '') AS clean_text,
-       CAST(len(t.toks) - coalesce(c.nk, 0) AS BIGINT) AS n_removed
-FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
-"""
-
-
-@register("dedup_span_removal", _SPAN_REMOVE_SQL)
-def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide duplicated-span removal (Lee et al. 2022 — the
-    transform behind dup_ngram_span_score's signal): every token
-    covered by a word 4-gram occurring >= 2 times in the corpus is
-    deleted and the survivors reassembled in order. One gram-count
-    shuffle + linear coverage fanout (n rows per duplicated gram
-    instance, never pairwise)."""
-    from .operators.dedup import remove_dup_spans
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return remove_dup_spans(docs, "doc_id", "text", n=4, min_count=2)
-
-
-_PPL_SQL = """
-WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-                    x -> x <> '') AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
-               unnest(toks) AS word FROM t),
-uni AS (SELECT word, COUNT(*) AS c_a FROM tok GROUP BY word),
-v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM tok),
-big AS (SELECT doc_id, word AS a,
-               LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
-        FROM tok),
-bg AS (SELECT doc_id, a, b FROM big WHERE b IS NOT NULL),
-bi AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
-scored AS (SELECT bi.a, bi.b,
-        CAST(ROUND(ln((CAST(c_ab AS DOUBLE) + 1.0) /
-                      (CAST(c_a AS DOUBLE) + (SELECT v FROM v)))
-                   * 1000.0) AS BIGINT) AS mn
-        FROM bi JOIN uni ON bi.a = uni.word),
-doc AS (SELECT bg.doc_id, SUM(s.mn) AS sm, COUNT(*) AS m
-        FROM bg JOIN scored s ON bg.a = s.a AND bg.b = s.b
-        GROUP BY bg.doc_id),
-sc AS (SELECT doc_id, m AS n_bigrams,
-              -CAST(sm AS BIGINT) / (m * 1000.0) AS cross_entropy
-       FROM doc),
-cut AS (SELECT quantile_cont(cross_entropy, 1.0 / 3.0) AS q1,
-               quantile_cont(cross_entropy, 2.0 / 3.0) AS q2 FROM sc)
-SELECT doc_id, n_bigrams, cross_entropy,
-  CASE WHEN cross_entropy <= (SELECT q1 FROM cut) THEN 'head'
-       WHEN cross_entropy <= (SELECT q2 FROM cut) THEN 'middle'
-       ELSE 'tail' END AS ppl_bucket
-FROM sc
-"""
-
-
-@register("perplexity_buckets", _PPL_SQL)
-def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity quality filtering (Wenzek et al. 2020):
-    per-doc cross-entropy under an add-one bigram LM fit on the
-    corpus, bucketed head/middle/tail at exact tercile cutpoints
-    (one percentile aggregate broadcast back — never a global ntile
-    window). Millinat-quantized NLL terms make the per-doc mean exact
-    integer arithmetic and absorb Java-vs-libm ln ulp skew."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return TS.perplexity_quality(docs, "doc_id", "text")
-
-
-# --------------------------------------------------------------------
-# semi-structured (JSON) surface + doc-term matrix + corpus n-grams
-# --------------------------------------------------------------------
-
-
-@register(
-    "json_props_stats",
-    "SELECT event_type, "
-    # outer CAST: DuckDB SUM(BIGINT) is HUGEINT → pandas float64
-    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-    "AS BIGINT) AS sum_k, "
-    "COUNT(json_extract_string(props, '$.k')) AS n_with_k "
-    "FROM events GROUP BY event_type",
-)
-def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured column surface: JSON path extraction
-    (get_json_object — Jackson JVM-side, codegen-compatible) feeding
-    an exact integer aggregate. At 100 TB prefer from_json with a
-    pinned schema once the shape is known (single parse, columnar
-    struct); the path form is for exploratory/ragged JSON."""
-    events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return events.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
-    )
-
-
-@register(
-    "json_single_parse_stats",
-    "WITH p AS (SELECT event_type, "
-    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
-    "SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, "
-    "MIN(k) AS min_k, MAX(k) AS max_k, "
-    "COUNT(DISTINCT k) AS n_distinct_k FROM p GROUP BY event_type",
-)
-def json_single_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE path for semi-structured columns that
-    `json_props_stats`'s docstring points at: `from_json` with a
-    PINNED schema — the JSON is parsed ONCE into a columnar struct,
-    then every downstream expression reads struct fields (codegen
-    field access), vs `get_json_object` re-running Jackson per path
-    per row. Same exact-integer aggregation discipline; the
-    distinct-agg adds Catalyst's two-phase expand on top."""
-    events = load_table(spark, sf_dir, "events")
-    parsed = events.select(
-        "event_type", F.from_json("props", "k LONG").alias("p")
-    ).select("event_type", F.col("p.k").alias("k"))
-    return parsed.groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"),
-        F.min("k").alias("min_k"),
-        F.max("k").alias("max_k"),
-        F.countDistinct("k").alias("n_distinct_k"),
-    )
-
-
-@register(
-    "doc_term_stats",
-    "WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
-    "FROM documents), "
-    "tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2), "
-    "dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1), "
-    "ranked AS (SELECT doc_id, term, tf, df, row_number() OVER "
-    "(PARTITION BY doc_id ORDER BY tf DESC, term) AS rnk "
-    "FROM tfc JOIN dfc USING (term)) "
-    "SELECT doc_id, term, tf, df FROM ranked WHERE rnk <= 5",
-)
-def doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The doc-term matrix relational core (A4/A5's exact twin): term
-    frequency per doc, document frequency per term, per-doc top-5
-    terms. explode -> two hash aggs (both map-side combinable) ->
-    df join -> WindowGroupLimit top-k per doc. The CountVectorizer
-    path in topics.py is this plan with vocab pruning; exact integer
-    outputs keep it oracle-able (idf's log stays caller-side — libm
-    rounding differs across engines)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    tfc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.col("term"))
-    return (
-        tfc.join(dfc, "term")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("doc_id", "term", "tf", "df")
-    )
-
-
-@register(
-    "tfidf_top_terms",
-    "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), "
-    "tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
-    "FROM documents), "
-    "tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2), "
-    "dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1), "
-    "scored AS (SELECT doc_id, term, tf, df, "
-    "tf * (n_docs + 1) AS score_num, df + 1 AS score_den, "
-    "row_number() OVER (PARTITION BY doc_id ORDER BY "
-    "CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) DESC, term) AS rnk "
-    "FROM tfc JOIN dfc USING (term) CROSS JOIN n) "
-    "SELECT doc_id, rnk, term, tf, df, score_num, score_den "
-    "FROM scored WHERE rnk <= 5",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-5 terms per document with an EXACT rational idf —
-    the keyword-extraction / salient-term primitive of search and
-    corpus-quality work, and the reason `doc_term_stats` stops at
-    raw (tf, df): `log` is libm-rounded differently per engine, so a
-    logged idf can't value-hash across Spark and DuckDB. Here
-    idf = (N+1)/(df+1) (add-one smoothed, log-free): score
-    numerator/denominator are exact int64 products, and the ranking
-    key `score_num / score_den` is ONE correctly-rounded IEEE
-    division — bit-identical in both engines — with a term-asc tie
-    break. The log variant is the same plan with
-    `F.log((N+1)/(df+1))` substituted caller-side.
-
-    Plan: explode -> two map-side-combinable hash aggs (tf, df) ->
-    df join (term dimension; at 100 TB stays a shuffle join on term
-    — high-DF stopword terms are the skew keys, AQE skew-split
-    bounds them) -> per-doc WindowGroupLimit top-5 (no global sort).
-    The corpus count N rides in as a broadcast 1-row cross join, not
-    a driver round-trip in the plan."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    n = docs.agg(F.count("*").alias("n_docs"))
-    tfc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tfc.join(dfc, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn("score_num", F.col("tf") * (F.col("n_docs") + 1))
-        .withColumn("score_den", F.col("df") + 1)
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        (F.col("score_num").cast("double") / F.col("score_den")).desc(),
-        F.col("term"),
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("doc_id", "rnk", "term", "tf", "df", "score_num", "score_den")
-    )
-
-
-@register(
-    "top_bigrams",
-    "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), "
-    "b AS (SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)), "
-    "i -> array_to_string(w[i+1:i+2], ' '))) AS bigram FROM t) "
-    "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
-    "ORDER BY n DESC, bigram LIMIT 100",
-)
-def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide n-gram counting (the wordcount of LLM-data work —
-    vocabulary induction, contamination lists): explode bigrams ->
-    hash agg with map-side partial combine -> top-100 via
-    TakeOrderedAndProject. The explode is the scan-dominant stage and
-    stays linear; no driver-side state."""
-    from .functions.tokenize import word_shingles
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    return (
-        docs.select(
-            F.explode(word_shingles(F.split("text", " "), 2)).alias("bigram")
-        )
-        .groupBy("bigram")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.col("bigram"))
-        .limit(100)
-    )
-
-
-# --------------------------------------------------------------------
-# approximate aggregates: the 100 TB fast path for exact twins above
-# --------------------------------------------------------------------
-
-
-@register(
-    "approx_distinct_users",
-    # deterministic-BOUND oracle: the estimate itself is
-    # engine-defined, but the certified claim — "the HLL estimate is
-    # within 5*rsd of the exact distinct count" — is a boolean both
-    # engines can state. DuckDB asserts TRUE unconditionally; Spark
-    # computes the bound for real, so any sketch drift past the
-    # tolerance hash-mismatches the driver row.
-    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, "
-    "TRUE AS hll_within_tol FROM events GROUP BY event_type",
-)
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts per event_type (rsd=2%) — the
-    scale path for ``distinct_users_per_type``: single-pass, fixed
-    ~1.5 KB sketch per group, no Expand/two-phase distinct shuffle of
-    the full key set. Certified via a deterministic error bound: the
-    row carries the exact count (hash-comparable) plus a boolean
-    asserting |approx − exact| <= max(5·rsd·exact, 16) — generous vs
-    the 2-3 sigma envelope, so the check is deterministic, yet tight
-    enough that a broken sketch (or a silently changed rsd) fails.
-    The exact twin rides along ONLY for certification; the production
-    scale path is the approx aggregate alone
-    (``distinct_users_per_type`` is the exact reference query)."""
-    events = load_table(spark, sf_dir, "events")
-    tol = F.greatest(
-        F.round(F.col("n_users_exact") * 0.10).cast("long"), F.lit(16)
-    )
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
-            F.countDistinct("user_id").alias("n_users_exact"),
-        )
-        .select(
-            "event_type",
-            "n_users_exact",
-            (
-                F.abs(F.col("__approx") - F.col("n_users_exact")) <= tol
-            ).alias("hll_within_tol"),
-        )
-    )
-
-
-@register(
-    "approx_price_quantiles",
-    # deterministic-BOUND oracle: GK guarantees rank error <= eps*n
-    # (eps = 1/accuracy); the certified claim is the integer
-    # cross-multiplied rank window, TRUE on the DuckDB side.
-    "SELECT l_returnflag, p_pct, CAST(COUNT(*) AS BIGINT) AS n, "
-    "TRUE AS rank_ok FROM lineitem "
-    "CROSS JOIN (VALUES (25), (50), (75)) v(p_pct) "
-    "GROUP BY l_returnflag, p_pct",
-)
-def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate grouped quantiles (the t-digest-
-    class scale path for ``price_quantiles``): mergeable fixed-size
-    summaries instead of the exact ``percentile`` sort-per-group.
-    Certified via the GK rank guarantee: for each returned quantile
-    value v at fraction p, the number of rows <= v must sit within
-    eps·n + 1 of rank p·n (eps = 1/accuracy = 1e-4). The rank count
-    is ONE extra broadcast-join pass over the group (3 quantile rows
-    per group broadcast against the fact scan — no sort, no second
-    shuffle); all arithmetic is integer cross-multiplied, so the
-    boolean is deterministic in any engine. The exact quantile twin
-    is ``price_quantiles``."""
-    li = load_table(spark, sf_dir, "lineitem")
-    q = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75], 10_000
-            ).alias("__qs"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "l_returnflag", "n", F.posexplode("__qs").alias("__i", "__qv")
-        )
-        .select(
-            "l_returnflag",
-            "n",
-            ((F.col("__i") + 1) * 25).cast("int").alias("p_pct"),
-            "__qv",
-        )
-    )
-    counts = (
-        li.select("l_returnflag", "l_extendedprice")
-        .join(F.broadcast(q), "l_returnflag")
-        .groupBy("l_returnflag", "p_pct", "n")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") <= F.col("__qv")).cast("long")
-            ).alias("__le"),
-            F.sum(
-                (F.col("l_extendedprice") < F.col("__qv")).cast("long")
-            ).alias("__lt"),
-        )
-    )
-    # GK: exists a rank r in [min_rank(v), max_rank(v)] with
-    # |r - p*n| <= eps*n. Cross-multiply by 100 (p_pct) to stay
-    # integral: tol = n div 10000 + 1 covers eps*n rounding.
-    tol = F.expr("n div 10000") + F.lit(1)
-    rank_ok = (
-        (F.col("__le") * 100 >= F.col("p_pct") * F.col("n") - 100 * tol)
-        & (F.col("__lt") * 100 <= F.col("p_pct") * F.col("n") + 100 * tol)
-    )
-    return counts.select(
-        "l_returnflag", "p_pct", F.col("n").cast("long").alias("n"),
-        rank_ok.alias("rank_ok"),
-    )
-
-
-_CMS_SQL = """
-WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
-hr AS (SELECT i FROM (VALUES (0), (1), (2), (3), (4)) t(i)),
-cells AS (
-  SELECT i AS row_i,
-         CAST('0x' || substr(md5('cms-r' || CAST(i AS VARCHAR) || ':' || k),
-              1, 8) AS BIGINT) % 64 AS col_j,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM ev CROSS JOIN hr GROUP BY 1, 2
-),
-probes AS (SELECT DISTINCT user_id, k FROM ev),
-est AS (
-  SELECT p.user_id, MIN(c.cnt) AS est_count
-  FROM probes p CROSS JOIN hr
-  JOIN cells c ON c.row_i = hr.i
-   AND c.col_j = CAST('0x' || substr(md5('cms-r' || CAST(hr.i AS VARCHAR)
-                 || ':' || p.k), 1, 8) AS BIGINT) % 64
-  GROUP BY p.user_id
-),
-exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
-          FROM events GROUP BY user_id)
-SELECT e.user_id, est.est_count, e.exact_count,
-       est.est_count - e.exact_count AS overcount
-FROM est JOIN exact e USING (user_id)
-"""
-
-
-@register("cms_user_event_counts", _CMS_SQL)
-def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
-    2005): a 5x64 counter table over events.user_id, probed for every
-    distinct user. Unlike the HLL/GK bound-certified rows above, CMS
-    built on md5 hashing is FULLY deterministic, so the estimates
-    themselves hash-match a DuckDB replay of the identical sketch —
-    the exact count rides along to exhibit the one-sided guarantee
-    (overcount >= 0 always; <= (e/width)*N w.p. 1-e^-depth).
-
-    Scale shape: sketch build is one hash-aggregate whose shuffle is
-    capped at n_tasks*depth*width rows by partial combine regardless
-    of input size; the probe broadcasts the 320-row sketch (map-side
-    hash join), then one min-aggregation per key. Counter tables from
-    different shards/days merge by cell-wise addition — the
-    incremental path at 100 TB (same contract as
-    ``sketch_distinct_users_daily``'s HLL union)."""
-    from .operators import profiling as P
-
-    events = load_table(spark, sf_dir, "events")
-    sketch = P.build_cms(events, "user_id", depth=5, width=64)
-    probes = events.select("user_id").distinct()
-    est = P.cms_estimate(sketch, probes, "user_id", depth=5, width=64)
-    exact = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
-    return est.join(exact, "user_id").select(
-        "user_id",
-        "est_count",
-        "exact_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
-    )
-
-
-_KMV_K = 64
-_KMV_SPACE = 1 << 48
-
-def _kmv_setops_sql(per_where: str = "") -> str:
-    """The KMV per-type + union + intersect oracle; ``per_where``
-    optionally restricts the per-type rows (the streaming variant
-    maintains state only for the click/view pair)."""
-    return (
-        "WITH hv AS (SELECT DISTINCT event_type, "
-        "CAST(('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), "
-        "1, 12)) AS UBIGINT) AS hv FROM events), "
-        "sk AS (SELECT event_type, hv FROM (SELECT event_type, hv, "
-        "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn "
-        f"FROM hv) WHERE rn <= {_KMV_K}), "
-        "per AS (SELECT 'type:' || event_type AS scope, "
-        f"CASE WHEN COUNT(*) >= {_KMV_K} THEN "
-        f"{_KMV_K - 1} * {_KMV_SPACE} // MAX(hv) "
-        f"ELSE COUNT(*) END AS est FROM sk {per_where}"
-        "GROUP BY event_type), "
-        + _KMV_SETOPS_TAIL
-    )
-
-
-_KMV_SETOPS_TAIL = (
-    "u AS (SELECT hv FROM (SELECT DISTINCT hv FROM sk "
-    "WHERE event_type IN ('click', 'view')) "
-    f"ORDER BY hv LIMIT {_KMV_K}), "
-    "ustat AS (SELECT COUNT(*) AS n, MAX(hv) AS hk FROM u), "
-    f"uest AS (SELECT n, CASE WHEN n >= {_KMV_K} THEN "
-    f"{_KMV_K - 1} * {_KMV_SPACE} // hk ELSE n END AS est FROM ustat), "
-    "xc AS (SELECT COUNT(*) AS x FROM u WHERE "
-    "hv IN (SELECT hv FROM sk WHERE event_type = 'click') AND "
-    "hv IN (SELECT hv FROM sk WHERE event_type = 'view')) "
-    "SELECT scope, CAST(est AS BIGINT) AS est FROM per "
-    "UNION ALL SELECT 'union:click+view', CAST(est AS BIGINT) FROM uest "
-    "UNION ALL SELECT 'intersect:click+view', "
-    "CAST(CASE WHEN n > 0 THEN x * est // n ELSE 0 END "
-    "AS BIGINT) FROM xc, uest"
-)
-
-
-_KMV_STREAM_SQL = (
-    "WITH hv AS (SELECT DISTINCT event_type, "
-    "CAST(('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), "
-    "1, 12)) AS UBIGINT) AS hv FROM events), "
-    "sk AS (SELECT event_type, hv FROM (SELECT event_type, hv, "
-    "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn "
-    f"FROM hv) WHERE rn <= {_KMV_K}) "
-    "SELECT event_type, CAST(CASE WHEN COUNT(*) >= "
-    f"{_KMV_K} THEN {_KMV_K - 1} * {_KMV_SPACE} // MAX(hv) "
-    "ELSE COUNT(*) END AS BIGINT) AS est FROM sk GROUP BY event_type"
-)
-
-
-@register("streaming_kmv_distinct", _KMV_STREAM_SQL)
-def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming distinct-count with PERSISTENT KMV state
-    (streaming/ingest.kmv_stream): each micro-batch writes its
-    per-type k-min delta as a (lineage, batch) dynamic partition;
-    the merged sketch is the k smallest DISTINCT hashes across all
-    deltas — k-min-of-union, idempotent under epoch replay even
-    WITHOUT the partition overwrite (duplication is absorbed by
-    distinct), the set-cardinality sibling of the cms_stream counter
-    state. Because md5-KMV is fully deterministic, the drained
-    merged sketch equals the batch-built sketch EXACTLY, so the
-    batch KMV estimate SQL is the oracle — a streaming sketch
-    pipeline certified value-exact cross-engine. At 100 TB: each
-    delta is ≤ k rows per (partition, group) at write time
-    (WindowGroupLimit, contract-locked on the batch twin); the
-    merge reads n_batches × k-row deltas, never raw history."""
-    import shutil
-    import tempfile
-
-    from .operators.profiling import kmv_estimate
-    from .streaming.ingest import kmv_stream, read_kmv_sketch
-
-    # establishes the nanos-ts read conf for the raw events schema
-    load_table(spark, sf_dir, "events")
-    ev_path = f"{sf_dir}/events.parquet"
-    # one per-run root so the sketch + checkpoint state can be removed
-    # as a unit once the estimate is materialized — repeated bench /
-    # correctness invocations must not accumulate orphaned temp state
-    run_root = tempfile.mkdtemp(prefix="kmv_run_")
-    q = kmv_stream(
-        spark,
-        ev_path,
-        f"{run_root}/sketch",
-        f"{run_root}/ckpt",
-        key="user_id",
-        group_cols=["event_type"],
-        k=_KMV_K,
-    )
-    q.awaitTermination()
-    sk = read_kmv_sketch(spark, f"{run_root}/sketch", ["event_type"], k=_KMV_K)
-    est = kmv_estimate(sk, ["event_type"], k=_KMV_K)
-    # materialize the ≤ #types-row estimate before deleting the state
-    # it reads from, then hand back a self-contained local relation
-    out = spark.createDataFrame(est.collect(), est.schema)
-    shutil.rmtree(run_root, ignore_errors=True)
-    return out
-
-
-@register(
-    "streaming_kmv_setops",
-    _kmv_setops_sql("WHERE event_type IN ('click', 'view') "),
-)
-def streaming_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations ACROSS separately-maintained streaming KMV
-    states: TWO kmv_stream pipelines drain the event feed — one
-    keeps click state, one keeps view state, each in its own sketch
-    table with its own checkpoint lineage — and the answer
-    (per-scope estimate, union, intersection) is computed over the
-    two merged states with the SAME kmv_setops algebra the batch
-    sketches use. That is the point of KMV over HLL-family state:
-    independently-owned streaming pipelines can answer overlap
-    questions about each other's domains after the fact, without a
-    joint pipeline. md5 determinism makes the merged streaming
-    sketch EQUAL the batch sketch, so the batch set-op SQL (per-type
-    rows restricted to the maintained pair) is the oracle —
-    hash-exact cross-engine. At 100 TB: each delta is ≤ k rows per
-    group per batch; the set-op legs read n_batches × k-row deltas,
-    never raw history."""
-    import shutil
-    import tempfile
-
-    from .operators.profiling import kmv_estimate, kmv_setops
-    from .streaming.ingest import kmv_stream, read_kmv_sketch
-
-    load_table(spark, sf_dir, "events")
-    ev_path = f"{sf_dir}/events.parquet"
-    run_root = tempfile.mkdtemp(prefix="kmv_setops_run_")
-    for scope in ("click", "view"):
-        q = kmv_stream(
-            spark,
-            ev_path,
-            f"{run_root}/{scope}/sketch",
-            f"{run_root}/{scope}/ckpt",
-            key="user_id",
-            group_cols=["event_type"],
-            k=_KMV_K,
-            where=f"event_type = '{scope}'",
-        )
-        q.awaitTermination()
-    sk = read_kmv_sketch(
-        spark, f"{run_root}/click/sketch", ["event_type"], k=_KMV_K
-    ).unionByName(
-        read_kmv_sketch(
-            spark, f"{run_root}/view/sketch", ["event_type"], k=_KMV_K
-        )
-    )
-    per = kmv_estimate(sk, ["event_type"], k=_KMV_K).select(
-        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
-        F.col("est").cast("long").alias("est"),
-    )
-    out_df = per.unionByName(
-        kmv_setops(sk, "event_type", "click", "view", k=_KMV_K)
-    )
-    # materialize the 4-row answer before deleting the state it reads
-    out = spark.createDataFrame(out_df.collect(), out_df.schema)
-    shutil.rmtree(run_root, ignore_errors=True)
-    return out
-
-
-@register("kmv_distinct_setops", _kmv_setops_sql())
-def kmv_distinct_setops(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """KMV (k-minimum-values) distinct sketch with SET OPERATIONS
-    (Beyer et al. 2007): per-event-type distinct-user estimates,
-    plus the union AND intersection estimate for the click/view
-    pair — the capability HLL-family sketches lack (HLL unions but
-    cannot intersect; KMV's union sketch overlaps with the input
-    sketches estimate |A∩B| directly as x · est_union div n).
-    md5-prefix hashing (the engine's cross-engine flavor) makes the
-    whole sketch DETERMINISTIC: estimates hash-match in DuckDB
-    exactly — no bound certificate needed, unlike
-    approx_distinct_users' HLL. 48-bit hashes keep (k−1)·2⁴⁸ div h_k
-    inside BIGINT. At 100 TB: one distinct (type, hash) shuffle, and
-    the k-min window is PHYSICALLY two-level (WindowGroupLimit runs
-    a partial per-partition top-k below the group Exchange —
-    contract-locked), so only ≤ k rows per (partition, group) ever
-    shuffle; sketches are ≤ k rows — merge and intersect cost
-    nothing. Sketch rows persist once (cache_handles contract)
-    because the union/intersect legs re-read them."""
-    from .operators.profiling import kmv_estimate, kmv_setops, kmv_sketch
-
-    events = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch(events, "user_id", ["event_type"], k=_KMV_K).persist()
-    if cache_handles is not None:
-        cache_handles.append(sk)
-    per = kmv_estimate(sk, ["event_type"], k=_KMV_K).select(
-        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
-        F.col("est").cast("long").alias("est"),
-    )
-    return per.unionByName(
-        kmv_setops(sk, "event_type", "click", "view", k=_KMV_K)
-    )
-
-
-# --------------------------------------------------------------------
-# data layout: Z-order clustering for multi-dimensional scan pruning
-# --------------------------------------------------------------------
-
-
-def _zorder_sql() -> str:
-    from .operators.layout import morton_z2_sql
-
-    z = morton_z2_sql("x_cell", "y_cell", 8)
-    return (
-        "WITH q AS (SELECT event_id, "
-        "LEAST(CAST(FLOOR(value / 2) AS BIGINT), 255) AS x_cell, "
-        "user_id % 256 AS y_cell FROM events) "
-        f"SELECT event_id, x_cell, y_cell, {z} AS zval "
-        "FROM q ORDER BY zval, event_id LIMIT 1000"
-    )
-
-
-@register("zorder_event_cells", _zorder_sql())
-def zorder_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton (Z-curve) cell assignment over two quantized dimensions
-    of events — the clustering key behind ``layout.zorder_write``
-    (Delta/Iceberg OPTIMIZE ZORDER BY semantics). The interleave is
-    4*bits unrolled JVM bit ops (whole-stage codegen, no UDF) and the
-    oracle replays the identical bit math in SQL, so the certified
-    claim covers the exact curve, not just row counts. Sorting a
-    100 TB table by this value is ONE range-repartition write; the
-    payoff is file-stats pruning on EITHER dimension
-    (tests/test_layout.py measures it on real parquet row groups)."""
-    from .operators.layout import morton_z2
-
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.select(
-        "event_id",
-        F.least(
-            F.floor(F.col("value") / 2).cast("long"), F.lit(255).cast("long")
-        ).alias("x_cell"),
-        (F.col("user_id") % 256).alias("y_cell"),
-    )
-    return (
-        q.select(
-            "event_id",
-            "x_cell",
-            "y_cell",
-            morton_z2(F.col("x_cell"), F.col("y_cell"), 8).alias("zval"),
-        )
-        .orderBy("zval", "event_id")
-        .limit(1000)
-    )
-
-
-# --------------------------------------------------------------------
-# ranking / lead-lag window surface + set operations
-# --------------------------------------------------------------------
-
-
-@register(
-    "rank_orders_in_priority",
-    "WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice, "
-    "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
-    "ntile(4) OVER w AS quartile FROM orders "
-    "WINDOW w AS (PARTITION BY o_orderpriority "
-    "ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)) "
-    "SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile "
-    "FROM r WHERE rnk <= 50",
-)
-def rank_orders_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking surface: rank / dense_rank / ntile in one window pass
-    (one shuffle on the partition key; the rank<=50 filter becomes a
-    WindowGroupLimit pushdown so each partition keeps a 50-row heap
-    rather than sorting everything at 100 TB). Ordering ties broken
-    by o_orderkey -> fully deterministic cross-engine."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.round(F.col("o_totalprice") * 100).cast("long").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.select(
-            "o_orderpriority",
-            "o_orderkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .filter(F.col("rnk") <= 50)
-    )
-
-
-@register(
-    "event_interarrival_stats",
-    "WITH d AS (SELECT user_id, "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-    "AS gap_us FROM events) "
-    "SELECT user_id, COUNT(gap_us) AS n_gaps, "
-    "CAST(SUM(gap_us) AS BIGINT) AS total_gap_us, "
-    "CAST(MAX(gap_us) AS BIGINT) AS max_gap_us "
-    "FROM d WHERE gap_us IS NOT NULL GROUP BY user_id",
-)
-def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead/lag surface: per-user inter-arrival gaps (lag over event
-    time) aggregated to exact integer stats. Gaps are whole
-    microseconds (unix_micros / epoch_us — both engines truncate
-    nanos identically; epoch seconds would be fractional in DuckDB
-    but truncated in Spark). The window and the groupBy share the
-    user_id hash partitioning — one shuffle total, the aggregation
-    partial-combined map-side."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = R.epoch_us("ts")
-    gap = us - F.lag(us).over(w)
-    return (
-        events.select("user_id", gap.alias("gap_us"))
-        .filter(F.col("gap_us").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.count("gap_us").alias("n_gaps"),
-            F.sum("gap_us").alias("total_gap_us"),
-            F.max("gap_us").alias("max_gap_us"),
-        )
-    )
-
-
-@register(
-    "setop_intersect_except",
-    "WITH click_users AS (SELECT DISTINCT user_id FROM events "
-    "WHERE event_type = 'click'), "
-    "buy_users AS (SELECT DISTINCT user_id FROM events "
-    "WHERE event_type = 'purchase') "
-    "SELECT 'both' AS cohort, user_id FROM "
-    "(SELECT user_id FROM click_users INTERSECT SELECT user_id FROM buy_users) "
-    "UNION ALL "
-    "SELECT 'click_only' AS cohort, user_id FROM "
-    "(SELECT user_id FROM click_users EXCEPT SELECT user_id FROM buy_users)",
-)
-def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations (INTERSECT / EXCEPT): clickers who did / did not
-    purchase. Catalyst plans both as hash semi/anti joins over the
-    deduped key sets — no full-row sort-based set algebra."""
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buys = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    both = clicks.intersect(buys).select(F.lit("both").alias("cohort"), "user_id")
-    only = clicks.exceptAll(buys).select(
-        F.lit("click_only").alias("cohort"), "user_id"
-    )
-    return both.unionByName(only)
-
-
-@register(
-    "tpch_q7_volume_shipping",
-    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
-    "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled "
-    "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
-    "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
-    "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
-    "AND c_nationkey = n2.n_nationkey "
-    "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
-    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
-    "GROUP BY supp_nation, cust_nation, l_year",
-)
-def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: one dimension table (nation) playing TWO join
-    roles (supplier's vs customer's nation) with a disjunctive
-    cross-role predicate. The nation filter is applied to each small
-    side BEFORE the fact joins, so supplier/customer shrink to the
-    two named nations and broadcast; the only at-scale shuffle is
-    lineitem ⋈ orders on orderkey. The OR-of-pairs predicate runs
-    post-join on two broadcast-joined label columns — never a
-    nested-loop join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-    supp_n = supplier.join(
-        F.broadcast(two.select(F.col("n_nationkey").alias("sk"),
-                               F.col("n_name").alias("supp_nation"))),
-        F.col("s_nationkey") == F.col("sk"),
-    ).select("s_suppkey", "supp_nation")
-    cust_n = customer.join(
-        F.broadcast(two.select(F.col("n_nationkey").alias("ck"),
-                               F.col("n_name").alias("cust_nation"))),
-        F.col("c_nationkey") == F.col("ck"),
-    ).select("c_custkey", "cust_nation")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(F.sum(price * (100 - disc)).alias("revenue_scaled"))
-    )
-
-
-@register(
-    "tpch_q11_important_parts",
-    "WITH pv AS (SELECT l_partkey, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS value_scaled "
-    "FROM lineitem GROUP BY l_partkey) "
-    "SELECT l_partkey, value_scaled FROM pv "
-    "WHERE value_scaled * (SELECT COUNT(*) FROM pv) > "
-    "2 * (SELECT SUM(value_scaled) FROM pv)",
-)
-def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (partsupp→lineitem adaptation: traded value
-    per part vs a global-total scalar subquery). Two-level plan: one
-    partial+final hash agg by partkey, then the grand total — a
-    1-row aggregate — broadcast onto the per-part rows via cross
-    join, so the HAVING-vs-global comparison never shuffles the
-    per-part side again. All-integer arithmetic: the ">2x the mean
-    part value" threshold is cross-multiplied
-    (`val*n_parts > 2*total`) — scale-invariant (a fixed share
-    fraction goes trivial/empty as #parts grows), no fp."""
-    li = load_table(spark, sf_dir, "lineitem")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    pv = (
-        li.groupBy("l_partkey")
-        .agg(F.sum(price * qty).alias("value_scaled"))
-    )
-    total = pv.agg(
-        F.sum("value_scaled").alias("grand_total"),
-        F.count("*").alias("n_parts"),
-    )
-    return (
-        pv.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("value_scaled") * F.col("n_parts")
-            > 2 * F.col("grand_total")
-        )
-        .select("l_partkey", "value_scaled")
-    )
-
-
-@register(
-    "tpch_q13_order_distribution",
-    "SELECT c_count, COUNT(*) AS custdist FROM ("
-    "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
-    "FROM customer LEFT OUTER JOIN orders "
-    "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
-    "GROUP BY c_custkey) c_orders "
-    "GROUP BY c_count",
-)
-def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: distribution of orders per customer —
-    left-OUTER join with a non-key predicate INSIDE the join
-    condition (customers whose only orders are urgent must surface
-    with count 0, so the filter cannot be a WHERE), then two stacked
-    aggregations. COUNT(o_orderkey) counts non-null matches only —
-    expressed as `count(o_orderkey)` which skips the outer-join
-    nulls in both engines. The second agg's input is ≤ #customers
-    rows, so its shuffle is trivial at any scale."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        customer.select("c_custkey")
-        .join(
-            orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-@register(
-    "tpch_q15_top_supplier",
-    "WITH rev AS (SELECT l_suppkey, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_scaled "
-    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
-    "SELECT s_suppkey, s_name, total_rev_scaled "
-    "FROM supplier, rev WHERE s_suppkey = l_suppkey "
-    "AND total_rev_scaled = (SELECT MAX(total_rev_scaled) FROM rev)",
-)
-def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: argmax-by-equality against a scalar MAX
-    subquery (the revenue view). The quarter's per-supplier revenue
-    is aggregated once and reused for both the MAX and the equality
-    probe — authored as one cached-free plan: agg → 1-row max
-    broadcast → filter, then broadcast-join supplier names. Exact
-    integer revenue makes the equality safe cross-engine (fp sums
-    would make `= MAX` nondeterministic)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-        )
-        .groupBy("l_suppkey")
-        .agg(F.sum(price * (100 - disc)).alias("total_rev_scaled"))
-    )
-    mx = rev.agg(F.max("total_rev_scaled").alias("mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev_scaled") == F.col("mx"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev_scaled")
-    )
-
-
-@register(
-    "tpch_q16_supplier_cnt",
-    "SELECT p_brand, p_type, p_size, "
-    "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
-    "FROM lineitem, part WHERE p_partkey = l_partkey "
-    "AND p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
-    "AND l_suppkey NOT IN "
-    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
-    "GROUP BY p_brand, p_type, p_size",
-)
-def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (partsupp→lineitem adaptation; 'complaint'
-    suppliers = negative acctbal): NOT-IN exclusion + grouped
-    COUNT(DISTINCT). The exclusion list is a handful of keys —
-    aggregated then broadcast anti-joined, so the fact side never
-    shuffles for it (s_suppkey is non-null, so anti-join ≡ NOT IN;
-    a nullable exclusion key would need Spark's null-aware anti
-    join, i.e. the `NOT IN` SQL front-end). The distinct-agg is
-    Catalyst's standard two-shuffle expand."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supplier = load_table(spark, sf_dir, "supplier")
-    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    keep_parts = part.filter(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    return (
-        li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
-              "left_anti")
-        .join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@register(
-    "tpch_q17_small_qty_revenue",
-    "WITH pq AS (SELECT l_partkey AS pk, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_q_scaled, "
-    "COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey) "
-    "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
-    "/ 100.0 / 7.0 AS avg_yearly "
-    "FROM lineitem, part, pq WHERE p_partkey = l_partkey AND pk = l_partkey "
-    "AND p_brand = 'Brand#2' "
-    "AND CAST(ROUND(l_quantity * 100) AS BIGINT) * cnt * 5 < sum_q_scaled",
-)
-def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar-AVG subquery
-    (`l_quantity < 0.2 * AVG(l_quantity) per part`), decorrelated to
-    a per-part aggregate joined back to the fact — the standard
-    rewrite Catalyst itself applies to correlated scalar subqueries.
-    The AVG comparison is cross-multiplied into integers
-    (`q*cnt*5 < sum`) so the threshold is exact in both engines —
-    a fp average would flip rows at the boundary. p_brand prunes
-    parts before the join; the per-part agg is over full lineitem
-    (needed: AVG is per part, not per brand-filtered subset)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    pq = (
-        li.groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.sum(qty).alias("sum_q_scaled"), F.count("*").alias("cnt"))
-    )
-    brand = part.filter(F.col("p_brand") == "Brand#2").select("p_partkey")
-    return (
-        li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
-        .join(pq, F.col("l_partkey") == F.col("pk"))
-        .filter(qty * F.col("cnt") * 5 < F.col("sum_q_scaled"))
-        .agg(
-            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-             / 100.0 / 7.0).alias("avg_yearly")
-        )
-    )
-
-
-@register(
-    "tpch_q22_dormant_customers",
-    "WITH pos AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_s "
-    "FROM customer WHERE c_acctbal > 0), "
-    "thr AS (SELECT CAST(SUM(bal_s) AS BIGINT) AS sum_s, COUNT(*) AS cnt FROM pos) "
-    "SELECT n_name AS nation, COUNT(*) AS numcust, "
-    "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 "
-    "AS totacctbal "
-    "FROM customer, nation, thr WHERE c_nationkey = n_nationkey "
-    "AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt > sum_s "
-    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
-    "AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') "
-    "GROUP BY n_name",
-)
-def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (phone-prefix→nation adaptation; 'no orders'
-    → 'no orders in the final year', since this corpus has no
-    order-less customers): above-average balance via a global scalar
-    subquery + NOT EXISTS anti-join, grouped by nation. The
-    above-average threshold is cross-multiplied to integers
-    (`bal*cnt > sum`); the anti-join's right side is the DISTINCT
-    recent-buyer key set (pre-aggregated, so the anti probe is
-    key-only); nation broadcasts."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    nation = load_table(spark, sf_dir, "nation")
-    bal = F.round(F.col("c_acctbal") * 100).cast("long")
-    thr = (
-        customer.filter(F.col("c_acctbal") > 0)
-        .agg(F.sum(bal).alias("sum_s"), F.count("*").alias("cnt"))
-    )
-    recent = (
-        orders.filter(
-            F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
-        )
-        .select("o_custkey")
-        .distinct()
-    )
-    return (
-        customer.crossJoin(F.broadcast(thr))
-        .filter(bal * F.col("cnt") > F.col("sum_s"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count("*").alias("numcust"),
-            (F.sum(bal) / 100.0).alias("totacctbal"),
-        )
-    )
-
-
-@register(
-    "gapfill_hourly_counts",
-    "WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events), "
-    "b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM ev), "
-    "spine AS (SELECT event_type, "
-    "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr "
-    "FROM (SELECT DISTINCT event_type FROM ev), b), "
-    "c AS (SELECT event_type, hr, COUNT(*) AS n FROM ev GROUP BY 1, 2) "
-    "SELECT s.event_type, s.hr, COALESCE(n, 0) AS n_events "
-    "FROM spine s LEFT JOIN c USING (event_type, hr)",
-)
-def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled time series (timescale-style `time_bucket_gapfill`):
-    hourly event counts per type with EMPTY buckets materialized as
-    zero rows — the shape every monitoring / training-data freshness
-    dashboard needs, and one vanilla groupBy cannot produce (absent
-    groups don't exist). The hour spine is generated ENGINE-side
-    (`sequence` + `explode` of a 1-row min/max aggregate crossed with
-    the distinct key set) — never a driver loop — then left-joined
-    with the real counts. At 100 TB the spine is |keys|×|hours| rows
-    built from a broadcast 1-row bound, and the left join shuffles on
-    the same (key, hour) the counts aggregation already produced."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    )
-    bounds = ev.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("interval 1 hour"))
-            ).alias("hr"),
-        )
-    )
-    counts = ev.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
-    return spine.join(counts, ["event_type", "hr"], "left").select(
-        "event_type", "hr", F.coalesce("n", F.lit(0)).alias("n_events")
-    )
-
-
-@register(
-    "retention_cohorts",
-    "WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day "
-    "FROM events GROUP BY user_id), "
-    "act AS (SELECT DISTINCT e.user_id, f.cohort_day, "
-    "CAST(ts AS DATE) - cohort_day AS day_n "
-    "FROM events e JOIN first f ON e.user_id = f.user_id) "
-    "SELECT cohort_day, CAST(day_n AS INT) AS day_n, "
-    "COUNT(*) AS n_active FROM act "
-    "WHERE day_n IN (0, 1, 7, 14) GROUP BY 1, 2",
-)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention (product analytics): users grouped by
-    first-seen day, counted again when active on day 0/1/7/14 after
-    it. Two shuffles total — the first-seen MIN aggregation and the
-    distinct — and the events↔cohort join co-partitions on user_id
-    with both; integer day arithmetic end to end."""
-    events = load_table(spark, sf_dir, "events")
-    d = F.to_date("ts")
-    first = events.groupBy("user_id").agg(F.min(d).alias("cohort_day"))
-    act = (
-        events.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(d, F.col("cohort_day")).alias("day_n"),
-        )
-        .distinct()
-    )
-    return (
-        act.filter(F.col("day_n").isin(0, 1, 7, 14))
-        .groupBy("cohort_day", F.col("day_n").cast("int").alias("day_n"))
-        .agg(F.count("*").alias("n_active"))
-    )
-
-
-@register(
-    "ewma_daily_value",
-    # recursive smoothing done EXACTLY: the daily series per type is
-    # tiny (≤ #days), so it folds as an ordered list — DuckDB
-    # list_reduce seeds with the first element and folds left,
-    # mirrored by Spark's slice+aggregate; daily means are exact
-    # scaled-int sums; 0.2*x + 0.8*acc is the identical IEEE
-    # expression in both engines, so no rounding is needed
-    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
-    "/ (100.0 * COUNT(*)) AS x FROM events GROUP BY 1, 2), "
-    "l AS (SELECT event_type, list(x ORDER BY d) AS xs "
-    "FROM daily GROUP BY event_type) "
-    "SELECT event_type, len(xs) AS n_days, "
-    "list_reduce(xs, (acc, v) -> 0.2 * v + 0.8 * acc) AS ewma "
-    "FROM l",
-)
-def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average of the daily mean value
-    per event type (alpha=0.2) — the trend-smoothing shape pandas
-    ``ewm`` gives the reference's sentiment trends, recursive and so
-    inexpressible as a plain window. Made exact AND scalable by the
-    two-level shape: the raw table reduces to a per-(type, day)
-    aggregate first (one shuffle, partial-combined), and ONLY the
-    tiny daily series (≤ #days rows per type) is collected into an
-    ordered array and folded deterministically — the fold order is
-    pinned, so the fp result is bit-identical across engines and
-    partitionings. Never fold raw events this way."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(
-        (
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            / (100.0 * F.count("*"))
-        ).alias("x")
-    )
-    series = daily.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("sx")
-    )
-    xs = F.col("sx.x")
-    ewma = F.aggregate(
-        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        F.element_at(xs, 1),
-        lambda acc, v: F.lit(0.2) * v + F.lit(0.8) * acc,
-    )
-    return series.select(
-        "event_type",
-        F.size(xs).alias("n_days"),
-        ewma.alias("ewma"),
-    )
-
-
-@register(
-    "time_weighted_avg",
-    # exactness: value scaled to int cents, interval widths are exact
-    # integer micros, so numerator/denominator are exact integer sums
-    # and the average is ONE double division (identical both engines)
-    "WITH o AS (SELECT event_type, "
-    "CAST(ROUND(value * 100) AS BIGINT) AS v, "
-    "epoch_us(ts) AS us, "
-    "lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) "
-    "AS nxt FROM events) "
-    "SELECT event_type, "
-    "CAST(SUM(v * (nxt - us)) AS BIGINT) / "
-    "(100.0 * CAST(SUM(nxt - us) AS BIGINT)) AS twa "
-    "FROM o WHERE nxt IS NOT NULL GROUP BY event_type",
-)
-def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-weighted average value per event type (timescale
-    `time_weight('LOCF')`): each observation weighted by how long it
-    was the latest one. Irregular sampling makes plain AVG wrong —
-    a value that held for an hour must count 3600x a value that held
-    a second. lead() gives the holding interval; the window and the
-    aggregation share one event_type shuffle. Exact integer
-    numerator/denominator (scaled cents x micros), one final fp
-    division."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    us = R.epoch_us("ts")
-    o = events.select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-        us.alias("us"),
-        F.lead(us).over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    return o.groupBy("event_type").agg(
-        (
-            F.sum(F.col("v") * (F.col("nxt") - F.col("us")))
-            / (100.0 * F.sum(F.col("nxt") - F.col("us")))
-        ).alias("twa")
-    )
-
-
-@register(
-    "gapfill_interpolate",
-    # exactness: hourly means are integer-scaled sums divided once;
-    # the interpolation formula is written with IDENTICAL operation
-    # order in both engines (prev + (next-prev)*(frac)), and the
-    # fraction is a single int/int division — bit-equal doubles, no
-    # rounding anywhere
-    "WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
-    "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
-    "b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM ev), "
-    "spine AS (SELECT event_type, "
-    "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr "
-    "FROM (SELECT DISTINCT event_type FROM ev), b), "
-    "hourly AS (SELECT event_type, hr, "
-    "CAST(SUM(v) AS BIGINT) / (100.0 * COUNT(*)) AS val "
-    "FROM ev GROUP BY 1, 2), "
-    "j AS (SELECT s.event_type, s.hr, val, epoch(s.hr) AS hs "
-    "FROM spine s LEFT JOIN hourly h "
-    "ON s.event_type = h.event_type AND s.hr = h.hr), "
-    "w AS (SELECT event_type, hr, val, "
-    "last_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
-    "last_value(CASE WHEN val IS NOT NULL THEN hs END IGNORE NULLS) "
-    "OVER (PARTITION BY event_type ORDER BY hr "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps, "
-    "first_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
-    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
-    "first_value(CASE WHEN val IS NOT NULL THEN hs END IGNORE NULLS) "
-    "OVER (PARTITION BY event_type ORDER BY hr "
-    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns, hs "
-    "FROM j) "
-    "SELECT event_type, hr, "
-    "CASE WHEN val IS NOT NULL THEN val "
-    "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
-    "ELSE pv + (nv - pv) * ((hs - ps) / (ns - ps)) END AS value_interp "
-    "FROM w",
-)
-def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled hourly mean VALUE per event type with LINEAR
-    INTERPOLATION across empty buckets (timescale `interpolate`;
-    edges carry the nearest observed value). Same scale shape as the
-    zero-fill variant — engine-side spine, one (key, hr) shuffle —
-    plus two ordered windows per key (forward/backward nearest
-    observation); per-key hour counts are bounded (spine length), so
-    the window input is small by construction. Means are exact
-    scaled-integer sums divided once; the interpolation arithmetic is
-    the identical IEEE expression in both engines — no rounding."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("hr"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
-    bounds = ev.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("interval 1 hour"))
-            ).alias("hr"),
-        )
-    )
-    hourly = ev.groupBy("event_type", "hr").agg(
-        (F.sum("v") / (100.0 * F.count("*"))).alias("val")
-    )
-    j = spine.join(hourly, ["event_type", "hr"], "left").withColumn(
-        "hs", R.epoch_seconds("hr")
-    )
-    back = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    fwd = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    obs_hs = F.when(F.col("val").isNotNull(), F.col("hs"))
-    pv = F.last("val", ignorenulls=True).over(back)
-    ps = F.last(obs_hs, ignorenulls=True).over(back)
-    nv = F.first("val", ignorenulls=True).over(fwd)
-    ns = F.first(obs_hs, ignorenulls=True).over(fwd)
-    interp = (
-        F.when(F.col("val").isNotNull(), F.col("val"))
-        .when(pv.isNull(), nv)
-        .when(nv.isNull(), pv)
-        .otherwise(pv + (nv - pv) * ((F.col("hs") - ps) / (ns - ps)))
-    )
-    return j.select("event_type", "hr", interp.alias("value_interp"))
-
-
-@register(
-    "histogram_totalprice",
-    "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket, "
-    "COUNT(*) AS n_orders FROM orders GROUP BY bucket",
-)
-def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-width histogram ($50k buckets over order totals) —
-    the profiling primitive behind data-distribution dashboards.
-    Bucketing is pure integer arithmetic (cents DIV width-in-cents),
-    so bucket boundaries are exact in both engines (fp division would
-    misplace boundary values). One partial+final hash agg; at 100 TB
-    the bucket cardinality is tiny so the map-side combine collapses
-    nearly everything before the single Exchange."""
-    orders = load_table(spark, sf_dir, "orders")
-    bucket = F.expr(
-        "cast(round(o_totalprice * 100) as bigint) div 5000000"
-    ).alias("bucket")
-    return orders.groupBy(bucket).agg(F.count("*").alias("n_orders"))
-
-
-@register(
-    "tpch_q2_min_cost_supplier",
-    "WITH mp AS (SELECT l_partkey AS pk, "
-    "MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS min_price_s "
-    "FROM lineitem GROUP BY l_partkey) "
-    "SELECT l_partkey, MIN(l_suppkey) AS best_supp, min_price_s "
-    "FROM lineitem, mp, part WHERE l_partkey = pk "
-    "AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) = min_price_s "
-    "AND p_partkey = l_partkey AND p_size = 10 "
-    "GROUP BY l_partkey, min_price_s",
-)
-def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (partsupp→lineitem adaptation): groupwise-ARGMIN
-    — the supplier quoting the minimum price per part, correlated
-    `= (SELECT MIN ...)` decorrelated into a per-part MIN aggregate
-    joined back on (part, price=min), with MIN(suppkey) as the
-    deterministic tie-break (Q2's ORDER BY role). Exact integer
-    prices make the equality probe safe cross-engine. The size
-    filter prunes parts before the join; the min-agg and the probe
-    shuffle on the same l_partkey, so AQE reuses the partitioning."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    mp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.min(price).alias("min_price_s")
-    )
-    sized = part.filter(F.col("p_size") == 10).select("p_partkey")
-    return (
-        li.select("l_partkey", "l_suppkey", price.alias("price_s"))
-        .join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            mp,
-            (F.col("l_partkey") == F.col("pk"))
-            & (F.col("price_s") == F.col("min_price_s")),
-        )
-        .groupBy("l_partkey", "min_price_s")
-        .agg(F.min("l_suppkey").alias("best_supp"))
-        .select("l_partkey", "best_supp", "min_price_s")
-    )
-
-
-@register(
-    "tpch_q20_excess_suppliers",
-    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
-    "SELECT l_suppkey FROM lineitem WHERE l_partkey IN "
-    "(SELECT p_partkey FROM part WHERE p_name LIKE 'red%') "
-    "GROUP BY l_suppkey "
-    "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 200000)",
-)
-def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: a chain of nested IN subqueries — parts by
-    name prefix → lineitems of those parts → suppliers whose summed
-    shipped quantity clears a threshold → supplier details. Each IN
-    becomes a (broadcast) semi-join: the part key set broadcasts
-    into the fact scan, the HAVING aggregate's key list semi-joins
-    supplier. The p_name LIKE 'red%' prefix predicate is pushed into
-    the part scan as a StartsWith filter."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supplier = load_table(spark, sf_dir, "supplier")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
-    heavy = (
-        li.join(
-            F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
-        .groupBy("l_suppkey")
-        .agg(F.sum(qty).alias("q"))
-        .filter(F.col("q") > 200000)
-        .select("l_suppkey")
-    )
-    return supplier.join(
-        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
-    ).select("s_suppkey", "s_name")
-
-
-@register(
-    "embedding_centroids",
-    "SELECT label, i - 1 AS pos, "
-    "(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) "
-    "AS BIGINT) / COUNT(*)) / 1000000.0 AS centroid "
-    "FROM embeddings, generate_series(1, 64) AS t(i) "
-    "GROUP BY label, i",
-)
-def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class embedding centroids (the class-prototype op behind
-    nearest-centroid labeling, clustering init, and drift checks).
-    Plan: ONE hash aggregate with 64 per-index integer-scaled sums —
-    all map-side combinable, so the shuffle carries |labels| × 65
-    longs per map partition instead of exploding rows×dim (the
-    posexplode-then-groupBy alternative shuffles D× the table). The
-    per-index column form is the right physical shape for fixed
-    small dims; for dim ≫ 10^3 switch to a Pandas-UDF matrix
-    partial-sum. Scaled-integer sums keep the mean exact
-    cross-engine (fp partial-sum order would differ)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    sums = emb.groupBy("label").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(
-                F.round(F.col("embedding")[i].cast("double") * 1000000)
-                .cast("long")
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ],
-    )
-    return sums.select(
-        "label",
-        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dim)])).alias(
-            "pos", "s"
-        ),
-        "n",
-    ).select(
-        "label", "pos", ((F.col("s") / F.col("n")) / 1000000.0).alias("centroid")
-    )
-
-
-def _scalar_quant_sql(dim: int = 64) -> str:
-    mins = ", ".join(
-        f"CAST(MIN(embedding[{i + 1}]) AS DOUBLE)" for i in range(dim)
-    )
-    maxs = ", ".join(
-        f"CAST(MAX(embedding[{i + 1}]) AS DOUBLE)" for i in range(dim)
-    )
-    code = (
-        "CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) "
-        "/ (mxs[i] - mns[i]) * 255 + 0.5) AS BIGINT)"
-    )
-    err = (
-        "CAST(FLOOR(ABS(CAST(embedding[i] AS DOUBLE) - (mns[i] + "
-        f"{code} * (mxs[i] - mns[i]) / 255)) * 1000000) AS BIGINT)"
-    )
-    return (
-        f"WITH st AS (SELECT [{mins}] AS mns, [{maxs}] AS mxs FROM embeddings) "
-        "SELECT vec_id, "
-        f"array_to_string(list_transform(range(1, {dim + 1}), "
-        f"i -> {code}), ' ') AS codes, "
-        # CAST: list_aggregate sum of BIGINTs is HUGEINT (-> float64
-        # in pandas), the known cross-engine int-width trap
-        f"CAST(list_aggregate(list_transform(range(1, {dim + 1}), "
-        f"i -> {err}), 'sum') AS BIGINT) AS err_um "
-        "FROM embeddings, st"
-    )
-
-
-@register("embedding_scalar_quant", _scalar_quant_sql())
-def embedding_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension min-max int8 scalar quantization of the
-    embedding table — the export format vector stores (FAISS SQ8,
-    Milvus/pgvector scalar index) consume, and the simple sibling of
-    the PQ/IVFADC codecs already certified. Returns the code string
-    per vector plus the total reconstruction error in integer
-    micro-units.
-
-    Determinism contract (what makes this hash-certifiable):
-    quantization uses FLOOR(x + 0.5), never ROUND — Spark rounds
-    doubles through BigDecimal's shortest-decimal representation
-    while DuckDB rounds the raw double, so they split on .5-boundary
-    quotients; FLOOR is a pure IEEE op both engines evaluate
-    identically. Per-dim reconstruction errors are floored to
-    integer micro-units BEFORE summing, so the per-vector total is
-    order-free integer math.
-
-    Plan: one map-side-combinable agg produces the 1-row min/max
-    table (128 partials — same shape as embedding_centroids),
-    broadcast onto the vector scan; codes + error are a single
-    narrow projection over a 64-step sequence transform. The vector
-    table never shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    xd = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
-    stats = emb.agg(
-        F.array(*[F.min(xd(i + 1)) for i in range(dim)]).alias("mns"),
-        F.array(*[F.max(xd(i + 1)) for i in range(dim)]).alias("mxs"),
-    )
-    idx = F.sequence(F.lit(1), F.lit(dim))
-
-    def code(i):
-        x = F.element_at("embedding", i).cast("double")
-        mn = F.element_at("mns", i)
-        mx = F.element_at("mxs", i)
-        return F.floor((x - mn) / (mx - mn) * 255 + F.lit(0.5)).cast("long")
-
-    def err(i):
-        x = F.element_at("embedding", i).cast("double")
-        mn = F.element_at("mns", i)
-        mx = F.element_at("mxs", i)
-        recon = mn + code(i).cast("double") * (mx - mn) / 255
-        return F.floor(F.abs(x - recon) * 1000000).cast("long")
-
-    return emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id",
-        F.array_join(F.transform(idx, code), " ").alias("codes"),
-        F.aggregate(
-            F.transform(idx, err), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("err_um"),
-    )
-
-
-@register(
-    "chunk_documents",
-    "WITH x AS (SELECT doc_id, text, unnest(range(0, "
-    "CAST(greatest(ceil((n_chars - 100) / 400.0) - 1, 0) AS BIGINT) + 1)) "
-    "AS chunk_idx FROM documents) "
-    "SELECT doc_id, chunk_idx, "
-    "substring(text, CAST(chunk_idx * 400 + 1 AS INT), 500) AS chunk_text "
-    "FROM x",
-)
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping document chunking — the standard long-document →
-    training-window split (chunk 500 chars, stride 400, 100 overlap).
-    Chunk offsets are generated ENGINE-side (`sequence` + `explode` on
-    a computed per-row count) and sliced with `substring` — linear,
-    fully codegen, no UDF, no driver loop. At 100 TB this is a pure
-    map stage: output rows ≈ chars/stride, no shuffle at all. The
-    chunk count is ceil((n_chars - overlap) / stride) so the final
-    partial window is kept iff it extends past the previous chunk."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    n_chunks = F.greatest(
-        F.ceil((F.col("n_chars") - 100) / 400.0) - 1, F.lit(0)
-    ).cast("long")
-    return docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias(
-            "chunk_idx"
-        ),
-        "text",
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.substring(
-            F.col("text"), (F.col("chunk_idx") * 400 + 1).cast("int"), 500
-        ).alias("chunk_text"),
-    )
-
-
-@register(
-    "dup_ngram_span_score",
-    "WITH sh AS (SELECT doc_id, unnest(list_transform("
-    "range(0, greatest(len(string_split(text, ' ')) - 3, 0)), "
-    "i -> array_to_string(string_split(text, ' ')[i+1:i+4], ' '))) AS g "
-    "FROM documents), "
-    "d AS (SELECT DISTINCT doc_id, g FROM sh), "
-    "df AS (SELECT g, COUNT(*) AS ndocs FROM d GROUP BY g) "
-    "SELECT doc_id, COUNT(*) AS n_grams, "
-    # CAST: DuckDB SUM(INT) is HUGEINT, which pandas materializes as
-    # float64 — the driver hashes it as "1.0" vs Spark's "1"
-    "CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS n_dup_grams "
-    "FROM d JOIN df USING (g) GROUP BY doc_id",
-)
-def dup_ngram_span_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-duplication scoring (the signal behind suffix-array
-    span dedup, Lee et al. 2022 'Deduplicating Training Data Makes
-    Language Models Better', recast relationally): per document, how
-    many of its distinct word 4-grams also appear in ANOTHER
-    document. Plan: one shingle explode → per-doc DISTINCT (first
-    agg, map-combinable) → corpus document-frequency agg → key-only
-    join back → per-doc counts. The duplicated-span *fraction*
-    (n_dup/n_grams) is one caller-side division; exact integer
-    outputs keep the oracle hashable. At 100 TB the DF table is the
-    big intermediate — it shuffles once on the gram hash, and high-DF
-    grams (boilerplate) are exactly the skew AQE's skew-join split
-    handles; cap or sample ndocs>K grams for a cheaper approximate
-    variant."""
-    from .functions.tokenize import word_shingles
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    d = (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles(F.split("text", " "), 4)).alias("g"),
-        )
-        .distinct()
-    )
-    dfreq = d.groupBy("g").agg(F.count("*").alias("ndocs"))
-    return (
-        d.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
-                "n_dup_grams"
-            ),
-        )
-    )
-
-
-@register(
-    "new_users_per_day",
-    "WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day "
-    "FROM events GROUP BY user_id), "
-    "nd AS (SELECT first_day AS day, COUNT(*) AS new_users "
-    "FROM fs GROUP BY first_day) "
-    "SELECT day, new_users, "
-    "CAST(SUM(new_users) OVER (ORDER BY day "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
-    "AS cumulative_users FROM nd",
-)
-def new_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-acquisition curve: first-seen day per user, daily new-user
-    counts, and the RUNNING cumulative — i.e. 'distinct users to
-    date' computed WITHOUT a quadratic running-distinct (the naive
-    per-day COUNT(DISTINCT) over growing prefixes rescans the fact
-    table per day). Plan: min-agg per user (map-combinable) → tiny
-    daily agg → unpartitioned running-sum window over ≤ #days rows —
-    the single-task window input is the daily aggregate, never raw
-    events, so the 'global window' anti-pattern doesn't apply."""
-    ev = load_table(spark, sf_dir, "events")
-    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
-    nd = fs.groupBy(F.col("first_day").alias("day")).agg(
-        F.count("*").alias("new_users")
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return nd.select(
-        "day",
-        "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
-    )
-
-
-def _corpus_pipeline_oracle_sql() -> str:
-    """Composite oracle for the end-to-end corpus plan: every stage's
-    already-verified SQL twin chained in the pipeline's order
-    (en-filter → quality ≥ 0.5 → repetition caps → md5 min-id dedup →
-    3-gram decontamination > 0.2 anti-join → PII scrub → post-scrub
-    quality/token provenance → hash split)."""
-    from .operators.traindata import pii_scrub_sql
-
-    def lang_ratios(src: str) -> str:
-        cols = ", ".join(
-            f"{_sql_lang_ratio(lg)} AS r_{lg}" for lg in TS.LANG_MARKERS
-        )
-        return f"SELECT doc_id, text, {cols} FROM {src}"
-
-    lang_case = (
-        "CASE WHEN greatest("
-        + ", ".join(f"r_{lg}" for lg in TS.LANG_MARKERS)
-        + ") > 0.01 THEN (CASE "
-        + " ".join(
-            f"WHEN r_{lg} = greatest("
-            + ", ".join(f"r_{m}" for m in TS.LANG_MARKERS)
-            + f") THEN '{lg}'"
-            for lg in TS.LANG_MARKERS
-        )
-        + " END) ELSE 'und' END"
-    )
-
-    punct = TS.ASCII_PUNCT_CHARS.replace(chr(39), chr(39) * 2)
-
-    def quality_expr(t: str) -> str:
-        n = f"len(string_split({t}, ' '))"
-        sw = (
-            f"CAST(len(list_filter(string_split({t}, ' '), "
-            f"w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE) "
-            f"/ greatest({n}, 1)"
-        )
-        mwl = (
-            f"CAST(list_aggregate(list_transform(string_split({t}, ' '), "
-            f"w -> len(w)), 'sum') AS DOUBLE) / greatest({n}, 1)"
-        )
-        pr = (
-            f"CAST(len(regexp_replace({t}, '[^{punct}]', '', 'g')) AS DOUBLE)"
-            f" / greatest(len({t}), 1)"
-        )
-        return (
-            f"ROUND("
-            f"0.3 * (CASE WHEN {n} >= 20 AND {n} <= 10000 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-            f"0.3 * (CASE WHEN {sw} >= 0.05 AND {sw} <= 0.6 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-            f"0.2 * (CASE WHEN {mwl} >= 2.5 AND {mwl} <= 10.0 THEN 1.0::DOUBLE ELSE 0.0 END) + "
-            f"0.2 * (CASE WHEN {pr} <= 0.2 THEN 1.0::DOUBLE ELSE 0.0 END), 2)"
-        )
-
-    tws = (
-        "CASE WHEN len(string_split(text, ' ')) > 0 THEN "
-        "CAST(list_max(list_transform(list_distinct(string_split(text, ' ')), "
-        "d -> len(list_filter(string_split(text, ' '), x -> x = d)))) AS DOUBLE)"
-        " / len(string_split(text, ' ')) ELSE 0.0 END"
-    )
-    dbf = (
-        "CASE WHEN len(string_split(text, ' ')) >= 2 THEN "
-        "1.0 - CAST(len(list_distinct(list_transform("
-        "range(0, len(string_split(text, ' ')) - 1), "
-        "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')))) "
-        "AS DOUBLE) / (len(string_split(text, ' ')) - 1) ELSE 0.0 END"
-    )
-
-    shingles3 = (
-        "list_distinct(list_transform("
-        "range(0, greatest(len(string_split(text, ' ')) - 2, 0)), "
-        "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))"
-    )
-
-    return f"""
-WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-lr AS ({lang_ratios('base')}),
-lang AS (SELECT doc_id, text, {lang_case} AS lang_detected FROM lr),
-lfil AS (SELECT * FROM lang WHERE lang_detected = 'en'),
-qfil AS (SELECT * FROM lfil WHERE {quality_expr('text')} >= 0.5),
-rfil AS (SELECT doc_id, text, lang_detected FROM qfil
-         WHERE {tws} <= 0.5 AND {dbf} <= 0.5),
-dd AS (SELECT r.* FROM rfil r
-       JOIN (SELECT MIN(doc_id) AS doc_id FROM rfil GROUP BY md5(text)) k
-       USING (doc_id)),
-bench AS (SELECT DISTINCT unnest(sh) AS s FROM
-          (SELECT {shingles3} AS sh FROM documents WHERE doc_id % 97 = 0)),
-dsh AS (SELECT doc_id, len(sh) AS total, unnest(sh) AS s FROM
-        (SELECT doc_id, {shingles3} AS sh FROM dd)),
-dirty AS (SELECT doc_id FROM dsh JOIN bench USING (s)
-          GROUP BY doc_id, total
-          HAVING CAST(COUNT(*) AS DOUBLE) / total > 0.2),
-kept AS (SELECT dd.* FROM dd LEFT JOIN dirty USING (doc_id)
-         WHERE dirty.doc_id IS NULL),
-scr AS (SELECT doc_id, lang_detected, {pii_scrub_sql('text')} AS text FROM kept)
-SELECT doc_id, lang_detected,
-       {quality_expr('text')} AS quality,
-       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 1)) AS INT) AS n_tokens,
-       CASE WHEN {_BUCKET_SQL} % 100 < 80 THEN 'train'
-            WHEN {_BUCKET_SQL} % 100 < 90 THEN 'val'
-            ELSE 'test' END AS split
-FROM scr
-"""
-
-
-@register("prepare_corpus_pipeline", _corpus_pipeline_oracle_sql())
-def prepare_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-corpus preparation plan
-    (plans/corpus.py): language + quality + repetition filters →
-    exact dedup → decontamination anti-join → PII scrub →
-    deterministic split, as ONE lazy DataFrame DAG. Oracle = every
-    stage's verified SQL twin composed in the same order; pytest
-    additionally asserts the composition equals applying the stages
-    in sequence and that the whole default plan stays a single lazy
-    DAG."""
-    from .plans.corpus import prepare_training_corpus
-
-    # "barrier" widen: the language/quality/repetition predicates are
-    # the cost center here, and a bare widen exchange lets Catalyst
-    # push them back onto the single-partition scan (measured ~2x
-    # end-to-end; see catalog.widen_scan)
-    docs = load_table(spark, sf_dir, "documents", widen="barrier")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    out = prepare_training_corpus(train, bench, contamination_n=3)
-    return out.select("doc_id", "lang_detected", "quality", "n_tokens", "split")
-
-
-@register(
-    "range_join_ship_window",
-    "SELECT o_orderkey, (SELECT COUNT(*) FROM lineitem "
-    "WHERE l_shipdate >= o_orderdate "
-    "AND l_shipdate < o_orderdate + INTERVAL 7 DAY) AS n_shipped "
-    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
-    "AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'",
-)
-def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KEYLESS interval-containment join (the 'range join' Spark has
-    no batch operator for): per January-1996 order, how many
-    lineitems — any order's — shipped inside that order's 7-day
-    window. Runs through `relational.range_join_binned`: intervals
-    explode to covered day-bins, points map to one bin, the match is
-    a plain equi-join on bin + exact-range post-filter — where naive
-    Spark would BroadcastNestedLoopJoin (quadratic). Unmatched
-    windows come back via left join with COUNT 0 (the oracle's
-    scalar subquery returns 0 the same way)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    wins = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
-    ).select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("w_start"),
-        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("w_end"),
-    )
-    pairs = R.range_join_binned(
-        li.select("l_shipdate"), "l_shipdate", wins, "w_start", "w_end"
-    )
-    counts = pairs.groupBy("o_orderkey").agg(F.count("*").alias("n"))
-    return wins.join(counts, "o_orderkey", "left").select(
-        "o_orderkey", F.coalesce("n", F.lit(0)).alias("n_shipped")
-    )
-
-
-@register(
-    "time_bucket_rollup",
-    "SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr, "
-    "COUNT(*) AS n_events, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_scaled "
-    "FROM events GROUP BY ROLLUP(day, hr) HAVING day IS NOT NULL",
-)
-def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style multi-granularity rollup (timescale
-    'continuous aggregate' shape): event counts and exact scaled
-    value sums at BOTH hour and day granularity in ONE pass — a
-    ROLLUP(day, hour) Expand, so the scan and shuffle happen once
-    for all granularities instead of once per materialized view
-    (the grand-total row is dropped; day-level rows carry NULL hr,
-    matching the SQL rollup contract). At 100 TB this is the
-    always-on ingest rollup: map-side partial aggs collapse each
-    scan partition to ≤ #hours×2 rows before the single Exchange."""
-    ev = load_table(spark, sf_dir, "events")
-    val = F.round(F.col("value") * 100).cast("long")
-    return (
-        ev.select(
-            F.to_date("ts").alias("day"),
-            F.date_trunc("hour", F.col("ts")).alias("hr"),
-            val.alias("v"),
-        )
-        .rollup("day", "hr")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("v").alias("value_scaled"),
-        )
-        .filter(F.col("day").isNotNull())
-    )
-
-
-@register(
-    "event_transition_matrix",
-    "WITH p AS (SELECT user_id, event_type, "
-    "lead(event_type) OVER (PARTITION BY user_id "
-    "ORDER BY epoch_us(ts), event_id) AS next_type FROM events), "
-    "t AS (SELECT event_type, next_type, count(*) AS n_ab FROM p "
-    "WHERE next_type IS NOT NULL GROUP BY event_type, next_type) "
-    "SELECT event_type, next_type, n_ab, "
-    "CAST(n_ab * 1000000 // SUM(n_ab) OVER (PARTITION BY event_type) "
-    "AS BIGINT) AS prob_ppm FROM t",
-)
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of user behavior:
-    P(next event type | current) as parts-per-million via pure
-    integer division — exact in both engines, no fractional rounding.
-    One user-keyed window (deterministic (epoch_us, event_id) order),
-    one tiny types² agg, one types-keyed window over ≤ types² rows."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    w = Window.partitionBy("user_id").orderBy(
-        R.epoch_us("ts"), F.col("event_id")
-    )
-    pairs = (
-        ev.select("user_id", "event_type", "ts", "event_id")
-        .withColumn("next_type", F.lead("event_type").over(w))
-        .filter(F.col("next_type").isNotNull())
-    )
-    t = pairs.groupBy("event_type", "next_type").agg(
-        F.count("*").alias("n_ab")
-    )
-    return t.select(
-        "event_type",
-        "next_type",
-        "n_ab",
-        F.expr("CAST(n_ab * 1000000 div SUM(n_ab) OVER "
-               "(PARTITION BY event_type) AS BIGINT)").alias("prob_ppm"),
-    )
-
-
-@register(
-    "session_paths_top",
-    "WITH g AS (SELECT user_id, ts, event_id, event_type, CASE WHEN "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END "
-    "AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "s AS (SELECT user_id, ts, event_id, event_type, SUM(is_new) OVER "
-    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
-    "AND CURRENT ROW) AS session_id FROM g), "
-    "p AS (SELECT user_id, session_id, "
-    "array_to_string(list(event_type ORDER BY epoch_us(ts), event_id), '>') "
-    "AS path FROM s GROUP BY user_id, session_id) "
-    "SELECT path, count(*) AS n FROM p GROUP BY path "
-    "ORDER BY n DESC, path LIMIT 20",
-)
-def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Path analysis: the 20 most common per-session event-type
-    sequences ('view>click>purchase'). Rides the ONE sessionization
-    shuffle; per-session paths via array_sort(collect_list(struct)) —
-    no per-session re-sort stage, the sort is per-row over bounded
-    session arrays; top-20 is TakeOrderedAndProject."""
-    ev = load_table(spark, sf_dir, "events", widen=True)
-    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
-    paths = s.groupBy("user_id", "session_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            R.epoch_us("ts").alias("u"),
-                            F.col("event_id").alias("e"),
-                            F.col("event_type").alias("t"),
-                        )
-                    )
-                ),
-                lambda x: x["t"],
-            ),
-            ">",
-        ).alias("path")
-    )
-    return (
-        paths.groupBy("path")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "path")
-        .limit(20)
-    )
-
-
-@register(
-    "session_funnel_conversion",
-    "WITH g AS (SELECT user_id, ts, event_type, CASE WHEN "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL OR "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new "
-    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-    "s AS (SELECT user_id, ts, event_type, SUM(is_new) OVER "
-    "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
-    "AND CURRENT ROW) AS session_id FROM g), "
-    "f AS (SELECT user_id, session_id, MIN(ts) AS session_start, "
-    "MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click, "
-    "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase "
-    "FROM s GROUP BY user_id, session_id) "
-    "SELECT CAST(session_start AS DATE) AS day, COUNT(*) AS n_sessions, "
-    "CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) "
-    "AS BIGINT) AS n_click_sessions, "
-    "CAST(SUM(CASE WHEN first_click IS NOT NULL AND first_purchase "
-    "IS NOT NULL AND first_purchase > first_click THEN 1 ELSE 0 END) "
-    "AS BIGINT) AS n_converted FROM f GROUP BY day",
-)
-def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel analytics over sessionized behavior: per day, how many
-    sessions happened, how many contained a click, and how many
-    CONVERTED (a purchase strictly after the session's first click) —
-    the product-analytics composite (sessionize → per-session
-    conditional extrema → daily rollup). All three aggregations ride
-    the ONE shuffle sessionization already paid (user_id), then a
-    tiny daily agg; conditional MIN-timestamps avoid any per-session
-    sort or self-join for the ordering test."""
-    ev = load_table(spark, sf_dir, "events")
-    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
-    f = s.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
-            "first_click"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "first_purchase"
-        ),
-    )
-    return f.groupBy(F.to_date("session_start").alias("day")).agg(
-        F.count("*").alias("n_sessions"),
-        F.sum(
-            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
-        ).alias("n_click_sessions"),
-        F.sum(
-            F.when(
-                F.col("first_click").isNotNull()
-                & F.col("first_purchase").isNotNull()
-                & (F.col("first_purchase") > F.col("first_click")),
-                1,
-            ).otherwise(0)
-        ).alias("n_converted"),
-    )
-
-
-@register(
-    "tpch_q8_market_share",
-    "SELECT o_year, "
-    "CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) "
-    "AS nation_volume_scaled, "
-    "CAST(SUM(vol) AS BIGINT) AS total_volume_scaled FROM ("
-    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol, "
-    "n2.n_name AS nation "
-    "FROM part, lineitem, supplier, orders, customer, nation n1, "
-    "nation n2, region "
-    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
-    "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
-    "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
-    "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey "
-    "AND p_type = 'PROMO') all_nations GROUP BY o_year",
-)
-def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape (national market share): the widest join in the
-    suite — 8 table roles, with nation playing two (customer's region
-    gate vs supplier's label). Physical plan: every dimension chain
-    collapses to a broadcast BEFORE touching the facts — part(PROMO)
-    broadcast-SEMI-prunes the lineitem scan, supplier⋈nation is a
-    broadcast label lookup, region→nation→customer reduces to a
-    broadcast semi-join key set on o_custkey — so the only at-scale
-    shuffle is lineitem ⋈ orders on orderkey. The market-share
-    RATIO is returned as two exact scaled-integer sums (share =
-    nation/total downstream); dividing in-engine would be the one
-    nondeterministic fp op in the query."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    part = load_table(spark, sf_dir, "part")
-    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
-    asia_nk = (
-        region.filter(F.col("r_name") == "ASIA")
-        .join(nation, nation.n_regionkey == region.r_regionkey)
-        .select("n_nationkey")
-    )
-    asia_cust = customer.join(
-        F.broadcast(asia_nk),
-        customer.c_nationkey == F.col("n_nationkey"),
-        "left_semi",
-    ).select("c_custkey")
-    supp_n = supplier.join(
-        F.broadcast(
-            nation.select(
-                F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
-            )
-        ),
-        F.col("s_nationkey") == F.col("sk"),
-    ).select("s_suppkey", "nation")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    vol = price * (100 - disc)
-    return (
-        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"),
-                "left_semi")
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"),
-              "left_semi")
-        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(
-            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0))
-            .alias("nation_volume_scaled"),
-            F.sum(vol).alias("total_volume_scaled"),
-        )
-    )
-
-
-@register(
-    "tpch_q9_product_profit",
-    "SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) AS profit_scaled "
-    "FROM (SELECT n_name AS nation, "
-    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
-    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) - "
-    "CAST(ROUND(p_retailprice * 100) AS BIGINT) * "
-    "CAST(ROUND(l_quantity * 100) AS BIGINT) AS amount "
-    "FROM part, supplier, lineitem, orders, nation "
-    "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey "
-    "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
-    "AND p_name LIKE '%widget%') profit GROUP BY nation, o_year",
-)
-def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (product-type profit by nation and year). The
-    testdata has no partsupp table, so supply cost is proxied by
-    p_retailprice carried on the broadcast part side (same plan
-    shape: a per-row profit expression combining fact columns with
-    TWO broadcast-joined dimension attributes). The '%widget%'
-    infix LIKE cannot prune the scan via startswith, but the
-    filtered part set still broadcast-prunes lineitem before the
-    orders shuffle. Both product terms are in the same 1e-4-dollar
-    scale (cents × hundredths), so profit stays exact integer
-    arithmetic end to end."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    part = load_table(spark, sf_dir, "part")
-    widget = part.filter(F.col("p_name").contains("widget")).select(
-        "p_partkey", "p_retailprice"
-    )
-    supp_n = supplier.join(
-        F.broadcast(
-            nation.select(
-                F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
-            )
-        ),
-        F.col("s_nationkey") == F.col("sk"),
-    ).select("s_suppkey", "nation")
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    retail = F.round(F.col("p_retailprice") * 100).cast("long")
-    qty = F.round(F.col("l_quantity") * 100).cast("long")
-    amount = price * (100 - disc) - retail * qty
-    return (
-        li.join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            orders.select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy(
-            "nation", F.year("o_orderdate").cast("long").alias("o_year")
-        )
-        .agg(F.sum(amount).alias("profit_scaled"))
-    )
-
-
-@register(
-    "tpch_q12_late_shipments",
-    "SELECT l_linestatus AS ship_class, "
-    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
-    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
-    "FROM orders, lineitem "
-    "WHERE o_orderkey = l_orderkey "
-    "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
-    "GROUP BY l_linestatus",
-)
-def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (shipping priority audit): fact-fact join whose
-    FILTER spans both sides (shipped >30 days after order date — the
-    testdata's stand-in for commit/receipt-date lateness), then
-    priority-conditional counts per line status (stand-in for
-    shipmode). The cross-table predicate can't be pushed below the
-    join, so the plan is scan→shuffle-join on orderkey→filter→
-    2-row hash agg; both conditional sums ride one aggregate. At
-    scale the join IS the query — co-locating lineitem and orders
-    by orderkey (bucketing, see stage_io.write_bucketed) removes
-    the shuffle entirely."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(
-            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-        )
-        .groupBy(F.col("l_linestatus").alias("ship_class"))
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "tpch_q21_waiting_suppliers",
-    "WITH flagged AS (SELECT l_orderkey, l_suppkey, "
-    "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
-    "THEN 1 ELSE 0 END AS late "
-    "FROM lineitem, orders "
-    "WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'), "
-    "per_order AS (SELECT l_orderkey, "
-    "COUNT(DISTINCT l_suppkey) AS n_supp, "
-    "COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late, "
-    "MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp "
-    "FROM flagged GROUP BY l_orderkey) "
-    "SELECT s_name, COUNT(*) AS numwait "
-    "FROM per_order, supplier "
-    "WHERE n_supp > 1 AND n_late = 1 AND late_supp = s_suppkey "
-    "GROUP BY s_name",
-)
-def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting): the
-    canonical form is a triple self-join on lineitem (EXISTS another
-    supplier on the order, NOT EXISTS another LATE supplier).
-    Re-expressed as ONE grouped aggregate per order — distinct
-    suppliers, distinct late suppliers, and the late supplier id
-    (well-defined exactly when n_late = 1, the only case kept) —
-    so the 6-scan/2-semi-join plan collapses to a single shuffle
-    on orderkey. 'Late' = shipped >60 days after order date (the
-    commit/receipt-date stand-in, as in Q12). The qualifying
-    per-order rows are tiny and broadcast-join supplier for the
-    final per-supplier count."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supplier = load_table(spark, sf_dir, "supplier")
-    flagged = (
-        li.join(
-            orders.filter(F.col("o_orderstatus") == "F").select(
-                "o_orderkey", "o_orderdate"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            )
-            .cast("int")
-            .alias("late"),
-        )
-    )
-    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late"),
-        F.max(late_supp).alias("late_supp"),
-    )
-    return (
-        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
-            F.col("late_supp") == F.col("s_suppkey"),
-        )
-        .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
-    )
-
-
-@register(
-    "bloom_semi_join_lineitems",
-    "SELECT l_returnflag, COUNT(*) AS n_items, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
-    "AS price_scaled "
-    "FROM lineitem WHERE l_orderkey IN "
-    "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) "
-    "GROUP BY l_returnflag",
-)
-def bloom_semi_join_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join via broadcast Bloom runtime filter
-    (relational.bloom_semi_join): lineitems of high-value orders.
-    The qualifying orderkey set is assumed too large for a broadcast
-    hash join at scale, so its ~0.5 MB bitmap broadcasts instead and
-    prunes the lineitem scan BEFORE the shuffle; the exact left_semi
-    join afterwards removes Bloom false positives, so the result is
-    exactly the IN-subquery semantics. The bitmap itself is built
-    distributedly (BIT_OR word aggregation — keys never reach the
-    driver)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    keys = (
-        orders.filter(F.col("o_totalprice") > 400000)
-        .select(F.col("o_orderkey").alias("l_orderkey"))
-    )
-    price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return (
-        R.bloom_semi_join(li, keys, "l_orderkey")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(price).alias("price_scaled"),
-        )
-    )
-
-
-@register(
-    "heavy_hitter_users",
-    "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id "
-    "HAVING COUNT(*) * 10 * (SELECT COUNT(DISTINCT user_id) FROM events) "
-    "> 11 * (SELECT COUNT(*) FROM events) "
-    "ORDER BY cnt DESC, user_id",
-)
-def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters (users above 1.1× the mean per-user event count)
-    via profiling.approx_heavy_hitters: a freqItems (KPS streaming
-    majority) skim proposes candidates with NO false negatives in
-    one bounded-state pass, then one exact count over the broadcast
-    candidate set confirms — so the RESULT is exact (hence the SQL
-    oracle) while the full-table groupBy is replaced by a semi-join
-    aggregation over the candidate keys. The threshold is relative
-    to the mean (integer cross-multiplied, exact at any scale — a
-    fixed fraction empties as the user universe grows). At 100 TB
-    this is the hot-key detector feeding salted_join/skew
-    handling."""
-    from .operators.profiling import approx_heavy_hitters
-
-    ev = load_table(spark, sf_dir, "events")
-    return approx_heavy_hitters(ev, "user_id", times_mean=(11, 10))
-
-
-@register(
-    "sketch_distinct_users_daily",
-    # deterministic-BOUND oracle (Datasketches binary state has no
-    # DuckDB twin, but the estimate-vs-exact bound is a boolean both
-    # engines can state): exact per-day distincts hash-compare; the
-    # sketch estimate must land within max(10%, 16) of them.
-    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-    "COUNT(DISTINCT user_id) AS n_exact, TRUE AS sketch_within_tol "
-    "FROM events GROUP BY 1",
-)
-def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable per-day HLL distinct-user sketches, unioned and
-    estimated (profiling.distinct_sketches/merge_sketches) — the
-    incremental-analytics path: sketch once at ingest, answer any
-    date-range distinct query by register-max union, no raw re-scan.
-    Certified via a deterministic error bound: each row carries the
-    exact per-day distinct count (hash-comparable) plus a boolean
-    asserting the lg_k=12 estimate (~1.6% std error) sits within
-    max(10%·exact, 16) — generous vs 3 sigma yet tight enough that a
-    broken sketch/union/estimate path fails the driver row. The
-    exact twin rides along only for certification; pytest separately
-    asserts union-of-parts == whole (mergeability)."""
-    from .operators.profiling import distinct_sketches, merge_sketches
-
-    ev = load_table(spark, sf_dir, "events")
-    sk = distinct_sketches(ev, "user_id", [F.to_date("ts").alias("day")])
-    merged = merge_sketches(sk, ["day"])
-    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    tol = F.greatest(
-        F.round(F.col("n_exact") * 0.10).cast("long"), F.lit(16)
-    )
-    return merged.join(exact, "day").select(
-        "day",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        "n_exact",
-        (
-            F.abs(F.col("n_distinct_est") - F.col("n_exact")) <= tol
-        ).alias("sketch_within_tol"),
-    )
-
-
-# --------------------------------------------------------------------
-# graph analytics / ANN evaluation / scan primitives / CDC (round 5)
-# --------------------------------------------------------------------
-
-
-# the ONE customer↔supplier bipartite edge set shared by the three
-# graph queries (pagerank / link prediction / triangle count) — Spark
-# build and oracle-SQL fragment kept in lockstep here so the graphs
-# can never drift apart
-_BIPROJ_SQL = (
-    "SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
-)
-
-
-def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-
-
-# strong-tie supplier projection: the top-2000 supplier pairs by
-# integer-ppm common-customer Jaccard (rank-based sparsification — a
-# fixed absolute threshold goes vacuous as density shifts with scale;
-# top-M keeps downstream graph ops bounded AND non-trivial at every
-# sf). Used by triangle_count_suppliers (SQL twin: _STRONG_TIE_CTES);
-# community_detection_suppliers deliberately does NOT reuse it — the
-# global top-2000 cut is near-complete at small node counts and floods
-# LPA to one community, so that query builds its own mutual-kNN
-# projection.
-_STRONG_TIE_CTES = (
-    f"e0 AS ({_BIPROJ_SQL}), "
-    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
-    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
-    "e AS (SELECT s1, s2 FROM cn "
-    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
-    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
-    "LIMIT 2000)"
-)
-
-
-def _strong_tie_edges(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Spark twin of _STRONG_TIE_CTES: (s1, s2) with s1 < s2,
-    persisted (downstream graph ops re-read the cut several times;
-    release via cache_handles — the pagerank contract)."""
-    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
-    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
-    cn = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    e = (
-        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
-        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
-        .orderBy(
-            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
-        )
-        .limit(2000)
-        .select("s1", "s2")
-        .persist()
-    )
-    if cache_handles is not None:
-        cache_handles.append(e)
-    return e
-
-
-def _pr_unroll_sql(iters: int, scale: int) -> tuple[str, str]:
-    """The unrolled integer-PageRank CTE chain (twin of
-    operators.graph.pagerank's loop, DuckDB `//` arithmetic).
-    Expects CTEs ``edges(src,dst)``, ``nodes(node)``, ``deg(src,d)``,
-    ``n(n)``, ``r0(node,r)`` to exist; returns (fragment,
-    final_cte_name). Shared by every PageRank-family oracle so the
-    iteration arithmetic is written once."""
-    prev = "r0"
-    its = []
-    for i in range(1, iters + 1):
-        its.append(
-            f"i{i} AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s "
-            f"FROM edges e JOIN {prev} r ON e.src = r.node "
-            f"JOIN deg d ON e.src = d.src GROUP BY e.dst), "
-            f"r{i} AS (SELECT nodes.node, "
-            f"(15 * {scale}) // (100 * n.n) + (85 * COALESCE(i{i}.s, 0)) // 100 "
-            f"AS r FROM nodes CROSS JOIN n "
-            f"LEFT JOIN i{i} ON nodes.node = i{i}.node)"
-        )
-        prev = f"r{i}"
-    return ", ".join(its), prev
-
-
-def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
-    """Unrolled integer-PageRank twin of operators.graph.pagerank:
-    same teleport/damping integral arithmetic with DuckDB's `//`."""
-    unroll, last = _pr_unroll_sql(iters, scale)
-    return (
-        f"WITH e0 AS ({_BIPROJ_SQL}), "
-        "pairs AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS c, "
-        "'s' || CAST(s AS VARCHAR) AS s FROM e0), "
-        "edges AS (SELECT c AS src, s AS dst FROM pairs "
-        "UNION ALL SELECT s AS src, c AS dst FROM pairs), "
-        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
-        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
-        "n AS (SELECT COUNT(*) AS n FROM nodes), "
-        f"r0 AS (SELECT node, {scale} // n.n AS r FROM nodes CROSS JOIN n), "
-        + unroll
-        + f" SELECT node, CAST(r AS BIGINT) AS pr_scaled FROM {last} "
-        "ORDER BY pr_scaled DESC, node LIMIT 20"
-    )
-
-
-@register("pagerank_copurchase", _pagerank_oracle_sql())
-def pagerank_copurchase(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Node importance over the customer↔supplier co-purchase graph:
-    3 fixed PageRank iterations (operators/graph.py), top-20 hubs.
-
-    The graph surface the dedup connected-components operator
-    (dedup.py:505) doesn't cover: iterative rank propagation as ONE
-    lazy DAG — per iteration one node-keyed hash join + one hash agg,
-    the canonical Pregel-style shape. Integer-scaled rank units make
-    every SUM exact integer math, so the result is independent of
-    partial-agg order and the DuckDB oracle unrolls the identical
-    iterations. At 100 TB: edges shuffle on node ids (uniform here;
-    power-law hubs take the salted_join path), no driver-side state."""
-    from .operators.graph import pagerank
-
-    pairs = _supplier_projection(spark, sf_dir).select(
-        F.concat(F.lit("c"), F.col("c")).alias("c"),
-        F.concat(F.lit("s"), F.col("s")).alias("s"),
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    pr = pagerank(edges, "src", "dst", iters=3, cache_handles=cache_handles)
-    return pr.orderBy(F.desc("pr_scaled"), "node").limit(20)
-
-
-def _knn_edges_ctes(k: int = 3) -> str:
-    """The mutual-kNN supplier graph CTE chain (SQL twin of
-    _supplier_knn_edges), ending in the MATERIALIZED ``edges``
-    relation. Shared by the LPA-family and random-walk oracles."""
-    return (
-        f"WITH e0 AS ({_BIPROJ_SQL}), "
-        "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
-        "cno AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s "
-        "GROUP BY 1, 2), "
-        "cnp AS (SELECT s1, s2, cn FROM cno "
-        "UNION ALL SELECT s2, s1, cn FROM cno), "
-        "sc AS (SELECT s1, s2, cn * 1000000 // (d1.d + d2.d - cn) AS j "
-        "FROM cnp JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s), "
-        "rk AS (SELECT s1, s2, row_number() OVER "
-        "(PARTITION BY s1 ORDER BY j DESC, s2) AS rn FROM sc), "
-        f"knn AS (SELECT s1, s2 FROM rk WHERE rn <= {k}), "
-        "edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM knn "
-        "UNION SELECT s2, s1 FROM knn)"
-    )
-
-
-def _ppr_oracle_sql(
-    iters: int = 3, scale: int = 10**12, n_seeds: int = 3
-) -> str:
-    """Unrolled integer personalized-PageRank twin of operators.
-    graph.personalized_pagerank over the co-purchase graph: teleport
-    mass returns ONLY to the seed set (the n_seeds smallest supplier
-    keys in the projection). edges/nodes/deg/sd are MATERIALIZED —
-    every unrolled iteration re-reads them."""
-    tele = f"(15 * {scale}) // (100 * k)"
-    parts = [
-        f"WITH e0 AS ({_BIPROJ_SQL}), "
-        "pairs AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS c, "
-        "'s' || CAST(s AS VARCHAR) AS s FROM e0), "
-        "edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs "
-        "UNION ALL SELECT s AS src, c AS dst FROM pairs), "
-        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges), "
-        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges "
-        "GROUP BY src), "
-        "sd AS MATERIALIZED (SELECT 's' || CAST(s AS VARCHAR) AS node "
-        f"FROM (SELECT DISTINCT s FROM e0 ORDER BY s LIMIT {n_seeds})), "
-        "ns AS (SELECT COUNT(*) AS k FROM sd), "
-        "r0 AS (SELECT nodes.node, CASE WHEN sd.node IS NOT NULL THEN "
-        f"{scale} // k ELSE 0 END AS r FROM nodes CROSS JOIN ns "
-        "LEFT JOIN sd ON nodes.node = sd.node)"
-    ]
-    prev = "r0"
-    for i in range(1, iters + 1):
-        parts.append(
-            f", i{i} AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s "
-            f"FROM edges e JOIN {prev} r ON e.src = r.node "
-            "JOIN deg d ON e.src = d.src GROUP BY e.dst)"
-            f", r{i} AS (SELECT nodes.node, "
-            f"CASE WHEN sd.node IS NOT NULL THEN {tele} ELSE 0 END "
-            f"+ (85 * COALESCE(i{i}.s, 0)) // 100 AS r "
-            "FROM nodes CROSS JOIN ns "
-            "LEFT JOIN sd ON nodes.node = sd.node "
-            f"LEFT JOIN i{i} ON nodes.node = i{i}.node)"
-        )
-        prev = f"r{i}"
-    parts.append(
-        f" SELECT node, CAST(r AS BIGINT) AS ppr_scaled FROM {prev} "
-        "ORDER BY ppr_scaled DESC, node LIMIT 20"
-    )
-    return "".join(parts)
-
-
-@register("ppr_related_entities", _ppr_oracle_sql())
-def ppr_related_entities(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Personalized PageRank / random-walk-with-restart from a seed
-    set (graph.personalized_pagerank): proximity of every
-    customer/supplier node to the 3 smallest-key suppliers over the
-    co-purchase graph, top-20 — the graph-based "related entities"
-    recommender (Tong et al. 2006 RWR; at corpus scale: documents /
-    hosts related to a trusted seed set, the seed-expansion shape
-    quality-curation pipelines use, cf. Common-Crawl host ranking
-    from trusted seeds). Global pagerank measures importance;
-    restarting ALL teleport mass at the seeds measures proximity TO
-    them. Same exact-integer iteration as pagerank_copurchase (the
-    oracle unrolls it with seed-conditional teleport), same persisted
-    edge-table contract. At 100 TB: identical shuffle shape to
-    pagerank — node-keyed joins + map-combinable sums; the seed flag
-    is a broadcast left join."""
-    from .operators.graph import personalized_pagerank
-
-    proj = _supplier_projection(spark, sf_dir)
-    pairs = proj.select(
-        F.concat(F.lit("c"), F.col("c")).alias("c"),
-        F.concat(F.lit("s"), F.col("s")).alias("s"),
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    seeds = (
-        proj.select("s")
-        .distinct()
-        .orderBy("s")
-        .limit(3)
-        .select(F.concat(F.lit("s"), F.col("s")).alias("node"))
-    )
-    pr = personalized_pagerank(
-        edges, "src", "dst", seeds, iters=3, cache_handles=cache_handles
-    )
-    return pr.orderBy(F.desc("ppr_scaled"), "node").limit(20)
-
-
-def _lpa_oracle_sql(
-    iters: int = 3, k: int = 3, final: str | None = None
-) -> str:
-    """Unrolled synchronous-LPA twin of operators.graph.
-    label_propagation over the mutual-kNN supplier graph (pure
-    integer Jaccard-ppm scores, row_number kNN cut, integer vote
-    counts + MIN tie-break — hash-exact cross-engine).
-
-    The multiply-referenced CTEs are MATERIALIZED: DuckDB inlines
-    CTEs by default, and the unrolled iterations reference ``edges``
-    ``iters`` times and each ``lab`` twice — inlining re-runs the
-    ~10⁹-row pair join once per reference and exhausts temp disk at
-    sf0.1 (the localCheckpoint lesson, relationally)."""
-    parts = [
-        _knn_edges_ctes(k)
-        + ", lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl "
-        "FROM edges)"
-    ]
-    prev = "lab0"
-    for i in range(1, iters + 1):
-        parts.append(
-            f", v{i} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt "
-            f"FROM edges e JOIN {prev} l ON e.src = l.node "
-            "GROUP BY e.dst, l.lbl)"
-            f", m{i} AS (SELECT node, MAX(cnt) AS mc FROM v{i} "
-            "GROUP BY node)"
-            f", w{i} AS (SELECT v.node, MIN(v.lbl) AS new_lbl "
-            f"FROM v{i} v JOIN m{i} m ON v.node = m.node "
-            "AND v.cnt = m.mc GROUP BY v.node)"
-            f", lab{i} AS MATERIALIZED (SELECT l.node, "
-            "COALESCE(w.new_lbl, l.lbl) AS lbl "
-            f"FROM {prev} l LEFT JOIN w{i} w ON l.node = w.node)"
-        )
-        prev = f"lab{i}"
-    parts.append(
-        final.format(last=prev)
-        if final is not None
-        else f" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS "
-        f"n_members FROM {prev} GROUP BY lbl"
-    )
-    return "".join(parts)
-
-
-@register("community_detection_suppliers", _lpa_oracle_sql())
-def community_detection_suppliers(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Community detection over the strong-tie supplier graph: 3
-    synchronous label-propagation iterations (operators/graph.py::
-    label_propagation — most-frequent neighbor label, MIN tie-break),
-    reduced to (community, n_members). The graph-family member the
-    PageRank/CC/SSSP/triangle surface lacked: partitioning a graph
-    into behavioral groups (supplier cliques here; host-level crawl
-    communities at corpus scale). The bipartite projection is
-    sparsified to each node's 3 strongest ties by integer-ppm
-    common-customer Jaccard (mutual-kNN graph, symmetrized) — the
-    global top-M cut the triangle query uses is near-complete at
-    small node counts and floods to ONE community, while raw
-    bipartite LPA oscillates degenerately on 2-colorable graphs;
-    per-node kNN keeps local cluster structure at every sf. Pure
-    integer scores, row_number cut, and integer vote counts with a
-    total tie order keep the unrolled DuckDB oracle hash-exact. At
-    100 TB: the kNN window partitions by node id, per-iteration
-    shuffles key on node ids, the vote tally is map-side combinable,
-    and hub nodes take the salted-join path (PLANS.md graph
-    family)."""
-    from .operators.graph import label_propagation
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    lp = label_propagation(
-        edges, "s1", "s2", iters=3, cache_handles=cache_handles
-    )
-    return lp.groupBy("community").agg(
-        F.count("*").cast("long").alias("n_members")
-    )
-
-
-def _supplier_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mutual-kNN supplier graph (symmetrized top-3 integer-ppm
-    common-customer Jaccard ties) shared by
-    community_detection_suppliers and community_modularity."""
-    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
-    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
-    # ordered pairs once (halves the user-keyed join fan-out — the
-    # dominant cost: Σ per-user-degree² rows), mirror the small
-    # aggregated table for the per-node window
-    cno = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    cnp = cno.union(cno.select(F.col("s2"), F.col("s1"), F.col("cn")))
-    sc = (
-        cnp.join(
-            deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1"
-        )
-        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
-        .withColumn("j", F.expr("cn * 1000000 div (d1 + d2 - cn)"))
-    )
-    w = Window.partitionBy("s1").orderBy(F.desc("j"), "s2")
-    knn = (
-        sc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("s1", "s2")
-    )
-    return knn.union(
-        knn.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
-    ).distinct()
-
-
-_MODULARITY_FINAL = (
-    ", dg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)"
-    ", mm AS (SELECT COUNT(*) AS m2 FROM edges)"
-    ", intra AS (SELECT l1.lbl AS community, COUNT(*) AS ie "
-    "FROM edges e JOIN {last} l1 ON e.src = l1.node "
-    "JOIN {last} l2 ON e.dst = l2.node "
-    "WHERE l1.lbl = l2.lbl GROUP BY 1)"
-    ", agg AS (SELECT l.node, l.lbl AS community, d FROM {last} l "
-    "JOIN dg ON l.node = dg.node)"
-    ", cs AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members, "
-    "CAST(SUM(d) AS BIGINT) AS deg_sum FROM agg GROUP BY 1) "
-    "SELECT cs.community, cs.n_members, "
-    "CAST(COALESCE(ie, 0) AS BIGINT) AS intra_edges, cs.deg_sum, "
-    "CAST((COALESCE(ie, 0) * m2 - cs.deg_sum * cs.deg_sum) * 1000000 "
-    "// (m2 * m2) AS BIGINT) AS q_ppm "
-    "FROM cs LEFT JOIN intra ON cs.community = intra.community "
-    "CROSS JOIN mm"
-)
-
-
-@register("community_modularity", _lpa_oracle_sql(final=_MODULARITY_FINAL))
-def community_modularity(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Newman modularity contribution per LPA community — community
-    QUALITY, not just labels: for each community c over the same
-    mutual-kNN supplier graph, q_c = e_c/2m − (deg_c/2m)², emitted
-    as the exact integer q_ppm = (e_c·2m − deg_c²)·10⁶ div (2m)²
-    alongside (n_members, intra_edges, deg_sum). Σ q_c is Newman's Q
-    — the standard community-structure score (Q≈0: no better than
-    random given degrees; well-separated graphs ≈0.3-0.7). One
-    division per community AFTER all-integer numerators keeps both
-    engines bit-equal (Spark `div` and DuckDB `//` both truncate
-    toward zero, verified on negatives — contributions CAN be
-    negative for over-connected communities). At 100 TB: two label
-    joins on node ids + two community-keyed aggs on top of the LPA
-    DAG; 2m is a 1-row broadcast."""
-    from .operators.graph import label_propagation
-
-    # eager-checkpoint the kNN graph ONCE: LPA checkpoints its own
-    # copy internally, but the degree / 2m / intra legs below would
-    # otherwise each re-derive the Σdeg² pair join (measured ~6 s of
-    # the 11 s total at sf0.1)
-    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
-    lab = label_propagation(
-        edges, "s1", "s2", iters=3, cache_handles=cache_handles
-    )
-    dg = edges.groupBy(F.col("s1").alias("node")).agg(
-        F.count("*").alias("d")
-    )
-    m2 = F.broadcast(edges.agg(F.count("*").alias("m2")))
-    intra = (
-        edges.join(
-            lab.select(F.col("node").alias("s1"), F.col("community").alias("c1")),
-            "s1",
-        )
-        .join(
-            lab.select(F.col("node").alias("s2"), F.col("community").alias("c2")),
-            "s2",
-        )
-        .filter(F.col("c1") == F.col("c2"))
-        .groupBy(F.col("c1").alias("community"))
-        .agg(F.count("*").alias("ie"))
-    )
-    cs = (
-        lab.join(dg, "node")
-        .groupBy("community")
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.sum("d").cast("long").alias("deg_sum"),
-        )
-    )
-    return (
-        cs.join(intra, "community", "left")
-        .join(m2)
-        .select(
-            "community",
-            "n_members",
-            F.coalesce("ie", F.lit(0)).cast("long").alias("intra_edges"),
-            "deg_sum",
-            F.expr(
-                "(coalesce(ie, 0) * m2 - deg_sum * deg_sum) * 1000000 "
-                "div (m2 * m2)"
-            )
-            .cast("long")
-            .alias("q_ppm"),
-        )
-    )
-
-
-def _rw_oracle_sql(steps: int = 4, final: str | None = None) -> str:
-    """Unrolled deterministic-random-walk twin of operators.graph.
-    random_walks over the mutual-kNN supplier graph: same md5 pick
-    arithmetic, same id-ordered adjacency ranks. ``adj`` is
-    MATERIALIZED (every step re-reads it — the relational analog of
-    the persisted adjacency table)."""
-    parts = [
-        _knn_edges_ctes()
-        + ", adj AS MATERIALIZED (SELECT src, dst, "
-        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn, "
-        "COUNT(*) OVER (PARTITION BY src) AS d FROM edges)"
-        ", w0 AS (SELECT DISTINCT CAST(src AS VARCHAR) || '#0' AS walk, "
-        "src AS node FROM edges)"
-    ]
-    prev = "w0"
-    for t in range(1, steps + 1):
-        parts.append(
-            f", w{t} AS (SELECT w.walk, a.dst AS node FROM {prev} w "
-            "JOIN adj a ON a.src = w.node AND a.rn = "
-            "CAST(('0x' || substr(md5("
-            f"'rw-v1:' || w.walk || ':{t}:' || CAST(w.node AS VARCHAR)"
-            "), 1, 12)) AS BIGINT) % a.d)"
-        )
-        prev = f"w{t}"
-    sel = " UNION ALL ".join(
-        f"SELECT walk, {t} AS step, node FROM w{t}" for t in range(steps + 1)
-    )
-    parts.append(f", corpus AS MATERIALIZED (SELECT * FROM ({sel}))")
-    parts.append(
-        final
-        if final is not None
-        else " SELECT walk, CAST(step AS INT) AS step, "
-        "CAST(node AS BIGINT) AS node FROM corpus"
-    )
-    return "".join(parts)
-
-
-@register("graph_random_walks", _rw_oracle_sql())
-def graph_random_walks(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Deterministic random-walk corpus over the mutual-kNN supplier
-    graph (graph.random_walks): one 4-hop walk per node, step t
-    picking the md5("rw-v1:walk:t:node") mod deg ranked neighbor —
-    the DeepWalk/node2vec SAMPLING stage (the walk corpus that
-    feeds skip-gram embedding training) with the PRNG swapped for
-    the engine's md5 flavor, so every trajectory is a pure function
-    of the graph: reproducible across runs/engines/partitionings
-    and hash-certified by an unrolled DuckDB oracle (per-step md5
-    arithmetic replayed relationally). Real node2vec's per-executor
-    RNG cannot be certified at all — determinism is what makes a
-    100 TB walk corpus re-materializable per epoch, like
-    kfold_split for graphs. Plan: ranked adjacency built once and
-    persisted (pagerank edge-table contract), each step ONE
-    node-keyed hash join; frontier lineage is linear (no LPA-style
-    doubling). At scale: frontiers shuffle on node id; walks scale
-    embarrassingly."""
-    from .operators.graph import random_walks
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    out = random_walks(
-        edges,
-        "s1",
-        "s2",
-        steps=4,
-        walks_per_node=1,
-        cache_handles=cache_handles,
-    )
-    return out.select(
-        "walk",
-        F.col("step").cast("int").alias("step"),
-        F.col("node").cast("long").alias("node"),
-    )
-
-
-def _n2v_oracle_sql(
-    steps: int = 4,
-    w_return: int = 500,
-    w_near: int = 1000,
-    w_far: int = 2000,
-) -> str:
-    """Unrolled second-order node2vec twin of operators.graph.
-    node2vec_walks: per step, candidate fan-out ⋈ near-flag left
-    join ⋈ per-walk cumulative-weight window ⋈ md5 interval pick —
-    identical integer arithmetic. adj is MATERIALIZED (read every
-    step); edges already is (near-flag probes)."""
-    md5_48 = (
-        "CAST(('0x' || substr(md5('n2v-v1:' || {salt}), 1, 12)) "
-        "AS BIGINT)"
-    )
-    parts = [
-        _knn_edges_ctes()
-        + ", adj AS MATERIALIZED (SELECT src, dst, "
-        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn, "
-        "COUNT(*) OVER (PARTITION BY src) AS d FROM edges)"
-        ", w0 AS (SELECT DISTINCT CAST(src AS VARCHAR) || '#0' AS walk, "
-        "src AS cur FROM adj)"
-        ", st1 AS MATERIALIZED (SELECT w.walk, w.cur AS prev, "
-        "a.dst AS cur FROM w0 w JOIN adj a ON a.src = w.cur AND a.rn = "
-        + md5_48.format(salt="w.walk || ':1:' || CAST(w.cur AS VARCHAR)")
-        + " % a.d)"
-    ]
-    prev = "st1"
-    for t in range(2, steps + 1):
-        salt = (
-            f"walk || ':{t}:' || CAST(prev AS VARCHAR) || ':' || "
-            "CAST(cur AS VARCHAR)"
-        )
-        parts.append(
-            f", c{t} AS (SELECT s.walk, s.prev, s.cur, a.dst AS x "
-            f"FROM {prev} s JOIN adj a ON a.src = s.cur)"
-            f", n{t} AS (SELECT c.walk, c.prev, c.cur, c.x, "
-            f"CASE WHEN c.x = c.prev THEN {w_return} "
-            f"WHEN ef.src IS NOT NULL THEN {w_near} "
-            f"ELSE {w_far} END AS wt "
-            f"FROM c{t} c LEFT JOIN edges ef "
-            "ON ef.src = c.prev AND ef.dst = c.x)"
-            f", st{t} AS MATERIALIZED (SELECT walk, cur AS prev, x AS cur "
-            "FROM (SELECT *, h % tot AS r FROM (SELECT walk, prev, cur, "
-            "x, wt, SUM(wt) OVER (PARTITION BY walk ORDER BY x) AS cum, "
-            "SUM(wt) OVER (PARTITION BY walk) AS tot, "
-            + md5_48.format(salt=salt)
-            + f" AS h FROM n{t})) WHERE cum - wt <= r AND r < cum)"
-        )
-        prev = f"st{t}"
-    sel = " UNION ALL ".join(
-        ["SELECT walk, 0 AS step, cur AS node FROM w0"]
-        + [
-            f"SELECT walk, {t} AS step, cur AS node FROM st{t}"
-            for t in range(1, steps + 1)
-        ]
-    )
-    parts.append(
-        f" SELECT walk, CAST(step AS INT) AS step, "
-        f"CAST(node AS BIGINT) AS node FROM ({sel})"
-    )
-    return "".join(parts)
-
-
-@register("node2vec_biased_walks", _n2v_oracle_sql())
-def node2vec_biased_walks(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Full second-order node2vec sampling over the mutual-kNN
-    supplier graph (graph.node2vec_walks): the (p, q)-biased
-    transition — return weight 1/p, triangle-closing weight 1,
-    exploration weight 1/q, here p=2 q=0.5 in integer milli-units
-    (500/1000/2000) — drawn by md5 interval pick over each node's
-    id-ordered cumulative weights. The first-order graph_random_walks
-    corpus is the p=q=1 special case; this is the real
-    BFS/DFS-interpolating sampler from the paper, still a pure
-    function of the graph and still hash-certified by an unrolled
-    DuckDB oracle (candidate fan-out, near-flag left join, per-walk
-    cumulative-weight window, interval pick — replayed step by
-    step). At 100 TB: per biased step one node-keyed adjacency join
-    (≤ deg fan-out), one (prev, x) hash probe against the persisted
-    edge set, one per-walk window over ≤ deg rows; nothing
-    quadratic, frontier lineage linear."""
-    from .operators.graph import node2vec_walks
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    out = node2vec_walks(
-        edges, "s1", "s2", steps=4, cache_handles=cache_handles
-    )
-    return out.select(
-        "walk",
-        F.col("step").cast("int").alias("step"),
-        F.col("node").cast("long").alias("node"),
-    )
-
-
-_NEG_SAMPLE_FINAL = (
-    # unigram^0.75 via exact integer floors: floor(x^(3/4)) =
-    # floor(sqrt(floor(sqrt(x^3)))) — nested correctly-rounded
-    # sqrt + floor is engine-identical below 2^53
-    ", uni AS (SELECT node, COUNT(*) AS cnt FROM corpus GROUP BY 1), "
-    "wts AS (SELECT node, CAST(FLOOR(SQRT(FLOOR(SQRT("
-    "CAST(cnt * cnt * cnt AS DOUBLE))))) AS BIGINT) AS w FROM uni), "
-    "cum AS (SELECT node, w, SUM(w) OVER (ORDER BY node "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi "
-    "FROM wts), "
-    "rng AS (SELECT node, hi - w AS lo, hi FROM cum), "
-    "tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts), "
-    "draws AS (SELECT u.node AS center, r, "
-    "CAST(('0x' || substr(md5('neg-v1:' || CAST(u.node AS VARCHAR) "
-    "|| ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) % tw AS d "
-    "FROM uni u CROSS JOIN (SELECT CAST(unnest(range(3)) AS INT) AS r) "
-    "CROSS JOIN tot) "
-    "SELECT CAST(center AS BIGINT) AS center, r, "
-    "CAST(rng.node AS BIGINT) AS neg, CAST(d AS BIGINT) AS draw "
-    "FROM draws JOIN rng ON d >= lo AND d < hi"
-)
-
-
-@register(
-    "skipgram_negative_samples", _rw_oracle_sql(final=_NEG_SAMPLE_FINAL)
-)
-def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic negative sampling from the walk-corpus unigram
-    distribution raised to 3/4 (Mikolov et al. 2013's noise
-    distribution — the third and final stage of the embedding
-    training-data pipeline: walks → skip-gram pairs → negatives):
-    3 negatives per corpus node, drawn as md5("neg-v1:center:r") mod
-    Σw over the id-ordered cumulative-weight ranges — the relational
-    form of the alias table, with the PRNG swapped for the engine md5
-    flavor so the ENTIRE negative set is hash-certified. The ^0.75
-    weights are exact integer floors (w = ⌊√⌊√cnt³⌋⌋ = ⌊cnt^0.75⌋ —
-    nested correctly-rounded sqrt is engine-identical below 2^53, no
-    cross-engine pow). Collision with the center is kept, not
-    resampled (word2vec resamples; the certified variant emits the
-    raw draw — filter downstream). Plan: unigram counts = one hash
-    agg over the checkpointed corpus; the cumulative window runs on
-    the ≤|vocab| weight table (Heaps-bounded — the inverted-index
-    vocab-cut argument); draws probe the broadcast range table. At
-    100 TB the probe is a binary search over a broadcast array; here
-    the |vocab|-row broadcast join carries the same semantics."""
-    from .operators.graph import random_walks
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
-        eager=True
-    )
-    uni = corpus.groupBy("node").agg(F.count("*").alias("cnt"))
-    wts = uni.select(
-        "node",
-        F.floor(
-            F.sqrt(
-                F.floor(
-                    F.sqrt((F.col("cnt") * F.col("cnt") * F.col("cnt"))
-                           .cast("double"))
-                )
-            )
-        )
-        .cast("long")
-        .alias("w"),
-    )
-    cum_w = Window.orderBy("node").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    rng = (
-        wts.withColumn("hi", F.sum("w").over(cum_w))
-        .select("node", (F.col("hi") - F.col("w")).alias("lo"), "hi")
-    )
-    tot = F.broadcast(wts.agg(F.sum("w").cast("long").alias("tw")))
-    draws = (
-        uni.select(F.col("node").alias("center"))
-        .join(
-            F.broadcast(
-                spark.range(3).select(F.col("id").cast("int").alias("r"))
-            )
-        )
-        .join(tot)
-        .select(
-            "center",
-            "r",
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("neg-v1:"),
-                                F.col("center").cast("string"),
-                                F.lit(":"),
-                                F.col("r").cast("string"),
-                            )
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.col("tw"),
-            ).alias("d"),
-        )
-    )
-    return (
-        draws.join(
-            F.broadcast(rng),
-            (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
-        )
-        .select(
-            F.col("center").cast("long").alias("center"),
-            "r",
-            F.col("node").cast("long").alias("neg"),
-            F.col("d").cast("long").alias("draw"),
-        )
-    )
-
-
-_SKIPGRAM_FINAL = (
-    ", pr AS (SELECT a.node AS center, b.node AS context "
-    "FROM corpus a JOIN corpus b ON a.walk = b.walk "
-    "AND a.step <> b.step AND abs(a.step - b.step) <= 2), "
-    "pc AS (SELECT center, context, COUNT(*) AS n_ab FROM pr "
-    "GROUP BY 1, 2), "
-    "ctr AS (SELECT center, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc "
-    "GROUP BY 1), "
-    "ctx AS (SELECT context, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc "
-    "GROUP BY 1), "
-    "tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc), "
-    "sg AS (SELECT pc.center, pc.context, pc.n_ab, "
-    "CAST(ROUND(1000 * ln((CAST(pc.n_ab AS DOUBLE) * n) / "
-    "(CAST(n_a AS DOUBLE) * n_b))) AS BIGINT) AS pmi_milli "
-    "FROM pc JOIN ctr ON pc.center = ctr.center "
-    "JOIN ctx ON pc.context = ctx.context CROSS JOIN tot) "
-    "SELECT CAST(center AS BIGINT) AS center, "
-    "CAST(context AS BIGINT) AS context, "
-    "CAST(n_ab AS BIGINT) AS n_ab, pmi_milli FROM sg "
-    "ORDER BY pmi_milli DESC, center, context LIMIT 50"
-)
-
-
-@register("walk_skipgram_pmi", _rw_oracle_sql(final=_SKIPGRAM_FINAL))
-def walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skip-gram training pairs + PMI over the deterministic walk
-    corpus: every (center, context) node pair co-occurring within a
-    ±2 window along a walk, scored by pointwise mutual information
-    in integer milli-nats — the EXACT data-generation stage of
-    DeepWalk/node2vec node embeddings (walks → windowed skip-gram
-    pairs → the PMI matrix that skip-gram-with-negative-sampling
-    implicitly factorizes, Levy & Goldberg 2014). Composes
-    graph.random_walks: because the walks themselves are md5-
-    deterministic, the entire embedding TRAINING SET — pairs, counts
-    and PMI scores — is hash-certified cross-engine; top-50 by
-    (pmi, center, context) total order. Plan: the ≤ nodes×(steps+1)
-    walk corpus is eager-checkpointed once (the pair self-join
-    reads it twice); pair-gen joins on the walk id; PMI is one
-    double ratio ln'd and milli-rounded per surviving pair (the NB
-    recipe); TakeOrderedAndProject top-k. At 100 TB: pair volume =
-    walks × window — linear in corpus, never quadratic in nodes;
-    everything shuffles on walk id or node id."""
-    from .operators.graph import random_walks
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
-        eager=True
-    )
-    a, b = corpus.alias("a"), corpus.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.walk") == F.col("b.walk"))
-        & (F.col("a.step") != F.col("b.step"))
-        & (F.abs(F.col("a.step") - F.col("b.step")) <= 2),
-    ).select(
-        F.col("a.node").alias("center"), F.col("b.node").alias("context")
-    )
-    pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
-    ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
-    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
-    tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
-    sc = (
-        pc.join(ctr, "center")
-        .join(ctx, "context")
-        .join(tot)
-        .select(
-            F.col("center").cast("long").alias("center"),
-            F.col("context").cast("long").alias("context"),
-            F.col("n_ab").cast("long").alias("n_ab"),
-            F.round(
-                F.lit(1000)
-                * F.log(
-                    (F.col("n_ab").cast("double") * F.col("n"))
-                    / (F.col("n_a").cast("double") * F.col("n_b"))
-                )
-            )
-            .cast("long")
-            .alias("pmi_milli"),
-        )
-    )
-    return sc.orderBy(F.desc("pmi_milli"), "center", "context").limit(50)
-
-
-def _emb_oracle_final(dims: int = 4, iters: int = 3) -> str:
-    """PPMI-matrix subspace-iteration embedding CTEs appended to the
-    walk-corpus oracle: d deterministic signed start vectors pushed
-    through K unrolled M·v rounds with a per-dim integer max-abs
-    rescale — every value an exact bigint on both engines."""
-    parts = [
-        ", pr AS (SELECT a.node AS center, b.node AS context "
-        "FROM corpus a JOIN corpus b ON a.walk = b.walk "
-        "AND a.step <> b.step AND abs(a.step - b.step) <= 2), "
-        "pc AS (SELECT center, context, COUNT(*) AS n_ab FROM pr "
-        "GROUP BY 1, 2), "
-        "ctr AS (SELECT center, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc "
-        "GROUP BY 1), "
-        "ctx AS (SELECT context, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc "
-        "GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc), "
-        "mat AS MATERIALIZED (SELECT center AS i, context AS j, pmi AS w "
-        "FROM (SELECT pc.center, pc.context, "
-        "CAST(ROUND(1000 * ln((CAST(pc.n_ab AS DOUBLE) * n) / "
-        "(CAST(n_a AS DOUBLE) * n_b))) AS BIGINT) AS pmi "
-        "FROM pc JOIN ctr ON pc.center = ctr.center "
-        "JOIN ctx ON pc.context = ctx.context CROSS JOIN tot) "
-        "WHERE pmi > 0), "
-        "vn AS MATERIALIZED (SELECT DISTINCT node FROM corpus), "
-        f"dims AS (SELECT CAST(unnest(range({dims})) AS INT) AS r), "
-        "v0 AS (SELECT node, r, "
-        "CAST(('0x' || substr(md5('emb-v1:' || CAST(node AS VARCHAR) "
-        "|| ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000 "
-        "AS v FROM vn CROSS JOIN dims)"
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f", u{t} AS (SELECT m.i AS node, v.r, SUM(m.w * v.v) AS u "
-            f"FROM mat m JOIN v{t-1} v ON m.j = v.node GROUP BY 1, 2)"
-            f", s{t} AS (SELECT r, GREATEST(MAX(ABS(u)), 1) AS s "
-            f"FROM u{t} GROUP BY r)"
-            f", v{t} AS (SELECT n.node, d.r, "
-            f"COALESCE(u.u, 0) * 1000000 // COALESCE(s.s, 1) AS v "
-            "FROM vn n CROSS JOIN dims d "
-            f"LEFT JOIN s{t} s ON d.r = s.r "
-            f"LEFT JOIN u{t} u ON n.node = u.node AND d.r = u.r)"
-        )
-    parts.append(
-        f" SELECT CAST(node AS BIGINT) AS node, r AS dim, "
-        f"CAST(v AS BIGINT) AS val_micro FROM v{iters}"
-    )
-    return "".join(parts)
-
-
-@register(
-    "pmi_embedding_vectors", _rw_oracle_sql(final=_emb_oracle_final())
-)
-def pmi_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Actual embedding VECTORS from the walk-PMI matrix — the final
-    stage the r9 pipeline stopped short of (walks -> skip-gram pairs
-    -> PMI -> vectors): a 4-dim randomized subspace-iteration sketch
-    (Halko et al. 2011's range finder, QR omitted) of the PPMI
-    matrix skip-gram implicitly factorizes (Levy & Goldberg 2014).
-    Start vectors are md5("emb-v1:node:r") mod 2001 - 1000 (signed,
-    a pure function of the node id); 3 unrolled M·v rounds, each an
-    exact bigint multiply-sum followed by a per-dim max-abs rescale
-    to ±1e6 micro-units via truncating integer division (Spark `div`
-    and DuckDB `//` both truncate toward zero — the modularity
-    precedent). Zero float ops anywhere, so the ENTIRE embedding
-    table is hash-certified cross-engine — impossible for SGD
-    embeddings, the point of this certificate. Plan: walk corpus and
-    PPMI matrix eager-checkpointed once; each round is ONE node-keyed
-    join + hash agg (the pagerank shape) + a 4-row broadcast rescale;
-    vectors live as (node, dim, int) rows that shuffle skinny. At
-    100 TB: M is the sparse PPMI relation (never densified), v is
-    |V|×d — the same M·v round is how distributed randomized SVD
-    range finders actually run on Spark."""
-    from .operators.graph import random_walks
-
-    edges = _supplier_knn_edges(spark, sf_dir)
-    corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
-        eager=True
-    )
-    a, b = corpus.alias("a"), corpus.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.walk") == F.col("b.walk"))
-        & (F.col("a.step") != F.col("b.step"))
-        & (F.abs(F.col("a.step") - F.col("b.step")) <= 2),
-    ).select(
-        F.col("a.node").alias("center"), F.col("b.node").alias("context")
-    )
-    pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
-    ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
-    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
-    tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
-    mat = (
-        pc.join(ctr, "center")
-        .join(ctx, "context")
-        .join(tot)
-        .select(
-            F.col("center").alias("i"),
-            F.col("context").alias("j"),
-            F.round(
-                F.lit(1000)
-                * F.log(
-                    (F.col("n_ab").cast("double") * F.col("n"))
-                    / (F.col("n_a").cast("double") * F.col("n_b"))
-                )
-            )
-            .cast("long")
-            .alias("w"),
-        )
-        .filter(F.col("w") > 0)
-        .localCheckpoint(eager=True)
-    )
-    vn = corpus.select("node").distinct().localCheckpoint(eager=True)
-    dims = spark.range(4).select(F.col("id").cast("int").alias("r"))
-    v = vn.join(dims).select(
-        "node",
-        "r",
-        (
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("emb-v1:"),
-                                F.col("node").cast("string"),
-                                F.lit(":"),
-                                F.col("r").cast("string"),
-                            )
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(2001),
-            )
-            - 1000
-        ).alias("v"),
-    )
-    for _ in range(3):
-        u = (
-            mat.join(v, mat["j"] == v["node"])
-            .groupBy(mat["i"].alias("node"), "r")
-            .agg(F.sum(F.col("w") * F.col("v")).alias("u"))
-            .localCheckpoint(eager=True)
-        )
-        s = u.groupBy("r").agg(
-            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("s")
-        )
-        v = (
-            vn.join(dims)
-            .join(F.broadcast(s), "r", "left")
-            .join(u, ["node", "r"], "left")
-            .select(
-                "node",
-                "r",
-                F.expr(
-                    "coalesce(u, 0) * 1000000 div coalesce(s, 1)"
-                ).alias("v"),
-            )
-        )
-    return v.select(
-        F.col("node").cast("long").alias("node"),
-        F.col("r").alias("dim"),
-        F.col("v").cast("long").alias("val_micro"),
-    )
-
-
-def _item_cf_sql(min_co: int = 1) -> str:
-    cofilter = f"HAVING COUNT(*) >= {min_co} " if min_co > 1 else ""
-    return (
-        "WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i "
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
-        "deg AS (SELECT i, COUNT(*) AS n FROM ia GROUP BY i), "
-        "co AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS co "
-        "FROM ia a JOIN ia b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2 "
-        + cofilter + "), "
-        "sim AS (SELECT co.i AS i, co.j AS j, "
-        "co * co * 1000000 // (d1.n * d2.n) AS sim_ppm "
-        "FROM co JOIN deg d1 ON co.i = d1.i JOIN deg d2 ON co.j = d2.i), "
-        "rk AS (SELECT i, j, sim_ppm, CAST(row_number() OVER "
-        "(PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim) "
-        "SELECT i AS item, j AS rec, sim_ppm, rank FROM rk WHERE rank <= 3"
-    )
-
-
-_ITEM_CF_SQL = _item_cf_sql()
-
-
-@register("item_item_recs_topk", _ITEM_CF_SQL)
-def item_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item collaborative filtering (operators/recommend.py):
-    top-3 "bought-together" parts per part by binary cosine over
-    customer baskets — the co-occurrence recommender next to the
-    content-based ANN family (same shape ranks related documents
-    from co-click interactions in a curation pipeline). Integer-ppm
-    cosine² keeps the ranking float-free and the DuckDB oracle
-    hash-exact. At 100 TB: one user-keyed pair-gen shuffle (hot
-    baskets capped by cap_hot_keys, AQE skew-split), one (i,j)
-    count shuffle, item-keyed degree joins, anchor-item rank window
-    — no all-pairs stage, only observed co-occurrences
-    materialize."""
-    from .operators.recommend import item_item_topk
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    ia = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    ia = cap_hot_keys(ia, "u", 10_000)
-    return item_item_topk(ia, "u", "i", k=3)
-
-
-@register("item_item_recs_pruned", _item_cf_sql(min_co=2))
-def item_item_recs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """item_item_recs_topk with the deterministic DIMSUM-style
-    support prune (min_co=2): co=1 pairs — the overwhelming bulk of
-    the Σdeg² pair volume in co-occurrence data, and pure noise as
-    recommendations — are dropped right after the pair count, before
-    the degree joins and rank window. The prune is part of the
-    certified SEMANTICS here (the oracle carries the same HAVING
-    co >= 2), so the scale path is hash-verified, not just
-    benchmarked; pytest separately pins that top-k is unchanged
-    whenever every true top-k neighbor clears the threshold. The
-    downstream join/window INPUT shrinks by the co=1 mass; measured
-    at sf0.1 the end-to-end gain is modest (6.8 s vs 7.5 s) because
-    the pair-gen join + count shuffle upstream of the prune
-    dominates at bench scale — the prune's real payoff is at scale,
-    where the (i, j) similarity table is the state that must fit
-    (DIMSUM's motivation: bound what survives the count, since the
-    count itself is map-side-combined anyway)."""
-    from .operators.recommend import item_item_topk
-
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    ia = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    ia = cap_hot_keys(ia, "u", 10_000)
-    return item_item_topk(ia, "u", "i", k=3, min_co=2)
-
-
-def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
-    unroll, last = _pr_unroll_sql(iters, scale)
-    return (
-        "WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), "
-        f"w -> len(w) > 2 AND NOT list_contains({STOPWORDS_SQL}, w)) AS t "
-        "FROM documents), "
-        "pr AS (SELECT t[j] AS a, t[j + 1] AS b FROM tok, "
-        "LATERAL (SELECT unnest(range(1, len(t))) AS j) s "
-        "WHERE len(t) >= 2), "
-        "wc AS (SELECT w AS word, COUNT(*) AS cnt FROM "
-        "(SELECT unnest(t) AS w FROM tok) GROUP BY w), "
-        "vocab AS (SELECT word FROM wc ORDER BY cnt DESC, word LIMIT 500), "
-        "und AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b "
-        "FROM pr WHERE a <> b "
-        "AND a IN (SELECT word FROM vocab) "
-        "AND b IN (SELECT word FROM vocab)), "
-        "edges AS (SELECT a AS src, b AS dst FROM und "
-        "UNION ALL SELECT b, a FROM und), "
-        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
-        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), "
-        "n AS (SELECT COUNT(*) AS n FROM nodes), "
-        f"r0 AS (SELECT node, {scale} // n.n AS r FROM nodes CROSS JOIN n), "
-        + unroll
-        + f" SELECT node AS word, CAST(r AS BIGINT) AS pr_scaled FROM {last} "
-        "ORDER BY pr_scaled DESC, word LIMIT 20"
-    )
-
-
-@register("textrank_keywords", _textrank_sql())
-def textrank_keywords(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
-    over the word co-occurrence graph — the graph-NLP composition the
-    reference's keyword/topic-labeling stage (operators/topics P20)
-    approximates with raw term weights. Nodes are the top-500 corpus
-    words (stopword/length-filtered, rank-cut with full tie-break so
-    the vocab is deterministic at every sf); an undirected edge
-    connects words ever ADJACENT in a filtered token sequence; ranks
-    are the engine's integer PageRank (graph.pagerank — exact integer
-    arithmetic, so the oracle unrolls identical iterations). Top-20
-    keywords.
-
-    Plan: token explode → word-count agg (vocab cut is a
-    TakeOrderedAndProject); adjacency pairs from one sequence
-    transform (no self-join); edge set distinct'd then handed to the
-    shared pagerank operator (per iteration: one node-keyed join +
-    one agg over a ≤500-node graph — the heavy lifting is the corpus
-    scan, which runs once)."""
-    from .functions.text_clean import ALL_STOPWORDS
-    from .operators.graph import pagerank
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    sw = F.lit(list(ALL_STOPWORDS))
-    toks = F.filter(
-        F.split("text", " "),
-        lambda w: (F.length(w) > 2) & ~F.array_contains(sw, w),
-    )
-    tok = docs.select("doc_id", toks.alias("t"))
-    wc = (
-        tok.select(F.explode("t").alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    # NOT persisted: the corpus scan + token filter is re-evaluated
-    # by the two semi-joins and pagerank's nodes/ed materializations,
-    # but measured at sf0.1 both a vocab persist and an explicit
-    # edge repartition made the query SLOWER (13.8s vs 10.1s) — the
-    # extra materialization barriers and their stage boundaries cost
-    # more than the re-run narrow scans. At 100 TB the calculus
-    # flips: pass cache_handles and persist the EDGE set upstream.
-    vocab = wc.orderBy(F.desc("cnt"), "word").limit(500).select("word")
-    idx = F.sequence(F.lit(1), F.size("t") - 1)
-    pair_arr = F.transform(
-        idx,
-        lambda j: F.struct(
-            F.element_at("t", j).alias("a"),
-            F.element_at("t", j + 1).alias("b"),
-        ),
-    )
-    adj = (
-        tok.filter(F.size("t") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-        .join(vocab.withColumnRenamed("word", "a"), "a", "left_semi")
-        .join(vocab.withColumnRenamed("word", "b"), "b", "left_semi")
-    )
-    edges = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    ranks = pagerank(edges, "src", "dst", iters=3, cache_handles=cache_handles)
-    return (
-        ranks.select(F.col("node").alias("word"), "pr_scaled")
-        .orderBy(F.desc("pr_scaled"), "word")
-        .limit(20)
-    )
-
-
-_RAKE_SQL = (
-    "WITH tok AS (SELECT doc_id, j AS pos, t[j] AS w FROM "
-    "(SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    "LATERAL (SELECT unnest(range(1, len(t) + 1)) AS j) s), "
-    "flag AS (SELECT doc_id, pos, w, CASE WHEN len(w) < 3 "
-    f"OR list_contains({STOPWORDS_SQL}, w) THEN 1 ELSE 0 END AS st "
-    "FROM tok WHERE w <> ''), "
-    "ph AS (SELECT doc_id, pos, w, st, SUM(st) OVER "
-    "(PARTITION BY doc_id ORDER BY pos) AS pid FROM flag), "
-    "cw AS (SELECT doc_id, pid, pos, w FROM ph WHERE st = 0), "
-    "keep AS (SELECT doc_id, pid, COUNT(*) AS plen FROM cw "
-    "GROUP BY 1, 2 HAVING COUNT(*) <= 4), "
-    "wstat AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) "
-    "AS deg FROM cw JOIN keep USING (doc_id, pid) GROUP BY w), "
-    "ws AS (SELECT w, 1000 * deg // freq AS ws FROM wstat), "
-    "ps AS (SELECT cw.doc_id, cw.pid, "
-    "string_agg(cw.w, ' ' ORDER BY cw.pos) AS phrase, "
-    "CAST(SUM(ws.ws) AS BIGINT) AS score_milli "
-    "FROM cw JOIN keep USING (doc_id, pid) JOIN ws ON cw.w = ws.w "
-    "GROUP BY cw.doc_id, cw.pid) "
-    "SELECT DISTINCT phrase, score_milli FROM ps "
-    "ORDER BY score_milli DESC, phrase LIMIT 20"
-)
-
-
-@register("rake_keyphrases", _RAKE_SQL)
-def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic
-    Keyword Extraction from Individual Documents"): candidate
-    phrases are maximal stopword-free token runs (length ≤ 4), each
-    word scores deg/freq over the kept phrases (milli-quantized by
-    integer division — deterministic in both engines), and a phrase
-    scores the sum of its word scores; global top-20. The counting-
-    based keyphrase extractor next to the graph-based one
-    (textrank_keywords) — RAKE is the single-pass shape that scales
-    to per-document extraction at corpus size (no iterations, no
-    graph). Plan: one token posexplode → per-doc running stopword
-    count (window on the doc key) assigns phrase ids → two
-    hash aggs (phrase lengths, word stats) → broadcast word scores
-    back onto phrase members → TakeOrderedAndProject. Identical
-    phrase TEXT always has identical score (scores are global word
-    sums), so the DISTINCT dedupe is engine-order-free."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    flag = tok.select(
-        "doc_id",
-        "pos",
-        "w",
-        F.when(
-            (F.length("w") < 3) | F.col("w").isin(*ALL_STOPWORDS), 1
-        )
-        .otherwise(0)
-        .alias("st"),
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    ph = flag.withColumn("pid", F.sum("st").over(wseq))
-    cw = ph.filter(F.col("st") == 0).select("doc_id", "pid", "pos", "w")
-    keep = (
-        cw.groupBy("doc_id", "pid")
-        .agg(F.count("*").alias("plen"))
-        .filter(F.col("plen") <= 4)
-    )
-    kept = cw.join(keep, ["doc_id", "pid"])
-    wstat = kept.groupBy("w").agg(
-        F.count("*").alias("freq"),
-        F.sum("plen").cast("long").alias("deg"),
-    )
-    ws = wstat.select("w", F.expr("1000 * deg div freq").alias("ws"))
-    ps = (
-        kept.join(ws, "w")
-        .groupBy("doc_id", "pid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("phrase"),
-            F.sum("ws").cast("long").alias("score_milli"),
-        )
-    )
-    return (
-        ps.select("phrase", "score_milli")
-        .distinct()
-        .orderBy(F.desc("score_milli"), "phrase")
-        .limit(20)
-    )
-
-
-def _ann_recall_oracle_sql() -> str:
-    """Recall@10 of the batched LSH probe vs batched brute force —
-    both sides recomputed in SQL from the same deterministic LCG
-    hyperplanes (see _lsh_topk_oracle_sql; the sub-bucket cap never
-    triggers at driver scale, so base buckets are the ones to match).
-    """
-    planes = S.make_planes(64, 6, 42)
-
-    def bexpr(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({vec}, "
-            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
-    return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
-        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
-        "FROM embeddings WHERE vec_id < 4), "
-        f"b AS (SELECT vec_id, v, {bexpr('v')} AS bucket FROM e), "
-        f"qb AS (SELECT qid, qv, {bexpr('qv')} AS bucket FROM q), "
-        "s AS (SELECT qb.qid, b.vec_id, "
-        "ROUND(list_cosine_similarity(b.v, qb.qv), 6) AS cosine "
-        "FROM b JOIN qb USING (bucket)), "
-        "ar AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
-        "ORDER BY cosine DESC, vec_id) AS rk FROM s), "
-        "a AS (SELECT qid, vec_id FROM ar WHERE rk <= 10), "
-        "xs AS (SELECT q.qid, e.vec_id, "
-        "ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine FROM e, q), "
-        "xr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
-        "ORDER BY cosine DESC, vec_id) AS rk FROM xs), "
-        "x AS (SELECT qid, vec_id FROM xr WHERE rk <= 10), "
-        "h AS (SELECT a.qid, COUNT(*) AS n FROM a JOIN x "
-        "USING (qid, vec_id) GROUP BY a.qid) "
-        "SELECT q.qid, CAST(COALESCE(h.n, 0) AS INT) AS n_hits, "
-        "ROUND(COALESCE(h.n, 0) / 10.0, 6) AS recall_at_10 "
-        "FROM q LEFT JOIN h ON q.qid = h.qid"
-    )
-
-
-@register("ann_recall_eval", _ann_recall_oracle_sql())
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality harness: recall@10 of the batched LSH probe
-    (rp_lsh_topk_batch — bucket-join, corpus never broadcast-scored)
-    against the batched exact baseline (cosine_topk_batch), per
-    query. The measurement loop a production corpus runs before
-    trusting an approximate index; both sides and the recall join are
-    one lazy DAG, fully SQL-expressible, so the driver hash-checks
-    the whole evaluation end to end."""
-    emb = load_table(spark, sf_dir, "embeddings", widen=True)
-    queries = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("qid"), "embedding"
-    )
-    # max_bucket=None: the oracle joins base buckets only, and this
-    # eval measures the UNCAPPED probe's recall — with the default
-    # cap the certified hash would silently depend on no sign-bucket
-    # ever exceeding 100k rows (the capped flavor's plan shape is
-    # contract-locked separately)
-    approx = S.rp_lsh_topk_batch(
-        emb, "embedding", "vec_id", queries, "qid", "embedding",
-        dim=64, k=10, r=6, max_bucket=None,
-    )
-    exact = S.cosine_topk_batch(
-        emb, "embedding", "vec_id", queries, "qid", "embedding", k=10
-    )
-    hits = (
-        approx.select("qid", "vec_id")
-        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count("*").alias("__n"))
-    )
-    return queries.select("qid").join(hits, "qid", "left").select(
-        "qid",
-        F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_hits"),
-        F.round(F.coalesce(F.col("__n"), F.lit(0)) / F.lit(10.0), 6).alias(
-            "recall_at_10"
-        ),
-    )
-
-
-@register(
-    "vocab_oov_rate",
-    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-    "FROM documents), "
-    "cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
-    "vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 100), "
-    "per AS (SELECT doc_id, COUNT(*) AS n_tokens, "
-    "SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov "
-    "FROM tok LEFT JOIN vocab ON tok.w = vocab.w GROUP BY doc_id) "
-    "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
-    "CAST(n_oov AS INT) AS n_oov, "
-    "ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate FROM per",
-)
-def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage: per-document OOV rate against
-    the corpus top-100 vocabulary (count desc, word asc tie-break).
-    The pre-training sanity gate for a fixed tokenizer vocab: docs
-    with high OOV are noise/wrong-language candidates. Vocab is
-    bounded top-K by construction — TakeOrderedAndProject then a
-    broadcast join, so the corpus token table shuffles once (the
-    count agg) and never for the membership probe."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), "w")
-        .limit(100)
-        .select("w", F.lit(1).alias("__in"))
-    )
-    per = (
-        tok.join(F.broadcast(vocab), "w", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
-                "n_oov"
-            ),
-        )
-    )
-    return per.select(
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.col("n_oov").cast("int").alias("n_oov"),
-        F.round(
-            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
-        ).alias("oov_rate"),
-    )
-
-
-@register(
-    "corpus_token_offsets",
-    "WITH t AS (SELECT doc_id, "
-    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
-    "FROM documents) "
-    "SELECT doc_id, n_tokens, "
-    "CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
-    "PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS token_offset "
-    "FROM t",
-)
-def corpus_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global token offset per document (megatron-style corpus index
-    building: where each doc's tokens start in the packed stream).
-    Semantically a SUM() OVER (ORDER BY doc_id) — which Spark would
-    execute as a SINGLE task — so the implementation is the two-level
-    prefix sum (relational.prefix_sum_two_level): range-bucket,
-    per-bucket totals, window over the 256-row totals table, then
-    per-bucket windows. The only single-task window touches 256 rows
-    regardless of corpus size."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    t = docs.select(
-        "doc_id", word_count(F.col("text")).cast("long").alias("n_tokens")
-    )
-    out = R.prefix_sum_two_level(t, "doc_id", "n_tokens", buckets=256)
-    return out.select(
-        "doc_id", "n_tokens", F.col("prefix").cast("long").alias("token_offset")
-    )
-
-
-def _cdc_snapshot_frames(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The ONE old/new snapshot simulation shared by
-    snapshot_delta_cdc and incremental_agg_maintenance (their oracle
-    SQL mirrors these exact filters/bump): old = orders with
-    key%97!=0; new = orders with key%89!=0 and price+10.0 for
-    key%13==0. Returns (old, new) with (k, pri, price)."""
-    orders = load_table(spark, sf_dir, "orders")
-    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_totalprice").alias("price"),
-    )
-    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderpriority").alias("pri"),
-        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0)
-        .otherwise(F.col("o_totalprice"))
-        .alias("price"),
-    )
-    return old, new
-
-
-def _cdc_snapshots(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Integer-cents flavor of the shared CDC snapshots (exact
-    maintenance arithmetic): (k, pri, cents)."""
-    old, new = _cdc_snapshot_frames(spark, sf_dir)
-    cents = F.round(F.col("price") * 100, 0).cast("long").alias("cents")
-    return (
-        old.select("k", "pri", cents),
-        new.select("k", "pri", cents),
-    )
-
-
-@register(
-    "snapshot_delta_cdc",
-    "WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders "
-    "WHERE o_orderkey % 97 <> 0), "
-    "new AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 13 = 0 "
-    "THEN o_totalprice + 10.0 ELSE o_totalprice END AS p FROM orders "
-    "WHERE o_orderkey % 89 <> 0), "
-    "j AS (SELECT COALESCE(old.k, new.k) AS k, old.p AS op, new.p AS np, "
-    "CASE WHEN old.k IS NULL THEN 'added' "
-    "WHEN new.k IS NULL THEN 'removed' "
-    "WHEN old.p <> new.p THEN 'changed' ELSE 'unchanged' END "
-    "AS change_class FROM old FULL JOIN new ON old.k = new.k) "
-    "SELECT change_class, COUNT(*) AS n, "
-    "CAST(SUM(CASE WHEN change_class = 'changed' "
-    "THEN CAST(ROUND((np - op) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
-    "AS delta_cents FROM j GROUP BY change_class",
-)
-def snapshot_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff / CDC classification: full-outer join an old and
-    a new snapshot of a keyed table, classify every key as
-    added / removed / changed / unchanged, and report per-class counts
-    plus the integer-scaled (cents) net price delta of changed rows.
-    The audit step between incremental pipeline runs (the batch twin
-    of the SCD1 merge sink in stage_io). Snapshots are simulated from
-    `orders` by deterministic key filters + a price bump. At 100 TB:
-    ONE key-partitioned full-outer shuffle join (AQE skew-split
-    applies), then a 4-group hash agg — no driver state."""
-    old_f, new_f = _cdc_snapshot_frames(spark, sf_dir)
-    old = old_f.select("k", F.col("price").alias("op"))
-    new = new_f.select("k", F.col("price").alias("np"))
-    j = old.join(new, "k", "full_outer").select(
-        F.when(F.col("op").isNull(), F.lit("added"))
-        .when(F.col("np").isNull(), F.lit("removed"))
-        .when(F.col("op") != F.col("np"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias("change_class"),
-        "op",
-        "np",
-    )
-    return j.groupBy("change_class").agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.when(
-                F.col("change_class") == "changed",
-                F.round((F.col("np") - F.col("op")) * 100, 0).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("delta_cents"),
-    )
-
-
-@register(
-    "fuzzy_name_pairs",
-    "WITH names AS (SELECT DISTINCT p_name AS n FROM part), "
-    "b AS (SELECT n, string_split(n, ' ')[-1] AS blk FROM names) "
-    "SELECT a.n AS key_1, c.n AS key_2, "
-    "CAST(levenshtein(a.n, c.n) AS INT) AS dist "
-    "FROM b a JOIN b c ON a.blk = c.blk AND a.n < c.n "
-    "WHERE levenshtein(a.n, c.n) <= 3",
-)
-def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage candidate pairs over distinct part names:
-    block on the head noun (last word), edit-distance <= 3 within
-    blocks (dedup.blocked_fuzzy_pairs). The entity-resolution shape
-    an all-pairs string join can't ship at scale — the block key
-    bounds the fanout and keeps the join a hash join; levenshtein
-    evaluates identically JVM-side and in DuckDB, so the candidate
-    set is hash-oracled."""
-    from .operators.dedup import blocked_fuzzy_pairs
-
-    part = load_table(spark, sf_dir, "part")
-    names = part.select(F.col("p_name").alias("n")).distinct()
-    blocked = names.withColumn(
-        "blk", F.substring_index(F.col("n"), " ", -1)
-    )
-    return blocked_fuzzy_pairs(blocked, "n", "blk", max_dist=3).select(
-        F.col("key_1"), F.col("key_2"), F.col("dist").cast("int").alias("dist")
-    )
-
-
-@register(
-    "ivm_join_view_refresh",
-    # oracle: the DIRECT join aggregate over the full tables — the
-    # engine side must reproduce it from base + delta via the
-    # three-delta-leg join algebra, never rescanning base⋈base twice
-    "SELECT o_orderpriority AS pri, COUNT(*) AS n_rows, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
-    "AS rev_cents "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
-    "GROUP BY o_orderpriority",
-)
-def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental JOIN-view maintenance (Gupta & Mumick 1995 —
-    the join sibling of incremental_agg_maintenance's retract-row
-    algebra): a revenue-by-priority view over orders ⋈ lineitem is
-    refreshed after inserts arriving on BOTH sides. Each table is
-    split deterministically into base + delta (md5-bucket ~5%, on
-    DIFFERENT keys so every leg is non-trivially populated), and the
-    maintained view = monoid merge of base⋈base with the THREE
-    delta legs ΔO⋈L, O⋈ΔL, ΔO⋈ΔL (relational.delta_join_legs) —
-    each |Δ|-bounded with the delta side broadcast. The oracle
-    computes the view DIRECTLY from the full tables: a hash match
-    certifies the delta algebra reconstructs it exactly. At 100 TB
-    the base⋈base leg is the STORED view (here computed once for
-    the comparison); the refresh cost is the three broadcast joins —
-    |Δ|-proportional, never a base rescan."""
-    from .operators.relational import delta_join_legs
-    from .operators.traindata import hash_bucket
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"),
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("cents"),
-        "l_partkey",
-    )
-    is_d_o = hash_bucket(F.col("o_orderkey"), 20) == 0
-    is_d_l = hash_bucket(F.col("l_partkey"), 20) == 0
-    joined = delta_join_legs(
-        orders.filter(~is_d_o),
-        orders.filter(is_d_o),
-        li.filter(~is_d_l).drop("l_partkey"),
-        li.filter(is_d_l).drop("l_partkey"),
-        ["o_orderkey"],
-    )
-    return joined.groupBy(F.col("o_orderpriority").alias("pri")).agg(
-        F.count("*").alias("n_rows"),
-        F.sum("cents").cast("long").alias("rev_cents"),
-    )
-
-
-@register(
-    "streaming_join_view",
-    # the drained complete-mode view equals the batch join aggregate
-    # exactly (integer cents, arrival-order-free) — the direct-join
-    # SQL is the oracle
-    "SELECT o_orderpriority AS pri, COUNT(*) AS n_rows, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
-    "AS rev_cents "
-    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
-    "GROUP BY o_orderpriority",
-)
-def streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STATIC join + view aggregation (streaming/ingest.py::
-    static_join_view_stream): the streaming surface member the
-    family lacked — maintaining a join VIEW over an append-only fact
-    stream against a static dimension. Structured Streaming executes
-    per micro-batch exactly the |Δ|-bounded delta leg of
-    ivm_join_view_refresh's algebra (only NEW orders rows join the
-    dimension), and the complete-mode aggregation state IS the
-    materialized view. Integer-cents revenue makes the drained view
-    hash-equal to the direct batch join aggregate in any micro-batch
-    arrival order — certified cross-engine like every other drain.
-    At 100 TB: dimension broadcast or pre-bucketed; agg state
-    bounded by view cardinality (5 priorities)."""
-    from .streaming.ingest import (
-        scoped_state_partitions,
-        static_join_view_stream,
-    )
-
-    load_table(spark, sf_dir, "orders")
-    with scoped_state_partitions(spark):
-        return static_join_view_stream(spark, sf_dir)
-
-
-@register(
-    "incremental_agg_maintenance",
-    # oracle: the DIRECT aggregate over the new snapshot — the engine
-    # side must reproduce it from base + delta without rescanning
-    "WITH new AS (SELECT o_orderkey AS k, o_orderpriority AS pri, "
-    "CAST(ROUND((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0 "
-    "ELSE o_totalprice END) * 100) AS BIGINT) AS cents FROM orders "
-    "WHERE o_orderkey % 89 <> 0) "
-    "SELECT pri, COUNT(*) AS n_orders, "
-    "CAST(SUM(cents) AS BIGINT) AS total_cents FROM new GROUP BY pri",
-)
-def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Algebraic incremental view maintenance: refresh a per-priority
-    (count, cents-sum) aggregate using ONLY the old aggregate plus
-    the CDC delta — the 100 TB move where re-aggregating the base
-    table per refresh is unaffordable. The engine side computes
-    base = agg(old snapshot), folds the classified delta
-    (added: +row, removed: -row, changed: +new-old) into per-group
-    adjustments, and outer-merges them; the oracle aggregates the new
-    snapshot directly, so the hash check proves base+delta == direct.
-    Counts and cents are integers, so the maintenance arithmetic is
-    exact in any fold order. Snapshots reuse the snapshot_delta_cdc
-    simulation (orders, key filters + price bump)."""
-    old, new = _cdc_snapshots(spark, sf_dir)
-    base = old.groupBy("pri").agg(
-        F.count("*").alias("bn"), F.sum("cents").alias("bc")
-    )
-    delta = R.cdc_delta_contributions(old, new, "k", "pri", "cents")
-    return (
-        base.join(delta, "pri", "full_outer")
-        .select(
-            "pri",
-            (
-                F.coalesce(F.col("bn"), F.lit(0))
-                + F.coalesce(F.col("dn"), F.lit(0))
-            ).alias("n_orders"),
-            (
-                F.coalesce(F.col("bc"), F.lit(0))
-                + F.coalesce(F.col("dv"), F.lit(0))
-            ).alias("total_cents"),
-        )
-        .filter(F.col("n_orders") > 0)
-    )
-
-
-@register(
-    "link_prediction_suppliers",
-    f"WITH e AS ({_BIPROJ_SQL}), "
-    "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s), "
-    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-    "FROM e a JOIN e b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2) "
-    "SELECT s1, s2, cn, "
-    "CAST(cn * 1000000 // (d1.d + d2.d - cn) AS BIGINT) AS jaccard_ppm "
-    "FROM cn JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
-    "ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 20",
-)
-def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite-projection link prediction (collaborative filtering):
-    suppliers are similar when they serve the same customers — common
-    -neighbor counts over the customer↔supplier graph, scored by the
-    Jaccard coefficient in INTEGER ppm (cn·10⁶ div (d1+d2−cn)), so
-    the ranking is exact cross-engine with no float rounding anywhere.
-    Plan: distinct bipartite edges → customer-keyed self-join
-    (ONE exchange, reused for both sides; whole-stage codegen — the
-    group-explode alternative pays interpreted HOF lambdas, measured
-    2.2× slower, and a hot customer's collect_list can OOM a task
-    where the join is AQE-skew-splittable; extreme hubs ARE df-capped
-    via cap_hot_keys before pair generation) → pair-count agg → two degree joins
-    → TakeOrderedAndProject top-20."""
-    # hot-basket cap (never binds at test scale — adversarial pytest
-    # pins both the bound and the no-op case); degrees computed on
-    # the same capped universe so Jaccard stays exact over it
-    e = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
-    deg = e.groupBy("s").agg(F.count("*").alias("d"))
-    a = e.select("c", F.col("s").alias("s1"))
-    b = e.select("c", F.col("s").alias("s2"))
-    cn = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    scored = (
-        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
-        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
-        .select(
-            "s1",
-            "s2",
-            "cn",
-            F.expr("cn * 1000000 div (d1 + d2 - cn)").alias("jaccard_ppm"),
-        )
-    )
-    return scored.orderBy(F.desc("jaccard_ppm"), "s1", "s2").limit(20)
-
-
-@register(
-    "unpivot_returnflag_metrics",
-    "WITH agg AS (SELECT l_returnflag, "
-    "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c, "
-    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, "
-    "COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag) "
-    "SELECT l_returnflag, metric, value FROM agg "
-    "UNPIVOT (value FOR metric IN (qty_c, price_c, n_items))",
-)
-def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt: wide per-flag aggregates → long (flag, metric,
-    value) form — the inverse of pivot_daily_event_counts, closing
-    the reshape surface. Metrics are integer-scaled (cents /
-    counts) so the melted values are exact. Spark 4's native
-    DataFrame.unpivot is a zero-shuffle Expand over the 3-row
-    aggregate; the wide agg itself is one map-side-combined hash
-    agg."""
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_c"),
-        F.sum(
-            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        ).alias("price_c"),
-        F.count("*").alias("n_items"),
-    )
-    return agg.unpivot(
-        ["l_returnflag"], ["qty_c", "price_c", "n_items"], "metric", "value"
-    )
-
-
-_TRIANGLE_SQL = (
-    # strong-tie projection (shared _STRONG_TIE_CTES), then the
-    # canonical ordered 3-way self-join a<b<c counting closed
-    # triangles
-    f"WITH {_STRONG_TIE_CTES}, "
-    "tri AS (SELECT ab.s1 AS a, ab.s2 AS b, bc.s2 AS c "
-    "FROM e ab JOIN e bc ON ab.s2 = bc.s1 "
-    "JOIN e ac ON ab.s1 = ac.s1 AND bc.s2 = ac.s2), "
-    "pern AS (SELECT node, COUNT(*) AS n_triangles FROM ("
-    "SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
-    "UNION ALL SELECT c FROM tri) t GROUP BY node) "
-    "SELECT node, n_triangles FROM pern "
-    "ORDER BY n_triangles DESC, node LIMIT 20"
-)
-
-
-@register("triangle_count_suppliers", _TRIANGLE_SQL)
-def triangle_count_suppliers(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Per-node triangle counts over the strong-tie supplier
-    projection graph (clustering-structure metric — the third graph
-    primitive next to connected components and PageRank). The dense
-    bipartite projection is first sparsified to the top-2000 edges
-    by common-customer Jaccard (integer-ppm score, rank-based cut —
-    an absolute threshold goes vacuous as density shifts with
-    scale), then triangles close via the canonical ordered 3-way
-    self-join (a<b<c: each triangle counted once, join keys are node
-    ids so every shuffle is uniform; at 100 TB the standard
-    refinement is degree-ordered orientation, which this ordering
-    already approximates). Top-20 by count.
-
-    The triangle joins re-read the 2000-row edge cut 3x;
-    _strong_tie_edges keeps it persisted instead of re-running the
-    projection build (cache ownership: released via cache_handles —
-    without it the call pins one 2000-row cache, acceptable run-once,
-    a leak in a long-lived driver)."""
-    e = _strong_tie_edges(spark, sf_dir, cache_handles)
-    ab = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    bc = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    ac = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    pern = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select("b"))
-        .union(tri.select("c"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
-    )
-    return pern.orderBy(F.desc("n_triangles"), "node").limit(20)
-
-
-_SSSP_SQL = (
-    # same strong-tie edge cut as the triangle query, weighted by
-    # inverse tie strength (w = 1000001 - Jaccard-ppm, positive
-    # integer), symmetrized; then a hop-capped recursive walk whose
-    # MIN per node is exactly the unrolled Bellman-Ford's answer
-    f"WITH RECURSIVE e0 AS ({_BIPROJ_SQL}), "
-    "deg AS (SELECT s, COUNT(*) AS d FROM e0 GROUP BY s), "
-    "cn AS (SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn "
-    "FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2), "
-    "cut AS (SELECT s1, s2, "
-    "1000001 - cn * 1000000 // (d1.d + d2.d - cn) AS w FROM cn "
-    "JOIN deg d1 ON s1 = d1.s JOIN deg d2 ON s2 = d2.s "
-    "ORDER BY cn * 1000000 // (d1.d + d2.d - cn) DESC, s1, s2 "
-    "LIMIT 2000), "
-    "e AS (SELECT s1 AS src, s2 AS dst, w FROM cut "
-    "UNION ALL SELECT s2, s1, w FROM cut), "
-    "s0 AS (SELECT MIN(src) AS v FROM e), "
-    "walk(node, d, h) AS ("
-    "SELECT v, CAST(0 AS BIGINT), 0 FROM s0 "
-    "UNION ALL "
-    "SELECT e.dst, w.d + e.w, w.h + 1 FROM walk w "
-    "JOIN e ON e.src = w.node WHERE w.h < 4) "
-    "SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk "
-    "GROUP BY node ORDER BY dist, node"
-)
-
-
-@register("shortest_paths_suppliers", _SSSP_SQL)
-def shortest_paths_suppliers(
-    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
-) -> DataFrame:
-    """Hop-bounded single-source shortest paths (unrolled
-    Bellman-Ford, ``graph.bounded_shortest_paths``) over the
-    strong-tie supplier graph — the fourth graph primitive next to
-    connected components, PageRank, and triangle counting. Edges are
-    the triangle query's rank-sparsified top-2000 cut, weighted by
-    inverse tie strength (1000001 − Jaccard-ppm: positive integers,
-    so every path length is exact integer math and the MIN fold is
-    order-free); the source is the minimum supplier node; 4 hops.
-    The oracle replays the identical relaxation as a hop-capped
-    recursive CTE. Per hop: one node-keyed hash join + one min
-    aggregation — state stays distributed, no driver reads."""
-    from .operators.graph import bounded_shortest_paths
-
-    e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
-    deg = e0.groupBy("s").agg(F.count("*").alias("d"))
-    cn = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cn"))
-    )
-    cut = (
-        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
-        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
-        .orderBy(
-            F.desc(F.expr("cn * 1000000 div (d1 + d2 - cn)")), "s1", "s2"
-        )
-        .limit(2000)
-        .select(
-            "s1",
-            "s2",
-            F.expr("1000001 - cn * 1000000 div (d1 + d2 - cn)").alias("w"),
-        )
-        # each of the 4 unrolled hops re-reads the 2000-row edge cut;
-        # persist it rather than re-running the projection build per
-        # hop (cache ownership: released via cache_handles, the
-        # pagerank/triangle contract)
-        .persist()
-    )
-    if cache_handles is not None:
-        cache_handles.append(cut)
-    e = cut.selectExpr("s1 AS src", "s2 AS dst", "w").unionByName(
-        cut.selectExpr("s2 AS src", "s1 AS dst", "w")
-    )
-    source = e.agg(F.min("src").alias("node"))
-    return (
-        bounded_shortest_paths(e, "src", "dst", "w", source, hops=4)
-        .orderBy("dist", "node")
-    )
-
-
-@register(
-    "data_quality_audit",
-    "SELECT 'orders_pk_dup' AS check_name, "
-    "CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) "
-    "AS BIGINT) AS n_violations "
-    "UNION ALL SELECT 'lineitem_fk_orphan', (SELECT COUNT(*) FROM lineitem l "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
-    "WHERE o.o_orderkey = l.l_orderkey)) "
-    "UNION ALL SELECT 'orders_custkey_null', "
-    "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) "
-    "UNION ALL SELECT 'lineitem_discount_range', "
-    "(SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) "
-    "UNION ALL SELECT 'lineitem_price_nonpositive', "
-    "(SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) "
-    "UNION ALL SELECT 'orders_date_bounds', "
-    "(SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1990-01-01' "
-    "OR o_orderdate > TIMESTAMP '2030-01-01')",
-)
-def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deequ-style data-quality constraint suite as ONE lazy plan:
-    primary-key uniqueness, FK orphans (left-anti count), null
-    checks, range and date-bound checks — the validation gate a
-    100 TB ingest runs before publishing a stage table. Each check
-    is a count aggregate; the FK check is a key-partitioned anti
-    join (AQE-eligible); results union into (check_name,
-    n_violations) rows so a scheduler can alert on any non-zero."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-
-    def one(name: str, cnt_df: DataFrame) -> DataFrame:
-        return cnt_df.select(
-            F.lit(name).alias("check_name"),
-            F.col("n").cast("long").alias("n_violations"),
-        )
-
-    pk_dup = one(
-        "orders_pk_dup",
-        orders.agg(
-            (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
-        ),
-    )
-    fk_orphan = one(
-        "lineitem_fk_orphan",
-        li.join(
-            orders.select("o_orderkey"),
-            li.l_orderkey == F.col("o_orderkey"),
-            "left_anti",
-        ).agg(F.count("*").alias("n")),
-    )
-    cust_null = one(
-        "orders_custkey_null",
-        orders.filter(F.col("o_custkey").isNull()).agg(
-            F.count("*").alias("n")
-        ),
-    )
-    disc_range = one(
-        "lineitem_discount_range",
-        li.filter(
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-        ).agg(F.count("*").alias("n")),
-    )
-    price_pos = one(
-        "lineitem_price_nonpositive",
-        li.filter(F.col("l_extendedprice") <= 0).agg(
-            F.count("*").alias("n")
-        ),
-    )
-    date_bounds = one(
-        "orders_date_bounds",
-        orders.filter(
-            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
-            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"))
-        ).agg(F.count("*").alias("n")),
-    )
-    return (
-        pk_dup.union(fk_orphan)
-        .union(cust_null)
-        .union(disc_range)
-        .union(price_pos)
-        .union(date_bounds)
-    )
-
-
-_BM25_TERMS = ("spark", "table", "stream")
-_BM25_K1 = "1.2"
-_BM25_B = "0.75"
-
-_BM25_SQL = (
-    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-    "FROM documents), "
-    "dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), "
-    "stats AS (SELECT COUNT(*) AS n, SUM(len) AS total FROM dl), "
-    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
-    f"WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w), "
-    "dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
-    "idf AS (SELECT w, CAST(ROUND(1000 * ln(1 + "
-    "(n - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_milli "
-    "FROM dfreq, stats), "
-    "scored AS (SELECT tf.doc_id, CAST(ROUND(idf_milli * "
-    f"(tf * ({_BM25_K1} + 1.0)) / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + "
-    f"{_BM25_B} * (CAST(len AS DOUBLE) * n / total)))) AS BIGINT) "
-    "AS s_milli FROM tf JOIN dl USING (doc_id) "
-    "JOIN idf USING (w) CROSS JOIN stats) "
-    "SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli "
-    "FROM scored GROUP BY doc_id "
-    "ORDER BY score_milli DESC, doc_id LIMIT 10"
-)
-
-
-@register("bm25_topk_docs", _BM25_SQL)
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 sparse retrieval: top-10 documents for a fixed 3-term
-    query (Robertson/Sparck-Jones Okapi BM25, k1=1.2 b=0.75) — the
-    lexical search primitive that pairs with the inverted-index
-    layout (`inverted_index_blocks`) the way ANN pairs with the
-    embedding index. Cross-engine exactness follows the
-    perplexity_buckets recipe: idf and each per-(doc,term) partial
-    are quantized to integer MILLI-units before any aggregation, so
-    the only float ops are identical-input IEEE arithmetic (ln's
-    1-ulp Java/libm disagreement is absorbed by the milli rounding)
-    and the score sum is exact integer math in any fold order.
-    Plan: term-filtered tf (the IN-list prunes the token explode at
-    the scan), doc-length agg, 1-row corpus stats broadcast, 3-row
-    idf broadcast join, TakeOrderedAndProject top-10. At 100 TB the
-    tf/df tables come precomputed from the inverted index partition
-    layout instead of a raw-text scan."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("len").alias("total")
-    )
-    tf = (
-        tok.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "w",
-        F.round(
-            F.lit(1000)
-            * F.log(
-                F.lit(1.0)
-                + (F.col("n") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-        )
-        .cast("long")
-        .alias("idf_milli"),
-    )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "w")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf_milli")
-                * (F.col("tf") * F.expr(f"{_BM25_K1} + 1.0"))
-                / (
-                    F.col("tf")
-                    + F.expr(_BM25_K1)
-                    * (
-                        F.expr(f"1.0 - {_BM25_B}")
-                        + F.expr(_BM25_B)
-                        * (
-                            F.col("len").cast("double")
-                            * F.col("n")
-                            / F.col("total")
-                        )
-                    )
-                )
-            )
-            .cast("long")
-            .alias("s_milli"),
-        )
-    )
-    out = scored.groupBy("doc_id").agg(
-        F.sum("s_milli").alias("score_milli")
-    )
-    return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
-
-
-_QL_MU = "2000.0"
-
-_QL_SQL = (
-    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-    "FROM documents), "
-    "dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), "
-    "stats AS (SELECT SUM(len) AS total FROM dl), "
-    f"cf AS (SELECT w, COUNT(*) AS cf FROM tok WHERE w IN {_BM25_TERMS!r} "
-    "GROUP BY w), "
-    f"tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
-    f"WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w), "
-    "grid AS (SELECT dl.doc_id, dl.len, cf.w, cf.cf, "
-    "COALESCE(tf.tf, 0) AS tf FROM dl CROSS JOIN cf "
-    "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = cf.w), "
-    "scored AS (SELECT doc_id, CAST(ROUND(1000 * ln("
-    f"(tf + {_QL_MU} * cf / total) / (len + {_QL_MU}))) AS BIGINT) "
-    "AS s_milli FROM grid CROSS JOIN stats) "
-    "SELECT doc_id, CAST(SUM(s_milli) AS BIGINT) AS score_milli "
-    "FROM scored GROUP BY doc_id "
-    "ORDER BY score_milli DESC, doc_id LIMIT 10"
-)
-
-
-@register("query_likelihood_topk", _QL_SQL)
-def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
-    2001, μ=2000): top-10 documents for the same fixed 3-term query
-    BM25 ranks — the language-modeling scorer next to the
-    probabilistic one, completing the two classic lexical ranking
-    families over the inverted-index layout. Unlike BM25, EVERY
-    document scores on EVERY query term (smoothing gives unseen
-    terms collection-probability mass), so the scoring frame is
-    doc-lengths × the tiny query-term table (broadcast fan-out, no
-    token re-scan) left-joined with the term-filtered tf rows.
-    Cross-engine exactness: per-(doc, term) partials quantize to
-    integer milli-nats before the sum (the bm25 recipe; identical
-    IEEE expression trees feed the ln in both engines). At 100 TB
-    the tf/cf tables come from the inverted-index layout and the
-    only large shuffle is the doc-length aggregate."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    mu = float(_QL_MU)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
-    stats = dl.agg(F.sum("len").alias("total"))
-    qtok = tok.filter(F.col("w").isin(*_BM25_TERMS))
-    cf = qtok.groupBy("w").agg(F.count("*").alias("cf"))
-    tf = qtok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    grid = (
-        dl.crossJoin(F.broadcast(cf))
-        .join(tf, ["doc_id", "w"], "left")
-        .select(
-            "doc_id",
-            "len",
-            "cf",
-            F.coalesce("tf", F.lit(0)).alias("tf"),
-        )
-    )
-    scored = grid.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        F.round(
-            F.lit(1000)
-            * F.log(
-                (F.col("tf") + F.lit(mu) * F.col("cf") / F.col("total"))
-                / (F.col("len") + F.lit(mu))
-            )
-        )
-        .cast("long")
-        .alias("s_milli"),
-    )
-    out = scored.groupBy("doc_id").agg(F.sum("s_milli").alias("score_milli"))
-    return out.orderBy(F.desc("score_milli"), "doc_id").limit(10)
-
-
-def _nb_sql(feature: str = "w") -> str:
-    """The NB train+predict+confusion oracle, parameterized by the
-    feature expression over the raw token ``w`` (identity for the
-    vocab model, md5-mod for the hashing-trick model)."""
-    return (
-        f"WITH tk AS (SELECT doc_id, lang, {feature} AS w FROM "
-        "(SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w "
-        "FROM documents) WHERE w <> ''), "
-        + _NB_SQL_BODY
-    )
-
-
-_NB_SQL_BODY = (
-    "wc AS (SELECT w, lang AS cls, COUNT(*) AS cnt FROM tk GROUP BY 1, 2), "
-    "tot AS (SELECT lang AS cls, COUNT(*) AS tot FROM tk GROUP BY 1), "
-    "voc AS (SELECT COUNT(DISTINCT w) AS v FROM tk), "
-    "nd AS (SELECT lang AS cls, COUNT(*) AS n_c FROM documents GROUP BY 1), "
-    "na AS (SELECT COUNT(*) AS n FROM documents), "
-    "cls AS (SELECT t.cls, tot, v, "
-    "CAST(ROUND(1000 * ln(CAST(n_c AS DOUBLE) / n)) AS BIGINT) "
-    "AS prior_milli, "
-    "CAST(ROUND(1000 * ln(1.0 / (tot + v))) AS BIGINT) AS miss_milli "
-    "FROM tot t JOIN nd ON t.cls = nd.cls CROSS JOIN voc CROSS JOIN na), "
-    "model AS (SELECT w, wc.cls, "
-    "CAST(ROUND(1000 * ln((cnt + 1.0) / (tot + v))) AS BIGINT) AS ll_milli "
-    "FROM wc JOIN cls ON wc.cls = cls.cls), "
-    "tf AS (SELECT doc_id AS id, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2), "
-    "sc AS (SELECT id, c.cls, "
-    "CAST(SUM(tf * COALESCE(ll_milli, miss_milli)) AS BIGINT) AS tok_milli "
-    "FROM tf CROSS JOIN (SELECT cls, miss_milli FROM cls) c "
-    "LEFT JOIN model m ON tf.w = m.w AND m.cls = c.cls GROUP BY 1, 2), "
-    "fl AS (SELECT d.doc_id AS id, d.lang AS label, c.cls, "
-    "c.prior_milli + COALESCE(tok_milli, 0) AS score "
-    "FROM documents d CROSS JOIN cls c "
-    "LEFT JOIN sc ON sc.id = d.doc_id AND sc.cls = c.cls), "
-    "pr AS (SELECT id, label, cls AS pred, row_number() OVER "
-    "(PARTITION BY id ORDER BY score DESC, cls) AS rn FROM fl) "
-    "SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n_docs "
-    "FROM pr WHERE rn = 1 GROUP BY label, pred"
-)
-
-
-@register("nb_lang_confusion", _nb_sql())
-def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes language classifier, trained AND
-    scored in-engine (operators/classify.py), reduced to the
-    (label, pred, n_docs) confusion matrix — the corpus-routing
-    classifier a curation pipeline runs ahead of lang-specific
-    cleaning (CCNet-style), and the first in-engine TRAINED model
-    with a hash-exact cross-engine oracle: training is two
-    map-side-combinable groupBys, log-likelihoods quantize to
-    integer milli-nats before any per-doc aggregation (the
-    bm25/perplexity recipe), prediction is an integer argmax with
-    total tie order. Resubstitution scoring by design — the check
-    pins train AND predict in one relation. At 100 TB: one token
-    pass; the (vocab × classes) model is Heaps-bounded; the only
-    big shuffles key on (token, class) and (doc, class)."""
-    from .operators.classify import nb_train_predict
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    out = nb_train_predict(docs, "doc_id", "text", "lang")
-    return out.groupBy("label", "pred").agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
-
-
-_NB_HASH_BUCKETS = 4096
-
-
-@register(
-    "nb_lang_confusion_hashed",
-    _nb_sql(
-        "CAST(('0x' || substr(md5('fh-v1:' || w), 1, 12)) AS UBIGINT) "
-        f"% {_NB_HASH_BUCKETS}"
-    ),
-)
-def nb_lang_confusion_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hashing-trick variant of nb_lang_confusion (Weinberger et
-    al. 2009): features are md5-mod-4096 buckets instead of raw
-    tokens, so the trained model is a FIXED (4096 × classes) table
-    regardless of vocabulary — the 100 TB shape where even a
-    Heaps-bounded vocab table is unwelcome state (no vocab to
-    maintain, no OOV rows at predict time, the model always
-    broadcasts). Same train+predict+confusion relation, same
-    milli-nat integer scoring; the md5 flavor keeps the whole thing
-    hash-exact in DuckDB. Bucket collisions fold rare tokens
-    together — the standard accuracy/state trade, here pinned
-    cross-engine instead of approximated."""
-    from .operators.classify import nb_train_predict
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    out = nb_train_predict(
-        docs, "doc_id", "text", "lang", hash_buckets=_NB_HASH_BUCKETS
-    )
-    return out.groupBy("label", "pred").agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
-
-
-_NB_KFOLD_K = 3
-
-_NB_KFOLD_SQL = (
-    # d/tk are referenced by several legs — AS MATERIALIZED, or DuckDB
-    # inlines and re-runs the token explode once per reference
-    "WITH d AS MATERIALIZED (SELECT doc_id, lang, text, "
-    f"CAST({_BUCKET_SQL} % {_NB_KFOLD_K} AS INT) AS fold FROM documents), "
-    f"fd AS (SELECT CAST(unnest(range({_NB_KFOLD_K})) AS INT) AS fold), "
-    "tk AS MATERIALIZED (SELECT doc_id, lang AS cls, fold, w FROM "
-    "(SELECT doc_id, lang, fold, unnest(string_split(text, ' ')) AS w "
-    "FROM d) WHERE w <> ''), "
-    # leave-one-fold-out counts by subtraction over the fold grid
-    "wcf AS MATERIALIZED (SELECT w, cls, fold, COUNT(*) AS cnt_f "
-    "FROM tk GROUP BY 1, 2, 3), "
-    "wct AS (SELECT w, cls, CAST(SUM(cnt_f) AS BIGINT) AS cnt_t "
-    "FROM wcf GROUP BY 1, 2), "
-    "mc AS (SELECT wct.w, wct.cls, fd.fold, "
-    "cnt_t - COALESCE(cnt_f, 0) AS cnt FROM wct CROSS JOIN fd "
-    "LEFT JOIN wcf ON wcf.w = wct.w AND wcf.cls = wct.cls "
-    "AND wcf.fold = fd.fold WHERE cnt_t - COALESCE(cnt_f, 0) > 0), "
-    "tcf AS (SELECT cls, fold, COUNT(*) AS t_f FROM tk GROUP BY 1, 2), "
-    "tct AS (SELECT cls, CAST(SUM(t_f) AS BIGINT) AS t_t FROM tcf "
-    "GROUP BY 1), "
-    "tt AS (SELECT tct.cls, fd.fold, t_t - COALESCE(t_f, 0) AS tot "
-    "FROM tct CROSS JOIN fd LEFT JOIN tcf ON tcf.cls = tct.cls "
-    "AND tcf.fold = fd.fold), "
-    "wf AS MATERIALIZED (SELECT w, fold, COUNT(*) AS u_f FROM tk "
-    "GROUP BY 1, 2), "
-    "wt AS (SELECT w, CAST(SUM(u_f) AS BIGINT) AS u_t FROM wf GROUP BY 1), "
-    "vc AS (SELECT fd.fold, COUNT(*) AS v FROM wt CROSS JOIN fd "
-    "LEFT JOIN wf ON wf.w = wt.w AND wf.fold = fd.fold "
-    "WHERE u_t > COALESCE(u_f, 0) GROUP BY 1), "
-    "ncf AS (SELECT lang AS cls, fold, COUNT(*) AS m_f FROM d "
-    "GROUP BY 1, 2), "
-    "nct AS (SELECT cls, CAST(SUM(m_f) AS BIGINT) AS m_t FROM ncf "
-    "GROUP BY 1), "
-    "nc AS (SELECT nct.cls, fd.fold, m_t - COALESCE(m_f, 0) AS n_c "
-    "FROM nct CROSS JOIN fd LEFT JOIN ncf ON ncf.cls = nct.cls "
-    "AND ncf.fold = fd.fold), "
-    "nf AS (SELECT fold, COUNT(*) AS q_f FROM d GROUP BY 1), "
-    "na AS (SELECT COUNT(*) AS q_t FROM d), "
-    "nn AS (SELECT fd.fold, q_t - COALESCE(q_f, 0) AS n FROM fd "
-    "CROSS JOIN na LEFT JOIN nf ON nf.fold = fd.fold), "
-    "cls AS MATERIALIZED (SELECT nc.cls, nc.fold, tot, v, "
-    "CAST(ROUND(1000 * ln(CAST(n_c AS DOUBLE) / n)) AS BIGINT) "
-    "AS prior_milli, "
-    "CAST(ROUND(1000 * ln(1.0 / (tot + v))) AS BIGINT) AS miss_milli "
-    "FROM nc JOIN tt ON tt.cls = nc.cls AND tt.fold = nc.fold "
-    "JOIN vc ON vc.fold = nc.fold JOIN nn ON nn.fold = nc.fold "
-    "WHERE n_c > 0), "
-    "model AS (SELECT mc.w, mc.cls, mc.fold, "
-    "CAST(ROUND(1000 * ln((cnt + 1.0) / (tot + v))) AS BIGINT) AS ll_milli "
-    "FROM mc JOIN cls ON cls.cls = mc.cls AND cls.fold = mc.fold), "
-    "tf AS (SELECT doc_id AS id, fold, w, COUNT(*) AS tf FROM tk "
-    "GROUP BY 1, 2, 3), "
-    "sc AS (SELECT id, c.cls, tf.fold, "
-    "CAST(SUM(tf * COALESCE(ll_milli, miss_milli)) AS BIGINT) AS tok_milli "
-    "FROM tf JOIN cls c ON c.fold = tf.fold "
-    "LEFT JOIN model m ON m.w = tf.w AND m.cls = c.cls "
-    "AND m.fold = tf.fold GROUP BY 1, 2, 3), "
-    "fl AS (SELECT d.doc_id AS id, d.lang AS label, d.fold, c.cls, "
-    "c.prior_milli + COALESCE(tok_milli, 0) AS score "
-    "FROM d JOIN cls c ON c.fold = d.fold "
-    "LEFT JOIN sc ON sc.id = d.doc_id AND sc.cls = c.cls "
-    "AND sc.fold = d.fold), "
-    "pr AS (SELECT id, label, fold, cls AS pred, row_number() OVER "
-    "(PARTITION BY id ORDER BY score DESC, cls) AS rn FROM fl) "
-    "SELECT CAST(fold AS INT) AS fold, label, pred, "
-    "CAST(COUNT(*) AS BIGINT) AS n_docs "
-    "FROM pr WHERE rn = 1 GROUP BY 1, 2, 3"
-)
-
-
-@register("nb_kfold_eval", _NB_KFOLD_SQL)
-def nb_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-fold cross-validated Naive Bayes language classification
-    (classify.nb_kfold_predict): every document is predicted by the
-    model trained on the OTHER k-1 folds — the honest held-out
-    counterpart of nb_lang_confusion's resubstitution demo, reduced
-    to the per-fold (fold, label, pred, n_docs) confusion matrix.
-    The naive form retrains k times; this is ONE token pass —
-    per-(key, fold) counts aggregated once and each fold's
-    leave-one-out model derived by SUBTRACTION over a broadcast
-    k-row fold grid (cnt_train(i) = cnt_total − cnt_fold(i), ditto
-    class totals, per-fold vocab sizes, doc counts). md5 folds
-    (traindata.kfold_split) + milli-nat integer scoring make the
-    whole evaluation hash-exact in DuckDB — a cross-validated model
-    QUALITY metric certified cross-engine, not eyeballed (reference
-    analog: the notebooks' manual topic/quality inspection). At
-    100 TB: model state is Heaps-bounded × k; all wide shuffles key
-    on (token[, class][, fold])."""
-    from .operators.classify import nb_kfold_predict
-
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    out = nb_kfold_predict(docs, "doc_id", "text", "lang", k=_NB_KFOLD_K)
-    return out.groupBy("fold", "label", "pred").agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
-
-
-@register(
-    "skyline_pareto_parts",
-    "WITH t AS (SELECT p_partkey, "
-    "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents, p_size "
-    "FROM part), "
-    "m AS (SELECT *, MAX(p_size) OVER (ORDER BY cents RANGE BETWEEN "
-    "UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxc, "
-    "MAX(p_size) OVER (PARTITION BY cents) AS mxs FROM t) "
-    "SELECT p_partkey, cents, p_size FROM m "
-    "WHERE (mxc IS NULL OR p_size > mxc) AND p_size = mxs",
-)
-def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto frontier (skyline) of parts: minimize price, maximize
-    size — no part on the frontier is dominated by a cheaper-and-
-    bigger one. The naive formulation is an O(n²) dominance
-    anti-join; the 2-D skyline collapses to a running max over the
-    price order (relational.skyline_2d), executed as the same
-    two-level scan as corpus_token_offsets so no task ever sees the
-    global order. Price integer-scaled to cents; exact dominance
-    semantics incl. tie groups are pinned by the oracle's RANGE-frame
-    twin."""
-    part = load_table(spark, sf_dir, "part")
-    t = part.select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
-        "p_size",
-    )
-    return R.skyline_2d(t, "cents", "p_size").select(
-        "p_partkey", "cents", "p_size"
-    )
-
-
-def _fuzzy_entity_oracle_sql() -> str:
-    """Recursive label-propagation twin of fuzzy pairs → connected
-    components → min-name canonical (same pattern as
-    _minhash_clusters_oracle_sql)."""
-    return (
-        "WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part), "
-        "b AS (SELECT n, string_split(n, ' ')[-1] AS blk FROM names), "
-        "pairs AS (SELECT a.n AS n1, c.n AS n2 FROM b a "
-        "JOIN b c ON a.blk = c.blk AND a.n < c.n "
-        "WHERE levenshtein(a.n, c.n) <= 3), "
-        "edges AS (SELECT n1 AS src, n2 AS dst FROM pairs "
-        "UNION ALL SELECT n2, n1 FROM pairs), "
-        "reach(node, lbl) AS (SELECT src, src FROM edges "
-        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r "
-        "ON r.node = e.dst), "
-        "lab AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node) "
-        "SELECT nm.n AS name, COALESCE(lab.root, nm.n) AS entity_rep "
-        "FROM names nm LEFT JOIN lab ON lab.node = nm.n"
-    )
-
-
-@register("fuzzy_entity_clusters", _fuzzy_entity_oracle_sql())
-def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution: blocked fuzzy pair finding
-    (blocked_fuzzy_pairs, edit distance <= 3 within head-noun
-    blocks) → distributed connected components → min-name canonical
-    per entity. The record-linkage twin of dedup_minhash_clusters:
-    pairs alone under-merge transitive variant chains (A~B, B~C must
-    resolve to ONE entity). Oracle resolves the same clusters with a
-    recursive label-propagation CTE."""
-    from .operators.dedup import blocked_fuzzy_pairs, duplicate_clusters
-
-    part = load_table(spark, sf_dir, "part")
-    names = part.select(F.col("p_name").alias("name")).distinct()
-    blocked = names.withColumn(
-        "blk", F.substring_index(F.col("name"), " ", -1)
-    )
-    pairs = blocked_fuzzy_pairs(blocked, "name", "blk", max_dist=3).select(
-        F.col("key_1").alias("src"), F.col("key_2").alias("dst")
-    )
-    return duplicate_clusters(names, "name", pairs, "src", "dst").select(
-        "name", F.col("cluster_rep").alias("entity_rep")
-    )
-
-
-@register(
-    "seasonal_decompose_daily",
-    "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
-    "FROM events GROUP BY 1), "
-    "tr AS (SELECT day, v_cents, "
-    "SUM(v_cents) OVER w AS s7, COUNT(*) OVER w AS c7 FROM daily "
-    "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
-    "dt AS (SELECT day, v_cents, (s7 * 1000) // 7 AS trend_milli, "
-    "v_cents * 1000 - (s7 * 1000) // 7 AS d, "
-    "(day - DATE '1970-01-01') % 7 AS dow FROM tr WHERE c7 = 7), "
-    "seas AS (SELECT dow, CAST(SUM(d) AS BIGINT) AS sd, COUNT(*) AS cd "
-    "FROM dt GROUP BY dow) "
-    "SELECT day, v_cents, CAST(trend_milli AS BIGINT) AS trend_milli, "
-    "CAST((sd // cd) AS BIGINT) AS seasonal_milli, "
-    "CAST(d - (sd // cd) AS BIGINT) AS residual_milli "
-    "FROM dt JOIN seas USING (dow) ORDER BY day",
-)
-def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of the daily event
-    value series: trend = centered 7-day moving average, seasonal =
-    day-of-week mean of the detrended series, residual = remainder —
-    all in integer milli-cents (sums exact in any fold order,
-    divisions integral `div`//`//`), so the decomposition is
-    bit-identical cross-engine. Day-of-week via epoch-day mod 7 (both
-    engines' DOW builtins disagree on week start). Scale shape: the
-    raw events collapse to <= #days rows FIRST (one hash agg); every
-    window thereafter runs over the tiny daily series, so the
-    global-order frames are bounded by the calendar, not the data.
-    Edge days without a full 7-day window are excluded
-    (min_periods=7 semantics, same convention as w1_rolling_trend)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(
-            F.sum(
-                F.round(F.col("value") * 100, 0).cast("long")
-            ).alias("v_cents")
-        )
-    )
-    w7 = Window.orderBy("day").rowsBetween(-3, 3)
-    tr = daily.select(
-        "day",
-        "v_cents",
-        F.sum("v_cents").over(w7).alias("s7"),
-        F.count("*").over(w7).alias("c7"),
-    )
-    dt = (
-        tr.filter(F.col("c7") == 7)
-        .select(
-            "day",
-            "v_cents",
-            F.expr("(s7 * 1000) div 7").alias("trend_milli"),
-            (F.col("v_cents") * 1000 - F.expr("(s7 * 1000) div 7")).alias("d"),
-            (
-                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
-            ).alias("dow"),
-        )
-    )
-    seas = dt.groupBy("dow").agg(
-        F.sum("d").alias("sd"), F.count("*").alias("cd")
-    )
-    return (
-        dt.join(F.broadcast(seas), "dow")
-        .select(
-            "day",
-            "v_cents",
-            F.col("trend_milli").cast("long").alias("trend_milli"),
-            F.expr("sd div cd").cast("long").alias("seasonal_milli"),
-            (F.col("d") - F.expr("sd div cd")).cast("long").alias(
-                "residual_milli"
-            ),
-        )
-        .orderBy("day")
-    )
-
-
-@register(
-    "ols_trend_per_type",
-    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y "
-    "FROM events GROUP BY 1, 2), "
-    "mn AS (SELECT MIN(day) AS d0 FROM daily), "
-    "pts AS (SELECT event_type, (day - d0) AS x, y FROM daily, mn), "
-    "s AS (SELECT event_type, COUNT(*) AS n, "
-    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-    "CAST(SUM(x * y) AS BIGINT) AS sxy, "
-    "CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts GROUP BY event_type) "
-    "SELECT event_type, CAST(n AS BIGINT) AS n_days, "
-    "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
-    "AS BIGINT) AS slope_ppm, "
-    "CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000) "
-    "// (n * (n * sxx - sx * sx)) AS BIGINT) AS intercept_milli "
-    "FROM s WHERE n * sxx - sx * sx <> 0 ORDER BY event_type",
-)
-def ols_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-wise closed-form OLS: per event type, the least-squares
-    linear trend of daily value (cents) against the day index —
-    slope in ppm-cents/day and intercept in milli-cents, both exact
-    integer rationals (numerator·scale div denominator over BIGINT
-    moment sums), so the regression is bit-identical cross-engine
-    with no floating point anywhere. The regression-family primitive
-    the engine otherwise lacks; at 100 TB it is ONE hash aggregation
-    of five moment sums per group (map-side partials) after the
-    daily pre-aggregation — no iteration, no solver. x is normalized
-    to days-since-corpus-start (a 1-row broadcast min) to keep every
-    product within int64. Groups with a degenerate x spread (single
-    day) are excluded."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
-    )
-    d0 = daily.agg(F.min("day").alias("d0"))
-    pts = daily.crossJoin(F.broadcast(d0)).select(
-        "event_type", F.datediff("day", "d0").cast("long").alias("x"), "y"
-    )
-    s = pts.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    return (
-        s.filter(F.expr("n * sxx - sx * sx") != 0)
-        .select(
-            "event_type",
-            F.col("n").alias("n_days"),
-            F.expr(
-                "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
-            ).alias("slope_ppm"),
-            F.expr(
-                "((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) "
-                "* 1000) div (n * (n * sxx - sx * sx))"
-            ).alias("intercept_milli"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "mad_outliers_per_type",
-    "WITH v AS (SELECT event_type, event_id, "
-    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
-    "med AS (SELECT event_type, quantile_cont(cents, 0.5) AS m "
-    "FROM v GROUP BY event_type), "
-    "dev AS (SELECT v.event_type, event_id, cents, "
-    "ABS(cents - m) AS ad FROM v JOIN med USING (event_type)), "
-    "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad "
-    "FROM dev GROUP BY event_type) "
-    "SELECT d.event_type, "
-    "CAST(COUNT(*) FILTER (WHERE ad > 10 * mad) AS BIGINT) AS n_outliers, "
-    "COUNT(*) AS n_events, "
-    "CAST(FLOOR(m) AS BIGINT) AS median_cents, "
-    "CAST(FLOOR(mad) AS BIGINT) AS mad_cents "
-    "FROM dev d JOIN mad USING (event_type) JOIN med USING (event_type) "
-    "GROUP BY d.event_type, m, mad ORDER BY d.event_type",
-)
-def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust anomaly detection: per-group median absolute deviation
-    (MAD) outlier flags — the std-dev-free outlier rule that a
-    heavy-tailed 100 TB metric stream needs (variance is itself
-    corrupted by the outliers it should find). Exact per-group
-    median and MAD via `percentile` (interpolates identically to
-    DuckDB's quantile_cont — same convention as perplexity_buckets'
-    terciles) over integer cents, two grouped aggregates + two
-    broadcast joins back; an event is an outlier when its absolute
-    deviation exceeds 10x the MAD. Output: per-type outlier counts
-    plus the floored median/MAD (explicit FLOOR: DuckDB CAST(double AS BIGINT) rounds while Spark's cast truncates — a .5 interpolated median splits them). At 100 TB swap
-    `percentile` for `approx_percentile` — the plan shape is
-    unchanged."""
-    ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    med = v.groupBy("event_type").agg(
-        F.percentile("cents", F.lit(0.5)).alias("m")
-    )
-    dev = v.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        "cents",
-        F.abs(F.col("cents") - F.col("m")).alias("ad"),
-        "m",
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("ad", F.lit(0.5)).alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type", "m", "mad")
-        .agg(
-            F.sum(
-                F.when(F.col("ad") > 10 * F.col("mad"), 1).otherwise(0)
-            ).cast("long").alias("n_outliers"),
-            F.count("*").alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "n_outliers",
-            "n_events",
-            F.floor(F.col("m")).cast("long").alias("median_cents"),
-            F.floor(F.col("mad")).cast("long").alias("mad_cents"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "concurrent_sessions_sweep",
-    # sweep line over session intervals: +1 at start, -1 at end,
-    # running sum = concurrency. Closed intervals: at equal
-    # timestamps starts order before ends (k = us*2 for starts,
-    # us*2+1 for ends), so a length-0 session still counts as 1 and
-    # an end-meets-start instant counts both.
-    "WITH g AS (SELECT user_id, ts, CASE WHEN "
-    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
-    "IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
-    "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS is_new "
-    "FROM events), "
-    "s AS (SELECT user_id, ts, SUM(is_new) OVER "
-    "(PARTITION BY user_id ORDER BY ts) AS sid FROM g), "
-    "iv AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS a, "
-    "MAX(epoch_us(ts)) AS b FROM s GROUP BY 1, 2), "
-    "bb AS (SELECT MIN(a // 86400000000) AS mn, "
-    "MAX(b // 86400000000) AS mx FROM iv), "
-    "mids AS (SELECT unnest(range(mn, mx + 1)) * 86400000000 * 2 AS k, "
-    "0 AS delta FROM bb), "
-    "d AS (SELECT a * 2 AS k, 1 AS delta FROM iv "
-    "UNION ALL SELECT b * 2 + 1, -1 FROM iv "
-    "UNION ALL SELECT k, delta FROM mids), "
-    "dk AS (SELECT k, CAST(SUM(delta) AS BIGINT) AS dv FROM d GROUP BY k), "
-    "r AS (SELECT k, SUM(dv) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
-    "PRECEDING AND CURRENT ROW) AS conc FROM dk) "
-    "SELECT CAST((k // 2) // 86400000000 AS BIGINT) AS day_idx, "
-    "CAST(MAX(conc) AS BIGINT) AS max_concurrent "
-    "FROM r GROUP BY 1 ORDER BY 1",
-)
-def concurrent_sessions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak session concurrency per day via a sweep line: sessionize
-    (30-min gap), reduce each session to a [start, end] interval,
-    emit +1/-1 boundary deltas, and take the running sum over the
-    boundary order — the occupancy/gantt analytic (concurrent users,
-    open connections, room occupancy) that interval self-joins get
-    quadratically wrong. The running sum is the third reuse of the
-    two-level prefix scan (prefix_sum_two_level): boundaries are
-    first collapsed per unique instant key (us·2 + start/end bit, so
-    same-instant starts order before ends — closed intervals), so
-    the scan's unique-key determinism contract holds and NO task
-    ever sorts the full boundary stream. Zero-delta sample keys at
-    every midnight of the observed span capture concurrency carried
-    ACROSS days (a day living entirely inside one long session still
-    reports it), so every day in [first start, last end] gets a row.
-    Output: (epoch day, max concurrency)."""
-    ev = load_table(spark, sf_dir, "events")
-    s = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
-    iv = s.groupBy("user_id", "session_id").agg(
-        F.min(R.epoch_us("ts")).alias("a"), F.max(R.epoch_us("ts")).alias("b")
-    )
-    # zero-delta sample keys at every midnight in the observed span:
-    # without them a day whose only activity is carried IN from
-    # earlier days (long sessions crossing midnight) would have no
-    # boundary row and its peak would be missed entirely
-    bounds = iv.agg(
-        F.expr("min(a div 86400000000)").alias("mn"),
-        F.expr("max(b div 86400000000)").alias("mx"),
-    )
-    mids = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("di")
-    ).select(
-        (F.col("di") * 86400000000 * 2).alias("k"), F.lit(0).alias("delta")
-    )
-    d = (
-        iv.select((F.col("a") * 2).alias("k"), F.lit(1).alias("delta"))
-        .union(
-            iv.select((F.col("b") * 2 + 1).alias("k"), F.lit(-1).alias("delta"))
-        )
-        .union(mids)
-    )
-    dk = d.groupBy("k").agg(F.sum("delta").cast("long").alias("dv"))
-    r = R.prefix_sum_two_level(dk, "k", "dv", buckets=256).select(
-        "k", (F.col("prefix") + F.col("dv")).alias("conc")
-    )
-    return (
-        r.groupBy(
-            F.expr("(k div 2) div 86400000000").alias("day_idx")
-        )
-        .agg(F.max("conc").cast("long").alias("max_concurrent"))
-        .orderBy("day_idx")
-    )
-
-
-# fixed literal weights for the quality classifier (intercept,
-# n_tokens/100, mean_word_len, stopword_ratio·1000 — an engine-owned
-# toy model; a trained one drops in as the same broadcast row)
-_LOGREG_W = ("-1.5", "0.8", "0.3", "0.002")
-
-_LOGREG_SQL = (
-    "WITH f AS (SELECT doc_id, "
-    "len(string_split(text, ' ')) AS n_tok, "
-    "CAST(len(replace(text, ' ', '')) AS DOUBLE) "
-    "/ greatest(len(string_split(text, ' ')), 1) AS mwl, "
-    "CAST(len(list_filter(string_split(text, ' '), "
-    f"w -> list_contains({{stop}}, w))) AS DOUBLE) * 1000 "
-    "/ greatest(len(string_split(text, ' ')), 1) AS swr "
-    "FROM documents), "
-    f"z AS (SELECT doc_id, {_LOGREG_W[0]} + {_LOGREG_W[1]} * (n_tok / 100.0) "
-    f"+ {_LOGREG_W[2]} * mwl + {_LOGREG_W[3]} * swr AS z FROM f) "
-    "SELECT doc_id, "
-    "CAST(ROUND(1000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_milli, "
-    "CAST(1000.0 / (1.0 + exp(-z)) >= 500 AS BOOLEAN) AS keep "
-    "FROM z"
-).format(stop=STOPWORDS_SQL)
-
-
-@register("quality_logreg_score", _LOGREG_SQL)
-def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-serving: logistic-regression quality scoring as ONE
-    codegen projection — broadcast(able) literal weights over
-    engineered features (token count, mean word length, stopword
-    ratio), sigmoid, milli-quantized score + keep flag. The shape
-    every learned quality/fastText-style filter deploys at 100 TB:
-    inference is a map-only stage, no shuffle, no Python; a real
-    trained model replaces the weight literals (or a 1-row broadcast
-    join). exp()'s 1-ulp Java/libm disagreement is absorbed by the
-    milli rounding (perplexity_buckets convention); the keep
-    threshold compares the UNROUNDED score identically on both
-    sides."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    # ONE kernel shared with the corpus pipeline's classifier gate —
-    # weights/features can never desynchronize from the oracle
-    score = TS.logreg_quality_score(F.col("text"), list(ALL_STOPWORDS))
-    return docs.select(
-        "doc_id",
-        F.round(score).cast("long").alias("score_milli"),
-        (score >= 500).alias("keep"),
-    )
-
-
-@register(
-    "pr_curve_quality_filter",
-    # model-eval harness: precision/recall of the n_chars-based
-    # filter against the lang=='en' weak label at 9 thresholds,
-    # all-integer counts and ppm ratios
-    "WITH d AS (SELECT doc_id, n_chars, "
-    "CAST(lang = 'en' AS INT) AS y FROM documents), "
-    "t AS (SELECT unnest(range(1, 10)) * 100 AS thr), "
-    "c AS (SELECT thr, "
-    "SUM(CASE WHEN n_chars >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp, "
-    "SUM(CASE WHEN n_chars >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp, "
-    "SUM(CASE WHEN n_chars < thr AND y = 1 THEN 1 ELSE 0 END) AS fn "
-    "FROM d, t GROUP BY thr) "
-    "SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp, "
-    "CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, "
-    "CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) "
-    "ELSE 0 END AS BIGINT) AS precision_ppm, "
-    "CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) "
-    "ELSE 0 END AS BIGINT) AS recall_ppm "
-    "FROM c ORDER BY thr",
-)
-def pr_curve_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-evaluation harness: the precision/recall curve of a
-    candidate filter (n_chars >= threshold) against a weak label
-    (lang == 'en') at 9 thresholds in ONE pass — the
-    threshold-tuning loop every quality/dedup filter runs before a
-    100 TB rollout. The threshold table broadcasts onto the scan
-    (9× row multiplier on a 3-column projection, then map-side
-    combined counts); precision/recall come out as integer ppm —
-    zero floats end to end."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    d = docs.select(
-        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
-    )
-    t = spark.range(1, 10).select((F.col("id") * 100).alias("thr"))
-    c = (
-        d.crossJoin(F.broadcast(t))
-        .groupBy("thr")
-        .agg(
-            F.sum(
-                F.when((F.col("n_chars") >= F.col("thr")) & (F.col("y") == 1), 1)
-                .otherwise(0)
-            ).alias("tp"),
-            F.sum(
-                F.when((F.col("n_chars") >= F.col("thr")) & (F.col("y") == 0), 1)
-                .otherwise(0)
-            ).alias("fp"),
-            F.sum(
-                F.when((F.col("n_chars") < F.col("thr")) & (F.col("y") == 1), 1)
-                .otherwise(0)
-            ).alias("fn"),
-        )
-    )
-    return c.select(
-        "thr",
-        "tp",
-        "fp",
-        "fn",
-        F.when(
-            F.col("tp") + F.col("fp") > 0,
-            F.expr("tp * 1000000 div (tp + fp)"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("precision_ppm"),
-        F.when(
-            F.col("tp") + F.col("fn") > 0,
-            F.expr("tp * 1000000 div (tp + fn)"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("recall_ppm"),
-    ).orderBy("thr")
-
-
-@register(
-    "grouping_sets_day_type",
-    "SELECT CAST(ts AS DATE) AS day, event_type, "
-    "COUNT(*) AS n, "
-    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents "
-    "FROM events GROUP BY GROUPING SETS ((CAST(ts AS DATE)), "
-    "(event_type), ()) ORDER BY day NULLS FIRST, event_type NULLS FIRST",
-)
-def grouping_sets_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — per-day totals, per-type totals, and
-    the grand total from ONE scan (completing the reshape family
-    next to ROLLUP/CUBE/pivot/unpivot). Catalyst compiles the three
-    sets to a single Expand feeding one hash aggregation — a
-    union-of-aggregates formulation would rescan the fact table per
-    set. Integer-cents sums keep the multi-set totals exact."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    return (
-        ev.select(
-            F.col("ts").cast("date").alias("day"),
-            "event_type",
-            cents.alias("cents"),
-        )
-        .groupingSets(
-            [["day"], ["event_type"], []], "day", "event_type"
-        )
-        .agg(F.count("*").alias("n"), F.sum("cents").alias("v_cents"))
-        .orderBy(
-            F.col("day").asc_nulls_first(),
-            F.col("event_type").asc_nulls_first(),
-        )
-    )
-
-
-@register(
-    "quantile_normalize_scores",
-    "WITH r AS (SELECT doc_id, source, n_chars, "
-    "row_number() OVER (PARTITION BY source "
-    "ORDER BY n_chars, doc_id) AS rk, "
-    "COUNT(*) OVER (PARTITION BY source) AS cnt FROM documents) "
-    "SELECT doc_id, source, "
-    "CAST(CASE WHEN cnt > 1 THEN (CAST(rk AS BIGINT) - 1) * 1000000 "
-    "// (cnt - 1) "
-    "ELSE 0 END AS BIGINT) AS pct_ppm FROM r",
-)
-def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source score calibration: replace each document's raw
-    quality signal (n_chars here) with its within-source percentile
-    rank in exact integer ppm — the standard fix when sources score
-    on incomparable scales and a global threshold would over-prune
-    one source (quantile normalization / rank transform). Ties break
-    deterministically on doc_id; a single-doc source maps to 0. One
-    source-keyed window shuffle; a pathologically hot source
-    range-partitions within the key at 100 TB (same playbook as
-    pack_sequences' shards)."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
-    r = docs.select(
-        "doc_id",
-        "source",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(wc).alias("cnt"),
-    )
-    return r.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("cnt") > 1,
-            # row_number() is 32-bit: widen BEFORE the multiply or
-            # sources beyond ~2148 docs wrap silently (non-ANSI)
-            F.expr("(cast(rk as bigint) - 1) * 1000000 div (cnt - 1)"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("pct_ppm"),
-    )
-
-
-@register(
-    "corpus_report_by_source",
-    "WITH h AS (SELECT doc_id, source, "
-    "len(string_split(text, ' ')) AS n_tok, md5(text) AS hh "
-    "FROM documents), "
-    "dups AS (SELECT hh, COUNT(*) AS cnt FROM h GROUP BY hh) "
-    "SELECT source, COUNT(*) AS n_docs, "
-    "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
-    "CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS n_exact_dup, "
-    "CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000 "
-    "// COUNT(*) AS BIGINT) AS dup_ppm "
-    "FROM h JOIN dups USING (hh) GROUP BY source ORDER BY source",
-)
-def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition report: per source, document and token
-    counts plus the exact-duplicate rate (docs whose content hash
-    collides with ANY other doc, corpus-wide) in integer ppm — the
-    per-ingest health dashboard a curation pipeline publishes next
-    to the data-quality audit. Two hash aggregations (md5 count +
-    per-source rollup) and one hash-keyed join; the md5 key is
-    uniform so neither shuffle can skew."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
-    h = docs.select(
-        "source",
-        word_count(F.col("text")).cast("long").alias("n_tok"),
-        F.md5("text").alias("hh"),
-    )
-    dups = h.groupBy("hh").agg(F.count("*").alias("cnt"))
-    return (
-        h.join(dups, "hh")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_exact_dup"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "total_tokens",
-            "n_exact_dup",
-            F.expr("n_exact_dup * 1000000 div n_docs").alias("dup_ppm"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "equidepth_bin_orders",
-    "WITH t AS (SELECT o_orderkey, "
-    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
-    "q AS (SELECT quantile_cont(cents, 0.25) AS q1, "
-    "quantile_cont(cents, 0.50) AS q2, "
-    "quantile_cont(cents, 0.75) AS q3 FROM t), "
-    "b AS (SELECT o_orderkey, cents, CASE "
-    "WHEN cents <= q1 THEN 1 WHEN cents <= q2 THEN 2 "
-    "WHEN cents <= q3 THEN 3 ELSE 4 END AS bin FROM t, q) "
-    "SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n, "
-    "CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi "
-    "FROM b GROUP BY bin ORDER BY bin",
-)
-def equidepth_bin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quartile) binning: assign every order to its
-    price quartile via ONE exact percentile aggregate broadcast back
-    over the scan (never a global ntile window, which single-tasks
-    the table — the same cutpoint pattern as perplexity_buckets'
-    terciles), then report per-bin counts and integer-cents bounds.
-    `percentile` interpolates identically to DuckDB's quantile_cont,
-    and bin edges compare integer cents against the shared cutpoint
-    doubles, so assignment is bit-identical cross-engine. The
-    feature-bucketing primitive for calibration / monotone binning;
-    at 100 TB swap in approx_percentile — plan shape unchanged."""
-    orders = load_table(spark, sf_dir, "orders")
-    t = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-    )
-    q = t.agg(
-        F.percentile("cents", F.lit(0.25)).alias("q1"),
-        F.percentile("cents", F.lit(0.50)).alias("q2"),
-        F.percentile("cents", F.lit(0.75)).alias("q3"),
-    )
-    b = t.crossJoin(F.broadcast(q)).select(
-        "o_orderkey",
-        "cents",
-        F.when(F.col("cents") <= F.col("q1"), F.lit(1))
-        .when(F.col("cents") <= F.col("q2"), F.lit(2))
-        .when(F.col("cents") <= F.col("q3"), F.lit(3))
-        .otherwise(F.lit(4))
-        .alias("bin"),
-    )
-    return (
-        b.groupBy("bin")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("cents").alias("lo"),
-            F.max("cents").alias("hi"),
-        )
-        .orderBy("bin")
-    )
-
-
-@register(
-    "table_fingerprint_orders",
-    "WITH h AS (SELECT CAST(CAST(('0x' || substr(md5(concat_ws('|', "
-    "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
-    "o_orderstatus, CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
-    "AS VARCHAR), CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 15)) "
-    "AS UBIGINT) AS BIGINT) AS rh FROM orders) "
-    "SELECT COUNT(*) AS n_rows, "
-    "CAST(bit_xor(rh) AS BIGINT) AS fingerprint FROM h",
-)
-def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive whole-table fingerprint: md5 each row's
-    canonical string (keys, integer cents, epoch-micros date), fold
-    the 60-bit prefixes with BIT_XOR — commutative and associative,
-    so the fingerprint is identical for ANY row order, partitioning,
-    or engine (the md5-prefix convention shared with the dedup
-    oracles). The replication/migration validation primitive: two
-    copies of a table match iff (n_rows, fingerprint) match, checked
-    in one aggregate-only pass with no sort and no driver data.
-    XOR's self-inverse means duplicate PAIRS cancel — pair with the
-    row count (and the PK-dup check in data_quality_audit) to close
-    that blind spot."""
-    orders = load_table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
-        R.epoch_us("o_orderdate").cast("string"),
-    )
-    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-    return orders.select(rh.alias("rh")).agg(
-        F.count("*").alias("n_rows"),
-        F.expr("bit_xor(rh)").cast("long").alias("fingerprint"),
-    )
-
+from .q_core import *  # noqa: F401,F403
+from .q_text import *  # noqa: F401,F403
+from .q_relational import *  # noqa: F401,F403
+from .q_certificates import *  # noqa: F401,F403
+from .q_traindata import *  # noqa: F401,F403
+from .q_analytics import *  # noqa: F401,F403
+from .q_graph import *  # noqa: F401,F403
 
 # --------------------------------------------------------------------
 # public accessors for __spark_entry__.py
@@ -10118,6 +69,7 @@ _WINDOW_ORDER = [
     "pmi_embedding_vectors",
     "unigram_lm_vocab",
     "gopher_repetition_flags",
+    "streaming_quality_gate",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -10173,9 +125,9 @@ _WINDOW_ORDER = [
     "split_train_val_test",
     "stratified_sample_sources",
     "top_bigrams",
-    "weighted_sample_by_length",
-    # zorder_event_cells displaced to r11 by gopher_repetition_flags
-    # (new queries outrank r6-stale evidence for driver slots)
+    # weighted_sample_by_length + zorder_event_cells displaced to r11
+    # by gopher_repetition_flags / streaming_quality_gate (new queries
+    # outrank r6-stale evidence for driver slots)
 ]
 
 

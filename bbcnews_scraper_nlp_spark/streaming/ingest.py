@@ -1169,3 +1169,46 @@ def static_join_view_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_quality_gate_batch(spark, sf_dir: str):
+    """The published Gopher word-level quality gate INSIDE Structured
+    Streaming (the production shape: documents are quality-scored as
+    they arrive, before anything downstream sees them): stream the
+    documents table, compute the Rae et al. 2021 Table A1 word-level
+    stats as PURE per-row HOF expressions
+    (operators/textstats.gopher_stats_columns — no explode, no
+    groupBy, no watermark), drain with AvailableNow into an
+    append-mode memory sink. Stateless and 1:1 per document, so the
+    drained result is deterministic regardless of micro-batch splits
+    — the BATCH gopher_quality_flags oracle applies unchanged (same
+    integer truncating divisions, two plan shapes for one
+    semantics)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.textstats import gopher_stats_columns
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    parent, leaf = os.path.split(docs_path.rstrip("/"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", leaf)
+        .parquet(parent)
+    )
+    flagged = stream.select(
+        "doc_id", *gopher_stats_columns(F.col("text"))
+    )
+    name = f"stream_qgate_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -263,4 +263,5 @@ NEW_R10 = [
     "pmi_embedding_vectors",
     "unigram_lm_vocab",
     "gopher_repetition_flags",
+    "streaming_quality_gate",
 ]

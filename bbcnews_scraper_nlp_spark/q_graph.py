@@ -920,9 +920,20 @@ def pmi_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: M is the sparse PPMI relation (never densified), v is
     |V|×d — the same M·v round is how distributed randomized SVD
     range finders actually run on Spark."""
+    return _pmi_embedding(spark, sf_dir)[1]
+
+
+def _pmi_embedding(spark: SparkSession, sf_dir: str):
+    """Shared walks -> PMI -> subspace-iteration core of
+    pmi_embedding_vectors and embedding_edge_recall. Returns
+    (knn_edges, embedding_df(node, dim, val_micro)). The kNN edge
+    table is checkpointed ONCE: the walk builder and the recall
+    query's edge probe both read it, and the raw plan re-derives the
+    Σdeg² common-customer pair join per consumer (the
+    community_modularity lesson — measured ~6 s at sf0.1)."""
     from .operators.graph import random_walks
 
-    edges = _supplier_knn_edges(spark, sf_dir)
+    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
     corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
         eager=True
     )
@@ -1009,10 +1020,106 @@ def pmi_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("v"),
             )
         )
-    return v.select(
+    out = v.select(
         F.col("node").cast("long").alias("node"),
         F.col("r").alias("dim"),
         F.col("v").cast("long").alias("val_micro"),
+    )
+    return edges, out
+
+
+_EMB_RECALL_FINAL = (
+    # top-3 neighbors per node by exact integer dot product over the
+    # micro-unit vectors, checked against the kNN graph's edge set
+    ", emb AS MATERIALIZED (SELECT node, r, v FROM v3)"
+    ", dots AS (SELECT a.node AS n1, b.node AS n2, SUM(a.v * b.v) AS dp "
+    "FROM emb a JOIN emb b ON a.r = b.r AND a.node <> b.node "
+    "GROUP BY 1, 2)"
+    ", nb AS (SELECT n1, n2, dp, row_number() OVER (PARTITION BY n1 "
+    "ORDER BY dp DESC, n2) AS rk FROM dots)"
+    ", top3 AS (SELECT n1, n2 FROM nb WHERE rk <= 3)"
+    ", hit AS (SELECT t.n1 AS node, COUNT(e.src) AS n_hits "
+    "FROM top3 t LEFT JOIN edges e ON t.n1 = e.src AND t.n2 = e.dst "
+    "GROUP BY 1) "
+    "SELECT CAST(vn.node AS BIGINT) AS node, "
+    "CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits "
+    "FROM vn LEFT JOIN hit ON vn.node = hit.node"
+)
+
+
+@register(
+    "embedding_edge_recall",
+    # the embedding CTE chain (everything up to its final SELECT)
+    # with the recall evaluation appended
+    _rw_oracle_sql(
+        final=_emb_oracle_final(dims=4, iters=3).rsplit(" SELECT ", 1)[0]
+        + _EMB_RECALL_FINAL
+    ),
+)
+def embedding_edge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the certified embeddings actually ENCODE the graph? The
+    standard intrinsic eval of DeepWalk/node2vec vectors (link
+    recovery, Grover & Leskovec 2016 §4): for every node, take the
+    top-3 neighbors by embedding dot product and count how many are
+    true mutual-kNN graph edges. Because the vectors are exact
+    integer micro-units (pmi_embedding_vectors), the dot products
+    are exact bigints and the WHOLE evaluation — scores, ranks, hit
+    counts — is hash-certified cross-engine; an SGD embedding could
+    not certify its own eval. Brute-force pairs are the eval harness
+    here (|V|² over the supplier graph); at 100 TB the same top-k
+    runs through the ANN family (rp-LSH / IVFADC) with this query as
+    its recall oracle. Plan: ONE dim-keyed self-join over the
+    checkpointed |V|×4 vector table -> (n1, n2) hash agg ->
+    per-node rank window -> broadcast-sized edge probe."""
+    edges, emb = _pmi_embedding(spark, sf_dir)
+    # per-node int vector arrays: the dim-keyed self-join alternative
+    # has only |dims| join keys (pathological skew — every pair lands
+    # on 4 reducers); the ANN-family shape broadcasts one side and
+    # scores pairs with an exact integer zip_with dot instead
+    emb_arr = (
+        emb.groupBy("node")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "val_micro"))
+                ),
+                lambda s: s["val_micro"],
+            ).alias("vec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = emb_arr.select(F.col("node").alias("n1"), F.col("vec").alias("va"))
+    b = emb_arr.select(F.col("node").alias("n2"), F.col("vec").alias("vb"))
+    # d=4 dot unrolled to plain codegen arithmetic — an interpreted
+    # zip_with/aggregate HOF pair measured ~2x slower on the |V|²
+    # pair stream
+    dp = sum(
+        F.element_at("va", i) * F.element_at("vb", i) for i in range(2, 5)
+    ) + F.element_at("va", 1) * F.element_at("vb", 1)
+    dots = a.join(F.broadcast(b), F.col("n1") != F.col("n2")).select(
+        "n1", "n2", dp.cast("long").alias("dp")
+    )
+    w = Window.partitionBy("n1").orderBy(F.desc("dp"), "n2")
+    top3 = (
+        dots.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n1", "n2")
+    )
+    e = edges.select(
+        F.col("s1").alias("n1"), F.col("s2").alias("n2"), F.lit(1).alias("is_edge")
+    )
+    hit = (
+        top3.join(e, ["n1", "n2"], "left")
+        .groupBy(F.col("n1").alias("node"))
+        .agg(F.sum(F.coalesce("is_edge", F.lit(0))).alias("n_hits"))
+    )
+    nodes = emb.select("node").distinct()
+    return (
+        nodes.join(hit, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
     )
 
 

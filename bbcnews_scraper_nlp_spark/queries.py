@@ -70,6 +70,7 @@ _WINDOW_ORDER = [
     "unigram_lm_vocab",
     "gopher_repetition_flags",
     "streaming_quality_gate",
+    "embedding_edge_recall",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -124,9 +125,9 @@ _WINDOW_ORDER = [
     "skyline_pareto_parts",
     "split_train_val_test",
     "stratified_sample_sources",
-    "top_bigrams",
-    # weighted_sample_by_length + zorder_event_cells displaced to r11
-    # by gopher_repetition_flags / streaming_quality_gate (new queries
+    # top_bigrams, weighted_sample_by_length + zorder_event_cells
+    # displaced to r11 by gopher_repetition_flags /
+    # streaming_quality_gate / embedding_edge_recall (new queries
     # outrank r6-stale evidence for driver slots)
 ]
 

@@ -264,4 +264,5 @@ NEW_R10 = [
     "unigram_lm_vocab",
     "gopher_repetition_flags",
     "streaming_quality_gate",
+    "embedding_edge_recall",
 ]

@@ -514,3 +514,20 @@ def test_gopher_repetition_single_window_no_python(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 6, (
         "unexpected explode beyond the coverage legs"
     )
+
+
+def test_embedding_recall_broadcast_pairs_no_dim_join(spark, sf_dir):
+    """embedding_edge_recall: pair scoring must be the ANN-family
+    shape — one side broadcast, dot product unrolled to codegen
+    arithmetic — never a dim-keyed self-join (only |dims|=4 join
+    keys: pathological reducer skew). No Python nodes; the kNN edge
+    probe reads the checkpointed edge blocks."""
+    plan = _plan(spark, sf_dir, "embedding_edge_recall")
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in embedding_edge_recall plan"
+    assert "BroadcastNestedLoopJoin" in plan, plan[:600]
+    assert "Scan ExistingRDD" in plan
+    # a SortMergeJoin keyed on the dim column would be the skew shape
+    assert not __import__("re").search(
+        r"SortMergeJoin \[dim", plan
+    ), "pair scoring regressed to the dim-keyed self-join"

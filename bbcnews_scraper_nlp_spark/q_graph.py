@@ -930,10 +930,14 @@ def _pmi_embedding(spark: SparkSession, sf_dir: str):
     table is checkpointed ONCE: the walk builder and the recall
     query's edge probe both read it, and the raw plan re-derives the
     Σdeg² common-customer pair join per consumer (the
-    community_modularity lesson — measured ~6 s at sf0.1)."""
+    community_modularity lesson — measured ~6 s at sf0.1). LAZY
+    checkpoint: an eager one serializes the pair join into its own
+    blocking job (+4 s measured at sf0.1); lazily it materializes as
+    a side effect of the corpus build's first pass and later
+    consumers reuse the blocks."""
     from .operators.graph import random_walks
 
-    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=False)
     corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
         eager=True
     )

@@ -935,9 +935,16 @@ def _pmi_embedding(spark: SparkSession, sf_dir: str):
     blocking job (+4 s measured at sf0.1); lazily it materializes as
     a side effect of the corpus build's first pass and later
     consumers reuse the blocks."""
+    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=False)
+    return _pmi_embedding_from_edges(spark, edges)
+
+
+def _pmi_embedding_from_edges(spark: SparkSession, edges: DataFrame):
+    """walks -> PMI -> subspace iteration over an arbitrary (s1, s2)
+    edge table — parameterized so the literal-Python twin in
+    test_graph can replay the whole chain on a planted graph."""
     from .operators.graph import random_walks
 
-    edges = _supplier_knn_edges(spark, sf_dir).localCheckpoint(eager=False)
     corpus = random_walks(edges, "s1", "s2", steps=4).localCheckpoint(
         eager=True
     )

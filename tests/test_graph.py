@@ -402,3 +402,101 @@ def test_personalized_pagerank_unreachable_gets_zero(spark):
     }
     assert got["x"] == 0 and got["y"] == 0
     assert got["a"] > 0 and got["b"] > 0
+
+
+def test_pmi_embedding_matches_literal_python(spark):
+    """Literal-Python twin of the ENTIRE pmi_embedding_vectors chain
+    (walks -> window pairs -> milli-nat PMI -> PPMI -> 3 subspace-
+    iteration rounds with max-abs integer rescale) on a planted
+    graph: every value of the final embedding table must match the
+    pure-Python replay exactly — the same guarantee the DuckDB
+    oracle gives cross-engine, pinned here against an independent
+    implementation."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bbcnews_scraper_nlp_spark.q_graph import _pmi_embedding_from_edges
+
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+             (3, 4), (4, 3), (4, 5), (5, 4)]
+    df = spark.createDataFrame(pairs, "s1 long, s2 long")
+    _, emb = _pmi_embedding_from_edges(spark, df)
+    got = {(r["node"], r["dim"]): r["val_micro"] for r in emb.collect()}
+
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+    for a in adj:
+        adj[a] = sorted(adj[a])
+    corpus = []
+    for n in sorted(adj):
+        walk, cur = f"{n}#0", n
+        corpus.append((walk, 0, cur))
+        for t in range(1, 5):
+            nb = adj[cur]
+            pick = int(
+                hashlib.md5(
+                    f"rw-v1:{walk}:{t}:{cur}".encode()
+                ).hexdigest()[:12],
+                16,
+            ) % len(nb)
+            cur = nb[pick]
+            corpus.append((walk, t, cur))
+    pc = defaultdict(int)
+    by_walk = defaultdict(list)
+    for w, s, nd in corpus:
+        by_walk[w].append((s, nd))
+    for w, items in by_walk.items():
+        for s1, n1 in items:
+            for s2, n2 in items:
+                if s1 != s2 and abs(s1 - s2) <= 2:
+                    pc[(n1, n2)] += 1
+    n_tot = sum(pc.values())
+    na, nbc = defaultdict(int), defaultdict(int)
+    for (a, b), c in pc.items():
+        na[a] += c
+        nbc[b] += c
+
+    def spark_round(x):  # Spark ROUND = HALF_UP over the shortest repr
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    mat = {}
+    for (a, b), c in pc.items():
+        pmi = spark_round(1000 * math.log(c * n_tot / (na[a] * nbc[b])))
+        if pmi > 0:
+            mat[(a, b)] = pmi
+    vnodes = sorted({nd for _, _, nd in corpus})
+
+    def tdiv(a, b):  # truncating integer division (Spark `div`)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = {
+        (nd, r): int(
+            hashlib.md5(f"emb-v1:{nd}:{r}".encode()).hexdigest()[:12], 16
+        ) % 2001 - 1000
+        for nd in vnodes
+        for r in range(4)
+    }
+    for _ in range(3):
+        u = defaultdict(int)
+        for (i, j), wgt in mat.items():
+            for r in range(4):
+                u[(i, r)] += wgt * v[(j, r)]
+        s = {
+            r: max([abs(val) for (nd, rr), val in u.items() if rr == r]
+                   or [0])
+            for r in range(4)
+        }
+        v = {
+            (nd, r): tdiv(u.get((nd, r), 0) * 1000000, max(s[r], 1))
+            for nd in vnodes
+            for r in range(4)
+        }
+    assert got == v, (
+        sorted(got.items())[:8], sorted(v.items())[:8]
+    )

@@ -278,7 +278,6 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mwl_milli", "sym_ppm", "alpha_ppm",
         "stop_hits", "keep",
     )
-
 # Rae et al. 2021 Table A1 repetition thresholds (fraction -> ppm):
 # dup-line frac 0.30, dup-line char frac 0.20, top-{2,3,4}-gram char
 # frac 0.20/0.18/0.16, dup-{5..10}-gram char frac 0.15..0.10.
@@ -747,6 +746,97 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_badword",
         F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
         keep.cast("int").alias("keep"),
+    )
+
+
+def _kappa_sql() -> str:
+    # the two published gauntlets composed as derived tables (DuckDB
+    # supports CTEs inside subqueries); kappa over ppm-quantized
+    # po/pe is the defined metric on both engines
+    return (
+        f"WITH gg AS (SELECT doc_id, keep AS g FROM ({_gopher_rep_sql()}) t1), "
+        f"cc AS (SELECT doc_id, keep AS c FROM ({_c4_sql()}) t2), "
+        "j AS (SELECT g, c FROM gg JOIN cc USING (doc_id)), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN g = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_both, "
+        "CAST(SUM(CASE WHEN g = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_neither, "
+        "CAST(SUM(g) AS BIGINT) AS n_g, CAST(SUM(c) AS BIGINT) AS n_c "
+        "FROM j), "
+        "p AS (SELECT n, n_both, n_neither, n_g, n_c, "
+        "1000000 * (n_both + n_neither) // greatest(n, 1) AS po_ppm, "
+        "1000000 * (n_g * n_c + (n - n_g) * (n - n_c)) "
+        "// greatest(n * n, 1) AS pe_ppm FROM m) "
+        "SELECT n, n_g AS n_rep_keep, n_c AS n_c4_keep, n_both, "
+        "n_neither, CAST(po_ppm AS BIGINT) AS po_ppm, "
+        "CAST(pe_ppm AS BIGINT) AS pe_ppm, "
+        "CAST((po_ppm - pe_ppm) * 1000000 "
+        "// greatest(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm FROM p"
+    )
+
+
+@register("quality_filter_agreement", _kappa_sql())
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement between the two published quality
+    gauntlets — Cohen's kappa (1960) between the Gopher repetition
+    keep and the C4 structural-rule keep, the standard chance-
+    corrected agreement statistic: when a curation pipeline stacks
+    filters, kappa tells you whether the second gate adds signal
+    (kappa << 1) or re-measures the first (kappa near 1). Confusion
+    counts are exact integers; po/pe are ppm integer divisions and
+    kappa_ppm = (po - pe)·10⁶ div (10⁶ - pe) — can be negative
+    (worse-than-chance agreement), safe because Spark `div` and
+    DuckDB `//` both truncate toward zero. ONE output row. Plan:
+    both flag pipelines run as written (their own contracts apply),
+    ONE doc_id-keyed join, one global agg — the two gauntlets share
+    the corpus scan per their own plans; nothing new shuffles wide."""
+    g = gopher_repetition_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g")
+    )
+    c = c4_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c")
+    )
+    j = g.join(c, "doc_id")
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("g") == 1) & (F.col("c") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(((F.col("g") == 0) & (F.col("c") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_neither"),
+        F.sum("g").cast("long").alias("n_g"),
+        F.sum("c").cast("long").alias("n_c"),
+    )
+    p = m.select(
+        "n",
+        "n_both",
+        "n_neither",
+        "n_g",
+        "n_c",
+        F.expr(
+            "1000000 * (n_both + n_neither) div greatest(n, 1)"
+        ).alias("po_ppm"),
+        F.expr(
+            "1000000 * (n_g * n_c + (n - n_g) * (n - n_c)) "
+            "div greatest(n * n, 1)"
+        ).alias("pe_ppm"),
+    )
+    return p.select(
+        "n",
+        F.col("n_g").alias("n_rep_keep"),
+        F.col("n_c").alias("n_c4_keep"),
+        "n_both",
+        "n_neither",
+        F.col("po_ppm").cast("long").alias("po_ppm"),
+        F.col("pe_ppm").cast("long").alias("pe_ppm"),
+        F.expr(
+            "(po_ppm - pe_ppm) * 1000000 "
+            "div greatest(1000000 - pe_ppm, 1)"
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
     )
 
 

@@ -71,6 +71,7 @@ _WINDOW_ORDER = [
     "gopher_repetition_flags",
     "streaming_quality_gate",
     "embedding_edge_recall",
+    "quality_filter_agreement",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -124,11 +125,10 @@ _WINDOW_ORDER = [
     "select_token_budget",
     "skyline_pareto_parts",
     "split_train_val_test",
-    "stratified_sample_sources",
-    # top_bigrams, weighted_sample_by_length + zorder_event_cells
-    # displaced to r11 by gopher_repetition_flags /
-    # streaming_quality_gate / embedding_edge_recall (new queries
-    # outrank r6-stale evidence for driver slots)
+    # stratified_sample_sources, top_bigrams, weighted_sample_by_length
+    # + zorder_event_cells displaced to r11 by the four round-10
+    # additions beyond the first batch (new queries outrank r6-stale
+    # evidence for driver slots)
 ]
 
 

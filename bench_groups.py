@@ -265,4 +265,5 @@ NEW_R10 = [
     "gopher_repetition_flags",
     "streaming_quality_gate",
     "embedding_edge_recall",
+    "quality_filter_agreement",
 ]

@@ -1171,7 +1171,9 @@ def static_join_view_stream(
     return spark.table(name)
 
 
-def streaming_quality_gate_batch(spark, sf_dir: str):
+def streaming_quality_gate_batch(
+    spark, sf_dir: str, max_files_per_trigger: int | None = None
+):
     """The published Gopher word-level quality gate INSIDE Structured
     Streaming (the production shape: documents are quality-scored as
     they arrive, before anything downstream sees them): stream the
@@ -1192,12 +1194,20 @@ def streaming_quality_gate_batch(spark, sf_dir: str):
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
-    parent, leaf = os.path.split(docs_path.rstrip("/"))
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", leaf)
-        .parquet(parent)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(docs_path):
+        # documents.parquet is a dataset DIRECTORY: stream it directly
+        target = docs_path
+    else:
+        # single-file layout (the driver testdata): pathGlobFilter
+        # narrows the parent listing to that one file
+        parent, leaf = os.path.split(docs_path.rstrip("/"))
+        reader = reader.option("pathGlobFilter", leaf)
+        target = parent
+    if max_files_per_trigger is not None:
+        # forces a multi-micro-batch drain (split-invariance tests)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(target)
     flagged = stream.select(
         "doc_id", *gopher_stats_columns(F.col("text"))
     )

@@ -619,3 +619,40 @@ def test_kmv_stream_merged_sketch_equals_batch_and_replay_idempotent(
 
     with _pytest.raises(ValueError, match="lineage"):
         read_kmv_sketch(spark, sketch, ["source"], k=8)
+
+
+def test_quality_gate_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split-invariance of the streaming Gopher gate, actually
+    exercised: the corpus re-written as 4 files and drained with
+    maxFilesPerTrigger=1 (4 micro-batches) must produce EXACTLY the
+    batch flags — the stateless-1:1 property the registry query's
+    oracle certification relies on."""
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.textstats import (
+        gopher_stats_columns,
+    )
+    from bbcnews_scraper_nlp_spark.streaming.ingest import (
+        streaming_quality_gate_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = str(tmp_path / "docs" / "documents.parquet")
+    docs.repartition(4).write.parquet(multi)
+    n_files = len([
+        p for p in __import__("os").listdir(multi) if p.endswith(".parquet")
+    ])
+    assert n_files >= 4
+    got = sorted(
+        tuple(r) for r in streaming_quality_gate_batch(
+            spark, str(tmp_path / "docs"), max_files_per_trigger=1
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id", *gopher_stats_columns(F.col("text"))
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == docs.count()

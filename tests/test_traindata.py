@@ -605,3 +605,61 @@ def test_gopher_flags_match_literal_python(spark):
     assert got[1][5] == 1
     # empty text fails on word count, symbol doc fails on sym ratio
     assert got[0][5] == 0 and got[3][5] == 0
+
+
+# ---------------------------------------------------------------------------
+# round 10 (cont.): HRW sharding, temperature mixing, Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_consistent_hash_minimal_movement(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    rows = {
+        r["shard"]: r
+        for r in REGISTRY["consistent_hash_shards"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(9))
+    # HRW's defining property: adding shard 8 moves docs ONLY to it
+    assert all(rows[s]["moved_in"] == 0 for s in range(8))
+    assert rows[8]["n_before"] == 0
+    assert rows[8]["moved_in"] == rows[8]["n_after"] > 0
+    total = sum(r["n_before"] for r in rows.values())
+    assert sum(r["n_after"] for r in rows.values()) == total
+    # every pre-existing shard only shrinks
+    assert all(rows[s]["n_after"] <= rows[s]["n_before"] for s in range(8))
+
+
+def test_temperature_mix_exact_apportionment(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    rows = REGISTRY["temperature_mix_weights"].fn(spark, sf_dir).collect()
+    # largest-remainder allocations sum EXACTLY to the budget
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    # monotone: a strictly larger source never gets a smaller alloc
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        if b["n_docs"] > a["n_docs"]:
+            assert b["alloc"] >= a["alloc"]
+    # temperature flattens: smallest source is over-represented
+    # relative to proportional, largest under-represented
+    tot = sum(r["n_docs"] for r in rows)
+    lo, hi = by_n[0], by_n[-1]
+    if lo["n_docs"] < hi["n_docs"]:
+        assert lo["alloc"] * tot >= lo["n_docs"] * 1_000_000
+        assert hi["alloc"] * tot <= hi["n_docs"] * 1_000_000
+
+
+def test_poisson_bootstrap_ci_brackets_and_is_deterministic(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    fn = REGISTRY["poisson_bootstrap_ci"].fn
+    rows = {r["event_type"]: r for r in fn(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+        # a 93.75% CI from 32 replicates over ~200+ rows should
+        # bracket the point estimate
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+    again = {r["event_type"]: r for r in fn(spark, sf_dir).collect()}
+    assert rows == again

@@ -369,3 +369,107 @@ def learn_unigram_vocab(
         "seed_mass": seed_mass,
         "n_singles": n_singles,
     }
+
+
+def wordpiece_encode_expr(
+    word: Column,
+    start_pieces: list[str],
+    cont_pieces: list[str],
+    max_chars: int = 30,
+) -> Column:
+    """WordPiece greedy longest-match-first encode of one word
+    (Devlin et al. 2019 / Song et al. 2021 MaxMatch) — returns
+    struct(n_pieces int, unk boolean).
+
+    Semantics (BERT's WordpieceTokenizer exactly): consume the
+    longest vocab piece that prefixes the remaining suffix — start
+    pieces at position 0, continuation pieces (the ##-prefixed
+    entries, stored raw here) after; if no piece matches, or the word
+    exceeds ``max_chars``, the WHOLE word is one [UNK]. Greedy
+    longest-match is iterative, so it folds: F.aggregate over
+    max_chars step indices with a (rest, np, unk, first) struct
+    accumulator — lambda variables are BOUND slots, so the multiple
+    acc references cost nothing (unlike a when-chain, which would
+    duplicate the running expression exponentially — the
+    detect_language lesson). Interpreted-HOF cost is confined to the
+    Heaps-bounded word-TYPE table, the same contract as the BPE
+    replace-chain (apply per type, join occurrences back). Piece
+    arrays are sorted (len desc, lex) so "first prefix match" IS
+    the longest match, identically in any engine."""
+    sp = sorted(start_pieces, key=lambda p: (-len(p), p))
+    cp = sorted(cont_pieces, key=lambda p: (-len(p), p))
+    start_arr = F.array(*[F.lit(p) for p in sp])
+    cont_arr = F.array(*[F.lit(p) for p in cp])
+    acc0 = F.struct(
+        word.alias("rest"),
+        F.lit(0).alias("np"),
+        (F.length(word) > max_chars).alias("unk"),
+        F.lit(True).alias("first"),
+    )
+
+    def step(acc, _):
+        rest = acc["rest"]
+        pieces = F.when(acc["first"], start_arr).otherwise(cont_arr)
+        # try_element_at: NULL (not an error) when nothing matches —
+        # plain element_at throws INVALID_ARRAY_INDEX under ANSI-ish
+        # Spark 4 semantics on the empty filter result
+        best = F.try_element_at(
+            F.filter(pieces, lambda p: F.startswith(rest, p)), F.lit(1)
+        )
+        stopped = acc["unk"] | (F.length(rest) == F.lit(0))
+        return F.when(stopped, acc).otherwise(
+            F.when(
+                best.isNull(),
+                F.struct(
+                    F.lit("").alias("rest"),
+                    F.lit(1).alias("np"),
+                    F.lit(True).alias("unk"),
+                    F.lit(False).alias("first"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.substring(
+                        rest, F.length(best) + 1, F.length(rest)
+                    ).alias("rest"),
+                    (acc["np"] + 1).alias("np"),
+                    F.lit(False).alias("unk"),
+                    F.lit(False).alias("first"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_chars)),
+        acc0,
+        step,
+        lambda acc: F.struct(
+            F.when(acc["unk"], F.lit(1)).otherwise(acc["np"]).alias(
+                "n_pieces"
+            ),
+            acc["unk"].alias("unk"),
+        ),
+    )
+
+
+def wordpiece_literal(
+    word: str,
+    start_pieces: list[str],
+    cont_pieces: list[str],
+    max_chars: int = 30,
+) -> tuple[int, bool]:
+    """Pure-Python twin of wordpiece_encode_expr (pytest reference)."""
+    if len(word) > max_chars:
+        return 1, True
+    sp = sorted(start_pieces, key=lambda p: (-len(p), p))
+    cp = sorted(cont_pieces, key=lambda p: (-len(p), p))
+    rest, np, first = word, 0, True
+    while rest:
+        cand = next(
+            (p for p in (sp if first else cp) if rest.startswith(p)), None
+        )
+        if cand is None:
+            return 1, True
+        rest = rest[len(cand):]
+        np += 1
+        first = False
+    return np, False

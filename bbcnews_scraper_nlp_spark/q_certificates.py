@@ -1913,3 +1913,108 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_batch(spark, sf_dir, key="event_id")
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): WordPiece greedy longest-match encode — completes
+# the tokenizer family (BPE learn/encode, unigram-LM learn, WordPiece
+# apply)
+# --------------------------------------------------------------------
+
+_WP_START = list("abcdefghijklmnopqrstuvwxyz") + [
+    "th", "the", "an", "and", "in", "re", "er", "on", "st", "en",
+    "or", "un", "de", "pre", "over", "wh", "sh", "ch",
+]
+_WP_CONT = list("abcdefghijklmnopqrstuvwxyz") + [
+    "ing", "ed", "es", "ly", "ion", "tion", "ent", "ter", "th",
+    "nd", "at", "ll", "ess",
+]
+_WP_MAX_CHARS = 30
+
+
+def _wp_case(pieces: list[str], rest: str = "rest") -> str:
+    chain = " ".join(
+        f"WHEN starts_with({rest}, '{p}') THEN '{p}'"
+        for p in sorted(pieces, key=lambda p: (-len(p), p))
+    )
+    return f"CASE {chain} END"
+
+
+def _wordpiece_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE w AS (SELECT doc_id, "
+        r"unnest(string_split_regex(lower(text), '\s+')) AS word "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM w WHERE word <> '' GROUP BY doc_id, word), "
+        "types AS (SELECT DISTINCT word FROM occ), "
+        "seg AS ("
+        f"  SELECT word, word AS rest, 0 AS np, "
+        f"(length(word) > {_WP_MAX_CHARS}) AS unk, TRUE AS first "
+        "FROM types "
+        "  UNION ALL "
+        "  SELECT word, "
+        "    CASE WHEN bp IS NULL THEN '' "
+        "         ELSE substr(rest, length(bp) + 1) END AS rest, "
+        "    CASE WHEN bp IS NULL THEN 1 ELSE np + 1 END AS np, "
+        "    (bp IS NULL) AS unk, FALSE AS first "
+        "  FROM (SELECT word, rest, np, first, "
+        f"      CASE WHEN first THEN {_wp_case(_WP_START)} "
+        f"           ELSE {_wp_case(_WP_CONT)} END AS bp "
+        "    FROM seg WHERE NOT unk AND rest <> '') s"
+        "), "
+        "term AS (SELECT word, "
+        "CASE WHEN unk THEN 1 ELSE np END AS n_sub, unk "
+        "FROM seg WHERE unk OR rest = '') "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+        "CAST(SUM(cnt * n_sub) AS BIGINT) AS n_pieces, "
+        "CAST(SUM(CASE WHEN unk THEN cnt ELSE 0 END) AS BIGINT) AS n_unk "
+        "FROM occ JOIN term USING (word) GROUP BY doc_id"
+    )
+
+
+@register("wordpiece_encode", _wordpiece_oracle_sql())
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer APPLICATION (Devlin et al. 2019 greedy
+    longest-match-first, BERT's WordpieceTokenizer semantics incl.
+    whole-word [UNK] on no-match or >30 chars) under a fixed
+    BERT-style vocab — per-doc word/piece/UNK counts, hash-exact
+    cross-engine (the oracle replays the greedy match with a
+    recursive CTE whose step is the same longest-first CASE chain).
+    Completes the tokenizer family: BPE learn + encode
+    (bpe_learned_merges / bpe_encode_subwords), unigram-LM learn
+    (unigram_lm_vocab), WordPiece apply. Same scaling recipe as the
+    BPE encode: the iterative match folds over the Heaps-bounded
+    word-TYPE table only (interpreted-HOF cost confined to ~|vocab|
+    rows at 100 TB), occurrences join the per-type piece counts back
+    with skinny (word, count) rows."""
+    from .functions.tokenize import wordpiece_encode_expr
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    occ = w.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    types = occ.select("word").distinct()
+    n = types.select(
+        "word",
+        wordpiece_encode_expr(
+            F.col("word"), _WP_START, _WP_CONT, _WP_MAX_CHARS
+        ).alias("e"),
+    ).select(
+        "word",
+        F.col("e.n_pieces").cast("long").alias("n_sub"),
+        F.col("e.unk").alias("unk"),
+    )
+    return (
+        occ.join(n, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_pieces"),
+            F.sum(F.when(F.col("unk"), F.col("cnt")).otherwise(0)).alias(
+                "n_unk"
+            ),
+        )
+    )

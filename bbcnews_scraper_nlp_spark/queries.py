@@ -72,14 +72,16 @@ _WINDOW_ORDER = [
     "streaming_quality_gate",
     "embedding_edge_recall",
     "quality_filter_agreement",
-    # ... and the five added in the round-10 continuation session:
+    # ... and the six added in the round-10 continuation session:
     # trained integer k-means, rendezvous-hash sharding, temperature
-    # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval.
+    # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
+    # WordPiece encode.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
     "poisson_bootstrap_ci",
     "minhash_recall_eval",
+    "wordpiece_encode",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -127,12 +129,11 @@ _WINDOW_ORDER = [
     "profile_documents",
     "quality_logreg_score",
     "quantile_normalize_scores",
-    "repetition_quality",
-    # rolling_distinct_users_7d, seasonal_decompose_daily,
+    # repetition_quality, rolling_distinct_users_7d, seasonal_decompose_daily,
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the nine round-10 additions (new queries outrank r6-stale
+    # by the thirteen round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

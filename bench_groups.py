@@ -272,4 +272,5 @@ NEW_R10 = [
     "temperature_mix_weights",
     "poisson_bootstrap_ci",
     "minhash_recall_eval",
+    "wordpiece_encode",
 ]

@@ -471,3 +471,55 @@ def test_unigram_em_matches_literal_reference_corpus(spark, sf_dir):
     words = [w for w, _ in wc]
     for p in got["vocab"]:
         assert len(p) == 1 or any(p in w for w in words), p
+
+
+# ---------------------------------------------------------------------------
+# WordPiece encode (round 10): Spark HOF fold vs the literal-Python twin,
+# including the UNK branches the corpus never exercises
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_expr_matches_literal_incl_unk(spark):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.functions.tokenize import (
+        wordpiece_encode_expr,
+        wordpiece_literal,
+    )
+    from bbcnews_scraper_nlp_spark.q_certificates import (
+        _WP_CONT,
+        _WP_MAX_CHARS,
+        _WP_START,
+    )
+
+    words = [
+        "the", "thessaly", "unpreventable", "preordained", "a", "zz",
+        "overreaction", "x1y",        # digit -> no cont match -> UNK
+        "42", "%!",                   # no start match -> UNK
+        "ingesting", "q" * 31,        # > max_chars -> UNK
+        "q" * 30,                     # exactly max_chars -> 30 pieces
+        "and", "anding", "shch",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["e"]["n_pieces"], r["e"]["unk"])
+        for r in df.select(
+            "word",
+            wordpiece_encode_expr(
+                F.col("word"), _WP_START, _WP_CONT, _WP_MAX_CHARS
+            ).alias("e"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == wordpiece_literal(
+            w, _WP_START, _WP_CONT, _WP_MAX_CHARS
+        ), w
+    # the branches actually fire
+    assert got["x1y"] == (1, True)
+    assert got["42"] == (1, True)
+    assert got["q" * 31] == (1, True)
+    assert got["q" * 30] == (30, False)
+    # longest-match-first: "the" is ONE start piece, not t+h+e
+    assert got["the"] == (1, False)
+    # greedy is not optimal-shortest: known WordPiece property
+    assert got["and"] == (1, False)

@@ -1526,3 +1526,173 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): calibration audit of the quality classifier and
+# per-source KL divergence (domain-shift audit)
+# --------------------------------------------------------------------
+
+
+def _ece_sql() -> str:
+    from .q_graph import _LOGREG_SQL
+
+    return (
+        f"WITH sc AS ({_LOGREG_SQL}), "
+        "d AS (SELECT sc.score_milli AS s, "
+        "CAST(documents.lang = 'en' AS INT) AS y "
+        "FROM sc JOIN documents USING (doc_id)), "
+        "b AS (SELECT LEAST(s // 100, 9) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(y) AS BIGINT) AS pos "
+        "FROM d GROUP BY 1), "
+        "g AS (SELECT bin, n, ss * 1000 // n AS conf_ppm, "
+        "pos * 1000000 // n AS pos_ppm FROM b), "
+        "rows_ AS (SELECT bin, n, conf_ppm, pos_ppm, "
+        "ABS(conf_ppm - pos_ppm) AS gap_ppm FROM g), "
+        "tot AS (SELECT CAST(-1 AS BIGINT) AS bin, "
+        "CAST(SUM(n) AS BIGINT) AS n, "
+        "CAST(SUM(n * conf_ppm) AS BIGINT) // CAST(SUM(n) AS BIGINT) "
+        "AS conf_ppm, "
+        "CAST(SUM(n * pos_ppm) AS BIGINT) // CAST(SUM(n) AS BIGINT) "
+        "AS pos_ppm, "
+        "CAST(SUM(n * gap_ppm) AS BIGINT) // CAST(SUM(n) AS BIGINT) "
+        "AS gap_ppm FROM rows_) "
+        "SELECT * FROM rows_ UNION ALL SELECT * FROM tot"
+    )
+
+
+@register("calibration_ece", _ece_sql())
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the deployed quality classifier
+    (Naeini et al. 2015 ECE / DeGroot-Fienberg reliability diagram):
+    the logreg score (quality_logreg_score's EXACT kernel — shared
+    code, so classifier and audit can never desynchronize) binned
+    into 10 confidence deciles against the lang=='en' weak label
+    (pr_curve_quality_filter's convention). Per bin: count, mean
+    confidence, empirical positive rate, |gap| — all integer ppm; the
+    bin=-1 summary row's gap_ppm IS the expected calibration error
+    (count-weighted mean gap, one truncating division). Plan: ONE
+    map-side-combinable 10-group agg over the score projection; the
+    summary re-aggregates the 10-row bin table, never the corpus —
+    the audit every learned filter needs before its keep-threshold
+    is trusted at 100 TB."""
+    from .functions.text_clean import ALL_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    score = TS.logreg_quality_score(F.col("text"), list(ALL_STOPWORDS))
+    d = docs.select(
+        F.round(score).cast("long").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    b = d.groupBy(
+        F.least(F.expr("s div 100"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("ss"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    rows = b.select(
+        "bin",
+        "n",
+        F.expr("ss * 1000 div n").alias("conf_ppm"),
+        F.expr("pos * 1000000 div n").alias("pos_ppm"),
+    ).withColumn(
+        "gap_ppm", F.abs(F.col("conf_ppm") - F.col("pos_ppm"))
+    )
+    tot = rows.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n").alias("n"),
+        F.expr("sum(n * conf_ppm) div sum(n)").alias("conf_ppm"),
+        F.expr("sum(n * pos_ppm) div sum(n)").alias("pos_ppm"),
+        F.expr("sum(n * gap_ppm) div sum(n)").alias("gap_ppm"),
+    )
+    return rows.unionByName(tot)
+
+
+_KL_SQL = r"""
+WITH tok AS (SELECT source,
+                    unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents),
+sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+       FROM tok WHERE w <> '' GROUP BY 1, 2),
+wt AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS c_s,
+              CAST(COUNT(*) AS BIGINT) AS vocab FROM sw GROUP BY 1),
+tt AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS n FROM sw),
+term AS (SELECT sw.source, sw.c_sw,
+         CAST(ROUND(1000 * ln((CAST(sw.c_sw AS DOUBLE) * tt.n)
+                              / (CAST(st.c_s AS DOUBLE) * wt.c_w)))
+              AS BIGINT) AS lr
+         FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN tt)
+SELECT st.source, st.c_s AS n_tokens, st.vocab,
+       CAST(SUM(term.c_sw * term.lr) AS BIGINT) // st.c_s AS kl_millinat
+FROM term JOIN st USING (source)
+GROUP BY st.source, st.c_s, st.vocab
+"""
+
+
+@register("kl_divergence_sources", _KL_SQL)
+def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: KL(source unigram LM ‖ corpus unigram LM)
+    per source (Kullback-Leibler 1951; the divergence DSIR-style
+    importance sampling and domain-mixing decisions read) in exact
+    milli-nats: each term's log-ratio is milli-quantized BEFORE the
+    weighted sum (the perplexity/nb convention — integer ROUND
+    absorbs Java-vs-libm ln ulp skew), so the per-source sum is
+    fold-order-free integer math with one truncating division. The
+    source distribution's support is a subset of the corpus's by
+    construction, so every term is finite — no smoothing constant to
+    disagree over. Plan: ONE token explode feeds one (source, word)
+    agg (persisted — the word-total, source-total, and corpus-total
+    legs all fold from it, never rescanning the corpus; broadcast
+    legs re-execute their subtree by the exchange-reuse rule, which
+    the persist converts to cache hits); the term join keys on the
+    Heaps-bounded vocab; output is |sources| rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sw = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wt = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("c_s"), F.count("*").alias("vocab")
+    )
+    tt = sw.agg(F.sum("c_sw").alias("n"))
+    term = (
+        sw.join(wt, "w")
+        .join(F.broadcast(st), "source")
+        .join(F.broadcast(tt))
+        .select(
+            "source",
+            "c_sw",
+            "c_s",
+            "vocab",
+            F.round(
+                1000
+                * F.log(
+                    (F.col("c_sw").cast("double") * F.col("n"))
+                    / (F.col("c_s").cast("double") * F.col("c_w"))
+                )
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        term.groupBy("source", "c_s", "vocab")
+        .agg(F.expr("cast(sum(c_sw * lr) as bigint) div c_s").alias("kl_millinat"))
+        .select(
+            "source",
+            F.col("c_s").alias("n_tokens"),
+            "vocab",
+            "kl_millinat",
+        )
+    )

@@ -75,13 +75,15 @@ _WINDOW_ORDER = [
     # ... and the six added in the round-10 continuation session:
     # trained integer k-means, rendezvous-hash sharding, temperature
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
-    # WordPiece encode.
+    # WordPiece encode, calibration ECE, per-source KL divergence.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
     "poisson_bootstrap_ci",
     "minhash_recall_eval",
     "wordpiece_encode",
+    "calibration_ece",
+    "kl_divergence_sources",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -127,13 +129,13 @@ _WINDOW_ORDER = [
     "pii_scrub_text",
     "pr_curve_quality_filter",
     "profile_documents",
-    "quality_logreg_score",
-    "quantile_normalize_scores",
+    # quality_logreg_score (its exact kernel is re-certified inside
+    # calibration_ece), quantile_normalize_scores,
     # repetition_quality, rolling_distinct_users_7d, seasonal_decompose_daily,
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the thirteen round-10 additions (new queries outrank r6-stale
+    # by the fifteen round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

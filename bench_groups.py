@@ -273,4 +273,6 @@ NEW_R10 = [
     "poisson_bootstrap_ci",
     "minhash_recall_eval",
     "wordpiece_encode",
+    "calibration_ece",
+    "kl_divergence_sources",
 ]

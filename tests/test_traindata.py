@@ -663,3 +663,100 @@ def test_poisson_bootstrap_ci_brackets_and_is_deterministic(spark, sf_dir):
         assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
     again = {r["event_type"]: r for r in fn(spark, sf_dir).collect()}
     assert rows == again
+
+
+def test_calibration_ece_summary_is_weighted_gap(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    rows = REGISTRY["calibration_ece"].fn(spark, sf_dir).collect()
+    bins = [r for r in rows if r["bin"] >= 0]
+    tot = [r for r in rows if r["bin"] == -1]
+    assert len(tot) == 1
+    n = sum(r["n"] for r in bins)
+    assert tot[0]["n"] == n
+    # the summary row's gap IS the count-weighted ECE (trunc div)
+    want = sum(r["n"] * r["gap_ppm"] for r in bins) // n
+    assert tot[0]["gap_ppm"] == want
+    for r in bins:
+        assert 0 <= r["pos_ppm"] <= 1_000_000
+        assert r["gap_ppm"] == abs(r["conf_ppm"] - r["pos_ppm"])
+
+
+def test_kl_divergence_nonnegative_and_zero_for_identical(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    rows = REGISTRY["kl_divergence_sources"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    # KL >= 0 up to milli-nat quantization of each term
+    assert all(r["kl_millinat"] >= -1 for r in rows)
+    assert all(r["n_tokens"] > 0 and r["vocab"] > 0 for r in rows)
+
+    # planted check: two sources with IDENTICAL text distribution
+    # have (near-)zero divergence; a disjoint-vocab source is large
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd", "s1") for i in range(40)]
+        + [(100 + i, "aa bb cc dd", "s2") for i in range(40)]
+        + [(200 + i, "zz yy xx ww vv uu", "s3") for i in range(10)],
+        "doc_id long, text string, lang string",
+    ).withColumnRenamed("lang", "source")
+    out = {
+        r["source"]: r["kl_millinat"]
+        for r in _kl_on(spark, docs).collect()
+    }
+    # identically-distributed sources get IDENTICAL divergence (the
+    # reference is the corpus mixture, so it is small but nonzero
+    # while s3 shifts the mixture), and the disjoint-vocab source
+    # dominates by an order of magnitude
+    assert out["s1"] == out["s2"]
+    assert 0 <= out["s1"] < out["s3"]
+    assert out["s3"] > 1000  # well over 1 nat for the disjoint source
+
+    # with the corpus = ONE distribution, KL is exactly 0
+    two = docs.filter(F.col("source") != "s3")
+    out2 = {
+        r["source"]: r["kl_millinat"] for r in _kl_on(spark, two).collect()
+    }
+    assert out2 == {"s1": 0, "s2": 0}
+
+
+def _kl_on(spark, docs):
+    """Run the kl_divergence_sources body on an arbitrary documents
+    frame (same code path, parameterized input)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sw = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wt = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("c_s"), F.count("*").alias("vocab")
+    )
+    tt = sw.agg(F.sum("c_sw").alias("n"))
+    term = (
+        sw.join(wt, "w")
+        .join(F.broadcast(st), "source")
+        .join(F.broadcast(tt))
+        .select(
+            "source",
+            "c_sw",
+            "c_s",
+            F.round(
+                1000
+                * F.log(
+                    (F.col("c_sw").cast("double") * F.col("n"))
+                    / (F.col("c_s").cast("double") * F.col("c_w"))
+                )
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return term.groupBy("source", "c_s").agg(
+        F.expr("cast(sum(c_sw * lr) as bigint) div c_s").alias("kl_millinat")
+    )

@@ -571,3 +571,52 @@ def personalized_pagerank(
             )
         )
     return ranks.select("node", F.col("__r").alias("ppr_scaled"))
+
+
+def kcore_peel(
+    edges: DataFrame, src: str, dst: str, k: int = 2, rounds: int = 4
+) -> DataFrame:
+    """k-core by unrolled peeling (Seidman 1983; Batagelj-Zaveršnik;
+    distributed form per Montresor et al. 2013): repeatedly drop
+    nodes of degree < k. ``edges`` is an undirected edge list given
+    one direction; it is mirrored and eager-checkpointed here. Each
+    round is two node-keyed LEFT SEMI joins + ONE count agg, and each
+    survivor set eager-localCheckpoints because the next round
+    references it twice (both endpoints — the LPA tree-doubling
+    lesson). Returns (node, deg_core, converged): survivors of round
+    ``rounds`` with their degree w.r.t. the prior round's survivors,
+    plus a global fixpoint flag."""
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
+    n = und.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    deg = None
+    prev_cnt = None
+    for _ in range(rounds):
+        prev = n
+        deg = (
+            und.join(prev.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(prev.select(F.col("node").alias("b")), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        n = (
+            deg.filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        prev_cnt = prev
+    conv = (
+        n.agg(F.count("*").alias("ca"))
+        .crossJoin(prev_cnt.agg(F.count("*").alias("cb")))
+        .select((F.col("ca") == F.col("cb")).alias("converged"))
+    )
+    return (
+        deg.filter(F.col("d") >= k)
+        .crossJoin(F.broadcast(conv))
+        .select("node", F.col("d").alias("deg_core"), "converged")
+    )

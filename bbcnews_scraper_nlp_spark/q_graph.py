@@ -3211,3 +3211,67 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): k-core decomposition by unrolled peeling over the
+# strong-tie supplier graph
+# --------------------------------------------------------------------
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    parts = [
+        f"WITH {_STRONG_TIE_CTES}, ",
+        # e is referenced by every peel round: inline CTEs would
+        # re-run the Σdeg² common-customer join once per reference
+        # (the LPA-oracle lesson) — materialize the cut once
+        "em AS MATERIALIZED (SELECT s1, s2 FROM e), ",
+        "und AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM em "
+        "UNION ALL SELECT s2 AS a, s1 AS b FROM em), ",
+        "n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", d{t} AS MATERIALIZED (SELECT u.a AS node, "
+            f"CAST(COUNT(*) AS BIGINT) AS d "
+            f"FROM und u JOIN n{t-1} x ON u.a = x.node "
+            f"JOIN n{t-1} y ON u.b = y.node GROUP BY 1)"
+            f", n{t} AS MATERIALIZED (SELECT node FROM d{t} "
+            f"WHERE d >= {k})"
+        )
+    parts.append(
+        f" SELECT node, d AS deg_core, "
+        f"(SELECT COUNT(*) FROM n{rounds}) = "
+        f"(SELECT COUNT(*) FROM n{rounds - 1}) AS converged "
+        f"FROM d{rounds} WHERE d >= {k}"
+    )
+    return "".join(parts)
+
+
+@register("kcore_suppliers", _kcore_oracle_sql())
+def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983; Batagelj-Zaveršnik
+    peeling) of the strong-tie supplier graph: iteratively remove
+    nodes of degree < k until (towards) fixpoint — the standard
+    coherent-subgroup extraction next to triangles/communities, and
+    the degeneracy-ordering building block. 4 unrolled peel rounds at
+    k=2; output = surviving nodes with their degree w.r.t. the prior
+    round's survivors plus a global `converged` boolean certifying
+    whether the peel reached fixpoint (the hash pins the peel
+    TRAJECTORY either way). Plan: the top-2000 rank-cut edge table is
+    persisted once and mirrored; each round is two node-keyed
+    LEFT SEMI joins + ONE count agg over the shrinking survivor set,
+    and each survivor table eager-localCheckpoints because the next
+    round references it twice (both endpoints — the LPA
+    tree-doubling lesson). At 100 TB each peel round is one
+    degree-count shuffle over the current core — exactly how
+    distributed k-core runs (Montresor et al. 2013); full coreness
+    numbers = rerun per k or bucket by binary search."""
+    from .operators.graph import kcore_peel
+
+    handles: list = []
+    e = _strong_tie_edges(spark, sf_dir, cache_handles=handles)
+    out = kcore_peel(e, "s1", "s2", k=2, rounds=4)
+    for h in handles:
+        h.unpersist()
+    return out

@@ -883,3 +883,161 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): collocation extraction by Dunning log-likelihood
+# ratio
+# --------------------------------------------------------------------
+
+_LLR_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS word FROM t),
+tk AS (SELECT doc_id, idx, word FROM tok WHERE word <> ''),
+bg AS (SELECT a, b FROM (
+         SELECT word AS a,
+                LEAD(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+         FROM tk) s WHERE b IS NOT NULL),
+ab AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS k11
+                    FROM bg GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS ca FROM ab GROUP BY 1),
+cb AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS cbn FROM ab GROUP BY 1),
+nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM ab),
+cells AS (SELECT ab.a, ab.b, ab.k11,
+                 ca - k11 AS k12, cbn - k11 AS k21,
+                 n - ca - cbn + k11 AS k22,
+                 ca, cbn, n
+          FROM ab JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+llr AS (SELECT a, b, k11 AS n_ab,
+  2 * (
+    k11 * CAST(ROUND(1000 * ln((CAST(k11 AS DOUBLE) * n)
+                     / (CAST(ca AS DOUBLE) * cbn))) AS BIGINT)
+    + CASE WHEN k12 > 0 THEN k12 * CAST(ROUND(1000 * ln(
+        (CAST(k12 AS DOUBLE) * n) / (CAST(ca AS DOUBLE) * (n - cbn))))
+        AS BIGINT) ELSE 0 END
+    + CASE WHEN k21 > 0 THEN k21 * CAST(ROUND(1000 * ln(
+        (CAST(k21 AS DOUBLE) * n) / (CAST(n - ca AS DOUBLE) * cbn)))
+        AS BIGINT) ELSE 0 END
+    + CASE WHEN k22 > 0 THEN k22 * CAST(ROUND(1000 * ln(
+        (CAST(k22 AS DOUBLE) * n) / (CAST(n - ca AS DOUBLE) * (n - cbn))))
+        AS BIGINT) ELSE 0 END
+  ) AS llr_milli
+  FROM cells)
+SELECT a, b, n_ab, llr_milli FROM llr
+ORDER BY llr_milli DESC, a, b LIMIT 50
+"""
+
+
+@register("bigram_llr_collocations", _LLR_SQL)
+def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by log-likelihood ratio (Dunning 1993 —
+    the classic significance test for bigrams, robust at low counts
+    where PMI over-rewards rarity; the NLTK/Mahout standard): top-50
+    adjacent-word pairs by the 2·Σ k_ij·ln(k_ij·N / R_i·C_j)
+    statistic over the 2×2 contingency table. Each cell's log-ratio
+    is milli-quantized BEFORE the integer multiply-sum (the
+    perplexity/nb/KL convention — ROUND absorbs Java-vs-libm ln ulp),
+    so llr_milli is exact integer arithmetic and the top-50 cut
+    (TakeOrderedAndProject, full (llr, a, b) tie-break) is
+    hash-stable. Plan: bigrams from ONE doc-keyed LEAD window (the
+    gopher_repetition shape); all four contingency cells fold from
+    the ONE (a, b) count table (persisted — row totals, column
+    totals, and N are derived aggregates, never corpus rescans); the
+    totals joins key on the Heaps-bounded vocab. At 100 TB this is
+    one token window + one bigram shuffle — the standard distributed
+    collocation pass."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "idx", "word"
+        ),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    bg = (
+        tok.select(
+            F.col("word").alias("a"), F.lead("word", 1).over(w).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    ab = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("k11"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ra = ab.groupBy("a").agg(F.sum("k11").alias("ca"))
+    cbt = ab.groupBy("b").agg(F.sum("k11").alias("cbn"))
+    nn = ab.agg(F.sum("k11").alias("n"))
+    cells = (
+        ab.join(ra, "a")
+        .join(cbt, "b")
+        .join(F.broadcast(nn))
+        .select(
+            "a",
+            "b",
+            "k11",
+            (F.col("ca") - F.col("k11")).alias("k12"),
+            (F.col("cbn") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("ca") - F.col("cbn") + F.col("k11")).alias(
+                "k22"
+            ),
+            "ca",
+            "cbn",
+            "n",
+        )
+    )
+
+    def _term(k, num, den):
+        part = (
+            F.round(
+                1000
+                * F.log((k.cast("double") * F.col("n")) / (num * den))
+            )
+            .cast("long")
+        )
+        return k * part
+
+    llr = cells.select(
+        "a",
+        "b",
+        F.col("k11").alias("n_ab"),
+        (
+            2
+            * (
+                _term(
+                    F.col("k11"),
+                    F.col("ca").cast("double"),
+                    F.col("cbn"),
+                )
+                + F.when(
+                    F.col("k12") > 0,
+                    _term(
+                        F.col("k12"),
+                        F.col("ca").cast("double"),
+                        F.col("n") - F.col("cbn"),
+                    ),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("k21") > 0,
+                    _term(
+                        F.col("k21"),
+                        (F.col("n") - F.col("ca")).cast("double"),
+                        F.col("cbn"),
+                    ),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("k22") > 0,
+                    _term(
+                        F.col("k22"),
+                        (F.col("n") - F.col("ca")).cast("double"),
+                        F.col("n") - F.col("cbn"),
+                    ),
+                ).otherwise(F.lit(0))
+            )
+        ).alias("llr_milli"),
+    )
+    return llr.orderBy(F.desc("llr_milli"), "a", "b").limit(50)

@@ -75,7 +75,8 @@ _WINDOW_ORDER = [
     # ... and the six added in the round-10 continuation session:
     # trained integer k-means, rendezvous-hash sharding, temperature
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
-    # WordPiece encode, calibration ECE, per-source KL divergence.
+    # WordPiece encode, calibration ECE, per-source KL divergence,
+    # k-core peeling, Dunning LLR collocations.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -84,6 +85,8 @@ _WINDOW_ORDER = [
     "wordpiece_encode",
     "calibration_ece",
     "kl_divergence_sources",
+    "kcore_suppliers",
+    "bigram_llr_collocations",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -127,15 +130,15 @@ _WINDOW_ORDER = [
     "multimodal_video_frames",
     "ols_trend_per_type",
     "pii_scrub_text",
-    "pr_curve_quality_filter",
-    "profile_documents",
+    # pr_curve_quality_filter (calibration_ece certifies the same
+    # eval-harness family), profile_documents,
     # quality_logreg_score (its exact kernel is re-certified inside
     # calibration_ece), quantile_normalize_scores,
     # repetition_quality, rolling_distinct_users_7d, seasonal_decompose_daily,
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the fifteen round-10 additions (new queries outrank r6-stale
+    # by the seventeen round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -500,3 +500,40 @@ def test_pmi_embedding_matches_literal_python(spark):
     assert got == v, (
         sorted(got.items())[:8], sorted(v.items())[:8]
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_planted_triangle_with_tails(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 (the 2-core), plus a path tail 3-4-5 and a
+    # pendant 1-6: peeling must strip the tail one hop per round
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 6)],
+        "s1 long, s2 long",
+    )
+    rows = {
+        r["node"]: (r["deg_core"], r["converged"])
+        for r in kcore_peel(edges, "s1", "s2", k=2, rounds=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert all(v == (2, True) for v in rows.values())
+
+    # k above the max degree empties the core
+    assert kcore_peel(edges, "s1", "s2", k=4, rounds=3).count() == 0
+
+
+def test_kcore_peel_unconverged_flag(spark):
+    from bbcnews_scraper_nlp_spark.operators.graph import kcore_peel
+
+    # a long path needs one round per pendant hop: with rounds=1 the
+    # peel cannot reach fixpoint and must say so
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "s1 long, s2 long"
+    )
+    out = kcore_peel(edges, "s1", "s2", k=2, rounds=1).collect()
+    assert out and all(not r["converged"] for r in out)

@@ -3275,3 +3275,67 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in handles:
         h.unpersist()
     return out
+
+
+_ASSORT_SQL = (
+    f"WITH {_STRONG_TIE_CTES}, "
+    "em AS MATERIALIZED (SELECT s1, s2 FROM e), "
+    "und AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM em "
+    "UNION ALL SELECT s2 AS a, s1 AS b FROM em), "
+    "dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1), "
+    "ed AS (SELECT d1.d AS j, d2.d AS k FROM em "
+    "JOIN dg d1 ON em.s1 = d1.a JOIN dg d2 ON em.s2 = d2.a), "
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+    "CAST(SUM(j * k) AS BIGINT) AS s1, "
+    "CAST(SUM(j + k) AS BIGINT) AS s2, "
+    "CAST(SUM(j * j + k * k) AS BIGINT) AS s3 FROM ed) "
+    "SELECT m, s1, s2, s3, "
+    "(4 * m * s1 - s2 * s2) * 1000000 "
+    "// NULLIF(2 * m * s3 - s2 * s2, 0) AS assortativity_ppm "
+    "FROM s"
+)
+
+
+@register("degree_assortativity", _ASSORT_SQL)
+def degree_assortativity(
+    spark: SparkSession, sf_dir: str, cache_handles: list | None = None
+) -> DataFrame:
+    """Degree assortativity of the strong-tie supplier graph (Newman
+    2002 §II: the Pearson correlation of degrees at either end of an
+    edge — do hubs link to hubs?). The textbook estimator reduces to
+    three edge sums (Σjk, Σ(j+k), Σ(j²+k²)) and the edge count, so
+    r = (4m·S1 − S2²) / (2m·S3 − S2²) is an EXACT integer rational —
+    emitted as one truncating ppm division plus its four integer
+    components (the hash pins the full computation, not just the
+    ratio). Plan: edge cut persisted once; ONE degree agg + two
+    degree joins + ONE 4-sum single-row aggregate — no window, no
+    float anywhere. At 100 TB: degrees are a node-keyed agg, the
+    joins are node-keyed hash joins, and the final fold is map-side
+    combined into one row."""
+    e = _strong_tie_edges(spark, sf_dir, cache_handles=cache_handles)
+    und = e.select(F.col("s1").alias("a")).unionByName(
+        e.select(F.col("s2").alias("a"))
+    )
+    dg = und.groupBy("a").agg(F.count("*").alias("d"))
+    ed = (
+        e.join(dg.select(F.col("a").alias("s1"), F.col("d").alias("j")), "s1")
+        .join(dg.select(F.col("a").alias("s2"), F.col("d").alias("k")), "s2")
+        .select("j", "k")
+    )
+    s = ed.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("s1"),
+        F.sum(F.col("j") + F.col("k")).alias("s2"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias("s3"),
+    )
+    out = s.select(
+        "m",
+        "s1",
+        "s2",
+        "s3",
+        F.expr(
+            "(4 * m * s1 - s2 * s2) * 1000000"
+            " div nullif(2 * m * s3 - s2 * s2, 0)"
+        ).alias("assortativity_ppm"),
+    )
+    return out

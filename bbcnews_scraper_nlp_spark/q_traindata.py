@@ -1696,3 +1696,152 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_millinat",
         )
     )
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): LSA document embeddings — integer randomized
+# subspace iteration over the TF-IDF matrix (the document-side
+# sibling of pmi_embedding_vectors)
+# --------------------------------------------------------------------
+
+
+def _lsa_oracle_sql(dims: int = 4) -> str:
+    seed = (
+        "CAST(('0x' || substr(md5('lsa-v1:' || w || ':' "
+        "|| CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) % 2001 - 1000"
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+tf AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+m AS MATERIALIZED (SELECT tf.doc_id AS d, tf.w, tf.c *
+     CAST(ROUND(1000 * ln(CAST(nn.n AS DOUBLE) / df.df)) AS BIGINT) AS wt
+     FROM tf JOIN df USING (w) CROSS JOIN nn WHERE df.df < nn.n),
+dims AS (SELECT CAST(unnest(range({dims})) AS INT) AS r),
+terms AS (SELECT DISTINCT w FROM m),
+v0 AS (SELECT w, r, {seed} AS v FROM terms CROSS JOIN dims),
+u1r AS (SELECT m.d, v.r, SUM(m.wt * v.v) AS u
+        FROM m JOIN v0 v ON m.w = v.w GROUP BY 1, 2),
+s1 AS (SELECT r, GREATEST(MAX(ABS(u)), 1) AS s FROM u1r GROUP BY r),
+u1 AS MATERIALIZED (SELECT u1r.d, u1r.r,
+      CAST(u1r.u * 1000000 // s1.s AS BIGINT) AS v
+      FROM u1r JOIN s1 USING (r)),
+t1r AS (SELECT m.w, u.r, SUM(m.wt * u.v) AS t
+        FROM m JOIN u1 u ON m.d = u.d GROUP BY 1, 2),
+s2 AS (SELECT r, GREATEST(MAX(ABS(t)), 1) AS s FROM t1r GROUP BY r),
+t1 AS MATERIALIZED (SELECT t1r.w, t1r.r,
+      CAST(t1r.t * 1000000 // s2.s AS BIGINT) AS v
+      FROM t1r JOIN s2 USING (r)),
+u2r AS (SELECT m.d, v.r, SUM(m.wt * v.v) AS u
+        FROM m JOIN t1 v ON m.w = v.w GROUP BY 1, 2),
+s3 AS (SELECT r, GREATEST(MAX(ABS(u)), 1) AS s FROM u2r GROUP BY r)
+SELECT u2r.d AS doc_id, u2r.r AS dim,
+       CAST(u2r.u * 1000000 // s3.s AS BIGINT) AS val_micro
+FROM u2r JOIN s3 USING (r)
+"""
+
+
+@register("lsa_doc_embeddings", _lsa_oracle_sql())
+def lsa_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSA document embeddings (Deerwester et al. 1990) as a 4-dim
+    randomized subspace-iteration sketch (Halko et al. 2011 range
+    finder, M·Mᵀ power round) of the TF-IDF matrix — the document-
+    side sibling of pmi_embedding_vectors, same certification trick:
+    integer TF-IDF weights (tf · milli-quantized idf), md5-seeded
+    ±1000 start vectors over TERMS, the M·v → Mᵀ·u → M·t chain in
+    exact bigint with per-dim max-abs rescale to ±1e6 micro-units by
+    truncating division — zero float accumulation, so the ENTIRE
+    embedding table hash-matches cross-engine (impossible for an
+    SVD library's fp Lanczos). Corpus-stopword terms (df = N) carry
+    idf 0 and are dropped. Plan: ONE token explode → ONE persisted
+    (doc, term) tf table every leg folds from; each multiply round is
+    ONE key-partitioned join + hash agg (the pagerank shape) + a
+    4-row broadcast rescale; vectors ride as skinny (id, dim, int)
+    rows. At 100 TB this is exactly how distributed randomized SVD
+    range finders run on sparse matrices — M stays relational,
+    never densified."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfr = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    m = (
+        tf.join(dfr, "w")
+        .join(F.broadcast(nn))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            F.col("doc_id").alias("d"),
+            "w",
+            (
+                F.col("c")
+                * F.round(
+                    1000
+                    * F.log(F.col("n").cast("double") / F.col("df"))
+                ).cast("long")
+            ).alias("wt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dims = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    terms = m.select("w").distinct()
+    v0 = terms.join(dims).select(
+        "w",
+        "r",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("lsa-v1:"),
+                                F.col("w"),
+                                F.lit(":"),
+                                F.col("r").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("v"),
+    )
+
+    def mul_rescale(mat, vec, key_in, key_out):
+        r_ = (
+            mat.join(vec, key_in)
+            .groupBy(key_out, "r")
+            .agg(F.sum(F.col("wt") * F.col("v")).alias("u"))
+        )
+        s_ = r_.groupBy("r").agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("s")
+        )
+        return r_.join(F.broadcast(s_), "r").select(
+            key_out, "r", F.expr("u * 1000000 div s").cast("long").alias("v")
+        )
+
+    u1 = mul_rescale(m, v0, "w", "d")
+    t1 = mul_rescale(m, u1, "d", "w")
+    u2 = mul_rescale(m, t1, "w", "d")
+    return u2.select(
+        F.col("d").alias("doc_id"),
+        F.col("r").alias("dim"),
+        F.col("v").alias("val_micro"),
+    )

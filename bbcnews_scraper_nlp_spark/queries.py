@@ -76,7 +76,8 @@ _WINDOW_ORDER = [
     # trained integer k-means, rendezvous-hash sharding, temperature
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
     # WordPiece encode, calibration ECE, per-source KL divergence,
-    # k-core peeling, Dunning LLR collocations.
+    # k-core peeling, Dunning LLR collocations, degree assortativity,
+    # LSA document embeddings.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -87,6 +88,8 @@ _WINDOW_ORDER = [
     "kl_divergence_sources",
     "kcore_suppliers",
     "bigram_llr_collocations",
+    "degree_assortativity",
+    "lsa_doc_embeddings",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -119,14 +122,16 @@ _WINDOW_ORDER = [
     "concurrent_sessions_sweep",
     "corpus_report_by_source",
     "dedup_ngram_jaccard",
-    "doc_term_stats",
+    # doc_term_stats (the KL / LLR / LSA additions certify the same
+    # doc-term machinery),
     "dup_ngram_span_score",
     "embedding_centroids",
     "fuzzy_entity_clusters",
     "incremental_agg_maintenance",
     "inverted_index_blocks",
     "mad_outliers_per_type",
-    "mix_sources_weighted",
+    # mix_sources_weighted (temperature_mix_weights certifies the
+    # mixing family),
     "multimodal_video_frames",
     "ols_trend_per_type",
     "pii_scrub_text",
@@ -138,7 +143,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the seventeen round-10 additions (new queries outrank r6-stale
+    # by the nineteen round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -3339,3 +3339,117 @@ def degree_assortativity(
         ).alias("assortativity_ppm"),
     )
     return out
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): nDCG@10 of the BM25 ranking — the graded ranking
+# metric completing the eval-harness family (PR curve, ECE, recall
+# evals, kappa)
+# --------------------------------------------------------------------
+
+# ROUND(1e6 / log2(i+1)) for ranks 1..10 — embedded as literals on
+# both sides so no runtime log is in the certified path
+_DCG_W = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+
+
+def _ndcg_oracle_sql() -> str:
+    wvals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_DCG_W))
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return (
+        f"WITH base AS ({_BM25_SQL}), "
+        "rk AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score_milli DESC, doc_id) AS r FROM base), "
+        "g AS (SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS grade "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        f"FROM documents) t WHERE w IN ({terms}) GROUP BY doc_id), "
+        f"w AS (SELECT * FROM (VALUES {wvals}) AS v(r, wt)), "
+        "dcg AS (SELECT CAST(SUM(COALESCE(g.grade, 0) * w.wt) AS BIGINT) "
+        "AS dcg_um FROM rk JOIN w USING (r) "
+        "LEFT JOIN g ON rk.doc_id = g.doc_id), "
+        "ig AS (SELECT grade, ROW_NUMBER() OVER "
+        "(ORDER BY grade DESC, doc_id) AS r FROM g), "
+        "idcg AS (SELECT CAST(SUM(ig.grade * w.wt) AS BIGINT) AS idcg_um "
+        "FROM ig JOIN w USING (r)), "
+        "nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_graded FROM g) "
+        "SELECT dcg_um, idcg_um, "
+        "dcg_um * 1000000 // NULLIF(idcg_um, 0) AS ndcg_ppm, n_graded "
+        "FROM dcg CROSS JOIN idcg CROSS JOIN nrel"
+    )
+
+
+@register("ndcg_bm25_eval", _ndcg_oracle_sql())
+def ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking (Järvelin & Kekäläinen 2002)
+    against a term-coverage relevance grade (distinct query terms
+    present, 0..3) — the graded ranking metric that completes the
+    eval-harness family next to the PR curve, calibration ECE, and
+    the ANN/LSH recall evals. The log2 rank discounts are
+    micro-quantized LITERALS (no runtime log), grades and discounts
+    multiply as exact integers, and the ideal DCG needs only the
+    grade VALUES (ties in the ideal ordering cannot change it), so
+    dcg/idcg/ndcg_ppm are hash-exact. Plan: the BM25 top-10 reuses
+    the certified query's exact pipeline; grades are ONE term-
+    filtered distinct-count agg (the IN-list prunes the token explode
+    at the scan); every window runs on <= 10 rows; the ideal top-10
+    is a TakeOrderedAndProject heap over the graded docs. At 100 TB
+    the eval joins the ranking (k rows) against the grade table —
+    ranking-metric cost is O(k), not corpus-sized."""
+    from pyspark.sql import Window
+
+    base = bm25_topk_docs(spark, sf_dir)
+    rk = base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_milli"), F.col("doc_id")))
+        .alias("r"),
+    )
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    g = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").alias("grade"))
+    )
+    w = spark.createDataFrame(
+        [(i + 1, wt) for i, wt in enumerate(_DCG_W)], "r int, wt long"
+    )
+    dcg = (
+        rk.join(F.broadcast(w), "r")
+        .join(g, "doc_id", "left")
+        .agg(
+            F.sum(F.coalesce(F.col("grade"), F.lit(0)) * F.col("wt"))
+            .cast("long")
+            .alias("dcg_um")
+        )
+    )
+    ig = (
+        g.orderBy(F.desc("grade"), "doc_id")
+        .limit(10)
+        .select(
+            "grade",
+            F.row_number()
+            .over(Window.orderBy(F.desc("grade"), F.col("doc_id")))
+            .alias("r"),
+        )
+    )
+    idcg = ig.join(F.broadcast(w), "r").agg(
+        F.sum(F.col("grade") * F.col("wt")).cast("long").alias("idcg_um")
+    )
+    nrel = g.agg(F.count("*").alias("n_graded"))
+    return (
+        dcg.crossJoin(idcg)
+        .crossJoin(nrel)
+        .select(
+            "dcg_um",
+            "idcg_um",
+            F.expr("dcg_um * 1000000 div nullif(idcg_um, 0)").alias(
+                "ndcg_ppm"
+            ),
+            "n_graded",
+        )
+    )

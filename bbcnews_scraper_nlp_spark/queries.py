@@ -77,7 +77,7 @@ _WINDOW_ORDER = [
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
     # WordPiece encode, calibration ECE, per-source KL divergence,
     # k-core peeling, Dunning LLR collocations, degree assortativity,
-    # LSA document embeddings.
+    # LSA document embeddings, BM25 nDCG@10.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -90,6 +90,7 @@ _WINDOW_ORDER = [
     "bigram_llr_collocations",
     "degree_assortativity",
     "lsa_doc_embeddings",
+    "ndcg_bm25_eval",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -120,7 +121,8 @@ _WINDOW_ORDER = [
     "chunk_documents",
     "cms_user_event_counts",
     "concurrent_sessions_sweep",
-    "corpus_report_by_source",
+    # corpus_report_by_source (the KL/report family keeps local
+    # checks; ndcg completes the eval harness in its slot),
     "dedup_ngram_jaccard",
     # doc_term_stats (the KL / LLR / LSA additions certify the same
     # doc-term machinery),
@@ -143,7 +145,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the nineteen round-10 additions (new queries outrank r6-stale
+    # by the twenty round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -772,3 +772,35 @@ def delta_join_legs(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def hrw_shard(id_col: Column, n_shards: int, tag: str = "hrw-v1") -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): the shard whose md5("tag:shard:id") score is
+    highest wins. Pure codegen projection — each candidate packs
+    (48-bit md5 prefix · 16 + shard) into one BIGINT and GREATEST
+    picks the winner, so routing shuffles nothing and adding a shard
+    moves only the docs the new shard wins (minimal movement,
+    certified by consistent_hash_shards). n_shards <= 16 for the
+    packing; wider topologies raise the pack base."""
+    if not 0 < n_shards <= 16:
+        raise ValueError("hrw_shard packs shard ids into 4 bits")
+    packs = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{tag}:{s}:"), id_col.cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 16
+        + s
+        for s in range(n_shards)
+    ]
+    return F.greatest(*packs) % 16

@@ -1157,31 +1157,12 @@ def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB re-sharding cost is exactly the moved_in column — this
     query is the audit that proves a topology change moves the
     minimum."""
+    from .operators.relational import hrw_shard
+
     docs = load_table(spark, sf_dir, "documents")
-
-    def pack(s: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"hrw-v1:{s}:"),
-                            F.col("doc_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("long")
-            * 16
-            + s
-        )
-
     a = docs.select(
-        (F.greatest(*[pack(s) for s in range(8)]) % 16).alias("a8"),
-        (F.greatest(*[pack(s) for s in range(9)]) % 16).alias("a9"),
+        hrw_shard(F.col("doc_id"), 8).alias("a8"),
+        hrw_shard(F.col("doc_id"), 9).alias("a9"),
     )
     n8 = a.groupBy(F.col("a8").alias("shard")).agg(F.count("*").alias("n_b"))
     n9 = a.groupBy(F.col("a9").alias("shard")).agg(
@@ -1844,4 +1825,33 @@ def lsa_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("doc_id"),
         F.col("r").alias("dim"),
         F.col("v").alias("val_micro"),
+    )
+
+
+def _hrw_route_sql(n: int = 9) -> str:
+    def pack(s: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5('hrw-v1:" + str(s) + ":' || "
+            "CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) * 16 + " + str(s)
+        )
+
+    g = "GREATEST(" + ", ".join(pack(s) for s in range(n)) + ") % 16"
+    return f"SELECT doc_id, {g} AS shard FROM documents"
+
+
+@register("streaming_hrw_route", _hrw_route_sql())
+def streaming_hrw_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash routing as a STREAMING ingest gate (the
+    streaming_quality_gate pattern applied to data placement):
+    documents stream in and exit with their HRW shard assignment,
+    stateless 1:1, append-mode AvailableNow drain. The oracle is the
+    BATCH per-doc assignment SQL unchanged — the hash match certifies
+    the narrow streaming plan and the batch projection compute the
+    identical placement, which is exactly the property a router must
+    hold across backfill (batch) and live (streaming) paths at
+    100 TB."""
+    from .streaming.ingest import streaming_hrw_route_batch
+
+    return streaming_hrw_route_batch(spark, sf_dir, n_shards=9).select(
+        "doc_id", F.col("shard").cast("long").alias("shard")
     )

@@ -77,7 +77,7 @@ _WINDOW_ORDER = [
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
     # WordPiece encode, calibration ECE, per-source KL divergence,
     # k-core peeling, Dunning LLR collocations, degree assortativity,
-    # LSA document embeddings, BM25 nDCG@10.
+    # LSA document embeddings, BM25 nDCG@10, streaming HRW routing.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -91,6 +91,7 @@ _WINDOW_ORDER = [
     "degree_assortativity",
     "lsa_doc_embeddings",
     "ndcg_bm25_eval",
+    "streaming_hrw_route",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -127,7 +128,8 @@ _WINDOW_ORDER = [
     # doc_term_stats (the KL / LLR / LSA additions certify the same
     # doc-term machinery),
     "dup_ngram_span_score",
-    "embedding_centroids",
+    # embedding_centroids (kmeans_lloyd_embeddings certifies the
+    # same per-dim integer-sum centroid machinery inside Lloyd),
     "fuzzy_entity_clusters",
     "incremental_agg_maintenance",
     "inverted_index_blocks",
@@ -145,7 +147,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the twenty round-10 additions (new queries outrank r6-stale
+    # by the twenty-one round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

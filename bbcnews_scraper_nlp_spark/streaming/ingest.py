@@ -1222,3 +1222,50 @@ def streaming_quality_gate_batch(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_hrw_route_batch(
+    spark, sf_dir: str, n_shards: int = 9,
+    max_files_per_trigger: int | None = None,
+):
+    """Rendezvous-hash ROUTING inside Structured Streaming — the
+    ingest-placement gate: every arriving document is assigned its
+    shard by the same pure-projection HRW expression the batch
+    topology audit (consistent_hash_shards) certifies. Stateless and
+    1:1 per document (no explode, no groupBy, no watermark), so the
+    AvailableNow drain is append-mode and split-invariant, and the
+    BATCH per-doc assignment SQL is the oracle unchanged — the hash
+    match certifies that the streaming router and the batch audit
+    compute the identical placement."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.relational import hrw_shard
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(docs_path):
+        target = docs_path
+    else:
+        parent, leaf = os.path.split(docs_path.rstrip("/"))
+        reader = reader.option("pathGlobFilter", leaf)
+        target = parent
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(target)
+    routed = stream.select(
+        "doc_id", hrw_shard(F.col("doc_id"), n_shards).alias("shard")
+    )
+    name = f"stream_hrw_{uuid.uuid4().hex[:8]}"
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -642,3 +642,120 @@ def a4_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): URL canonicalization + crawl dedup (the in-run
+# F6/F7 URL-dedup family done to RFC 3986 normalization rules)
+# --------------------------------------------------------------------
+
+_URLCANON_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://News.Example.COM:443/' || source || '/' ||
+         CAST(doc_id AS VARCHAR) || '?utm_source=feed&page=' ||
+         CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x#sec-' ||
+         CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://news.example.com/' || source || '/' ||
+         CAST(doc_id AS VARCHAR) || '?page=' ||
+         CAST(doc_id % 5 AS VARCHAR) || '&utm_medium=rss' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://news.example.com/' || source || '/' ||
+         CAST(doc_id AS VARCHAR) || '/?page=' ||
+         CAST(doc_id % 5 AS VARCHAR) || '#top' AS url
+  FROM documents WHERE doc_id % 3 = 0
+),
+c AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS pathq
+  FROM raw
+),
+p AS (
+  SELECT doc_id,
+    scheme,
+    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         ELSE hostport END AS host,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS pth,
+    list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      q -> q <> '' AND NOT starts_with(q, 'utm_')
+           AND NOT starts_with(q, 'gclid=')
+           AND NOT starts_with(q, 'fbclid=')) AS kept
+  FROM c
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host || pth ||
+    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+         ELSE '' END AS url
+  FROM p
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM canon GROUP BY url
+"""
+
+
+@register("url_canonicalize_dedup", _URLCANON_SQL)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl dedup (RFC 3986 §6 syntax-based
+    normalization + the standard tracking-param strip): raw crawl
+    variants — cased scheme/host, default port, utm/gclid params,
+    fragments, trailing slash — synthesized deterministically per doc
+    (the planted-fixture pattern of the dedup family), canonicalized
+    by `sources/sitemap.canonicalize_url`, and counted per canonical
+    form. Each doc's 2-3 raw variants collapse to exactly ONE
+    canonical URL, the invariant a crawl frontier's seen-set
+    (F6/F7, bloom seen-set) depends on. Pure codegen regex/HOF
+    projection + ONE hash agg keyed on the canonical string — at
+    100 TB this runs ahead of the anti-join/Bloom dedup as a map
+    stage. The oracle replays the same regex surgery in DuckDB
+    (shared dialect subset; survivor-param order preserved, not
+    sorted — identical in any engine)."""
+    from .sources.sitemap import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = (F.col("doc_id") % 5).cast("string")
+    v0 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://News.Example.COM:443/"), F.col("source"),
+            F.lit("/"), sid, F.lit("?utm_source=feed&page="), page,
+            F.lit("&utm_campaign=x#sec-"), sid,
+        ).alias("url"),
+    )
+    v1 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://news.example.com/"), F.col("source"),
+            F.lit("/"), sid, F.lit("?page="), page,
+            F.lit("&utm_medium=rss"),
+        ).alias("url"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://news.example.com/"), F.col("source"),
+            F.lit("/"), sid, F.lit("/?page="), page, F.lit("#top"),
+        ).alias("url"),
+    )
+    raw = v0.unionByName(v1).unionByName(v2)
+    return (
+        raw.select("doc_id", canonicalize_url(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -77,7 +77,8 @@ _WINDOW_ORDER = [
     # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
     # WordPiece encode, calibration ECE, per-source KL divergence,
     # k-core peeling, Dunning LLR collocations, degree assortativity,
-    # LSA document embeddings, BM25 nDCG@10, streaming HRW routing.
+    # LSA document embeddings, BM25 nDCG@10, streaming HRW routing,
+    # RFC 3986 URL canonicalization.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -92,6 +93,7 @@ _WINDOW_ORDER = [
     "lsa_doc_embeddings",
     "ndcg_bm25_eval",
     "streaming_hrw_route",
+    "url_canonicalize_dedup",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -120,7 +122,9 @@ _WINDOW_ORDER = [
     "approx_distinct_users",
     "bm25_topk_docs",
     "chunk_documents",
-    "cms_user_event_counts",
+    # cms_user_event_counts (heavy_hitter + sketch family keeps
+    # kmv/streaming driver rows; URL canonicalization takes the slot),
+
     "concurrent_sessions_sweep",
     # corpus_report_by_source (the KL/report family keeps local
     # checks; ndcg completes the eval harness in its slot),
@@ -147,7 +151,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the twenty-one round-10 additions (new queries outrank r6-stale
+    # by the twenty-two round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -16,7 +16,7 @@ Engine design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 URL_BLOCK_PATTERN = "(?s)<url>(.*?)</url>"
@@ -58,3 +58,51 @@ def filter_news_links(
     if cutoff_lastmod is not None:
         out = out.filter(F.col("lastmod") > F.lit(cutoff_lastmod))
     return out
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for crawl dedup (the news-scraper /
+    web-corpus normalization pass; rules per RFC 3986 §6 syntax-based
+    normalization plus the standard tracking-param strip used by
+    CC/news pipelines): lowercase scheme and host, drop default ports
+    (:443 https / :80 http), drop the fragment, strip utm_*/gclid/
+    fbclid query params (preserving the order of the survivors —
+    order-preserving filter is identical in any engine; sorting is a
+    policy choice, not a correctness one), and strip one trailing
+    slash from a non-root path. Pure codegen regex/HOF string
+    surgery; every regex stays inside the shared Java-regex/RE2
+    dialect subset. The empty-surviving-params case rebuilds ''
+    explicitly (DuckDB's array_to_string of an empty list is NULL
+    while Spark's array_join is '' — the known trap)."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    )
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, ":80$", "")
+        ).otherwise(hostport)
+    )
+    pathq = F.regexp_extract(
+        nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, "^([^?]*)", 1), "/$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.startswith(p, F.lit("utm_"))
+        & ~F.startswith(p, F.lit("gclid="))
+        & ~F.startswith(p, F.lit("fbclid=")),
+    )
+    q = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, q)

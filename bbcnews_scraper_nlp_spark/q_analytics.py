@@ -2314,3 +2314,94 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): SCD2 validity-interval history (gaps-and-islands
+# over the per-user event-type change log)
+# --------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH d AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+s AS (SELECT user_id, event_type, us, event_id,
+      CASE WHEN LAG(event_type) OVER
+             (PARTITION BY user_id ORDER BY us, event_id)
+             IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS st
+      FROM d),
+g AS (SELECT user_id, event_type, us,
+      SUM(st) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s),
+runs AS (SELECT user_id, CAST(grp AS BIGINT) AS grp,
+         MIN(event_type) AS event_type,
+         CAST(MIN(us) AS BIGINT) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id, grp)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(LEAD(valid_from_us) OVER
+         (PARTITION BY user_id ORDER BY valid_from_us),
+         9223372036854775807) AS valid_to_us,
+       n_events
+FROM runs
+"""
+
+
+@register("scd2_type_history", _SCD2_SQL)
+def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity-interval history (Kimball's slowly-changing
+    dimension, built by the gaps-and-islands pattern): collapse each
+    user's consecutive same-event-type run into ONE
+    [valid_from, valid_to) row — valid_to = the next run's start,
+    int64-max for the current (open) run — the standard SCD2 open-interval convention, and it keeps the hashed column NULL-free (a nullable int degrades to float through pandas) — the change-log → history-table
+    transform every warehouse dimension load performs. Islands via
+    the LAG-change running sum (IS DISTINCT FROM so the first row
+    starts a run without NULL special-casing); every window is
+    user-keyed with full (us, event_id) tie-break, so same-instant
+    events order deterministically. Plan: ONE user-keyed
+    exchange+sort serves the LAG, the running SUM, and (after the
+    run-collapsing agg on the same partitioning) the LEAD — the
+    history build is a single shuffle at any scale."""
+    d = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        R.epoch_us("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = d.select(
+        "user_id",
+        "event_type",
+        "us",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("st"),
+    )
+    g = s.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum("st")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").cast("long").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2),
+            F.lit(9223372036854775807),
+        ).alias("valid_to_us"),
+        "n_events",
+    )

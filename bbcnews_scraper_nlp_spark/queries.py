@@ -78,7 +78,7 @@ _WINDOW_ORDER = [
     # WordPiece encode, calibration ECE, per-source KL divergence,
     # k-core peeling, Dunning LLR collocations, degree assortativity,
     # LSA document embeddings, BM25 nDCG@10, streaming HRW routing,
-    # RFC 3986 URL canonicalization.
+    # RFC 3986 URL canonicalization, SCD2 validity-interval history.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -94,6 +94,7 @@ _WINDOW_ORDER = [
     "ndcg_bm25_eval",
     "streaming_hrw_route",
     "url_canonicalize_dedup",
+    "scd2_type_history",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -135,7 +136,9 @@ _WINDOW_ORDER = [
     # embedding_centroids (kmeans_lloyd_embeddings certifies the
     # same per-dim integer-sum centroid machinery inside Lloyd),
     "fuzzy_entity_clusters",
-    "incremental_agg_maintenance",
+    # incremental_agg_maintenance (snapshot_delta_cdc keeps the CDC
+    # family's r8 driver row; the SCD2 history build takes the slot),
+
     "inverted_index_blocks",
     "mad_outliers_per_type",
     # mix_sources_weighted (temperature_mix_weights certifies the
@@ -151,7 +154,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the twenty-two round-10 additions (new queries outrank r6-stale
+    # by the twenty-three round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -531,3 +531,77 @@ def test_embedding_recall_broadcast_pairs_no_dim_join(spark, sf_dir):
     assert not __import__("re").search(
         r"SortMergeJoin \[dim", plan
     ), "pair scoring regressed to the dim-keyed self-join"
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation queries
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["kmeans_lloyd_embeddings", "consistent_hash_shards",
+     "temperature_mix_weights", "poisson_bootstrap_ci",
+     "kl_divergence_sources", "bigram_llr_collocations",
+     "degree_assortativity", "lsa_doc_embeddings",
+     "url_canonicalize_dedup", "scd2_type_history", "calibration_ece"],
+)
+def test_r10b_no_python_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        f"{name} regressed to a Python eval node"
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name} regressed to a cartesian product"
+    )
+
+
+def test_kmeans_persists_points_once(spark, sf_dir):
+    # the quantized point table must come back from cache in the
+    # final assignment (per-iteration passes already consumed it)
+    plan = _plan(spark, sf_dir, "kmeans_lloyd_embeddings")
+    assert "InMemoryTableScan" in plan, plan[:800]
+
+
+def test_consistent_hash_assignment_is_projection(spark, sf_dir):
+    # the HRW argmax must stay a pure projection: no join anywhere,
+    # and the only exchanges carry the <=9-row count partials plus
+    # the spine joins' broadcasts
+    plan = _plan(spark, sf_dir, "consistent_hash_shards")
+    assert "greatest" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_poisson_bootstrap_single_replicate_agg(spark, sf_dir):
+    # the 32x fan-out must be a projection (explode), collapsed by a
+    # map-side-combined (type, b) hash agg — if the explode ever
+    # lands above the aggregate the shuffle carries 32x rows
+    plan = _plan(spark, sf_dir, "poisson_bootstrap_ci")
+    gens = re.findall(r"^\(\d+\) Generate", plan, re.M)
+    assert len(gens) == 1, gens
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    # LAG, running SUM, run-collapse agg and LEAD must all ride ONE
+    # user-keyed exchange (plus AQE reads); a second hashpartitioning
+    # on a different key means the islands chain broke
+    plan = _plan(spark, sf_dir, "scd2_type_history")
+    keys = set(re.findall(r"hashpartitioning\(([a-z_]+)#", plan))
+    assert keys <= {"user_id"}, keys
+
+
+def test_lsa_matrix_checkpointed_once(spark, sf_dir):
+    # the tf-idf matrix feeds three multiply rounds; it must be a
+    # checkpoint scan (ExistingRDD), not three re-derivations
+    plan = _plan(spark, sf_dir, "lsa_doc_embeddings")
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_wordpiece_folds_over_types_only(spark, sf_dir):
+    # the greedy-match HOF must sit above the word-TYPE distinct, and
+    # there is no Python node anywhere
+    plan = _plan(spark, sf_dir, "wordpiece_encode")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "aggregate(" in plan.lower()  # the fold expression survives

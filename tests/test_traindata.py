@@ -760,3 +760,130 @@ def _kl_on(spark, docs):
     return term.groupBy("source", "c_s").agg(
         F.expr("cast(sum(c_sw * lr) as bigint) div c_s").alias("kl_millinat")
     )
+
+
+# ---------------------------------------------------------------------------
+# literal-Python twins: the fully-integer round-10 recipes replayed
+# exactly (md5 + integer arithmetic only — no float tolerance at all)
+# ---------------------------------------------------------------------------
+
+
+def _md5_48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_consistent_hash_matches_literal_python(spark, sf_dir):
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+
+    def assign(doc_id, n):
+        return max(_md5_48(f"hrw-v1:{s}:{doc_id}") * 16 + s for s in range(n)) % 16
+
+    n8 = {}
+    n9 = {}
+    moved = {}
+    for d in doc_ids:
+        a8, a9 = assign(d, 8), assign(d, 9)
+        n8[a8] = n8.get(a8, 0) + 1
+        n9[a9] = n9.get(a9, 0) + 1
+        if a8 != a9:
+            moved[a9] = moved.get(a9, 0) + 1
+    rows = {
+        r["shard"]: r
+        for r in REGISTRY["consistent_hash_shards"].fn(spark, sf_dir).collect()
+    }
+    for s in range(9):
+        assert rows[s]["n_before"] == n8.get(s, 0)
+        assert rows[s]["n_after"] == n9.get(s, 0)
+        assert rows[s]["moved_in"] == moved.get(s, 0)
+
+
+def test_temperature_mix_matches_literal_python(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    w = {s: math.isqrt(n) for s, n in counts.items()}
+    tw = sum(w.values())
+    base = {s: (1_000_000 * w[s]) // tw for s in w}
+    rem = {s: (1_000_000 * w[s]) % tw for s in w}
+    leftover = 1_000_000 - sum(base.values())
+    ranked = sorted(w, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(ranked)
+    }
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["temperature_mix_weights"].fn(spark, sf_dir).collect()
+    }
+    for s in counts:
+        assert rows[s]["weight"] == w[s]
+        assert rows[s]["alloc"] == alloc[s]
+        assert rows[s]["epochs_ppm"] == alloc[s] * 1_000_000 // counts[s]
+
+
+def test_poisson_bootstrap_matches_literal_python(spark, sf_dir):
+    import duckdb
+
+    from bbcnews_scraper_nlp_spark.q_traindata import _N_BOOT, _POIS_PPM
+    from bbcnews_scraper_nlp_spark.queries import REGISTRY
+
+    ev = duckdb.sql(
+        f"SELECT event_type, event_id, "
+        f"CAST(ROUND(value * 100) AS BIGINT) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+
+    def weight(u):
+        for i, t in enumerate(_POIS_PPM):
+            if u < t:
+                return i
+        return 8
+
+    sums: dict = {}
+    for et, eid, cents in ev:
+        for b in range(_N_BOOT):
+            u = _md5_48(f"boot-v1:{eid}:{b}") % 1_000_000
+            wv = weight(u)
+            k = (et, b)
+            sw, swv = sums.get(k, (0, 0))
+            sums[k] = (sw + wv, swv + wv * cents)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    per_type: dict = {}
+    for (et, b), (sw, swv) in sums.items():
+        if sw > 0:
+            per_type.setdefault(et, []).append((tdiv(swv, sw), b))
+    want = {}
+    for et, ms in per_type.items():
+        ms.sort()
+        want[et] = (ms[1][0], ms[len(ms) - 2][0])
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["poisson_bootstrap_ci"].fn(spark, sf_dir).collect()
+    }
+    for et, (lo, hi) in want.items():
+        assert rows[et]["ci_lo_cents"] == lo, et
+        assert rows[et]["ci_hi_cents"] == hi, et

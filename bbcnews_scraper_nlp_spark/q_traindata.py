@@ -1745,9 +1745,16 @@ def lsa_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB this is exactly how distributed randomized SVD
     range finders run on sparse matrices — M stays relational,
     never densified."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return lsa_embed_documents(spark, docs)
+
+
+def lsa_embed_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The lsa_doc_embeddings body over an arbitrary (doc_id, text)
+    frame — parameterized so pytest can drive it with a planted
+    two-cluster corpus and check semantic recovery."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),

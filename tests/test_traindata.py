@@ -887,3 +887,39 @@ def test_poisson_bootstrap_matches_literal_python(spark, sf_dir):
     for et, (lo, hi) in want.items():
         assert rows[et]["ci_lo_cents"] == lo, et
         assert rows[et]["ci_hi_cents"] == hi, et
+
+
+def test_lsa_embeddings_recover_planted_clusters(spark):
+    """Semantic recovery: two disjoint-vocabulary doc clusters must
+    separate in the 4-dim integer LSA space — within-cluster cosine
+    similarity well above between-cluster."""
+    import numpy as np
+
+    from bbcnews_scraper_nlp_spark.q_traindata import lsa_embed_documents
+
+    rng = np.random.default_rng(5)
+    va = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    vb = ["omega", "sigma", "tau", "kappa", "lambda", "mu"]
+    docs = []
+    for i in range(30):
+        vocab = va if i % 2 == 0 else vb
+        words = [vocab[j] for j in rng.integers(0, len(vocab), size=30)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vecs: dict[int, np.ndarray] = {}
+    for r in lsa_embed_documents(spark, df).collect():
+        vecs.setdefault(r["doc_id"], np.zeros(4))[r["dim"]] = r["val_micro"]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    within, between = [], []
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                (within if i % 2 == j % 2 else between).append(
+                    cos(vecs[i], vecs[j])
+                )
+    assert np.mean(within) > 0.9
+    assert np.mean(within) > np.mean(between) + 0.5

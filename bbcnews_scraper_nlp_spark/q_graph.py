@@ -3453,3 +3453,108 @@ def ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_graded",
         )
     )
+
+
+# --------------------------------------------------------------------
+# round 10 (cont.): HITS hubs & authorities over the customer ->
+# supplier purchase graph
+# --------------------------------------------------------------------
+
+
+def _hits_oracle_sql(iters: int = 3, scale: int = 1_000_000) -> str:
+    parts = [
+        f"WITH e0 AS ({_BIPROJ_SQL}), ",
+        "e AS MATERIALIZED (SELECT c, s FROM e0), ",
+        "cs AS MATERIALIZED (SELECT DISTINCT c FROM e), ",
+        "ss AS MATERIALIZED (SELECT DISTINCT s FROM e), ",
+        f"h0 AS (SELECT c, CAST({scale} AS BIGINT) AS h FROM cs)",
+    ]
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f", ar{t} AS (SELECT e.s, CAST(SUM(h.h) AS BIGINT) AS a "
+            f"FROM e JOIN {prev_h} h ON e.c = h.c GROUP BY e.s)"
+            f", am{t} AS (SELECT GREATEST(MAX(a), 1) AS m FROM ar{t})"
+            f", a{t} AS MATERIALIZED (SELECT ss.s, "
+            f"COALESCE(ar{t}.a, 0) * {scale} // am{t}.m AS a "
+            f"FROM ss LEFT JOIN ar{t} ON ss.s = ar{t}.s CROSS JOIN am{t})"
+            f", hr{t} AS (SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h "
+            f"FROM e JOIN a{t} a ON e.s = a.s GROUP BY e.c)"
+            f", hm{t} AS (SELECT GREATEST(MAX(h), 1) AS m FROM hr{t})"
+            f", h{t} AS MATERIALIZED (SELECT cs.c, "
+            f"COALESCE(hr{t}.h, 0) * {scale} // hm{t}.m AS h "
+            f"FROM cs LEFT JOIN hr{t} ON cs.c = hr{t}.c CROSS JOIN hm{t})"
+        )
+        prev_h = f"h{t}"
+    parts.append(
+        f" SELECT s AS supplier, CAST(a AS BIGINT) AS authority_micro "
+        f"FROM a{iters} ORDER BY a DESC, s LIMIT 20"
+    )
+    return "".join(parts)
+
+
+@register("hits_copurchase", _hits_oracle_sql())
+def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999 §3) over the customer
+    -> supplier purchase bipartite graph: customers are hubs,
+    suppliers authorities; 3 unrolled mutual-reinforcement rounds
+    (a = Mᵀh, h = Ma) in exact BIGINT with the subspace-iteration
+    max-abs rescale to 1e6 integer units by truncating division (the
+    pmi/lsa normalization — scores are nonnegative here so max ==
+    max-abs), so the ENTIRE trajectory is hash-certified; top-20
+    authorities with full (score, id) tie-break. PageRank answers
+    "globally important node"; HITS separates "buys broadly" from
+    "bought broadly" — the other classic spectral ranking, and on a
+    bipartite graph it converges to the singular vectors of M. Plan:
+    the distinct edge table is eager-checkpointed ONCE and every
+    half-round reads it back; each half-round is ONE key-partitioned
+    join + hash agg (the pagerank shape) + a 1-row broadcast rescale;
+    final cut is TakeOrderedAndProject. At 100 TB: identical to
+    distributed power iteration — edges shuffle on the join key,
+    scores ride as skinny (node, int) rows."""
+    scale = 1_000_000
+    pairs = (
+        _supplier_projection(spark, sf_dir)
+        .localCheckpoint(eager=True)
+    )
+    cs = pairs.select("c").distinct()
+    ss = pairs.select("s").distinct()
+    h = cs.select("c", F.lit(scale).cast("long").alias("h"))
+    a = None
+    for _ in range(3):
+        ar = (
+            pairs.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("ar"))
+        )
+        am = ar.agg(F.greatest(F.max("ar"), F.lit(1)).alias("m"))
+        a = (
+            ss.join(ar, "s", "left")
+            .crossJoin(F.broadcast(am))
+            .select(
+                "s",
+                F.expr(f"coalesce(ar, 0) * {scale} div m").alias("a"),
+            )
+        )
+        hr = (
+            pairs.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hm = hr.agg(F.greatest(F.max("hr"), F.lit(1)).alias("m"))
+        h = (
+            cs.join(hr, "c", "left")
+            .crossJoin(F.broadcast(hm))
+            .select(
+                "c",
+                F.expr(f"coalesce(hr, 0) * {scale} div m").alias("h"),
+            )
+        )
+    return (
+        a.orderBy(F.desc("a"), "s")
+        .limit(20)
+        .select(
+            F.col("s").alias("supplier"),
+            F.col("a").cast("long").alias("authority_micro"),
+        )
+    )

@@ -78,7 +78,8 @@ _WINDOW_ORDER = [
     # WordPiece encode, calibration ECE, per-source KL divergence,
     # k-core peeling, Dunning LLR collocations, degree assortativity,
     # LSA document embeddings, BM25 nDCG@10, streaming HRW routing,
-    # RFC 3986 URL canonicalization, SCD2 validity-interval history.
+    # RFC 3986 URL canonicalization, SCD2 validity-interval history,
+    # HITS hubs/authorities.
     "kmeans_lloyd_embeddings",
     "consistent_hash_shards",
     "temperature_mix_weights",
@@ -95,6 +96,7 @@ _WINDOW_ORDER = [
     "streaming_hrw_route",
     "url_canonicalize_dedup",
     "scd2_type_history",
+    "hits_copurchase",
     # Then ALL 15 queries whose freshest driver evidence is round 5
     # (the r9 verdict's list) — this retires round-5 evidence
     # entirely; minimum registry evidence age becomes r6.
@@ -140,7 +142,9 @@ _WINDOW_ORDER = [
     # family's r8 driver row; the SCD2 history build takes the slot),
 
     "inverted_index_blocks",
-    "mad_outliers_per_type",
+    # mad_outliers_per_type (ols/seasonal stats family keeps local
+    # checks; HITS takes the graph-family slot),
+
     # mix_sources_weighted (temperature_mix_weights certifies the
     # mixing family),
     "multimodal_video_frames",
@@ -154,7 +158,7 @@ _WINDOW_ORDER = [
     # select_token_budget, skyline_pareto_parts, split_train_val_test
     # + stratified_sample_sources, top_bigrams,
     # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the twenty-three round-10 additions (new queries outrank r6-stale
+    # by the twenty-four round-10 additions (new queries outrank r6-stale
     # evidence for driver slots)
 ]
 

@@ -2340,7 +2340,7 @@ runs AS (SELECT user_id, CAST(grp AS BIGINT) AS grp,
          FROM g GROUP BY user_id, grp)
 SELECT user_id, event_type, valid_from_us,
        COALESCE(LEAD(valid_from_us) OVER
-         (PARTITION BY user_id ORDER BY valid_from_us),
+         (PARTITION BY user_id ORDER BY valid_from_us, grp),
          9223372036854775807) AS valid_to_us,
        n_events
 FROM runs
@@ -2394,7 +2394,11 @@ def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("long").alias("valid_from_us"),
         F.count("*").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # grp as a secondary key makes the run ordering total by
+    # construction even if two runs of one user started at the same
+    # microsecond (same-instant events with different event_type) —
+    # without it valid_to_us would be nondeterministic in that case.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "grp")
     return runs.select(
         "user_id",
         "event_type",

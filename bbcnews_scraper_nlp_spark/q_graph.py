@@ -3289,9 +3289,16 @@ _ASSORT_SQL = (
     "CAST(SUM(j * k) AS BIGINT) AS s1, "
     "CAST(SUM(j + k) AS BIGINT) AS s2, "
     "CAST(SUM(j * j + k * k) AS BIGINT) AS s3 FROM ed) "
+    # numerator/denominator go through 128-bit integers (DuckDB
+    # HUGEINT / Spark DECIMAL(38,0)) before the *1e6 scaling: under
+    # extreme degree skew 4*m*s1 reaches ~6e16 and the ppm product
+    # would wrap int64 silently in Spark (non-ANSI) while DuckDB
+    # raises — 128-bit keeps both exact; both engines' integer
+    # division truncates toward zero, verified.
     "SELECT m, s1, s2, s3, "
-    "(4 * m * s1 - s2 * s2) * 1000000 "
-    "// NULLIF(2 * m * s3 - s2 * s2, 0) AS assortativity_ppm "
+    "CAST((CAST(4 AS HUGEINT) * m * s1 - CAST(s2 AS HUGEINT) * s2) "
+    "* 1000000 // NULLIF(CAST(2 AS HUGEINT) * m * s3 "
+    "- CAST(s2 AS HUGEINT) * s2, 0) AS BIGINT) AS assortativity_ppm "
     "FROM s"
 )
 
@@ -3334,8 +3341,10 @@ def degree_assortativity(
         "s2",
         "s3",
         F.expr(
-            "(4 * m * s1 - s2 * s2) * 1000000"
-            " div nullif(2 * m * s3 - s2 * s2, 0)"
+            "cast((cast(4 as decimal(38,0)) * m * s1"
+            " - cast(s2 as decimal(38,0)) * s2) * 1000000"
+            " div nullif(cast(2 as decimal(38,0)) * m * s3"
+            " - cast(s2 as decimal(38,0)) * s2, 0) as bigint)"
         ).alias("assortativity_ppm"),
     )
     return out

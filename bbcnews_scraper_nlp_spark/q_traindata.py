@@ -1443,7 +1443,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY DEFINITION — the LSH index under eval is the scale path),
     while the candidate leg is the production shape itself."""
     from pyspark.sql import functions as F  # noqa: F811
-    from .operators.dedup import lsh_banded, lsh_signatures
+    from .operators.dedup import lsh_signatures
     from .q_certificates import _docs_with_near_dups
     from pyspark.storagelevel import StorageLevel
 
@@ -1452,11 +1452,36 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", 64, "word", 3, "md5"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    banded = lsh_banded(base, "doc_id", 64, 16)
-    left = banded.select("band", "bhash", F.col("doc_id").alias("id_1"))
-    right = banded.select("band", "bhash", F.col("doc_id").alias("id_2"))
+    # Candidates join on the RAW signature slice (not lsh_banded's
+    # xxhash64 of it): the oracle's cand CTE requires exact per-row
+    # minhash equality, so a 64-bit band-hash collision between
+    # unequal slices would add a Spark-only candidate and desync
+    # n_cand — and unlike the certified dedup query there is no
+    # downstream exact-Jaccard verification here to absorb it. The
+    # production bucket key stays hashed (dedup.lsh_banded); the
+    # certification artifact pays 4 longs of shuffle-key width for
+    # collision-free equality.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"__m{i}").cast("string") for i in range(b * 4, b * 4 + 4)],
+            ).alias("bkey"),
+        )
+        for b in range(16)
+    ]
+    banded = base.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("__b")
+    ).select(
+        "doc_id",
+        F.col("__b.band").alias("band"),
+        F.col("__b.bkey").alias("bkey"),
+    )
+    left = banded.select("band", "bkey", F.col("doc_id").alias("id_1"))
+    right = banded.select("band", "bkey", F.col("doc_id").alias("id_2"))
     cd = (
-        left.join(right, ["band", "bhash"])
+        left.join(right, ["band", "bkey"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])

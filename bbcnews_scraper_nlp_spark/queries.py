@@ -61,105 +61,69 @@ from .q_graph import *  # noqa: F401,F403
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r10 rotation. First the three queries added this round (no
-    # driver row yet): the C4 published filter flags, the PPMI
-    # subspace-iteration embedding vectors, and the unigram-LM
-    # tokenizer certificate.
-    "c4_quality_flags",
-    "pmi_embedding_vectors",
-    "unigram_lm_vocab",
-    "gopher_repetition_flags",
-    "streaming_quality_gate",
-    "embedding_edge_recall",
-    "quality_filter_agreement",
-    # ... and the six added in the round-10 continuation session:
-    # trained integer k-means, rendezvous-hash sharding, temperature
-    # mixture apportionment, Poisson-bootstrap CIs, LSH recall eval,
-    # WordPiece encode, calibration ECE, per-source KL divergence,
-    # k-core peeling, Dunning LLR collocations, degree assortativity,
-    # LSA document embeddings, BM25 nDCG@10, streaming HRW routing,
-    # RFC 3986 URL canonicalization, SCD2 validity-interval history,
-    # HITS hubs/authorities.
-    "kmeans_lloyd_embeddings",
-    "consistent_hash_shards",
-    "temperature_mix_weights",
-    "poisson_bootstrap_ci",
-    "minhash_recall_eval",
-    "wordpiece_encode",
-    "calibration_ece",
-    "kl_divergence_sources",
-    "kcore_suppliers",
-    "bigram_llr_collocations",
-    "degree_assortativity",
-    "lsa_doc_embeddings",
-    "ndcg_bm25_eval",
-    "streaming_hrw_route",
-    "url_canonicalize_dedup",
-    "scd2_type_history",
-    "hits_copurchase",
-    # Then ALL 15 queries whose freshest driver evidence is round 5
-    # (the r9 verdict's list) — this retires round-5 evidence
-    # entirely; minimum registry evidence age becomes r6.
-    "corpus_token_offsets",
-    "data_quality_audit",
-    "dedup_span_removal",
-    "event_transition_matrix",
-    "f6_dedup_keep_first",
-    "gapfill_interpolate",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "pack_sequences_bins",
-    "perplexity_buckets",
-    "salted_join_skewed",
-    "sentiment_pattern_rules",
-    "tpch_q19_disjunctive_pred",
-    "tpch_q20_excess_suppliers",
-    "tpch_q2_min_cost_supplier",
-    # Then 32 of the 44 round-6 rows. The 12 deferred to r11 all
-    # have round-8/9-certified family siblings (TPC-H: q4/q11/q14/
-    # q15/q18 next to nine r9-certified TPC-H rows; window/rank:
-    # top3_orders_per_segment, range_frame_trailing_sum; relational
-    # algebra: setop_intersect_except, unpivot_returnflag_metrics,
-    # grouping_sets_day_type; profiling: table_fingerprint_orders,
-    # equidepth_bin_orders).
-    "approx_distinct_users",
-    "bm25_topk_docs",
-    "chunk_documents",
-    # cms_user_event_counts (heavy_hitter + sketch family keeps
-    # kmv/streaming driver rows; URL canonicalization takes the slot),
-
-    "concurrent_sessions_sweep",
-    # corpus_report_by_source (the KL/report family keeps local
-    # checks; ndcg completes the eval harness in its slot),
-    "dedup_ngram_jaccard",
-    # doc_term_stats (the KL / LLR / LSA additions certify the same
-    # doc-term machinery),
-    "dup_ngram_span_score",
-    # embedding_centroids (kmeans_lloyd_embeddings certifies the
-    # same per-dim integer-sum centroid machinery inside Lloyd),
-    "fuzzy_entity_clusters",
-    # incremental_agg_maintenance (snapshot_delta_cdc keeps the CDC
-    # family's r8 driver row; the SCD2 history build takes the slot),
-
-    "inverted_index_blocks",
-    # mad_outliers_per_type (ols/seasonal stats family keeps local
-    # checks; HITS takes the graph-family slot),
-
-    # mix_sources_weighted (temperature_mix_weights certifies the
-    # mixing family),
-    "multimodal_video_frames",
-    "ols_trend_per_type",
-    "pii_scrub_text",
-    # pr_curve_quality_filter (calibration_ece certifies the same
-    # eval-harness family), profile_documents,
-    # quality_logreg_score (its exact kernel is re-certified inside
-    # calibration_ece), quantile_normalize_scores,
-    # repetition_quality, rolling_distinct_users_7d, seasonal_decompose_daily,
-    # select_token_budget, skyline_pareto_parts, split_train_val_test
-    # + stratified_sample_sources, top_bigrams,
-    # weighted_sample_by_length, zorder_event_cells displaced to r11
-    # by the twenty-four round-10 additions (new queries outrank r6-stale
-    # evidence for driver slots)
+    # r11 rotation (evidence-age driven, per the r10 verdict). First
+    # the queries added this round (no driver row yet):
+    "suffix_array_spans",
+    "aho_corasick_matches",
+    # Then ALL 33 queries whose freshest driver evidence is round 6
+    # (derived from CORRECTNESS_r06 minus later rounds; regenerated
+    # as EVIDENCE.json) — this retires round-6 evidence entirely;
+    # minimum registry evidence age becomes r7.
+    "cms_user_event_counts",
+    "corpus_report_by_source",
+    "doc_term_stats",
+    "embedding_centroids",
+    "equidepth_bin_orders",
+    "grouping_sets_day_type",
+    "incremental_agg_maintenance",
+    "mad_outliers_per_type",
+    "mix_sources_weighted",
+    "pr_curve_quality_filter",
+    "profile_documents",
+    "quality_logreg_score",
+    "quantile_normalize_scores",
+    "range_frame_trailing_sum",
+    "repetition_quality",
+    "rolling_distinct_users_7d",
+    "seasonal_decompose_daily",
+    "select_token_budget",
+    "setop_intersect_except",
+    "skyline_pareto_parts",
+    "split_train_val_test",
+    "stratified_sample_sources",
+    "table_fingerprint_orders",
+    "top3_orders_per_segment",
+    "top_bigrams",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "unpivot_returnflag_metrics",
+    "weighted_sample_by_length",
+    "zorder_event_cells",
+    # Then the oldest round-7 rows, prioritizing the reference's
+    # flagship operators (clean chain, lemmatize, LDA + coherence,
+    # sentiment, streaming dedup, the end-to-end pipeline, TPC-H Q1)
+    # and one representative per r7 family (BPE, multimodal decode,
+    # IVF ANN, MinHash/SemDeDup, graph), filling the 50-slot window.
+    # The remaining r7-stale rows stay local-checked
+    # (tools/check_oracles.py) and rotate in next round.
+    "p4_p12_clean_text",
+    "p13_lemmatize",
+    "lda_topics",
+    "m3_coherence_cv",
+    "m3_coherence_umass",
+    "sentiment_full_lexicon",
+    "streaming_dedup",
+    "prepare_corpus_pipeline",
+    "tpch_q1_pricing_summary",
+    "bpe_learned_merges",
+    "multimodal_image_decode",
+    "similarity_ivf_topk",
+    "dedup_minhash_clusters",
+    "semdedup_embeddings",
+    "pagerank_copurchase",
 ]
 
 

@@ -1887,3 +1887,63 @@ def streaming_hrw_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hrw_route_batch(spark, sf_dir, n_shards=9).select(
         "doc_id", F.col("shard").cast("long").alias("shard")
     )
+
+
+# --------------------------------------------------------------------
+# round 11: suffix-array exact-substring dedup (Lee et al. 2022 §4.1
+# ExactSubstr) — the exact half beside the n-gram approximations
+# (dedup_span_removal / dup_ngram_span_score)
+# --------------------------------------------------------------------
+
+_SUFFIX_SPAN_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 16], ' ')
+             AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 15, 0))) AS pos
+            FROM t)),
+dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
+        WHERE c >= 2),
+st AS (SELECT doc_id, pos FROM g SEMI JOIN dup ON g.gram = dup.gram),
+br AS (SELECT doc_id, pos,
+       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16
+            THEN 1 ELSE 0 END AS brk FROM st),
+isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS isl FROM br)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 16 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 16 - MIN(pos) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_starts
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+@register("suffix_array_spans", _SUFFIX_SPAN_SQL)
+def suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring dedup (Lee et al. 2022 §4.1
+    ExactSubstr): maximal spans of >= 16 tokens whose text occurs
+    more than once corpus-wide, found by DISTRIBUTED PREFIX-DOUBLING
+    suffix ranking (operators/suffixarray.py) — 4 doubling rounds of
+    fixed-width (two-integer-rank) rows reach the 16-token window
+    with NO n-gram string materialization (the n-gram join's 16x
+    byte amplification is what kills it at 100 TB; the sibling
+    dedup_span_removal keeps the approximation for comparison). All
+    global ranks are deterministic two-level ranks (broadcast
+    integer-arithmetic bucketing + per-bucket row_number + exclusive
+    bucket-prefix offsets — never a single-partition window, never
+    sampled range boundaries), so the ranking is a pure function of
+    the data and the span output is hash-exact against the oracle's
+    direct 16-gram formulation (equal-window detection at the
+    threshold makes the two computations provably identical).
+    Reference intent: pipelines.py:33-44's URL-level dedup done to
+    the published training-data standard. Spans merge by
+    gaps-and-islands on one doc-keyed window; output is pure
+    integers."""
+    from .operators.suffixarray import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return duplicated_spans(
+        docs, "doc_id", "text", span_len=16, min_count=2
+    )

@@ -1041,3 +1041,57 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("llr_milli"),
     )
     return llr.orderBy(F.desc("llr_milli"), "a", "b").limit(50)
+
+
+# --------------------------------------------------------------------
+# round 11: Aho-Corasick multi-pattern matching — the scale path for
+# 10k+-pattern blocklists behind the C4 bad-word flag / PII scrub
+# --------------------------------------------------------------------
+
+# Nested and overlapping on purpose: "scan">"can">"an" and
+# "the">"he" exercise the dictionary-suffix output sets; "she" never
+# occurs (absent-pattern leg); the phrases cross word boundaries.
+AC_PATTERNS = [
+    "scan", "can", "an", "a", "part", "art", "table part", "row fast",
+    "agg", "gg", "the", "he", "she", "value table",
+    "sort table window", "merge batch",
+]
+
+
+def _ac_oracle_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in AC_PATTERNS)
+    return (
+        f"WITH p AS (SELECT * FROM (VALUES {vals}) AS v(pat)), "
+        "d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+        "hits AS (SELECT doc_id, pat, i + len(pat) - 1 AS e "
+        "FROM d CROSS JOIN p "
+        "CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - len(pat) + 2)) AS i) r "
+        "WHERE substr(t, i, len(pat)) = pat) "
+        "SELECT doc_id, pat AS pattern, CAST(COUNT(*) AS BIGINT) AS n_matches, "
+        "CAST(MIN(e) AS BIGINT) AS first_end, CAST(MAX(e) AS BIGINT) AS last_end "
+        "FROM hits GROUP BY doc_id, pat"
+    )
+
+
+@register("aho_corasick_matches", _ac_oracle_sql())
+def aho_corasick_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern matching (Aho & Corasick 1975) over
+    the document corpus: every occurrence of every pattern — nested,
+    overlapping, phrase — in ONE linear pass per document,
+    independent of pattern count. The goto/fail automaton is built
+    RELATIONALLY (operators/ahocorasick.py: prefix-explode nodes,
+    longest-suffix fail links via semi-join + per-node argmax,
+    output sets via suffix join to the pattern table) so 10k+-pattern
+    blocklists parallelize over patterns; matching is one
+    Arrow-batched mapInPandas goto/fail walk with the bounded
+    automaton closure-broadcast. Output aggregates each (doc,
+    pattern): match count + first/last 1-based end positions —
+    integer-exact. The oracle is the O(chars x patterns) direct
+    position scan, which is exactly the per-pattern cost AC exists to
+    beat; the hash match certifies the automaton semantics
+    end-to-end."""
+    from .operators.ahocorasick import automaton_frame, match_counts
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    auto = automaton_frame(spark, AC_PATTERNS)
+    return match_counts(docs, "doc_id", "text", auto)

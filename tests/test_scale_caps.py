@@ -265,3 +265,66 @@ def test_salted_join_splits_planted_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_planted_hot_partition(spark):
+    """Executed-plan witness for the 100 TB skew story: under AQE a
+    planted-skew shuffle join must actually be re-planned as a skew
+    join — `SortMergeJoin(skew=true)` with `AQEShuffleRead skewed`
+    legs in the FINAL adaptive plan — not merely produce equal rows.
+    Thresholds are lowered so the toy hot partition qualifies by the
+    real detection rule (size > factor x median AND > threshold);
+    the split is additionally observed at task level: the hot key's
+    joined rows land in >1 reducer partition."""
+    confs = {
+        # force a real shuffle join (broadcast would hide the skew)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # toy-size the detection rule and the split target
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = "x" * 64
+        hot = spark.range(20000).select(
+            F.lit(1).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("pay"),
+        )
+        cold = spark.range(200).select(
+            (F.col("id") + 2).alias("k"),
+            F.col("id").cast("string").alias("pay"),
+        )
+        skewed = hot.union(cold).repartition(8)
+        dim = spark.range(4000).select(
+            (F.col("id") % 300 + 1).alias("k"),
+            F.concat(F.lit(pad), (F.col("id") * 10).cast("string")).alias(
+                "attr"
+            ),
+        )
+        j = skewed.join(dim, "k")
+        # execute THIS frame (count() would plan a different query
+        # whose execution the assertion could not see)
+        hot_parts = (
+            j.filter(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        assert hot_parts > 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

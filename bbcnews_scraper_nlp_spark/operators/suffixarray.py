@@ -226,6 +226,17 @@ def duplicated_spans(
         .select("v")
     )
     starts = full.join(dup, "v", "left_semi").select("__id", "pos")
+    return merge_start_islands(starts, id_col, span_len)
+
+
+def merge_start_islands(
+    starts: DataFrame, id_col: str, span_len: int
+) -> DataFrame:
+    """Merge (__id, pos) window starts into maximal
+    [span_start, span_end) token intervals per document
+    (gaps-and-islands on one doc-keyed window: a new island opens
+    when the gap to the previous start exceeds the window length,
+    since all intervals share that fixed length)."""
     w = Window.partitionBy("__id").orderBy("pos")
     isl = starts.withColumn(
         "__brk",
@@ -255,3 +266,48 @@ def duplicated_spans(
             F.col("n_dup_starts").cast("long"),
         )
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_col: str,
+    span_len: int = 16,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact-substring benchmark contamination (the decontamination
+    pass of Lee et al. 2022 / the GPT-3 appendix done exactly): every
+    maximal span of >= ``span_len`` tokens in a TRAINING document
+    whose text occurs verbatim anywhere in the BENCHMARK partition
+    (``bench_col`` boolean). One suffix ranking over the UNION corpus
+    (ranks are corpus-global, so train and bench windows land in the
+    same rank groups by construction); a rank group contaminates when
+    it contains >= 1 bench position, and every train position in such
+    a group starts a contaminated window. Returns the span rows of
+    ``duplicated_spans`` for train documents only."""
+    assert span_len & (span_len - 1) == 0, "span_len must be a power of 2"
+    wlog = span_len.bit_length() - 1
+    tagged = df.select(
+        F.col(id_col).alias("__oid"),
+        F.col(text_col).alias("__text"),
+        F.col(bench_col).cast("boolean").alias("__bench"),
+    )
+    ranked = suffix_window_ranks(
+        tagged, "__oid", "__text", window_log2=wlog, buckets=buckets
+    )
+    full = ranked.filter(F.col("pos") <= F.col("n_toks") - span_len).join(
+        tagged.select(F.col("__oid").alias("__id"), "__bench"), "__id"
+    )
+    benched = (
+        full.groupBy("v")
+        .agg(F.max(F.col("__bench").cast("int")).alias("__has_bench"))
+        .filter(F.col("__has_bench") == 1)
+        .select("v")
+    )
+    starts = (
+        full.filter(~F.col("__bench"))
+        .join(benched, "v", "left_semi")
+        .select("__id", "pos")
+    )
+    return merge_start_islands(starts, id_col, span_len)

@@ -3567,3 +3567,86 @@ def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").cast("long").alias("authority_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# round 11: butterfly (4-cycle) counting in the purchase bipartite
+# graph — the bipartite clustering primitive beside triangles
+# --------------------------------------------------------------------
+
+_BUTTERFLY_SQL = """
+WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+co AS (SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS co
+       FROM ia a JOIN ia b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
+bf AS (SELECT i, j, co * (co - 1) // 2 AS bf FROM co WHERE co >= 2),
+tot AS (SELECT CAST(COALESCE(SUM(bf), 0) AS BIGINT) AS total_butterflies
+        FROM bf),
+per AS (SELECT item, CAST(SUM(bf) AS BIGINT) AS n_butterflies,
+               CAST(COUNT(*) AS BIGINT) AS n_copartners
+        FROM (SELECT i AS item, bf FROM bf
+              UNION ALL SELECT j AS item, bf FROM bf)
+        GROUP BY item)
+SELECT item, n_butterflies, n_copartners, total_butterflies
+FROM per CROSS JOIN tot
+ORDER BY n_butterflies DESC, item LIMIT 20
+"""
+
+
+@register("butterfly_counts_bipartite", _BUTTERFLY_SQL)
+def butterfly_counts_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2x2 biclique / 4-cycle) counting over the
+    customer-part purchase bipartite graph (Wang-Fu-Cheng rectangle
+    counting; Sanei-Mehri et al. 2018) — the bipartite analogue of
+    triangle counting and the base of bipartite clustering
+    coefficients. Exact per-pair identity: butterflies(i,j) =
+    C(co_ij, 2) with co_ij the common-customer count, so per-item
+    and global totals are pure integer sums; top-20 items with full
+    (count, item) tie-break, the global total riding as a 1-row
+    broadcast column. Plan: the distinct user-item edges pair-join
+    user-keyed (hot baskets capped by cap_hot_keys, AQE skew-split —
+    the item_item_recs contract), ONE (i,j) count shuffle, the co>=2
+    prune drops the co=1 bulk BEFORE the per-item explode, one
+    item-keyed sum, TakeOrderedAndProject. At 100 TB identical to
+    the wedge-count phase of distributed rectangle counting: SUM
+    C(co,2) never materializes a 4-cycle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    a = ia.select("u", F.col("i").alias("i1"))
+    b = ia.select("u", F.col("i").alias("i2"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+        .select(
+            "i1", "i2", F.expr("co * (co - 1) div 2").alias("bf")
+        )
+    )
+    tot = co.agg(
+        F.coalesce(F.sum("bf"), F.lit(0)).cast("long").alias(
+            "total_butterflies"
+        )
+    )
+    per = (
+        co.select(F.col("i1").alias("item"), "bf")
+        .unionByName(co.select(F.col("i2").alias("item"), "bf"))
+        .groupBy("item")
+        .agg(
+            F.sum("bf").cast("long").alias("n_butterflies"),
+            F.count("*").alias("n_copartners"),
+        )
+    )
+    from .operators.relational import top_n
+
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "item", "n_butterflies", "n_copartners", "total_butterflies"
+    )
+    return top_n(out, [F.desc("n_butterflies"), F.asc("item")], 20)

@@ -1095,3 +1095,90 @@ def aho_corasick_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     auto = automaton_frame(spark, AC_PATTERNS)
     return match_counts(docs, "doc_id", "text", auto)
+
+
+# --------------------------------------------------------------------
+# round 11: interpolated Kneser-Ney bigram LM — the smoothing the
+# perplexity filter's add-one LM graduates to
+# --------------------------------------------------------------------
+
+_KN_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS w FROM t),
+bg AS (SELECT doc_id, w AS a,
+              LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+       FROM tok),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+       WHERE b IS NOT NULL GROUP BY a, b),
+ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+               CAST(COUNT(*) AS BIGINT) AS n1_fwd FROM bi GROUP BY a),
+rev AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1_rev FROM bi GROUP BY b),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
+s AS (SELECT bi.a, bi.b, c_ab, c_a, n1_fwd, n1_rev,
+      (GREATEST(4 * c_ab - 3, 0) * nt + 3 * n1_fwd * n1_rev) * 1000000
+        // (4 * c_a * nt) AS pkn_ppm
+      FROM bi JOIN ctx ON bi.a = ctx.a JOIN rev ON bi.b = rev.b
+      CROSS JOIN nt)
+SELECT a, b, c_ab, c_a, n1_fwd, n1_rev, pkn_ppm FROM s
+ORDER BY c_ab DESC, a, b LIMIT 100
+"""
+
+
+@register("kneser_ney_bigram_lm", _KN_SQL)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1998 eq. 4.25) fit on the corpus — the smoothing the
+    CCNet-style perplexity filter's add-one LM graduates to. With
+    discount d = 3/4 the whole estimate is an EXACT integer rational:
+    P(b|a) = max(c_ab - d, 0)/c_a + d·N1+(a·)/c_a · N1+(·b)/N1+(··)
+    multiplies through to (max(4c_ab-3, 0)·NT + 3·N1f·N1r)·1e6 //
+    (4·c_a·NT) ppm — every column certifiable, no float anywhere
+    (bounds: 4·c_a·NT·1e6 < 1e16 at sf0.1, inside int64). Output:
+    top-100 bigrams by count with the full count/continuation
+    breakdown. Plan: ONE token scan -> doc-keyed LEAD window ->
+    bigram count (map-side combined); context totals and both
+    continuation counts are marginals OF THE BIGRAM TABLE (no second
+    scan); NT is a 1-row broadcast; final cut is
+    TakeOrderedAndProject. At 100 TB the bigram table is the only
+    token-scale shuffle."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("idx", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("idx")
+    bg = tok.select(
+        F.col("w").alias("a"), F.lead("w", 1).over(wd).alias("b")
+    ).filter(F.col("b").isNotNull())
+    bi = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1_fwd")
+    )
+    rev = bi.groupBy("b").agg(F.count("*").alias("n1_rev"))
+    nt = bi.agg(F.count("*").alias("nt"))
+    s = (
+        bi.join(ctx, "a")
+        .join(rev, "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "n1_fwd",
+            "n1_rev",
+            F.expr(
+                "(greatest(4 * c_ab - 3, 0) * nt + 3 * n1_fwd * n1_rev)"
+                " * 1000000 div (4 * c_a * nt)"
+            ).alias("pkn_ppm"),
+        )
+    )
+    from .operators.relational import top_n
+
+    return top_n(s, [F.desc("c_ab"), F.asc("a"), F.asc("b")], 100)

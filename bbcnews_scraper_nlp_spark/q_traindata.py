@@ -1947,3 +1947,55 @@ def suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(
         docs, "doc_id", "text", span_len=16, min_count=2
     )
+
+
+_CONTAM_SPAN_SQL = """
+WITH t AS (SELECT doc_id, doc_id % 13 = 0 AS bench,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, bench, pos,
+             array_to_string(toks[pos + 1 : pos + 16], ' ') AS gram
+      FROM (SELECT doc_id, bench, toks,
+                   unnest(range(0, greatest(len(toks) - 15, 0))) AS pos
+            FROM t)),
+bg AS (SELECT DISTINCT gram FROM g WHERE bench),
+st AS (SELECT doc_id, pos FROM g SEMI JOIN bg ON g.gram = bg.gram
+       WHERE NOT bench),
+br AS (SELECT doc_id, pos,
+       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16
+            THEN 1 ELSE 0 END AS brk FROM st),
+isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS isl FROM br)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 16 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 16 - MIN(pos) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_starts
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+@register("exact_substr_contamination", _CONTAM_SPAN_SQL)
+def exact_substr_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination (the suffix-array
+    counterpart of contamination_check's n-gram-set overlap — Lee et
+    al. 2022's ExactSubstr applied across corpora, the GPT-3 appendix
+    decontamination done exactly): maximal >= 16-token spans of
+    TRAINING documents whose text occurs verbatim anywhere in the
+    benchmark partition (doc_id % 13 == 0 — a larger eval slice than
+    contamination_check's % 97 so the certified span set is
+    non-trivial at EVERY driver SF; % 97 yields zero shared 16-grams
+    at sf0.01). ONE bounded-window suffix ranking over the union
+    corpus puts train and bench windows in the same rank groups by
+    construction; groups containing a bench position mark their train
+    positions contaminated; islands merge per document. Unlike the
+    shingle-set check this yields the exact REMOVABLE character
+    ranges, not a per-doc ratio. Plan: the prefix-doubling rounds +
+    one rank-keyed max agg + one semi-join + one doc-keyed island
+    window — the bench side rides the same ranking, no second scan
+    chain."""
+    from .operators.suffixarray import contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "text", (F.col("doc_id") % 13 == 0).alias("is_bench")
+    )
+    return contaminated_spans(docs, "doc_id", "text", "is_bench")

@@ -65,6 +65,9 @@ _WINDOW_ORDER = [
     # the queries added this round (no driver row yet):
     "suffix_array_spans",
     "aho_corasick_matches",
+    "exact_substr_contamination",
+    "kneser_ney_bigram_lm",
+    "butterfly_counts_bipartite",
     # Then ALL 33 queries whose freshest driver evidence is round 6
     # (derived from CORRECTNESS_r06 minus later rounds; regenerated
     # as EVIDENCE.json) — this retires round-6 evidence entirely;
@@ -121,9 +124,10 @@ _WINDOW_ORDER = [
     "bpe_learned_merges",
     "multimodal_image_decode",
     "similarity_ivf_topk",
-    "dedup_minhash_clusters",
-    "semdedup_embeddings",
-    "pagerank_copurchase",
+    # (dedup_minhash_clusters, semdedup_embeddings,
+    #  pagerank_copurchase: displaced by this round's three
+    #  continuation queries — their families keep r7-stale local
+    #  checks and rotate in next round)
 ]
 
 

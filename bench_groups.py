@@ -285,3 +285,12 @@ NEW_R10 = [
     "scd2_type_history",
     "hits_copurchase",
 ]
+
+# Round-11 widening: queries added this round.
+NEW_R11 = [
+    "suffix_array_spans",
+    "aho_corasick_matches",
+    "exact_substr_contamination",
+    "kneser_ney_bigram_lm",
+    "butterfly_counts_bipartite",
+]

@@ -537,3 +537,77 @@ def test_kcore_peel_unconverged_flag(spark):
     )
     out = kcore_peel(edges, "s1", "s2", k=2, rounds=1).collect()
     assert out and all(not r["converged"] for r in out)
+
+
+# ---------------------------------------------------------------
+# round 11: butterfly counting
+# ---------------------------------------------------------------
+
+
+def test_butterfly_counts_match_quadruple_enumeration(spark):
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    # planted bipartite graph: K_{2,3} on (u1,u2)x(i1,i2,i3) holds
+    # C(2,2)*C(3,2)=3 butterflies; an extra pendant edge adds none
+    edges = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11), (2, 12),
+        (3, 12),  # pendant
+        (3, 13), (4, 13),  # a path, no 4-cycle
+    ]
+    # literal enumeration over user pairs x item pairs
+    from collections import defaultdict
+
+    items_of = defaultdict(set)
+    for u, i in edges:
+        items_of[u].add(i)
+    total = 0
+    per_item = defaultdict(int)
+    for u, v in combinations(sorted(items_of), 2):
+        common = items_of[u] & items_of[v]
+        for i, j in combinations(sorted(common), 2):
+            total += 1
+            per_item[i] += 1
+            per_item[j] += 1
+    assert total == 3
+
+    df = spark.createDataFrame(edges, ["u", "i"])
+    a = df.select("u", F.col("i").alias("i1"))
+    b = df.select("u", F.col("i").alias("i2"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("i1", "i2", F.expr("co * (co - 1) div 2").alias("bf"))
+    )
+    got_total = co.agg(F.sum("bf")).collect()[0][0]
+    assert got_total == total
+    per = (
+        co.select(F.col("i1").alias("item"), "bf")
+        .unionByName(co.select(F.col("i2").alias("item"), "bf"))
+        .groupBy("item")
+        .agg(F.sum("bf").alias("n"))
+    )
+    assert {(r["item"], r["n"]) for r in per.collect()} == {
+        (i, n) for i, n in per_item.items()
+    }
+
+
+def test_butterfly_query_schema_and_total_consistency(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.q_graph import butterfly_counts_bipartite
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = butterfly_counts_bipartite(spark, sf_dir).collect()
+    assert rows, "testdata must produce butterflies"
+    tot = rows[0]["total_butterflies"]
+    assert all(r["total_butterflies"] == tot for r in rows)
+    # every endpoint-sum bound: per-item counts sum (over ALL items)
+    # to 2x total; the visible top-20 must not exceed it
+    assert sum(r["n_butterflies"] for r in rows) <= 2 * tot
+    assert [
+        (-r["n_butterflies"], r["item"]) for r in rows
+    ] == sorted((-r["n_butterflies"], r["item"]) for r in rows)

@@ -135,3 +135,79 @@ def test_rank_order_is_lexicographic_over_seed_ranks(spark, tiny):
         else:
             assert k1 == k2 and v1 == v2
     assert len({k for k, _ in keyed}) > 2
+
+
+def _python_contaminated_spans(texts, bench_ids, span_len=16):
+    """Literal twin of contaminated_spans: bench grams -> train
+    span merge."""
+    toks = {i: [t for t in (s or "").split() if t] for i, s in texts}
+    bench_grams = set()
+    for i in bench_ids:
+        ts = toks[i]
+        for p in range(max(len(ts) - span_len + 1, 0)):
+            bench_grams.add(tuple(ts[p : p + span_len]))
+    out = []
+    for i, ts in toks.items():
+        if i in bench_ids:
+            continue
+        starts = [
+            p
+            for p in range(max(len(ts) - span_len + 1, 0))
+            if tuple(ts[p : p + span_len]) in bench_grams
+        ]
+        if not starts:
+            continue
+        lo = prev = starts[0]
+        n = 1
+        for p in starts[1:]:
+            if p - prev > span_len:
+                out.append((i, lo, prev + span_len, prev + span_len - lo, n))
+                lo, n = p, 0
+            prev = p
+            n += 1
+        out.append((i, lo, prev + span_len, prev + span_len - lo, n))
+    return sorted(out)
+
+
+def test_contamination_matches_python_twin_on_testdata(spark, sf_dir):
+    from bbcnews_scraper_nlp_spark.q_traindata import (
+        exact_substr_contamination,
+    )
+
+    got = sorted(
+        tuple(r) for r in exact_substr_contamination(spark, sf_dir).collect()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    bench_ids = {i for i, _ in texts if i % 13 == 0}
+    assert got == _python_contaminated_spans(texts, bench_ids)
+    assert len(got) > 0
+    assert all(r[0] % 13 != 0 for r in got)  # bench docs never emitted
+
+
+def test_contamination_planted(spark):
+    from bbcnews_scraper_nlp_spark.operators.suffixarray import (
+        contaminated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(18))
+    rows = [
+        # bench doc carrying the planted passage
+        (0, f"bhead {shared} btail", True),
+        # train doc quoting it verbatim -> one maximal span
+        (1, f"thead1 thead2 {shared} ttail", False),
+        # train doc sharing a 16-gram with ANOTHER TRAIN doc only ->
+        # not contaminated (duplication != contamination)
+        (2, "u0 " + " ".join(f"t{i}" for i in range(17)), False),
+        (3, "u1 " + " ".join(f"t{i}" for i in range(17)), False),
+        # 15-token overlap with bench -> below threshold
+        (4, " ".join(f"s{i}" for i in range(15)) + " zzz pad1 pad2", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_bench"])
+    got = sorted(
+        tuple(r)
+        for r in contaminated_spans(df, "doc_id", "text", "is_bench").collect()
+    )
+    # doc 1: shared has 18 tokens -> starts at pos 2,3,4 merge into
+    # [2, 20), 3 dup starts
+    assert got == [(1, 2, 20, 18, 3)]

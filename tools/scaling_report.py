@@ -161,6 +161,50 @@ def main() -> None:
         lines.append(
             f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} | {r1:.2f}x | {r2:.2f}x |"
         )
+
+    # Optional sf1 heavy-tail rehearsal (tools/make_sf1.py +
+    # tools/bench_subset.py -> BENCH_SF1.json): one genuinely
+    # volume-bound 10x step for the queries whose sf0.1 time is
+    # dominated by real work rather than the scheduling floor.
+    sf1_path = os.path.join(ROOT, "BENCH_SF1.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            sf1 = json.load(f)
+        lines += [
+            "",
+            "## sf1 heavy-tail rehearsal (generated data, "
+            "tools/make_sf1.py)",
+            "",
+            "10x replication of sf0.1 (key-offset shards, "
+            "token-rotated text — NOT exact copies, so dedup-family "
+            "output grows linearly like a real corpus). Subset runs "
+            "via tools/bench_subset.py, best-of-2, local[32]/32 "
+            "shuffle partitions; the sf0.1 reference is the "
+            "min-merged BENCH_FULL floor, so ratios here are "
+            "conservative (min-of-N vs best-of-2).",
+            "",
+            "| query | sf0.1 floor (s) | sf1 (s) | x10 step |",
+            "|---|---|---|---|",
+        ]
+        floors = data["sf0.1"]
+        flagged_sf1 = []
+        for n, t in sorted(
+            sf1["queries"].items(), key=lambda kv: -kv[1]
+        ):
+            fl = floors.get(n)
+            if fl:
+                ratio = t / fl
+                lines.append(f"| {n} | {fl:.2f} | {t:.2f} | {ratio:.1f}x |")
+                if ratio > 12.0:
+                    flagged_sf1.append(n)
+            else:
+                lines.append(f"| {n} | (new this round) | {t:.2f} | — |")
+        notes = sf1.get("notes", {})
+        if flagged_sf1 or notes:
+            lines += ["", "Flagged / explained:", ""]
+            for n in sorted(set(flagged_sf1) | set(notes)):
+                lines.append(f"- **{n}**: {notes.get(n, '>12x, unexplained')}")
+
     with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"SCALING.md written: {len(names)} queries, "

@@ -1182,3 +1182,226 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import top_n
 
     return top_n(s, [F.desc("c_ab"), F.asc("a"), F.asc("b")], 100)
+
+
+@register("streaming_blocklist_gate", _ac_oracle_sql())
+def streaming_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aho_corasick_matches as a STREAMING ingest gate (the
+    streaming_hrw_route pattern applied to content filtering):
+    documents stream in and exit with per-pattern match counts from
+    the same goto/fail automaton, stateless mapInPandas, append-mode
+    AvailableNow drain. The oracle is the batch position-scan SQL
+    unchanged — the hash match certifies the streaming gate and the
+    batch audit compute identical matches, the property a blocklist
+    must hold across backfill and live paths at 100 TB."""
+    from .streaming.ingest import streaming_blocklist_gate_batch
+
+    out = streaming_blocklist_gate_batch(spark, sf_dir, AC_PATTERNS)
+    return out.select(
+        "doc_id", "pattern", "n_matches", "first_end", "last_end"
+    )
+
+
+_KN_PPL_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS idx,
+               unnest(toks) AS w FROM t),
+big AS (SELECT doc_id, w AS a,
+               LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+        FROM tok),
+bg AS (SELECT doc_id, a, b FROM big WHERE b IS NOT NULL),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+               CAST(COUNT(*) AS BIGINT) AS n1_fwd FROM bi GROUP BY a),
+rev AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1_rev FROM bi GROUP BY b),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
+scored AS (SELECT bi.a, bi.b,
+        CAST(ROUND(ln(CAST(GREATEST(4 * c_ab - 3, 0) * nt
+                           + 3 * n1_fwd * n1_rev AS DOUBLE)
+                      / CAST(4 * c_a * nt AS DOUBLE)) * 1000.0) AS BIGINT)
+          AS mn
+        FROM bi JOIN ctx ON bi.a = ctx.a JOIN rev ON bi.b = rev.b
+        CROSS JOIN nt),
+doc AS (SELECT bg.doc_id, SUM(s.mn) AS sm, COUNT(*) AS m
+        FROM bg JOIN scored s ON bg.a = s.a AND bg.b = s.b
+        GROUP BY bg.doc_id),
+sc AS (SELECT doc_id, m AS n_bigrams,
+              -CAST(sm AS BIGINT) / (m * 1000.0) AS cross_entropy
+       FROM doc),
+cut AS (SELECT quantile_cont(cross_entropy, 1.0 / 3.0) AS q1,
+               quantile_cont(cross_entropy, 2.0 / 3.0) AS q2 FROM sc)
+SELECT doc_id, n_bigrams, cross_entropy,
+  CASE WHEN cross_entropy <= (SELECT q1 FROM cut) THEN 'head'
+       WHEN cross_entropy <= (SELECT q2 FROM cut) THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM sc
+"""
+
+
+@register("kn_perplexity_buckets", _KN_PPL_SQL)
+def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perplexity_buckets under the interpolated Kneser-Ney LM
+    instead of add-one smoothing (Wenzek et al. 2020 score the CCNet
+    buckets with a properly smoothed KenLM — this is that upgrade
+    in-engine): per-doc cross-entropy from millinat-quantized KN
+    bigram NLLs (the exact-rational p from kneser_ney_bigram_lm;
+    quantized BEFORE aggregation so the per-doc mean is exact integer
+    arithmetic and absorbs Java-vs-libm ln ulp skew), tercile-
+    bucketed at exact percentile cutpoints broadcast back (never a
+    global ntile window). Plan: the kneser_ney_bigram_lm marginals +
+    ONE per-type score join + per-doc re-agg — same five uniform-key
+    shuffles as the certified add-one query."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    tok = docs.select("doc_id", F.posexplode(toks).alias("idx", "w"))
+    wd = Window.partitionBy("doc_id").orderBy("idx")
+    bg = tok.select(
+        "doc_id",
+        F.col("w").alias("a"),
+        F.lead("w", 1).over(wd).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    bi = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1_fwd")
+    )
+    rev = bi.groupBy("b").agg(F.count("*").alias("n1_rev"))
+    nt = bi.agg(F.count("*").alias("nt"))
+    scored = (
+        bi.join(ctx, "a")
+        .join(rev, "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    F.expr(
+                        "cast(greatest(4 * c_ab - 3, 0) * nt"
+                        " + 3 * n1_fwd * n1_rev as double)"
+                    )
+                    / F.expr("cast(4 * c_a * nt as double)")
+                )
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("mn"),
+        )
+    )
+    doc = (
+        bg.join(scored, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("mn").alias("sm"), F.count("*").alias("m"))
+        .select(
+            "doc_id",
+            F.col("m").alias("n_bigrams"),
+            (-F.col("sm") / (F.col("m") * F.lit(1000.0))).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+    cut = doc.agg(
+        F.percentile("cross_entropy", F.lit(1.0) / F.lit(3.0)).alias("q1"),
+        F.percentile("cross_entropy", F.lit(2.0) / F.lit(3.0)).alias("q2"),
+    )
+    return doc.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_bigrams",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("q1"), "head")
+        .when(F.col("cross_entropy") <= F.col("q2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+_CONTAIN_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(toks[pos + 1 : pos + 3], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 2, 0))) AS pos
+            FROM t)),
+dfc AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+kept AS (SELECT g.doc_id, g.gram FROM g JOIN dfc USING (gram)
+         WHERE df <= 1000),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept
+       GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM kept a JOIN kept b
+            ON a.gram = b.gram AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+c AS (SELECT src, dst, inter, n AS n_src,
+             inter * 1000000 // n AS containment_ppm
+      FROM inter JOIN sz ON sz.doc_id = inter.src)
+SELECT src, dst, inter, n_src, containment_ppm FROM c
+ORDER BY containment_ppm DESC, src, dst LIMIT 50
+"""
+
+
+@register("shingle_containment_pairs", _CONTAIN_SQL)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT (|A∩B| / |A|, Broder 1997 §2) between
+    document shingle sets — the asymmetric companion to resemblance/
+    Jaccard that catches SUB-document duplication (a doc quoted
+    inside a larger one scores near 1 on containment while Jaccard
+    stays low — the dedup_ngram_jaccard family misses exactly this).
+    Distinct word 3-grams; the df <= 1000 kept-universe cap bounds
+    the Σdf² pair fanout with the same exact kept-universe semantics
+    the certified Jaccard join documents (numerator AND denominator
+    exclude capped shingles; df=1 shingles stay in the denominator —
+    they dilute containment, which is the honest signal). Integer-
+    ppm scores, top-50 with full (score, src, dst) tie-break. Plan:
+    one gram-df count shuffle, the gram-keyed pair join + (src,dst)
+    count, one src-keyed size join, TakeOrderedAndProject — at
+    100 TB identical to the LSH-candidate verify stage's shape."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col("doc_id").alias("__id"), toks.alias("__toks"))
+    gram_arr = F.when(
+        F.size("__toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(3)),
+            lambda i: F.array_join(F.slice("__toks", i + F.lit(1), F.lit(3)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "__id", F.explode(F.array_distinct(gram_arr)).alias("gram")
+    )
+    dfc = g.groupBy("gram").agg(F.count("*").alias("df"))
+    kept = g.join(dfc, "gram").filter(F.col("df") <= 1000).select(
+        "__id", "gram"
+    )
+    sz = kept.groupBy("__id").agg(F.count("*").alias("n"))
+    inter = (
+        kept.select(F.col("__id").alias("src"), "gram")
+        .join(kept.select(F.col("__id").alias("dst"), "gram"), "gram")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("inter"))
+    )
+    c = inter.join(
+        sz.select(F.col("__id").alias("src"), F.col("n").alias("n_src")),
+        "src",
+    ).select(
+        "src",
+        "dst",
+        "inter",
+        "n_src",
+        F.expr("inter * 1000000 div n_src").alias("containment_ppm"),
+    )
+    from .operators.relational import top_n
+
+    return top_n(
+        c, [F.desc("containment_ppm"), F.asc("src"), F.asc("dst")], 50
+    )

@@ -68,6 +68,9 @@ _WINDOW_ORDER = [
     "exact_substr_contamination",
     "kneser_ney_bigram_lm",
     "butterfly_counts_bipartite",
+    "streaming_blocklist_gate",
+    "kn_perplexity_buckets",
+    "shingle_containment_pairs",
     # Then ALL 33 queries whose freshest driver evidence is round 6
     # (derived from CORRECTNESS_r06 minus later rounds; regenerated
     # as EVIDENCE.json) — this retires round-6 evidence entirely;
@@ -121,13 +124,11 @@ _WINDOW_ORDER = [
     "streaming_dedup",
     "prepare_corpus_pipeline",
     "tpch_q1_pricing_summary",
-    "bpe_learned_merges",
-    "multimodal_image_decode",
-    "similarity_ivf_topk",
-    # (dedup_minhash_clusters, semdedup_embeddings,
-    #  pagerank_copurchase: displaced by this round's three
-    #  continuation queries — their families keep r7-stale local
-    #  checks and rotate in next round)
+    # (bpe_learned_merges, multimodal_image_decode,
+    #  similarity_ivf_topk, dedup_minhash_clusters,
+    #  semdedup_embeddings, pagerank_copurchase: displaced by this
+    #  round's six continuation queries — their families keep
+    #  r7-stale local checks and rotate in next round)
 ]
 
 

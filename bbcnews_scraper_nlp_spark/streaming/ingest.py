@@ -1269,3 +1269,50 @@ def streaming_hrw_route_batch(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_blocklist_gate_batch(
+    spark, sf_dir: str, patterns: list[str],
+    max_files_per_trigger: int | None = None,
+):
+    """Aho-Corasick blocklist matching inside Structured Streaming —
+    the ingest-side content gate: every arriving document exits with
+    its per-pattern match counts from the SAME goto/fail automaton
+    walk the batch query (aho_corasick_matches) certifies. The
+    automaton is built once on the driver side (bounded: one row per
+    pattern prefix) and closure-broadcast into the stateless
+    mapInPandas stage; no watermark, no state, so the AvailableNow
+    drain is append-mode and split-invariant and the BATCH
+    position-scan SQL is the oracle unchanged — streaming gate and
+    batch audit provably compute identical matches."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators.ahocorasick import automaton_frame, match_counts
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(docs_path):
+        target = docs_path
+    else:
+        parent, leaf = os.path.split(docs_path.rstrip("/"))
+        reader = reader.option("pathGlobFilter", leaf)
+        target = parent
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(target)
+    auto = automaton_frame(spark, patterns)
+    gated = match_counts(stream, "doc_id", "text", auto)
+    name = f"stream_ac_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -293,4 +293,7 @@ NEW_R11 = [
     "exact_substr_contamination",
     "kneser_ney_bigram_lm",
     "butterfly_counts_bipartite",
+    "streaming_blocklist_gate",
+    "kn_perplexity_buckets",
+    "shingle_containment_pairs",
 ]

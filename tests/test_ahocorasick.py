@@ -121,3 +121,21 @@ def test_query_matches_brute_force_on_testdata(spark, sf_dir):
     assert got == exp
     assert any(p == "she" for _, p in got) is False  # absent pattern absent
     assert len(got) > 100
+
+
+def test_streaming_gate_equals_batch_matches(spark, sf_dir):
+    """The streaming blocklist gate must emit exactly the batch AC
+    query's rows — the backfill/live equality the router family
+    certifies."""
+    from bbcnews_scraper_nlp_spark.q_text import (
+        aho_corasick_matches,
+        streaming_blocklist_gate,
+    )
+
+    batch = {
+        tuple(r) for r in aho_corasick_matches(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r) for r in streaming_blocklist_gate(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) > 100

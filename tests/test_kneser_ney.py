@@ -78,3 +78,36 @@ def test_kn_query_matches_fraction_twin(spark, sf_dir):
         key = (-r["c_ab"], r["a"], r["b"])
         assert prev is None or prev < key  # top-100 order, full tie-break
         prev = key
+
+
+def test_kn_perplexity_buckets_internally_consistent(spark, sf_dir):
+    """Bucket labels must be the exact tercile classification of the
+    query's own cross_entropy column, terciles near-balanced, and
+    every scored doc present (docs with >= 2 tokens)."""
+    from bbcnews_scraper_nlp_spark.q_text import kn_perplexity_buckets
+
+    rows = kn_perplexity_buckets(spark, sf_dir).collect()
+    ce = sorted(r["cross_entropy"] for r in rows)
+    n = len(ce)
+    assert n > 400
+
+    def q(p):
+        # quantile_cont interpolation
+        x = p * (n - 1)
+        lo, hi = int(x), min(int(x) + 1, n - 1)
+        return ce[lo] + (x - lo) * (ce[hi] - ce[lo])
+
+    q1, q2 = q(1 / 3), q(2 / 3)
+    for r in rows:
+        want = (
+            "head"
+            if r["cross_entropy"] <= q1
+            else "middle"
+            if r["cross_entropy"] <= q2
+            else "tail"
+        )
+        assert r["ppl_bucket"] == want
+    from collections import Counter
+
+    c = Counter(r["ppl_bucket"] for r in rows)
+    assert max(c.values()) - min(c.values()) <= n // 2

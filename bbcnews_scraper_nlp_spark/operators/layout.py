@@ -104,3 +104,100 @@ def overlapping_units(
         if all(rg[c][0] <= hi and rg[c][1] >= lo for c, (lo, hi) in box.items()):
             n += 1
     return n
+
+
+# --------------------------------------------------------------------
+# Hilbert curve (the locality upgrade over Morton: no Z-shaped jumps,
+# every curve step is a unit grid step, so range queries touch fewer
+# runs — Delta OPTIMIZE's documented motivation for Hilbert mode)
+# --------------------------------------------------------------------
+
+
+def hilbert_steps(bits: int = 8):
+    """The classic 2-D Hilbert xy->d transform (the public-domain
+    convert routine, e.g. Hamilton 2006 / Wikipedia "Hilbert curve"),
+    as a list of per-iteration named-column expression dicts — one
+    dict per half-step, highest bit level s = 2^(bits-1) first. Each
+    step must be applied as its OWN projection (withColumns / nested
+    SELECT): the rotate references the previous x/y twice, so
+    inlining all steps into one expression doubles the tree per level
+    (2^bits blowup); named intermediates keep it linear. The quadrant
+    value (3*rx) XOR ry is emitted as the dialect-neutral arithmetic
+    identity 3*rx + (1-2*rx)*ry (DuckDB's ^ is POWER, not xor).
+    Columns carried: __hx, __hy, __hd (+ per-level __rx, __ry)."""
+    steps = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        steps.append(
+            {
+                "__rx": f"CASE WHEN (__hx & {s}) > 0 THEN 1 ELSE 0 END",
+                "__ry": f"CASE WHEN (__hy & {s}) > 0 THEN 1 ELSE 0 END",
+            }
+        )
+        steps.append(
+            {
+                "__hd": (
+                    f"__hd + CAST({s} AS BIGINT) * {s} * "
+                    "(3 * __rx + (1 - 2 * __rx) * __ry)"
+                ),
+                # rotate: only when ry == 0; reflect when also rx == 1,
+                # then swap x and y
+                "__hx": (
+                    f"CASE WHEN __ry = 0 THEN "
+                    f"(CASE WHEN __rx = 1 THEN {s} - 1 - __hy "
+                    "ELSE __hy END) ELSE __hx END"
+                ),
+                "__hy": (
+                    f"CASE WHEN __ry = 0 THEN "
+                    f"(CASE WHEN __rx = 1 THEN {s} - 1 - __hx "
+                    "ELSE __hx END) ELSE __hy END"
+                ),
+            }
+        )
+    return steps
+
+
+def hilbert_d2(df, xcol: str, ycol: str, bits: int = 8, out: str = "hval"):
+    """Append ``out`` = Hilbert curve index of (xcol, ycol) (each in
+    [0, 2^bits)). Pure unrolled JVM bit/arithmetic ops across 2*bits
+    narrow projections — whole-stage codegen fuses them into one
+    stage, no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    cur = df.withColumns(
+        {
+            "__hx": F.col(xcol).cast("long"),
+            "__hy": F.col(ycol).cast("long"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    for step in hilbert_steps(bits):
+        cur = cur.withColumns({k: F.expr(v) for k, v in step.items()})
+    return cur.withColumn(out, F.col("__hd")).drop(
+        "__hx", "__hy", "__hd", "__rx", "__ry"
+    )
+
+
+def hilbert_d2_sql(
+    source_sql: str, xcol: str, ycol: str, bits: int = 8, out: str = "hval"
+) -> str:
+    """DuckDB twin of ``hilbert_d2``: the same steps as a chain of
+    nested SELECTs over ``source_sql`` (named intermediates — see
+    hilbert_steps on why inlining is forbidden). The final SELECT
+    exposes the source columns plus ``out``."""
+    q = (
+        f"(SELECT *, CAST({xcol} AS BIGINT) AS __hx, "
+        f"CAST({ycol} AS BIGINT) AS __hy, "
+        f"CAST(0 AS BIGINT) AS __hd FROM ({source_sql}))"
+    )
+    live = {"__hx", "__hy", "__hd"}
+    for step in hilbert_steps(bits):
+        assign = ", ".join(f"{expr} AS {name}" for name, expr in step.items())
+        replaced = live & set(step)
+        excl = f" EXCLUDE ({', '.join(sorted(replaced))})" if replaced else ""
+        q = f"(SELECT *{excl}, {assign} FROM {q})"
+        live |= set(step)
+    return (
+        f"SELECT * EXCLUDE (__hx, __hy, __hd, __rx, __ry), "
+        f"__hd AS {out} FROM {q}"
+    )

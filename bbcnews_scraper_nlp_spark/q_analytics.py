@@ -2409,3 +2409,53 @@ def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to_us"),
         "n_events",
     )
+
+
+def _hilbert_sql() -> str:
+    from .operators.layout import hilbert_d2_sql
+
+    src = (
+        "SELECT event_id, "
+        "LEAST(CAST(FLOOR(value / 2) AS BIGINT), 255) AS x_cell, "
+        "user_id % 256 AS y_cell FROM events"
+    )
+    inner = hilbert_d2_sql(src, "x_cell", "y_cell", 8)
+    return (
+        f"SELECT event_id, x_cell, y_cell, hval FROM ({inner}) "
+        "ORDER BY hval, event_id LIMIT 1000"
+    )
+
+
+@register("hilbert_event_cells", _hilbert_sql())
+def hilbert_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell assignment over the same quantized event
+    dimensions as zorder_event_cells — the locality upgrade over
+    Morton (every Hilbert step is a unit grid step, so a 1-D range
+    of the key covers a compact 2-D blob with no Z-shaped jumps;
+    Delta OPTIMIZE's documented Hilbert mode, Hamilton 2006's
+    transform). The xy->d state machine unrolls to 2*bits narrow
+    projections of pure bit/arithmetic ops — named intermediates per
+    level because the rotate references the previous x/y twice
+    (inlining would double the expression tree per level) — fused by
+    whole-stage codegen, no UDF; the oracle replays the identical
+    steps as nested SELECTs, so the certificate covers the exact
+    curve. Clustering a 100 TB table by hval is the same ONE
+    range-repartition write as Z-order with strictly better
+    range-scan locality (tests/test_layout.py proves the adjacency
+    law Morton lacks)."""
+    from .operators.layout import hilbert_d2
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.least(
+            F.floor(F.col("value") / 2).cast("long"), F.lit(255).cast("long")
+        ).alias("x_cell"),
+        (F.col("user_id") % 256).alias("y_cell"),
+    )
+    return (
+        hilbert_d2(q, "x_cell", "y_cell", 8)
+        .select("event_id", "x_cell", "y_cell", "hval")
+        .orderBy("hval", "event_id")
+        .limit(1000)
+    )

@@ -68,6 +68,7 @@ _WINDOW_ORDER = [
     "exact_substr_contamination",
     "kneser_ney_bigram_lm",
     "butterfly_counts_bipartite",
+    "hilbert_event_cells",
     "streaming_blocklist_gate",
     "kn_perplexity_buckets",
     "shingle_containment_pairs",
@@ -123,12 +124,14 @@ _WINDOW_ORDER = [
     "sentiment_full_lexicon",
     "streaming_dedup",
     "prepare_corpus_pipeline",
-    "tpch_q1_pricing_summary",
+    # (tpch_q1_pricing_summary: displaced by hilbert_event_cells;
+    #  five TPC-H rows sit in this window's r6 block and nine more
+    #  carry r9 evidence)
     # (bpe_learned_merges, multimodal_image_decode,
     #  similarity_ivf_topk, dedup_minhash_clusters,
     #  semdedup_embeddings, pagerank_copurchase: displaced by this
-    #  round's six continuation queries — their families keep
-    #  r7-stale local checks and rotate in next round)
+    #  round's continuation queries — their families keep r7-stale
+    #  local checks and rotate in next round)
 ]
 
 

@@ -89,3 +89,76 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # 2-D box: z-order reads a small corner
     box = {"x": (0, 31), "y": (0, 31)}
     assert overlapping_units(zstats, box) <= max(2, len(zstats) // 4)
+
+
+# ---------------------------------------------------------------
+# round 11: Hilbert curve
+# ---------------------------------------------------------------
+
+
+def _xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_literal_transform_and_is_a_bijection(spark):
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.layout import hilbert_d2
+
+    n = 32  # bits=5, full 32x32 grid
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+        )
+    )
+    rows = hilbert_d2(grid, "x", "y", 5).collect()
+    assert len(rows) == n * n
+    got = {(r["x"], r["y"]): r["hval"] for r in rows}
+    assert got == {(x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+
+
+def test_hilbert_adjacency_law_morton_lacks(spark):
+    """Consecutive Hilbert indices are UNIT grid steps (|dx|+|dy| = 1
+    for every d -> d+1) — the locality property that makes 1-D key
+    ranges compact 2-D blobs; Morton's Z jumps violate it."""
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.layout import (
+        hilbert_d2,
+        morton_z2,
+    )
+
+    n = 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    h = {
+        r["hval"]: (r["x"], r["y"])
+        for r in hilbert_d2(grid, "x", "y", 4).collect()
+    }
+    assert all(
+        abs(h[d][0] - h[d + 1][0]) + abs(h[d][1] - h[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+    m = {
+        r["zval"]: (r["x"], r["y"])
+        for r in grid.select(
+            "x", "y", morton_z2(F.col("x"), F.col("y"), 4).alias("zval")
+        ).collect()
+    }
+    assert any(
+        abs(m[d][0] - m[d + 1][0]) + abs(m[d][1] - m[d + 1][1]) > 1
+        for d in range(n * n - 1)
+    )

@@ -605,3 +605,70 @@ def test_wordpiece_folds_over_types_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "wordpiece_encode")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "aggregate(" in plan.lower()  # the fold expression survives
+
+
+# ---------------------------------------------------------------
+# round 11 contracts
+# ---------------------------------------------------------------
+
+
+def test_suffix_spans_no_cartesian_no_python_no_global_window(spark, sf_dir):
+    """The suffix ranking must stay pure-JVM keyed joins/aggs: no
+    Python nodes, no cartesian product, and the only unpartitioned
+    window is the constant bucket-totals scan (merge islands and
+    bucket windows are partitioned). A naive dense_rank would show a
+    'Window' with an empty partition spec over the full pair table —
+    locked out by forbidding single-partition Exchange on the big
+    tables (SinglePartition appears only under broadcast-size
+    subtrees)."""
+    plan = _plan(spark, sf_dir, "suffix_array_spans")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_hilbert_is_map_only_codegen(spark, sf_dir):
+    """2*bits Hilbert projections must fuse: no shuffle other than
+    the final top-k and no Python anywhere."""
+    plan = _plan(spark, sf_dir, "hilbert_event_cells")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aho_corasick_single_arrow_stage(spark, sf_dir):
+    """Matching must be exactly ONE Arrow-batched python stage (the
+    goto/fail walk) — never a row-at-a-time PythonUDF."""
+    plan = _plan(spark, sf_dir, "aho_corasick_matches")
+    # formatted explain prints each node in the tree AND the detail
+    # section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_kneser_ney_single_token_shuffle_jvm_only(spark, sf_dir):
+    """All KN smoothing statistics are marginals of the bigram table:
+    no Python nodes, top-100 via TakeOrderedAndProject, and the NT
+    side rides a broadcast (never an extra big exchange)."""
+    plan = _plan(spark, sf_dir, "kneser_ney_bigram_lm")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_containment_topk_and_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shingle_containment_pairs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
+    """The co >= 2 prune must sit below the per-item union/agg (it
+    exists to shrink that input); verify it survives optimization as
+    a filter on the pair-count aggregate."""
+    plan = _plan(spark, sf_dir, "butterfly_counts_bipartite")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert re.search(r"co#\d+L?\) >= 2|\(co.* >= 2\)", plan), plan[:500]
+    assert "TakeOrderedAndProject" in plan

@@ -82,6 +82,12 @@ def _two_level_rank(
     )
 
 
+# public alias: the deterministic global-rank primitive is useful
+# beyond suffix construction (e.g. exact tercile bucketing in
+# q_text.kn_perplexity_buckets) — same contract, same guarantees.
+two_level_rank = _two_level_rank
+
+
 def suffix_window_ranks(
     df: DataFrame,
     id_col: str,
@@ -264,6 +270,70 @@ def merge_start_islands(
             .cast("long")
             .alias("span_len"),
             F.col("n_dup_starts").cast("long"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 16,
+    min_count: int = 2,
+    buckets: int = 64,
+) -> DataFrame:
+    """The second half of the Lee et al. 2022 ExactSubstr pipeline:
+    REMOVE the maximal duplicated spans ``duplicated_spans`` finds
+    and reassemble each document from its surviving tokens (the
+    n-gram sibling is ``dedup.remove_dup_spans``; this is the exact
+    suffix-array version). Coverage comes from the merged island
+    intervals — one row per covered TOKEN (linear fanout; islands
+    are disjoint per document by construction, so no distinct is
+    needed) — an anti-join drops covered tokens, and ordered
+    reassembly is the sort-in-array aggregate (array_sort of
+    (idx, word) structs), exact in any aggregation order.
+
+    Returns (id, clean_text, n_removed) for EVERY input document
+    (clean_text = original text's tokens when nothing was removed).
+    """
+    spans = duplicated_spans(
+        df, id_col, text_col, span_len=span_len,
+        min_count=min_count, buckets=buckets,
+    )
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    tok = base.select(
+        "__id", F.posexplode("__toks").alias("idx", "word")
+    ).withColumn("idx", F.col("idx").cast("long"))
+    cov = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("idx"),
+    )
+    keep = tok.join(cov, ["__id", "idx"], "left_anti")
+    clean = keep.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__nk"),
+    )
+    return (
+        base.select("__id", F.size("__toks").alias("__nt"))
+        .join(clean, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__nt") - F.coalesce(F.col("__nk"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 

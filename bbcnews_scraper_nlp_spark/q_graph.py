@@ -1212,6 +1212,73 @@ def item_item_recs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_topk(ia, "u", "i", k=3, min_co=2)
 
 
+_ITEM_DIMSUM_SQL = """
+WITH ia0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+du AS (SELECT u FROM ia0 GROUP BY u HAVING COUNT(*) <= 10000),
+ia AS (SELECT ia0.u, ia0.i FROM ia0 JOIN du USING (u)),
+deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ia GROUP BY i),
+ia2 AS (SELECT ia.u, ia.i, deg.n FROM ia JOIN deg ON ia.i = deg.i),
+cand AS (SELECT a.u AS u, a.i AS i, b.i AS j, a.n AS ni, b.n AS nj,
+            ('0x' || substr(md5('dimsum-v1:' || CAST(a.u AS VARCHAR)
+              || ':' || CAST(LEAST(a.i, b.i) AS VARCHAR)
+              || ':' || CAST(GREATEST(a.i, b.i) AS VARCHAR)), 1, 5))::BIGINT
+            AS h
+         FROM ia2 a JOIN ia2 b ON a.u = b.u AND a.i <> b.i),
+kept AS (SELECT i, j, ni, nj FROM cand
+         WHERE ni::HUGEINT * nj <= 1024
+            OR h::HUGEINT * h * ni * nj < 1024::HUGEINT * 1099511627776),
+co AS (SELECT i, j, MAX(ni) AS ni, MAX(nj) AS nj,
+              CAST(COUNT(*) AS BIGINT) AS co_s
+       FROM kept GROUP BY i, j),
+sim AS (SELECT i, j,
+        CASE WHEN ni::HUGEINT * nj <= 1024
+             THEN CAST(co_s::HUGEINT * co_s * 1000000 // (ni * nj) AS BIGINT)
+             ELSE CAST(co_s::HUGEINT * co_s * 1000000 // 1024 AS BIGINT)
+        END AS sim_ppm,
+        CAST(ni::HUGEINT * nj > 1024 AS BIGINT) AS sampled
+        FROM co),
+rk AS (SELECT i, j, sim_ppm, sampled, CAST(row_number() OVER
+       (PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim)
+SELECT i AS item, j AS rec, sim_ppm, sampled, rank FROM rk WHERE rank <= 3
+"""
+
+
+@register("item_item_recs_dimsum", _ITEM_DIMSUM_SQL)
+def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """item_item_recs_topk under DIMSUM magnitude-proportional pair
+    SAMPLING (Zadeh & Carlsson 2013) — the map-side reduction that
+    shrinks the pair SHUFFLE itself, the one stage the sf1 rehearsal
+    showed exceeding fixed-partition task memory in the exact
+    variant (min_co prunes only AFTER the count). Each co-occurrence
+    event survives with p = min(1, γ/√(n_i·n_j)) via a deterministic
+    20-bit md5 draw compared as an exact integer (H²·n_i·n_j <
+    γ²·2⁴⁰, DECIMAL/HUGEINT lane), so the sampled-pair mass per item
+    is O(γ²) regardless of degree and the whole query stays
+    hash-certifiable. γ=32: pairs with n_i·n_j <= 1024 (the
+    well-supported bulk at test SF) take the EXACT cosine² lane;
+    hotter pairs take the estimator lane co_s²·10⁶/γ² (no √ needed —
+    the p² cancels n_i·n_j exactly). The user-degree cap is mirrored
+    in the oracle (du CTE = cap_hot_keys semantics). Plan: deg join
+    item-keyed, ONE user-keyed self-join with the draw filter INSIDE
+    the join stage (before any exchange), one (i,j) count shuffle
+    carrying only sampled pairs, degrees riding as MAX — no
+    post-count join — then the per-item rank window. At 100 TB this
+    is the variant that runs: the exact pair count is Σdeg² while
+    this shuffle is O(items·γ²)."""
+    from .operators.recommend import item_item_dimsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    return item_item_dimsum(ia, "u", "i", k=3, gamma=32)
+
+
 def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
     unroll, last = _pr_unroll_sql(iters, scale)
     return (
@@ -3575,8 +3642,10 @@ def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 _BUTTERFLY_SQL = """
-WITH ia AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+WITH ia0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+deg AS (SELECT u FROM ia0 GROUP BY u HAVING COUNT(*) <= 10000),
+ia AS (SELECT ia0.u, ia0.i FROM ia0 JOIN deg USING (u)),
 co AS (SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS co
        FROM ia a JOIN ia b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
 bf AS (SELECT i, j, co * (co - 1) // 2 AS bf FROM co WHERE co >= 2),
@@ -3604,8 +3673,10 @@ def butterfly_counts_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and global totals are pure integer sums; top-20 items with full
     (count, item) tie-break, the global total riding as a 1-row
     broadcast column. Plan: the distinct user-item edges pair-join
-    user-keyed (hot baskets capped by cap_hot_keys, AQE skew-split —
-    the item_item_recs contract), ONE (i,j) count shuffle, the co>=2
+    user-keyed (hot baskets capped by cap_hot_keys at 10k, the cap
+    MIRRORED in the oracle's deg CTE so both sides compute the same
+    capped semantics under any skew; AQE skew-split — the
+    item_item_recs contract), ONE (i,j) count shuffle, the co>=2
     prune drops the co=1 bulk BEFORE the per-item explode, one
     item-keyed sum, TakeOrderedAndProject. At 100 TB identical to
     the wedge-count phase of distributed rectangle counting: SUM

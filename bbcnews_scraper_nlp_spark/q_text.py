@@ -1118,8 +1118,9 @@ ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
 rev AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1_rev FROM bi GROUP BY b),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
 s AS (SELECT bi.a, bi.b, c_ab, c_a, n1_fwd, n1_rev,
-      (GREATEST(4 * c_ab - 3, 0) * nt + 3 * n1_fwd * n1_rev) * 1000000
-        // (4 * c_a * nt) AS pkn_ppm
+      CAST((GREATEST(4 * c_ab - 3, 0)::HUGEINT * nt
+            + 3 * n1_fwd::HUGEINT * n1_rev) * 1000000
+           // (4 * c_a::HUGEINT * nt) AS BIGINT) AS pkn_ppm
       FROM bi JOIN ctx ON bi.a = ctx.a JOIN rev ON bi.b = rev.b
       CROSS JOIN nt)
 SELECT a, b, c_ab, c_a, n1_fwd, n1_rev, pkn_ppm FROM s
@@ -1135,8 +1136,12 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount d = 3/4 the whole estimate is an EXACT integer rational:
     P(b|a) = max(c_ab - d, 0)/c_a + d·N1+(a·)/c_a · N1+(·b)/N1+(··)
     multiplies through to (max(4c_ab-3, 0)·NT + 3·N1f·N1r)·1e6 //
-    (4·c_a·NT) ppm — every column certifiable, no float anywhere
-    (bounds: 4·c_a·NT·1e6 < 1e16 at sf0.1, inside int64). Output:
+    (4·c_a·NT) ppm — every column certifiable, no float anywhere.
+    The product routes through DECIMAL(38,0) in Spark and HUGEINT in
+    the oracle (the degree_assortativity treatment): at sf1+ the raw
+    int64 product approaches 2^63, where non-ANSI Spark would wrap
+    silently while DuckDB raises — the widened lane keeps both sides
+    exact at any scale, and the final ppm stays int64. Output:
     top-100 bigrams by count with the full count/continuation
     breakdown. Plan: ONE token scan -> doc-keyed LEAD window ->
     bigram count (map-side combined); context totals and both
@@ -1174,8 +1179,9 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1_fwd",
             "n1_rev",
             F.expr(
-                "(greatest(4 * c_ab - 3, 0) * nt + 3 * n1_fwd * n1_rev)"
-                " * 1000000 div (4 * c_a * nt)"
+                "(greatest(4 * c_ab - 3, 0) * cast(nt as decimal(38,0))"
+                " + 3 * cast(n1_fwd as decimal(38,0)) * n1_rev)"
+                " * 1000000 div (4 * cast(c_a as decimal(38,0)) * nt)"
             ).alias("pkn_ppm"),
         )
     )
@@ -1218,25 +1224,30 @@ ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
 rev AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1_rev FROM bi GROUP BY b),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
 scored AS (SELECT bi.a, bi.b,
-        CAST(ROUND(ln(CAST(GREATEST(4 * c_ab - 3, 0) * nt
-                           + 3 * n1_fwd * n1_rev AS DOUBLE)
-                      / CAST(4 * c_a * nt AS DOUBLE)) * 1000.0) AS BIGINT)
-          AS mn
+        CAST(ROUND(ln(CAST(GREATEST(4 * c_ab - 3, 0)::HUGEINT * nt
+                           + 3 * n1_fwd::HUGEINT * n1_rev AS DOUBLE)
+                      / CAST(4 * c_a::HUGEINT * nt AS DOUBLE)) * 1000.0)
+             AS BIGINT) AS mn
         FROM bi JOIN ctx ON bi.a = ctx.a JOIN rev ON bi.b = rev.b
         CROSS JOIN nt),
-doc AS (SELECT bg.doc_id, SUM(s.mn) AS sm, COUNT(*) AS m
+doc AS (SELECT bg.doc_id, CAST(SUM(s.mn) AS BIGINT) AS sm,
+               CAST(COUNT(*) AS BIGINT) AS m
         FROM bg JOIN scored s ON bg.a = s.a AND bg.b = s.b
         GROUP BY bg.doc_id),
 sc AS (SELECT doc_id, m AS n_bigrams,
-              -CAST(sm AS BIGINT) / (m * 1000.0) AS cross_entropy
+              CAST((-sm) * 1000 // m AS BIGINT) AS ce_micro,
+              -sm / (m * 1000.0) AS cross_entropy
        FROM doc),
-cut AS (SELECT quantile_cont(cross_entropy, 1.0 / 3.0) AS q1,
-               quantile_cont(cross_entropy, 2.0 / 3.0) AS q2 FROM sc)
-SELECT doc_id, n_bigrams, cross_entropy,
-  CASE WHEN cross_entropy <= (SELECT q1 FROM cut) THEN 'head'
-       WHEN cross_entropy <= (SELECT q2 FROM cut) THEN 'middle'
+rk AS (SELECT sc.*,
+              CAST(ROW_NUMBER() OVER (ORDER BY ce_micro, doc_id)
+                   AS BIGINT) AS rnk,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n
+       FROM sc)
+SELECT doc_id, n_bigrams, ce_micro, cross_entropy,
+  CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+       WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
-FROM sc
+FROM rk
 """
 
 
@@ -1246,13 +1257,21 @@ def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of add-one smoothing (Wenzek et al. 2020 score the CCNet
     buckets with a properly smoothed KenLM — this is that upgrade
     in-engine): per-doc cross-entropy from millinat-quantized KN
-    bigram NLLs (the exact-rational p from kneser_ney_bigram_lm;
-    quantized BEFORE aggregation so the per-doc mean is exact integer
-    arithmetic and absorbs Java-vs-libm ln ulp skew), tercile-
-    bucketed at exact percentile cutpoints broadcast back (never a
-    global ntile window). Plan: the kneser_ney_bigram_lm marginals +
-    ONE per-type score join + per-doc re-agg — same five uniform-key
-    shuffles as the certified add-one query."""
+    bigram NLLs (the exact-rational p from kneser_ney_bigram_lm, the
+    product lane widened to DECIMAL(38,0)/HUGEINT before the double
+    cast so int64 never wraps at scale; quantized BEFORE aggregation
+    so the per-doc mean is exact integer arithmetic and absorbs
+    Java-vs-libm ln ulp skew). Terciles are EXACT INTEGER RANK
+    thresholds, not interpolated percentiles: docs rank by
+    (ce_micro, doc_id) — ce_micro the floored integer micronat mean,
+    so the sort key and the cutpoints rnk <= ceil(n/3) / ceil(2n/3)
+    are bit-identical across engines (quantile_cont vs F.percentile
+    interpolation can differ by 1 ulp at tied values and flip a
+    boundary doc's bucket). The rank is the suffix-array two-level
+    rank (broadcast integer bucketing + per-bucket row_number) —
+    never a single-partition window. Plan: the kneser_ney_bigram_lm
+    marginals + ONE per-type score join + per-doc re-agg + the
+    constant-fan two-level rank."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     toks = F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
@@ -1281,10 +1300,15 @@ def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(
                     F.expr(
-                        "cast(greatest(4 * c_ab - 3, 0) * nt"
-                        " + 3 * n1_fwd * n1_rev as double)"
+                        "cast(greatest(4 * c_ab - 3, 0)"
+                        " * cast(nt as decimal(38,0))"
+                        " + 3 * cast(n1_fwd as decimal(38,0)) * n1_rev"
+                        " as double)"
                     )
-                    / F.expr("cast(4 * c_a * nt as double)")
+                    / F.expr(
+                        "cast(4 * cast(c_a as decimal(38,0)) * nt"
+                        " as double)"
+                    )
                 )
                 * F.lit(1000.0)
             )
@@ -1299,21 +1323,23 @@ def kn_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("m").alias("n_bigrams"),
+            F.expr("(-sm) * 1000 div m").alias("ce_micro"),
             (-F.col("sm") / (F.col("m") * F.lit(1000.0))).alias(
                 "cross_entropy"
             ),
         )
     )
-    cut = doc.agg(
-        F.percentile("cross_entropy", F.lit(1.0) / F.lit(3.0)).alias("q1"),
-        F.percentile("cross_entropy", F.lit(2.0) / F.lit(3.0)).alias("q2"),
-    )
-    return doc.crossJoin(F.broadcast(cut)).select(
+    from .operators.suffixarray import two_level_rank
+
+    ranked = two_level_rank(doc, F.col("ce_micro"), ["ce_micro", "doc_id"])
+    n = doc.agg(F.count("*").cast("long").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_bigrams",
+        "ce_micro",
         "cross_entropy",
-        F.when(F.col("cross_entropy") <= F.col("q1"), "head")
-        .when(F.col("cross_entropy") <= F.col("q2"), "middle")
+        F.when(F.col("rank") <= F.expr("(n + 2) div 3"), "head")
+        .when(F.col("rank") <= F.expr("(2 * n + 2) div 3"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

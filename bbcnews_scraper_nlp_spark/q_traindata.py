@@ -1949,6 +1949,58 @@ def suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUFFIX_REMOVE_SQL = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '') AS toks FROM documents),
+g AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 16], ' ')
+             AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 15, 0))) AS pos
+            FROM t)),
+dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram)
+        WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + u AS idx
+        FROM (SELECT g.doc_id, g.pos, unnest(range(0, 16)) AS u
+              FROM g SEMI JOIN dup ON g.gram = dup.gram)),
+tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS idx,
+               unnest(toks) AS word FROM t),
+keep AS (SELECT tok.doc_id, tok.idx, tok.word FROM tok
+         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
+clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+                 COUNT(*) AS nk FROM keep GROUP BY doc_id)
+SELECT t.doc_id, coalesce(c.ct, '') AS clean_text,
+       CAST(len(t.toks) - coalesce(c.nk, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+"""
+
+
+@register("suffix_span_removal", _SUFFIX_REMOVE_SQL)
+def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. 2022 §4.1 remove
+    step): delete every token inside the maximal >= 16-token
+    exactly-duplicated spans that suffix_array_spans finds, and
+    reassemble each document from the survivors in order — the
+    cleaned-corpus TRANSFORM the span report exists to feed (the
+    4-gram approximation sibling is dedup_span_removal). The Spark
+    side reuses the prefix-doubling suffix ranking (no 16x n-gram
+    byte amplification); the oracle is the direct 16-gram coverage +
+    the proven ordered-reassembly recipe — equal-window detection at
+    the threshold makes island coverage == per-start interval union,
+    so the two formulations are provably identical. Plan: the
+    doubling rounds + one rank-count shuffle + semi-join + doc-keyed
+    island window, then ONE covered-token explode (linear — islands
+    are disjoint, no distinct), an anti-join, and the
+    sort-in-array reassembly aggregate. Every doc returns a row
+    (n_removed = 0 rows pass through untouched)."""
+    from .operators.suffixarray import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return remove_duplicated_spans(
+        docs, "doc_id", "text", span_len=16, min_count=2
+    )
+
+
 _CONTAM_SPAN_SQL = """
 WITH t AS (SELECT doc_id, doc_id % 13 = 0 AS bench,
         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),

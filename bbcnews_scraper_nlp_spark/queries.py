@@ -61,77 +61,70 @@ from .q_graph import *  # noqa: F401,F403
 # to the tail (still registered, still pytest/local-checked via
 # tools/check_oracles.py).
 _WINDOW_ORDER = [
-    # r11 rotation (evidence-age driven, per the r10 verdict). First
+    # r12 rotation (evidence-age driven, per the r11 verdict). First
     # the queries added this round (no driver row yet):
-    "suffix_array_spans",
-    "aho_corasick_matches",
-    "exact_substr_contamination",
+    "item_item_recs_dimsum",
+    "suffix_span_removal",
+    # Then the three queries whose CODE changed this round (advice
+    # fixes: DECIMAL/HUGEINT overflow lanes, integer-rank terciles,
+    # oracle-mirrored degree cap) — their r11 evidence predates the
+    # change, so they re-certify:
     "kneser_ney_bigram_lm",
-    "butterfly_counts_bipartite",
-    "hilbert_event_cells",
-    "streaming_blocklist_gate",
     "kn_perplexity_buckets",
-    "shingle_containment_pairs",
-    # Then ALL 33 queries whose freshest driver evidence is round 6
-    # (derived from CORRECTNESS_r06 minus later rounds; regenerated
-    # as EVIDENCE.json) — this retires round-6 evidence entirely;
-    # minimum registry evidence age becomes r7.
-    "cms_user_event_counts",
-    "corpus_report_by_source",
-    "doc_term_stats",
-    "embedding_centroids",
-    "equidepth_bin_orders",
-    "grouping_sets_day_type",
-    "incremental_agg_maintenance",
-    "mad_outliers_per_type",
-    "mix_sources_weighted",
-    "pr_curve_quality_filter",
-    "profile_documents",
-    "quality_logreg_score",
-    "quantile_normalize_scores",
-    "range_frame_trailing_sum",
-    "repetition_quality",
-    "rolling_distinct_users_7d",
-    "seasonal_decompose_daily",
-    "select_token_budget",
-    "setop_intersect_except",
-    "skyline_pareto_parts",
-    "split_train_val_test",
-    "stratified_sample_sources",
-    "table_fingerprint_orders",
-    "top3_orders_per_segment",
-    "top_bigrams",
-    "tpch_q11_important_parts",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "unpivot_returnflag_metrics",
-    "weighted_sample_by_length",
-    "zorder_event_cells",
-    # Then the oldest round-7 rows, prioritizing the reference's
-    # flagship operators (clean chain, lemmatize, LDA + coherence,
-    # sentiment, streaming dedup, the end-to-end pipeline, TPC-H Q1)
-    # and one representative per r7 family (BPE, multimodal decode,
-    # IVF ANN, MinHash/SemDeDup, graph), filling the 50-slot window.
-    # The remaining r7-stale rows stay local-checked
-    # (tools/check_oracles.py) and rotate in next round.
-    "p4_p12_clean_text",
-    "p13_lemmatize",
-    "lda_topics",
-    "m3_coherence_cv",
-    "m3_coherence_umass",
-    "sentiment_full_lexicon",
-    "streaming_dedup",
-    "prepare_corpus_pipeline",
-    # (tpch_q1_pricing_summary: displaced by hilbert_event_cells;
-    #  five TPC-H rows sit in this window's r6 block and nine more
-    #  carry r9 evidence)
-    # (bpe_learned_merges, multimodal_image_decode,
-    #  similarity_ivf_topk, dedup_minhash_clusters,
-    #  semdedup_embeddings, pagerank_copurchase: displaced by this
-    #  round's continuation queries — their families keep r7-stale
-    #  local checks and rotate in next round)
+    "butterfly_counts_bipartite",
+    # Then ALL 41 queries whose freshest driver evidence is round 7
+    # (EVIDENCE.json r7 rows = CORRECTNESS_r07 keys minus later
+    # rounds) — this retires round-7 evidence entirely; minimum
+    # registry evidence age becomes r8.
+    "ann_topk_batch",
+    "approx_price_quantiles",
+    "bpe_encode_subwords",
+    "bpe_learned_merges",
+    "cube_status_priority",
+    "curriculum_order_bands",
+    "dedup_embedding_cosine",
+    "dedup_minhash_clusters",
+    "deterministic_shuffle_order",
+    "embedding_scalar_quant",
+    "fuzzy_name_pairs",
+    "gapfill_hourly_counts",
+    "histogram_totalprice",
+    "json_props_stats",
+    "json_single_parse_stats",
+    "multimodal_audio_decode",
+    "multimodal_g711_decode",
+    "multimodal_gif_decode",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_video_frame_decode",
+    "new_users_per_day",
+    "orders_with_bulk_items",
+    "pagerank_copurchase",
+    "price_quantiles",
+    "rank_orders_in_priority",
+    "semdedup_embeddings",
+    "shortest_paths_suppliers",
+    "similarity_ivf_fixed_topk",
+    "similarity_ivf_topk",
+    "similarity_ivfadc_topk",
+    "sketch_distinct_users_daily",
+    "streaming_image_decode",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_user_stats",
+    "textrank_keywords",
+    "tpch_q1_pricing_summary",
+    "value_histogram",
+    # Then the oldest round-8 rows (all 48 r8 rows are equally old;
+    # these four flagships fill the 50-slot window — the rest stay
+    # local-checked via tools/check_oracles.py and rotate next
+    # round).
+    "tpch_q3_top_revenue",
+    "tpch_q6_revenue_scan",
+    "dedup_exact_content",
+    "lang_id",
 ]
 
 

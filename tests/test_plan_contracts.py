@@ -672,3 +672,44 @@ def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert re.search(r"co#\d+L?\) >= 2|\(co.* >= 2\)", plan), plan[:500]
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------
+# round 12 contracts
+# ---------------------------------------------------------------
+
+
+def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir):
+    """DIMSUM's whole point is that the md5 Bernoulli draw runs
+    INSIDE the pair-generation join stage, so the (i, j) count
+    exchange carries only sampled pairs. Contract: the md5 draw
+    filter sits BELOW the partial count aggregate (which sits below
+    its Exchange), everything is JVM (no Python nodes), and there is
+    no cartesian product."""
+    plan = _plan(spark, sf_dir, "item_item_recs_dimsum")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # Catalyst folds the draw into the pair-gen join itself (a Join
+    # condition) or a Filter directly on its output — either way it
+    # runs inside that stage. It must NEVER appear in a Project/agg
+    # ABOVE the count exchange (which would mean the shuffle carried
+    # unsampled pairs).
+    draw_lines = [
+        ln for ln in plan.splitlines() if "dimsum-v1" in ln
+    ]
+    assert draw_lines, "the md5 draw was optimized away?"
+    assert all(
+        ln.lstrip().startswith(("Join condition:", "Condition"))
+        for ln in draw_lines
+    ), draw_lines[:1]
+
+
+def test_suffix_span_removal_no_python_no_cartesian(spark, sf_dir):
+    """The removal transform inherits the suffix-ranking contract
+    (keyed joins/aggs only) and adds one linear coverage explode +
+    anti-join + sort-in-array reassembly — still zero Python nodes,
+    zero cartesian products."""
+    plan = _plan(spark, sf_dir, "suffix_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
-from bbcnews_scraper_nlp_spark.operators.recommend import item_item_topk
+from bbcnews_scraper_nlp_spark.operators.recommend import (
+    item_item_dimsum,
+    item_item_topk,
+)
 
 
 def _ia(spark, pairs):
@@ -118,3 +121,112 @@ def test_min_co_prune_drops_singletons(spark):
     recs = {(r["item"], r["rec"]) for r in out}
     assert ("a", "d") not in recs and ("d", "a") not in recs
     assert "d" not in items
+
+
+# ---------------------------------------------------------------
+# DIMSUM magnitude-proportional sampling (item_item_dimsum)
+# ---------------------------------------------------------------
+
+_PAIRS = sorted({(f"u{i % 7}", f"i{(i * 3) % 11}") for i in range(40)})
+
+
+def _dimsum_py(pairs, k=3, gamma=32):
+    """Literal-Python twin of item_item_dimsum: same md5 draws, same
+    integer comparisons, same two-lane estimator."""
+    import hashlib
+    import itertools
+
+    by_user: dict[str, set[str]] = {}
+    for u, i in pairs:
+        by_user.setdefault(u, set()).add(i)
+    deg: dict[str, int] = {}
+    for items in by_user.values():
+        for i in items:
+            deg[i] = deg.get(i, 0) + 1
+    g2 = gamma * gamma
+    co: dict[tuple[str, str], int] = {}
+    for u, items in by_user.items():
+        for i, j in itertools.permutations(sorted(items), 2):
+            ni, nj = deg[i], deg[j]
+            lo, hi = min(i, j), max(i, j)
+            h = int(
+                hashlib.md5(
+                    f"dimsum-v1:{u}:{lo}:{hi}".encode()
+                ).hexdigest()[:5],
+                16,
+            )
+            if ni * nj <= g2 or h * h * ni * nj < g2 * (1 << 40):
+                co[(i, j)] = co.get((i, j), 0) + 1
+    out: dict[str, list] = {}
+    for i in deg:
+        scored = []
+        for (a, b), c in co.items():
+            if a != i:
+                continue
+            ni, nj = deg[a], deg[b]
+            if ni * nj <= g2:
+                s, samp = c * c * 1_000_000 // (ni * nj), 0
+            else:
+                s, samp = c * c * 1_000_000 // g2, 1
+            scored.append((-s, b, samp))
+        scored.sort()
+        if scored:
+            out[i] = [(b, -s, samp) for s, b, samp in scored[:k]]
+    return out
+
+
+def test_dimsum_exact_lane_equals_exact_variant(spark):
+    # every item degree here is <= 7 -> ni*nj <= 49 <= gamma² = 1024:
+    # p = 1 on every pair, the draw never fires, and DIMSUM must be
+    # row-identical (ranks, recs, sim_ppm) to the exact CF — the
+    # "well-supported pairs are never degraded" guarantee
+    exact = sorted(
+        (r["item"], r["rank"], r["rec"], r["sim_ppm"])
+        for r in item_item_topk(_ia(spark, _PAIRS), k=3).collect()
+    )
+    ds = item_item_dimsum(_ia(spark, _PAIRS), k=3, gamma=32).collect()
+    assert all(r["sampled"] == 0 for r in ds)
+    got = sorted(
+        (r["item"], r["rank"], r["rec"], r["sim_ppm"]) for r in ds
+    )
+    assert got == exact
+
+
+def test_dimsum_matches_literal_python_both_lanes(spark):
+    # gamma=2 (γ²=4) forces the sampled lane on most pairs; gamma=32
+    # keeps everything exact — both must equal the literal-Python
+    # twin bit-for-bit (the determinism the hash certificate needs)
+    for gamma in (2, 32):
+        expected = _dimsum_py(_PAIRS, k=3, gamma=gamma)
+        got: dict[str, list] = {}
+        rows = (
+            item_item_dimsum(_ia(spark, _PAIRS), k=3, gamma=gamma)
+            .orderBy("item", "rank")
+            .collect()
+        )
+        for r in rows:
+            got.setdefault(r["item"], []).append(
+                (r["rec"], r["sim_ppm"], r["sampled"])
+            )
+        assert got == expected, f"gamma={gamma}"
+    # and the gamma=2 run really exercised the sampled lane
+    assert any(
+        s for v in _dimsum_py(_PAIRS, k=3, gamma=2).values()
+        for (_, _, s) in v
+    )
+
+
+def test_dimsum_sampling_actually_drops_events(spark):
+    # one hot pair: 64 users all buy both x and y -> deg = 64 each,
+    # ni*nj = 4096 > γ² = 1024, p = 32/64 = 1/2 — the kept event
+    # count must be strictly below 64 (the shuffle really shrank)
+    # and the estimator co_s²·10⁶/γ² within a loose factor of the
+    # true cosine² = 10⁶ (deterministic draws -> stable assertion)
+    pairs = [(f"u{n}", it) for n in range(64) for it in ("x", "y")]
+    rows = item_item_dimsum(_ia(spark, pairs), k=1, gamma=32).collect()
+    by_item = {r["item"]: r for r in rows}
+    assert by_item["x"]["sampled"] == 1
+    sim = by_item["x"]["sim_ppm"]
+    co_s = round((sim * 1024 / 1_000_000) ** 0.5)
+    assert 0 < co_s < 64
+    assert 250_000 <= sim <= 4_000_000  # within 4x of true 10⁶

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from bbcnews_scraper_nlp_spark.catalog import load_table
 from bbcnews_scraper_nlp_spark.operators.suffixarray import (
     duplicated_spans,
+    remove_duplicated_spans,
     suffix_window_ranks,
 )
 
@@ -85,6 +86,54 @@ def test_spans_match_python_twin_on_planted(spark, tiny):
     ids = {r[0] for r in got}
     assert {0, 1, 2} <= ids  # planted dups found
     assert 3 not in ids and 4 not in ids and 6 not in ids  # near-misses not
+
+
+def _python_removed(texts, span_len=16, min_count=2):
+    """Literal-Python twin of remove_duplicated_spans: delete every
+    token covered by a duplicated-span island, reassemble in order."""
+    cover: dict[int, set[int]] = {}
+    for i, lo, hi, _, _ in _python_spans(texts, span_len, min_count):
+        cover.setdefault(i, set()).update(range(lo, hi))
+    out = {}
+    for i, s in texts:
+        ts = [t for t in (s or "").split() if t]
+        cov = cover.get(i, set())
+        keep = [w for p, w in enumerate(ts) if p not in cov]
+        out[i] = (" ".join(keep), len(ts) - len(keep))
+    return out
+
+
+def test_span_removal_matches_python_twin_on_planted(spark, tiny):
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(tiny, "doc_id", "text").collect()
+    }
+    texts = [(r["doc_id"], r["text"]) for r in tiny.collect()]
+    assert got == _python_removed(texts)
+    # docs 0/1/2 lose their planted duplicated runs but keep the
+    # unshared remainder; untouched docs pass through whole
+    assert got[0] == ("tail0 tail1", 20)
+    assert got[1] == ("lead", 20)
+    assert got[3][1] == 0 and got[4] == ("a b c", 0)
+    assert got[5] == ("", 0)
+
+
+def test_span_removal_matches_python_twin_on_testdata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicated_spans(docs, "doc_id", "text").collect()
+    }
+    texts = [
+        (r["doc_id"], r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    assert got == _python_removed(texts)
+    # the fixture exercises both branches: some docs lose spans,
+    # most pass through untouched, and every doc emits a row
+    assert any(n > 0 for _, n in got.values())
+    assert any(n == 0 for _, n in got.values())
+    assert len(got) == docs.count()
 
 
 def test_rank_is_bijective_with_window_content(spark, tiny):

@@ -39,11 +39,14 @@ def main() -> None:
                 df = q.fn(spark, sf_dir)
                 n = df.count()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED ({errors[name][:160]})", file=sys.stderr)
+        # a finite best means at least one repetition succeeded —
+        # keep that timing even if a later repetition raised
+        if best != float("inf"):
+            timings[name] = round(best, 3)
         spark.catalog.clearCache()
     out = {
         "metric": "subset_queries_total",

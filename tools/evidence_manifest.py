@@ -26,7 +26,11 @@ def _is_green(res: object) -> bool:
         for key in ("match", "ok", "pass"):
             if key in res:
                 return bool(res[key])
-        return all(v for v in res.values() if isinstance(v, bool))
+        # No recognized key: only trust an all-true set of boolean
+        # fields; an error-shaped row with no booleans is NOT green
+        # (all() over an empty generator would be True).
+        vals = [v for v in res.values() if isinstance(v, bool)]
+        return bool(vals) and all(vals)
     return bool(res)
 
 

@@ -159,3 +159,47 @@ def match_counts(
             )
 
     return base.mapInPandas(batches, schema).withColumnRenamed("__id", id_col)
+
+
+def badword_flag(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: list[str],
+    flag_col: str = "has_badword",
+) -> DataFrame:
+    """The C4 bad-word page flag (Raffel et al. 2020 §2.2) on the AC
+    kernel — the production gate and the certified matcher sharing
+    one automaton. Exact TOKEN-membership semantics (the published
+    rule, == ``arrays_overlap(split(text, ' '), words)``) realized as
+    substring matching: each word becomes the pattern " word " and
+    the text is padded with one space on each side, so a hit occurs
+    iff the word appears as a whole single-space-delimited token.
+    One O(chars + matches) walk at ANY list size — the small-list
+    ``arrays_overlap`` projection is O(tokens x words), which is the
+    scan this operator exists to beat past ~10³ words.
+
+    Returns ``df`` with ``flag_col`` (int 0/1) appended."""
+    assert words and all(w and " " not in w for w in words), (
+        "bad words must be non-empty and space-free (token semantics)"
+    )
+    auto = automaton_frame(
+        df.sparkSession, [f" {w} " for w in sorted(set(words))]
+    )
+    padded = df.select(
+        F.col(id_col),
+        F.concat(
+            F.lit(" "), F.coalesce(F.col(text_col), F.lit("")), F.lit(" ")
+        ).alias("__pt"),
+    )
+    hits = (
+        match_counts(padded, id_col, "__pt", auto)
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(flag_col, F.coalesce("__hit", F.lit(0)).cast("int"))
+        .drop("__hit")
+    )

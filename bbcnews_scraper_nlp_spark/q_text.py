@@ -1097,6 +1097,58 @@ def aho_corasick_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_counts(docs, "doc_id", "text", auto)
 
 
+_C4_AC_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM t),
+vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok
+                         WHERE len(w) >= 6 GROUP BY w
+                         ORDER BY c DESC, w LIMIT 200)),
+hit AS (SELECT DISTINCT doc_id FROM tok SEMI JOIN vocab ON tok.w = vocab.w)
+SELECT t.doc_id,
+       CAST(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS has_badword
+FROM t LEFT JOIN hit ON t.doc_id = hit.doc_id
+"""
+
+
+@register("c4_badwords_ac", _C4_AC_SQL)
+def c4_badwords_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 bad-word page flag (Raffel et al. 2020 §2.2 — the rule
+    c4_quality_flags carries with a 2-word list) at REAL blocklist
+    scale, computed on the Aho-Corasick kernel: the blocklist is the
+    200 most frequent >= 6-char corpus tokens (derived relationally —
+    deterministic (count desc, token) cut, so both engines build the
+    identical list with no literal vocabulary in the SQL), each word
+    becomes the pattern " word " and the padded-text walk makes an
+    AC hit EXACTLY token membership under C4's single-space
+    tokenization. The oracle is the word-membership semi-join — the
+    hash match certifies the automaton gate computes the published
+    word rule verbatim, which is what lets the streaming blocklist
+    gate and the batch C4 filter share one kernel in production.
+    Plan: one token-count shuffle + a 200-row TakeOrdered collect for
+    the list; the flag itself is ONE Arrow-batched mapInPandas walk,
+    O(chars + matches) per doc at ANY list size (the arrays_overlap
+    projection it replaces is O(tokens x words) — the scan that dies
+    at 10k+ words)."""
+    from .operators.ahocorasick import badword_flag
+    from .operators.relational import top_n
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    t = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    tok = t.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 6)
+    vocab = top_n(
+        tok.groupBy("w").agg(F.count("*").alias("c")),
+        [F.desc("c"), F.asc("w")],
+        200,
+    )
+    words = [r["w"] for r in vocab.collect()]
+    return badword_flag(t, "doc_id", "text", words).select(
+        "doc_id", "has_badword"
+    )
+
+
 # --------------------------------------------------------------------
 # round 11: interpolated Kneser-Ney bigram LM — the smoothing the
 # perplexity filter's add-one LM graduates to

@@ -81,33 +81,26 @@ def test_kn_query_matches_fraction_twin(spark, sf_dir):
 
 
 def test_kn_perplexity_buckets_internally_consistent(spark, sf_dir):
-    """Bucket labels must be the exact tercile classification of the
-    query's own cross_entropy column, terciles near-balanced, and
-    every scored doc present (docs with >= 2 tokens)."""
+    """Bucket labels must be the exact rank-tercile classification of
+    the query's own integer ce_micro column ((ce_micro, doc_id) rank
+    vs ceil(n/3)/ceil(2n/3) thresholds — the engine-invariant cut
+    that replaced interpolated percentiles), ce_micro must be the
+    floored micronat form of cross_entropy, terciles near-balanced,
+    and every scored doc present (docs with >= 2 tokens)."""
     from bbcnews_scraper_nlp_spark.q_text import kn_perplexity_buckets
 
     rows = kn_perplexity_buckets(spark, sf_dir).collect()
-    ce = sorted(r["cross_entropy"] for r in rows)
-    n = len(ce)
+    n = len(rows)
     assert n > 400
-
-    def q(p):
-        # quantile_cont interpolation
-        x = p * (n - 1)
-        lo, hi = int(x), min(int(x) + 1, n - 1)
-        return ce[lo] + (x - lo) * (ce[hi] - ce[lo])
-
-    q1, q2 = q(1 / 3), q(2 / 3)
-    for r in rows:
-        want = (
-            "head"
-            if r["cross_entropy"] <= q1
-            else "middle"
-            if r["cross_entropy"] <= q2
-            else "tail"
-        )
-        assert r["ppl_bucket"] == want
+    order = sorted(rows, key=lambda r: (r["ce_micro"], r["doc_id"]))
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    for rk, r in enumerate(order, start=1):
+        want = "head" if rk <= k1 else "middle" if rk <= k2 else "tail"
+        assert r["ppl_bucket"] == want, (rk, r)
+        # ce_micro is exactly the floored micronat mean: ce_micro <=
+        # cross_entropy * 1e6 < ce_micro + 1 (up to fp display error)
+        assert abs(r["ce_micro"] - r["cross_entropy"] * 1e6) < 1.0 + 1e-6
     from collections import Counter
 
     c = Counter(r["ppl_bucket"] for r in rows)
-    assert max(c.values()) - min(c.values()) <= n // 2
+    assert max(c.values()) - min(c.values()) <= 2  # exact terciles

@@ -105,90 +105,84 @@ def item_item_dimsum(
     user_col: str = "user",
     item_col: str = "item",
     k: int = 3,
-    gamma: int = 32,
+    gamma: int = 6,
 ) -> DataFrame:
     """Top-``k`` similar items with DIMSUM magnitude-proportional
-    pair SAMPLING (Zadeh & Carlsson 2013, "Dimension Independent
-    Matrix Square using MapReduce") — the sampling that shrinks the
-    pair SHUFFLE itself, where ``min_co`` only shrinks what survives
-    the count. Each co-occurrence event (u, i, j) is kept with
-    probability p_ij = min(1, γ/√(n_i·n_j)) — well-supported
-    low-degree pairs pass exactly (p = 1 whenever n_i·n_j <= γ²),
-    high-degree pairs are sampled down in proportion to the cosine
-    DENOMINATOR they carry, so the expected kept-pair mass per item
-    is O(γ²) independent of degree (the paper's shuffle bound). The
-    cosine² estimator then needs NO square root: in the sampled lane
-    E[co_s] = co·γ/√(n_i n_j), so (co_s/p)²/(n_i·n_j) = co_s²/γ² —
-    integer-exact in ppm, like the exact lane's co²·10⁶/(n_i·n_j).
+    ENTRY sampling (Zadeh & Carlsson 2013; the published form Spark's
+    ``RowMatrix.columnSimilarities(threshold)`` implements) — the
+    sampling that shrinks the pair stage ITSELF, where ``min_co``
+    only shrinks what survives the count. Each interaction (u, i) is
+    kept independently with probability p_i = min(1, γ/√n_i), so the
+    draw cost is LINEAR in |interactions| (one md5 per entry — never
+    one per candidate pair, which is Σdeg² md5 evaluations and was
+    measured 18 s at sf0.1 vs ~5 s for this form), the self-join
+    input shrinks before any pair exists, and the expected kept-pair
+    mass per item is O(γ²) independent of degree (the paper's
+    shuffle bound). A pair survives iff BOTH endpoints drew heads:
+    P = p_i·p_j, and the cosine² estimator needs NO square root —
+    (co_s/(p_i·p_j))²/(n_i·n_j) = co_s²/(min(n_i,γ²)·min(n_j,γ²)),
+    one integer-ppm formula covering both lanes (exact whenever both
+    degrees are <= γ²: every entry kept, co_s = co).
 
     Determinism (the hash-certificate property): the Bernoulli draw
-    is a 20-bit integer from md5("dimsum-v1:u:min(i,j):max(i,j)") —
-    symmetric in (i, j), recomputable bit-for-bit in any engine —
-    kept iff H²·n_i·n_j < γ²·2⁴⁰ (P = γ/√(n_i·n_j) exactly, as an
-    INTEGER comparison; the product routes through DECIMAL(38,0) /
-    HUGEINT so int64 never wraps at any degree).
+    is a 20-bit integer from md5("dimsum-v1:u:i") — recomputable
+    bit-for-bit in any engine — kept iff H²·n_i < γ²·2⁴⁰ (P = γ/√n_i
+    exactly, as an INTEGER comparison; the product routes through
+    DECIMAL(38,0)/HUGEINT so int64 never wraps at any degree).
 
     Plan shape at 100 TB: degrees join onto interactions item-keyed,
-    ONE user-keyed self-join generates candidates, the draw filter
-    runs INSIDE that join stage (map-side, before any exchange), and
-    only sampled pairs enter the (i, j) count shuffle — the stage
-    that exceeded task memory at fixed partitions in the exact
-    variant's 10x rehearsal. Degrees ride the kept rows (MAX per
-    group), so no post-count degree join.
+    the per-entry draw filters THAT table map-side, ONE user-keyed
+    self-join over the kept entries, one (i, j) count shuffle —
+    the stage that exceeded task memory at fixed partitions in the
+    exact variant's 10x rehearsal now sees p²-shrunken pair volume.
+    Degrees ride the kept rows (MAX per group), so no post-count
+    degree join.
 
     Returns (item, rec, sim_ppm, sampled, rank): ``sampled`` = 1
-    when the pair's lane was the estimator (n_i·n_j > γ²); sim_ppm
-    in that lane is an unbiased-in-co² integer estimate and may
-    exceed 10⁶.
+    when either endpoint was in the estimator lane (n > γ²); sim_ppm
+    there is an unbiased-in-co² integer estimate and may exceed 10⁶.
     """
     g2 = gamma * gamma
     ia = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     )
     deg = ia.groupBy("i").agg(F.count("*").alias("n"))
-    ia2 = ia.join(deg, "i").select("u", "i", F.col("n").alias("ni"))
-    cand = (
-        ia2.join(
-            ia2.select(
-                "u", F.col("i").alias("j"), F.col("ni").alias("nj")
+    ia2 = ia.join(deg, "i").select("u", "i", "n")
+    kept = ia2.filter(
+        F.expr(
+            f"n <= {g2}"
+            " or (cast(conv(substring(md5(concat('dimsum-v1:',"
+            " cast(u as string), ':', cast(i as string))), 1, 5),"
+            " 16, 10) as decimal(38,0))"
+            " * conv(substring(md5(concat('dimsum-v1:',"
+            " cast(u as string), ':', cast(i as string))), 1, 5),"
+            " 16, 10) * n)"
+            f" < cast({g2} as decimal(38,0)) * {1 << 40}"
+        )
+    )
+    co = (
+        kept.join(
+            kept.select(
+                "u", F.col("i").alias("j"), F.col("n").alias("nj")
             ),
             "u",
         )
         .filter(F.col("i") != F.col("j"))
-        .withColumn(
-            "__h",
-            F.expr(
-                "cast(conv(substring(md5(concat('dimsum-v1:',"
-                " cast(u as string), ':',"
-                " cast(least(i, j) as string), ':',"
-                " cast(greatest(i, j) as string))), 1, 5), 16, 10)"
-                " as bigint)"
-            ),
+        .groupBy("i", "j")
+        .agg(
+            F.max("n").alias("ni"),
+            F.max("nj").alias("nj"),
+            F.count("*").alias("co_s"),
         )
-    )
-    kept = cand.filter(
-        F.expr(
-            f"cast(ni as decimal(38,0)) * nj <= {g2}"
-            f" or cast(__h as decimal(38,0)) * __h * ni * nj"
-            f" < cast({g2} as decimal(38,0)) * {1 << 40}"
-        )
-    )
-    co = kept.groupBy("i", "j").agg(
-        F.max("ni").alias("ni"),
-        F.max("nj").alias("nj"),
-        F.count("*").alias("co_s"),
     )
     sim = co.select(
         "i",
         "j",
         F.expr(
-            f"case when cast(ni as decimal(38,0)) * nj <= {g2}"
-            f" then cast(co_s as decimal(38,0)) * co_s * {PPM}"
-            f"      div (ni * nj)"
-            f" else cast(co_s as decimal(38,0)) * co_s * {PPM}"
-            f"      div {g2} end"
+            f"cast(co_s as decimal(38,0)) * co_s * {PPM}"
+            f" div (least(ni, {g2}) * least(nj, {g2}))"
         ).alias("sim_ppm"),
-        F.expr(f"cast(ni as decimal(38,0)) * nj > {g2}")
+        ((F.col("ni") > g2) | (F.col("nj") > g2))
         .cast("long")
         .alias("sampled"),
     )

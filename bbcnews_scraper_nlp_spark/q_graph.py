@@ -1218,25 +1218,21 @@ WITH ia0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
 du AS (SELECT u FROM ia0 GROUP BY u HAVING COUNT(*) <= 10000),
 ia AS (SELECT ia0.u, ia0.i FROM ia0 JOIN du USING (u)),
 deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ia GROUP BY i),
-ia2 AS (SELECT ia.u, ia.i, deg.n FROM ia JOIN deg ON ia.i = deg.i),
-cand AS (SELECT a.u AS u, a.i AS i, b.i AS j, a.n AS ni, b.n AS nj,
-            ('0x' || substr(md5('dimsum-v1:' || CAST(a.u AS VARCHAR)
-              || ':' || CAST(LEAST(a.i, b.i) AS VARCHAR)
-              || ':' || CAST(GREATEST(a.i, b.i) AS VARCHAR)), 1, 5))::BIGINT
-            AS h
-         FROM ia2 a JOIN ia2 b ON a.u = b.u AND a.i <> b.i),
-kept AS (SELECT i, j, ni, nj FROM cand
-         WHERE ni::HUGEINT * nj <= 1024
-            OR h::HUGEINT * h * ni * nj < 1024::HUGEINT * 1099511627776),
-co AS (SELECT i, j, MAX(ni) AS ni, MAX(nj) AS nj,
+ia2 AS (SELECT ia.u, ia.i, deg.n,
+            ('0x' || substr(md5('dimsum-v1:' || CAST(ia.u AS VARCHAR)
+              || ':' || CAST(ia.i AS VARCHAR)), 1, 5))::BIGINT AS h
+        FROM ia JOIN deg ON ia.i = deg.i),
+kept AS (SELECT u, i, n FROM ia2
+         WHERE n <= 36
+            OR h::HUGEINT * h * n < 36::HUGEINT * 1099511627776),
+co AS (SELECT a.i AS i, b.i AS j, MAX(a.n) AS ni, MAX(b.n) AS nj,
               CAST(COUNT(*) AS BIGINT) AS co_s
-       FROM kept GROUP BY i, j),
+       FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+       GROUP BY 1, 2),
 sim AS (SELECT i, j,
-        CASE WHEN ni::HUGEINT * nj <= 1024
-             THEN CAST(co_s::HUGEINT * co_s * 1000000 // (ni * nj) AS BIGINT)
-             ELSE CAST(co_s::HUGEINT * co_s * 1000000 // 1024 AS BIGINT)
-        END AS sim_ppm,
-        CAST(ni::HUGEINT * nj > 1024 AS BIGINT) AS sampled
+        CAST(co_s::HUGEINT * co_s * 1000000
+             // (LEAST(ni, 36) * LEAST(nj, 36)) AS BIGINT) AS sim_ppm,
+        CAST(ni > 36 OR nj > 36 AS BIGINT) AS sampled
         FROM co),
 rk AS (SELECT i, j, sim_ppm, sampled, CAST(row_number() OVER
        (PARTITION BY i ORDER BY sim_ppm DESC, j) AS INT) AS rank FROM sim)
@@ -1246,26 +1242,28 @@ SELECT i AS item, j AS rec, sim_ppm, sampled, rank FROM rk WHERE rank <= 3
 
 @register("item_item_recs_dimsum", _ITEM_DIMSUM_SQL)
 def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """item_item_recs_topk under DIMSUM magnitude-proportional pair
-    SAMPLING (Zadeh & Carlsson 2013) — the map-side reduction that
-    shrinks the pair SHUFFLE itself, the one stage the sf1 rehearsal
-    showed exceeding fixed-partition task memory in the exact
-    variant (min_co prunes only AFTER the count). Each co-occurrence
-    event survives with p = min(1, γ/√(n_i·n_j)) via a deterministic
-    20-bit md5 draw compared as an exact integer (H²·n_i·n_j <
-    γ²·2⁴⁰, DECIMAL/HUGEINT lane), so the sampled-pair mass per item
-    is O(γ²) regardless of degree and the whole query stays
-    hash-certifiable. γ=32: pairs with n_i·n_j <= 1024 (the
-    well-supported bulk at test SF) take the EXACT cosine² lane;
-    hotter pairs take the estimator lane co_s²·10⁶/γ² (no √ needed —
-    the p² cancels n_i·n_j exactly). The user-degree cap is mirrored
-    in the oracle (du CTE = cap_hot_keys semantics). Plan: deg join
-    item-keyed, ONE user-keyed self-join with the draw filter INSIDE
-    the join stage (before any exchange), one (i,j) count shuffle
-    carrying only sampled pairs, degrees riding as MAX — no
-    post-count join — then the per-item rank window. At 100 TB this
-    is the variant that runs: the exact pair count is Σdeg² while
-    this shuffle is O(items·γ²)."""
+    """item_item_recs_topk under DIMSUM magnitude-proportional ENTRY
+    sampling (Zadeh & Carlsson 2013; the form Spark's
+    RowMatrix.columnSimilarities implements) — the map-side reduction
+    that shrinks the pair stage ITSELF, the one stage the sf1
+    rehearsal showed exceeding fixed-partition task memory in the
+    exact variant (min_co prunes only AFTER the count). Each
+    interaction (u, i) survives independently with p = min(1, γ/√n_i)
+    via a deterministic 20-bit md5 draw compared as an exact integer
+    (H²·n_i < γ²·2⁴⁰, DECIMAL/HUGEINT lane) — ONE md5 per ENTRY,
+    never one per candidate pair (the pair-draw formulation measured
+    18 s at sf0.1: Σdeg² md5 evaluations, duplicated inside the join
+    condition). A pair survives iff both endpoints drew heads, and
+    the single estimator co_s²·10⁶ div (min(n_i,γ²)·min(n_j,γ²))
+    covers both lanes sqrt-free — exact cosine² whenever both
+    degrees <= γ² (γ=6: both lanes populated at every driver SF).
+    The user-degree cap is mirrored in the oracle (du CTE =
+    cap_hot_keys semantics). Plan: deg join item-keyed, the draw
+    filters the ENTRY table map-side, ONE user-keyed self-join over
+    kept entries (p²-shrunken pair volume), one (i,j) count shuffle,
+    degrees riding as MAX — no post-count join — then the per-item
+    rank window. At 100 TB this is the variant that runs: the exact
+    pair count is Σdeg² while this one is Σ(p·deg)² = O(items·γ²)."""
     from .operators.recommend import item_item_dimsum
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1276,7 +1274,7 @@ def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ia = cap_hot_keys(ia, "u", 10_000)
-    return item_item_dimsum(ia, "u", "i", k=3, gamma=32)
+    return item_item_dimsum(ia, "u", "i", k=3, gamma=6)
 
 
 def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:

@@ -29,12 +29,12 @@ from bbcnews_scraper_nlp_spark.session import get_spark  # noqa: E402
 # (shared with tools/bench_merge.py, which must not require pyspark).
 from bench_groups import (  # noqa: E402
     LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8, NEW_R9,
-    NEW_R10, NEW_R11,
+    NEW_R10, NEW_R11, NEW_R12,
 )
 
 BENCH_QUERIES = (
     LEGACY_34 + NEW_R5 + NEW_R6 + NEW_R7 + NEW_R7_REST + NEW_R8
-    + NEW_R9 + NEW_R10 + NEW_R11
+    + NEW_R9 + NEW_R10 + NEW_R11 + NEW_R12
 )
 
 
@@ -218,6 +218,7 @@ def main() -> None:
         "r9_value": round(sum(timings.get(n, 0.0) for n in NEW_R9), 3),
         "r10_value": round(sum(timings.get(n, 0.0) for n in NEW_R10), 3),
         "r11_value": round(sum(timings.get(n, 0.0) for n in NEW_R11), 3),
+        "r12_value": round(sum(timings.get(n, 0.0) for n in NEW_R12), 3),
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full": "BENCH_FULL.json",

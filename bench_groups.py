@@ -298,3 +298,10 @@ NEW_R11 = [
     "shingle_containment_pairs",
     "hilbert_event_cells",
 ]
+
+# Round-12 widening: queries added this round.
+NEW_R12 = [
+    "item_item_recs_dimsum",
+    "suffix_span_removal",
+    "c4_badwords_ac",
+]

@@ -680,20 +680,16 @@ def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
 
 
 def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir):
-    """DIMSUM's whole point is that the md5 Bernoulli draw runs
-    INSIDE the pair-generation join stage, so the (i, j) count
-    exchange carries only sampled pairs. Contract: the md5 draw
-    filter sits BELOW the partial count aggregate (which sits below
-    its Exchange), everything is JVM (no Python nodes), and there is
-    no cartesian product."""
+    """DIMSUM's whole point is that the per-ENTRY md5 Bernoulli draw
+    filters the interaction table BEFORE the pair self-join, so both
+    the join and the (i, j) count exchange see only sampled entries.
+    Contract: the draw survives as a Filter condition (or folds into
+    the deg-join condition) — never a Project/agg above the pair
+    stage — everything is JVM (no Python nodes), and there is no
+    cartesian product."""
     plan = _plan(spark, sf_dir, "item_item_recs_dimsum")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # Catalyst folds the draw into the pair-gen join itself (a Join
-    # condition) or a Filter directly on its output — either way it
-    # runs inside that stage. It must NEVER appear in a Project/agg
-    # ABOVE the count exchange (which would mean the shuffle carried
-    # unsampled pairs).
     draw_lines = [
         ln for ln in plan.splitlines() if "dimsum-v1" in ln
     ]

@@ -130,9 +130,10 @@ def test_min_co_prune_drops_singletons(spark):
 _PAIRS = sorted({(f"u{i % 7}", f"i{(i * 3) % 11}") for i in range(40)})
 
 
-def _dimsum_py(pairs, k=3, gamma=32):
-    """Literal-Python twin of item_item_dimsum: same md5 draws, same
-    integer comparisons, same two-lane estimator."""
+def _dimsum_py(pairs, k=3, gamma=6):
+    """Literal-Python twin of item_item_dimsum: same per-ENTRY md5
+    draws, same integer comparisons, same single-formula two-lane
+    estimator."""
     import hashlib
     import itertools
 
@@ -144,19 +145,22 @@ def _dimsum_py(pairs, k=3, gamma=32):
         for i in items:
             deg[i] = deg.get(i, 0) + 1
     g2 = gamma * gamma
+
+    def drew(u, i):
+        n = deg[i]
+        if n <= g2:
+            return True
+        h = int(
+            hashlib.md5(f"dimsum-v1:{u}:{i}".encode()).hexdigest()[:5],
+            16,
+        )
+        return h * h * n < g2 * (1 << 40)
+
     co: dict[tuple[str, str], int] = {}
     for u, items in by_user.items():
-        for i, j in itertools.permutations(sorted(items), 2):
-            ni, nj = deg[i], deg[j]
-            lo, hi = min(i, j), max(i, j)
-            h = int(
-                hashlib.md5(
-                    f"dimsum-v1:{u}:{lo}:{hi}".encode()
-                ).hexdigest()[:5],
-                16,
-            )
-            if ni * nj <= g2 or h * h * ni * nj < g2 * (1 << 40):
-                co[(i, j)] = co.get((i, j), 0) + 1
+        kept = sorted(i for i in items if drew(u, i))
+        for i, j in itertools.permutations(kept, 2):
+            co[(i, j)] = co.get((i, j), 0) + 1
     out: dict[str, list] = {}
     for i in deg:
         scored = []
@@ -164,10 +168,8 @@ def _dimsum_py(pairs, k=3, gamma=32):
             if a != i:
                 continue
             ni, nj = deg[a], deg[b]
-            if ni * nj <= g2:
-                s, samp = c * c * 1_000_000 // (ni * nj), 0
-            else:
-                s, samp = c * c * 1_000_000 // g2, 1
+            s = c * c * 1_000_000 // (min(ni, g2) * min(nj, g2))
+            samp = 1 if (ni > g2 or nj > g2) else 0
             scored.append((-s, b, samp))
         scored.sort()
         if scored:
@@ -176,10 +178,10 @@ def _dimsum_py(pairs, k=3, gamma=32):
 
 
 def test_dimsum_exact_lane_equals_exact_variant(spark):
-    # every item degree here is <= 7 -> ni*nj <= 49 <= gamma² = 1024:
-    # p = 1 on every pair, the draw never fires, and DIMSUM must be
-    # row-identical (ranks, recs, sim_ppm) to the exact CF — the
-    # "well-supported pairs are never degraded" guarantee
+    # every item degree here is <= 7 <= gamma² = 1024: p = 1 on every
+    # entry, the draw never fires, and DIMSUM must be row-identical
+    # (ranks, recs, sim_ppm) to the exact CF — the "well-supported
+    # pairs are never degraded" guarantee
     exact = sorted(
         (r["item"], r["rank"], r["rec"], r["sim_ppm"])
         for r in item_item_topk(_ia(spark, _PAIRS), k=3).collect()
@@ -193,10 +195,11 @@ def test_dimsum_exact_lane_equals_exact_variant(spark):
 
 
 def test_dimsum_matches_literal_python_both_lanes(spark):
-    # gamma=2 (γ²=4) forces the sampled lane on most pairs; gamma=32
-    # keeps everything exact — both must equal the literal-Python
-    # twin bit-for-bit (the determinism the hash certificate needs)
-    for gamma in (2, 32):
+    # gamma=1 (γ²=1) forces the estimator lane on every multi-user
+    # item; gamma=32 keeps everything exact — both must equal the
+    # literal-Python twin bit-for-bit (the determinism the hash
+    # certificate needs)
+    for gamma in (1, 32):
         expected = _dimsum_py(_PAIRS, k=3, gamma=gamma)
         got: dict[str, list] = {}
         rows = (
@@ -209,24 +212,25 @@ def test_dimsum_matches_literal_python_both_lanes(spark):
                 (r["rec"], r["sim_ppm"], r["sampled"])
             )
         assert got == expected, f"gamma={gamma}"
-    # and the gamma=2 run really exercised the sampled lane
+    # and the gamma=1 run really exercised the sampled lane
     assert any(
-        s for v in _dimsum_py(_PAIRS, k=3, gamma=2).values()
+        s for v in _dimsum_py(_PAIRS, k=3, gamma=1).values()
         for (_, _, s) in v
     )
 
 
-def test_dimsum_sampling_actually_drops_events(spark):
+def test_dimsum_sampling_actually_drops_entries(spark):
     # one hot pair: 64 users all buy both x and y -> deg = 64 each,
-    # ni*nj = 4096 > γ² = 1024, p = 32/64 = 1/2 — the kept event
-    # count must be strictly below 64 (the shuffle really shrank)
-    # and the estimator co_s²·10⁶/γ² within a loose factor of the
-    # true cosine² = 10⁶ (deterministic draws -> stable assertion)
+    # 64 > γ² = 16, per-entry p = 4/8 = 1/2, pair survives at p=1/4 —
+    # the kept co count must be strictly below 64 (the pair stage
+    # really shrank) and the estimator co_s²·10⁶/(16·16) within a
+    # loose factor of the true cosine² = 10⁶ (deterministic draws ->
+    # stable assertion)
     pairs = [(f"u{n}", it) for n in range(64) for it in ("x", "y")]
-    rows = item_item_dimsum(_ia(spark, pairs), k=1, gamma=32).collect()
+    rows = item_item_dimsum(_ia(spark, pairs), k=1, gamma=4).collect()
     by_item = {r["item"]: r for r in rows}
     assert by_item["x"]["sampled"] == 1
     sim = by_item["x"]["sim_ppm"]
-    co_s = round((sim * 1024 / 1_000_000) ** 0.5)
+    co_s = round((sim * 256 / 1_000_000) ** 0.5)
     assert 0 < co_s < 64
     assert 250_000 <= sim <= 4_000_000  # within 4x of true 10⁶

@@ -26,7 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench_groups import (  # noqa: E402
     LEGACY_34, NEW_R5, NEW_R6, NEW_R7, NEW_R7_REST, NEW_R8, NEW_R9,
-    NEW_R10, NEW_R11,
+    NEW_R10, NEW_R11, NEW_R12,
 )
 
 
@@ -72,6 +72,7 @@ def main() -> None:
         "r9_value": _group(NEW_R9),
         "r10_value": _group(NEW_R10),
         "r11_value": _group(NEW_R11),
+        "r12_value": _group(NEW_R12),
         "n_queries": len(timings),
         # cumulative run provenance: an input that is itself a merge
         # carries its own ``runs`` count forward

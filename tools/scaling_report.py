@@ -109,8 +109,10 @@ def main() -> None:
         "victims; the sf0.1 column is the per-query min across",
         "multiple full same-code runs (tools/bench_merge.py; run",
         "count and provenance",
-        "stamped in BENCH_FULL.json), the small-SF columns are",
-        "single runs — read sub-1.0x step ratios as that noise, not",
+        "stamped in BENCH_FULL.json), and since round 12 the",
+        "small-SF columns are min-merged the same way (runs",
+        "stamped in BENCH_FULL_sf*.json) — read sub-1.0x step",
+        "ratios as that noise, not",
         "as negative marginal cost.",
         "",
         "## Table row counts (driver testdata is not uniform 10x)",

@@ -1277,6 +1277,142 @@ def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_dimsum(ia, "u", "i", k=3, gamma=6)
 
 
+def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
+    """Core of butterfly_counts_sampled, factored for the planted
+    pytest: per-entry DIMSUM draw -> wedge counts over kept entries
+    -> unbiased milli-scaled butterfly estimator per (i, j) pair.
+    Two kept wedges of a pair are 4 INDEPENDENT entry draws (distinct
+    users), so E[C(co_s, 2)] = C(co, 2)·(p_i·p_j)² exactly and the
+    correction 1/(p_i·p_j)² = (n_i·n_j)/(min(n_i,γ²)·min(n_j,γ²)) is
+    an exact integer rational: est_milli = co_s·(co_s−1)·500·n_i·n_j
+    div (min·min), DECIMAL(38,0) lane."""
+    g2 = gamma * gamma
+    deg = ia.groupBy("i").agg(F.count("*").alias("n"))
+    ia2 = ia.join(deg, "i").select("u", "i", "n")
+    kept = ia2.filter(
+        F.expr(
+            f"n <= {g2}"
+            " or (cast(conv(substring(md5(concat('dimsum-v1:',"
+            " cast(u as string), ':', cast(i as string))), 1, 5),"
+            " 16, 10) as decimal(38,0))"
+            " * conv(substring(md5(concat('dimsum-v1:',"
+            " cast(u as string), ':', cast(i as string))), 1, 5),"
+            " 16, 10) * n)"
+            f" < cast({g2} as decimal(38,0)) * {1 << 40}"
+        )
+    )
+    co = (
+        kept.join(
+            kept.select(
+                "u", F.col("i").alias("j"), F.col("n").alias("nj")
+            ),
+            "u",
+        )
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.max("n").alias("ni"),
+            F.max("nj").alias("nj"),
+            F.count("*").alias("co_s"),
+        )
+    )
+    return co.filter(F.col("co_s") >= 2).select(
+        "i",
+        "j",
+        F.expr(
+            f"cast(co_s as decimal(38,0)) * (co_s - 1) * 500 * ni * nj"
+            f" div (least(ni, {g2}) * least(nj, {g2}))"
+        ).alias("bfm"),
+    )
+
+
+_BUTTERFLY_DIMSUM_SQL = """
+WITH ia0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+du AS (SELECT u FROM ia0 GROUP BY u HAVING COUNT(*) <= 10000),
+ia AS (SELECT ia0.u, ia0.i FROM ia0 JOIN du USING (u)),
+deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ia GROUP BY i),
+ia2 AS (SELECT ia.u, ia.i, deg.n,
+            ('0x' || substr(md5('dimsum-v1:' || CAST(ia.u AS VARCHAR)
+              || ':' || CAST(ia.i AS VARCHAR)), 1, 5))::BIGINT AS h
+        FROM ia JOIN deg ON ia.i = deg.i),
+kept AS (SELECT u, i, n FROM ia2
+         WHERE n <= 36
+            OR h::HUGEINT * h * n < 36::HUGEINT * 1099511627776),
+co AS (SELECT a.i AS i, b.i AS j, MAX(a.n) AS ni, MAX(b.n) AS nj,
+              CAST(COUNT(*) AS BIGINT) AS co_s
+       FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+       GROUP BY 1, 2),
+bf AS (SELECT i, j,
+       CAST(co_s::HUGEINT * (co_s - 1) * 500 * ni * nj
+            // (LEAST(ni, 36) * LEAST(nj, 36)) AS BIGINT) AS bfm
+       FROM co WHERE co_s >= 2),
+tot AS (SELECT CAST(COALESCE(SUM(bfm), 0) AS BIGINT)
+               AS total_butterflies_milli FROM bf),
+per AS (SELECT item, CAST(SUM(bfm) AS BIGINT) AS bf_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_copartners
+        FROM (SELECT i AS item, bfm FROM bf
+              UNION ALL SELECT j AS item, bfm FROM bf)
+        GROUP BY item)
+SELECT item, bf_milli, n_copartners, total_butterflies_milli
+FROM per CROSS JOIN tot
+ORDER BY bf_milli DESC, item LIMIT 20
+"""
+
+
+@register("butterfly_counts_sampled", _BUTTERFLY_DIMSUM_SQL)
+def butterfly_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """butterfly_counts_bipartite under the same per-entry DIMSUM
+    draw as item_item_recs_dimsum — the sampled estimator for the
+    OTHER Σdeg² family the r11 verdict flagged (butterfly counting
+    shares the wedge-count pair stage with item-item CF; Sanei-Mehri
+    et al. 2018 §5 propose exactly this class of sampled butterfly
+    estimation). Each (u, i) interaction survives with
+    p = min(1, γ/√n_i) (deterministic 20-bit md5 integer draw,
+    γ=6); a wedge needs both endpoints, and a BUTTERFLY (two wedges,
+    4 distinct entry draws — independent by construction since users
+    differ) survives with (p_i·p_j)², so
+    E[C(co_s,2)] = C(co,2)·(p_i·p_j)² exactly and the milli-scaled
+    estimator co_s·(co_s−1)·500·n_i·n_j div (min(n_i,γ²)·min(n_j,γ²))
+    is unbiased in C(co,2) and integer-exact (DECIMAL/HUGEINT lane) —
+    hash-certifiable like everything else. Exact lane whenever both
+    degrees <= γ² (est = 1000·C(co,2) exactly). Plan: identical
+    shape to the exact query but the pair stage sees p²-shrunken
+    wedge volume — at 100 TB this is the variant whose Σ(p·deg)² =
+    O(items·γ²) wedge mass survives fixed task memory. co_s >= 2
+    prune before the per-item explode (the exact query's contract);
+    top-20 with the global total riding a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    bf = butterfly_sampled_counts(ia, gamma=6)
+    tot = bf.agg(
+        F.coalesce(F.sum("bfm"), F.lit(0)).cast("long").alias(
+            "total_butterflies_milli"
+        )
+    )
+    per = (
+        bf.select(F.col("i").alias("item"), "bfm")
+        .unionByName(bf.select(F.col("j").alias("item"), "bfm"))
+        .groupBy("item")
+        .agg(
+            F.sum("bfm").cast("long").alias("bf_milli"),
+            F.count("*").alias("n_copartners"),
+        )
+    )
+    from .operators.relational import top_n
+
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "item", "bf_milli", "n_copartners", "total_butterflies_milli"
+    )
+    return top_n(out, [F.desc("bf_milli"), F.asc("item")], 20)
+
+
 def _textrank_sql(iters: int = 3, scale: int = 10**12) -> str:
     unroll, last = _pr_unroll_sql(iters, scale)
     return (

@@ -66,6 +66,7 @@ _WINDOW_ORDER = [
     "item_item_recs_dimsum",
     "suffix_span_removal",
     "c4_badwords_ac",
+    "butterfly_counts_sampled",
     # Then the three queries whose CODE changed this round (advice
     # fixes: DECIMAL/HUGEINT overflow lanes, integer-rank terciles,
     # oracle-mirrored degree cap) — their r11 evidence predates the
@@ -119,10 +120,9 @@ _WINDOW_ORDER = [
     "tpch_q1_pricing_summary",
     "value_histogram",
     # Then the oldest round-8 rows (all 48 r8 rows are equally old;
-    # these three flagships fill the 50-slot window — the rest stay
+    # these two flagships fill the 50-slot window — the rest stay
     # local-checked via tools/check_oracles.py and rotate next
     # round).
-    "tpch_q3_top_revenue",
     "tpch_q6_revenue_scan",
     "dedup_exact_content",
 ]

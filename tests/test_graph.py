@@ -598,6 +598,8 @@ def test_butterfly_counts_match_quadruple_enumeration(spark):
 
 
 def test_butterfly_query_schema_and_total_consistency(spark, sf_dir):
+    # the queries hub first: q_graph alone is a circular import
+    import bbcnews_scraper_nlp_spark.queries  # noqa: F401
     from bbcnews_scraper_nlp_spark.q_graph import butterfly_counts_bipartite
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -611,3 +613,50 @@ def test_butterfly_query_schema_and_total_consistency(spark, sf_dir):
     assert [
         (-r["n_butterflies"], r["item"]) for r in rows
     ] == sorted((-r["n_butterflies"], r["item"]) for r in rows)
+
+
+def test_butterfly_sampled_exact_lane_equals_exact_counts(spark):
+    """With gamma² above every degree the draw never fires and the
+    sampled estimator must equal 1000x the exact butterfly count per
+    pair; with a small gamma the draw really drops wedges and the
+    estimator stays an exact integer expression (deterministic)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import bbcnews_scraper_nlp_spark.queries  # noqa: F401
+    from bbcnews_scraper_nlp_spark.q_graph import butterfly_sampled_counts
+
+    edges = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11), (2, 12),
+        (3, 12),
+        (3, 13), (4, 13),
+        (5, 10), (5, 11),
+    ]
+    items_of = defaultdict(set)
+    for u, i in edges:
+        items_of[u].add(i)
+    exact = defaultdict(int)
+    for u, v in combinations(sorted(items_of), 2):
+        for i, j in combinations(sorted(items_of[u] & items_of[v]), 2):
+            exact[(i, j)] += 1
+    ia = spark.createDataFrame(edges, ["u", "i"])
+    # exact lane: every degree <= 4 <= gamma² = 36
+    got = {
+        (r["i"], r["j"]): r["bfm"]
+        for r in butterfly_sampled_counts(ia, gamma=6).collect()
+    }
+    assert got == {k: 1000 * v for k, v in exact.items() if v > 0}
+    # sampled lane: gamma=1 (gamma²=1 < every degree) — deterministic
+    # md5 draws, so just pin the invariants: milli values non-negative
+    # integers, and no pair exceeds its p=1 upper bound scaled by the
+    # exact correction (est <= 1000*C(co,2)*ni*nj since min(n,1)=1)
+    deg = {i: sum(1 for s in items_of.values() if i in s)
+           for s in items_of.values() for i in s}
+    for r in butterfly_sampled_counts(ia, gamma=1).collect():
+        i, j, bfm = r["i"], r["j"], r["bfm"]
+        assert bfm >= 0
+        co = sum(1 for s in items_of.values() if i in s and j in s)
+        assert bfm <= 1000 * co * (co - 1) // 2 * deg[i] * deg[j]

@@ -679,15 +679,19 @@ def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
 # ---------------------------------------------------------------
 
 
-def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name", ["item_item_recs_dimsum", "butterfly_counts_sampled"]
+)
+def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir, name):
     """DIMSUM's whole point is that the per-ENTRY md5 Bernoulli draw
     filters the interaction table BEFORE the pair self-join, so both
-    the join and the (i, j) count exchange see only sampled entries.
-    Contract: the draw survives as a Filter condition (or folds into
-    the deg-join condition) — never a Project/agg above the pair
-    stage — everything is JVM (no Python nodes), and there is no
-    cartesian product."""
-    plan = _plan(spark, sf_dir, "item_item_recs_dimsum")
+    the join and the (i, j) count exchange see only sampled entries
+    (both the CF query and the sampled-butterfly query share the
+    draw). Contract: the draw survives as a Filter condition (or
+    folds into the deg-join condition) — never a Project/agg above
+    the pair stage — everything is JVM (no Python nodes), and there
+    is no cartesian product."""
+    plan = _plan(spark, sf_dir, name)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     draw_lines = [

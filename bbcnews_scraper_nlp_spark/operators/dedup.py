@@ -479,8 +479,17 @@ def ngram_jaccard_pairs(
 
     s1 = sizes.select(F.col("id").alias("id_1"), F.col("sz").alias("sz_1"))
     s2 = sizes.select(F.col("id").alias("id_2"), F.col("sz").alias("sz_2"))
+    # merge hints: Catalyst's STATIC size estimate of the pair-count
+    # aggregate is tiny, so without them the planner BUILDS THE PAIR
+    # TABLE as a broadcast — fits at sf0.1, "Not enough memory to
+    # build and broadcast" at sf1 (found by the 10x rehearsal). The
+    # hint pins the static plan to keyed sort-merge joins; AQE still
+    # converts to broadcast AT RUNTIME when a side is actually small
+    # (and then it picks the sizes side, the correct direction).
     return (
-        pairs.join(s1, "id_1")
+        pairs.hint("merge")
+        .join(s1, "id_1")
+        .hint("merge")
         .join(s2, "id_2")
         .withColumn(
             "jaccard",

@@ -304,4 +304,5 @@ NEW_R12 = [
     "item_item_recs_dimsum",
     "suffix_span_removal",
     "c4_badwords_ac",
+    "butterfly_counts_sampled",
 ]

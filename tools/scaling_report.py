@@ -174,8 +174,8 @@ def main() -> None:
             sf1 = json.load(f)
         lines += [
             "",
-            "## sf1 heavy-tail rehearsal (generated data, "
-            "tools/make_sf1.py)",
+            "## sf1 rehearsal (generated data, tools/make_sf1.py) — "
+            "FULL registry since round 12",
             "",
             "10x replication of sf0.1 (key-offset shards, "
             "token-rotated text — NOT exact copies, so dedup-family "

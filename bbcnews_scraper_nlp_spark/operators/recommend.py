@@ -140,7 +140,11 @@ def item_item_dimsum(
 
     Returns (item, rec, sim_ppm, sampled, rank): ``sampled`` = 1
     when either endpoint was in the estimator lane (n > γ²); sim_ppm
-    there is an unbiased-in-co² integer estimate and may exceed 10⁶.
+    there is a consistent integer estimate of cosine²·10⁶ (exact when
+    both degrees <= γ²; for sampled pairs E[co_s²] carries a
+    +co·pᵢpⱼ(1−pᵢpⱼ) variance term, so the squared-count form is
+    biased slightly upward — the butterfly co_s(co_s−1) form is the
+    genuinely unbiased one) and may exceed 10⁶.
     """
     g2 = gamma * gamma
     ia = interactions.select(
@@ -154,9 +158,9 @@ def item_item_dimsum(
             " or (cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
             " 16, 10) as decimal(38,0))"
-            " * conv(substring(md5(concat('dimsum-v1:',"
+            " * cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
-            " 16, 10) * n)"
+            " 16, 10) as decimal(38,0)) * n)"
             f" < cast({g2} as decimal(38,0)) * {1 << 40}"
         )
     )

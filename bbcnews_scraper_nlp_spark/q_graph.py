@@ -1295,9 +1295,9 @@ def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
             " or (cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
             " 16, 10) as decimal(38,0))"
-            " * conv(substring(md5(concat('dimsum-v1:',"
+            " * cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
-            " 16, 10) * n)"
+            " 16, 10) as decimal(38,0)) * n)"
             f" < cast({g2} as decimal(38,0)) * {1 << 40}"
         )
     )

@@ -1289,16 +1289,19 @@ def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
     g2 = gamma * gamma
     deg = ia.groupBy("i").agg(F.count("*").alias("n"))
     ia2 = ia.join(deg, "i").select("u", "i", "n")
+    # threshold form of H²·n < γ²·2⁴⁰ (see recommend.item_item_dimsum):
+    # identical kept set, every operand int64-safe at any degree,
+    # pure BIGINT codegen instead of Decimal128 interpretation
     kept = ia2.filter(
         F.expr(
             f"n <= {g2}"
             " or (cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
-            " 16, 10) as decimal(38,0))"
+            " 16, 10) as bigint)"
             " * cast(conv(substring(md5(concat('dimsum-v1:',"
             " cast(u as string), ':', cast(i as string))), 1, 5),"
-            " 16, 10) as decimal(38,0)) * n)"
-            f" < cast({g2} as decimal(38,0)) * {1 << 40}"
+            " 16, 10) as bigint))"
+            f" < ((cast({g2} as bigint) * {1 << 40} - 1) div n + 1)"
         )
     )
     co = (
@@ -1319,9 +1322,12 @@ def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
     return co.filter(F.col("co_s") >= 2).select(
         "i",
         "j",
+        # exact DECIMAL product/division, landed as BIGINT — the
+        # oracle's own bf CTE applies the same CAST(... AS BIGINT)
+        # per pair before summing
         F.expr(
-            f"cast(co_s as decimal(38,0)) * (co_s - 1) * 500 * ni * nj"
-            f" div (least(ni, {g2}) * least(nj, {g2}))"
+            f"cast(cast(co_s as decimal(38,0)) * (co_s - 1) * 500 * ni * nj"
+            f" div (least(ni, {g2}) * least(nj, {g2})) as bigint)"
         ).alias("bfm"),
     )
 
@@ -1390,7 +1396,16 @@ def butterfly_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ia = cap_hot_keys(ia, "u", 10_000)
-    bf = butterfly_sampled_counts(ia, gamma=6)
+    # Materialize the post-prune pair estimates ONCE: three consumers
+    # read bf (the 1-row global total, and both sides of the per-item
+    # union), and the total additionally rides in as a BROADCAST —
+    # across a broadcast boundary exchange reuse never applies
+    # (stage_io gotcha), so a lazy bf re-ran the entire wedge
+    # self-join once per consumer (measured: the pair stage executed
+    # 3x at sf0.1). bf is the post-co_s>=2 pair table — the bounded
+    # output-sized relation, exactly what a 100 TB run would land
+    # before the rollup.
+    bf = butterfly_sampled_counts(ia, gamma=6).localCheckpoint(eager=True)
     tot = bf.agg(
         F.coalesce(F.sum("bfm"), F.lit(0)).cast("long").alias(
             "total_butterflies_milli"
@@ -3834,6 +3849,10 @@ def butterfly_counts_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i1", "i2", F.expr("co * (co - 1) div 2").alias("bf")
         )
+        # same three-consumer shape as butterfly_counts_sampled: the
+        # broadcast total re-executes the wedge self-join unless the
+        # post-prune pair table is materialized once
+        .localCheckpoint(eager=True)
     )
     tot = co.agg(
         F.coalesce(F.sum("bf"), F.lit(0)).cast("long").alias(

@@ -667,11 +667,44 @@ def test_containment_topk_and_no_python(spark, sf_dir):
 def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
     """The co >= 2 prune must sit below the per-item union/agg (it
     exists to shrink that input); verify it survives optimization as
-    a filter on the pair-count aggregate."""
+    a filter on the pair-count aggregate. Since r13 the post-prune
+    pair table is eager-checkpointed (the broadcast global total
+    otherwise re-executes the wedge self-join per consumer), so the
+    prune contract is asserted on the pre-checkpoint pair frame and
+    the checkpoint boundary + top-k on the full query plan."""
     plan = _plan(spark, sf_dir, "butterfly_counts_bipartite")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert re.search(r"co#\d+L?\) >= 2|\(co.* >= 2\)", plan), plan[:500]
     assert "TakeOrderedAndProject" in plan
+    # the full plan reads the checkpointed pair table, not a re-run
+    # of the wedge join
+    assert "Scan ExistingRDD" in plan, plan[:500]
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.relational import cap_hot_keys
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    a = ia.select("u", F.col("i").alias("i1"))
+    b = ia.select("u", F.col("i").alias("i2"))
+    pair = (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pair.explain("formatted")
+    pplan = buf.getvalue()
+    assert re.search(r"co#\d+L?\) >= 2|\(co.* >= 2\)", pplan), pplan[:500]
 
 
 # ---------------------------------------------------------------
@@ -679,29 +712,58 @@ def test_butterfly_prune_precedes_item_explode(spark, sf_dir):
 # ---------------------------------------------------------------
 
 
-@pytest.mark.parametrize(
-    "name", ["item_item_recs_dimsum", "butterfly_counts_sampled"]
-)
-def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir, name):
-    """DIMSUM's whole point is that the per-ENTRY md5 Bernoulli draw
-    filters the interaction table BEFORE the pair self-join, so both
-    the join and the (i, j) count exchange see only sampled entries
-    (both the CF query and the sampled-butterfly query share the
-    draw). Contract: the draw survives as a Filter condition (or
-    folds into the deg-join condition) — never a Project/agg above
-    the pair stage — everything is JVM (no Python nodes), and there
-    is no cartesian product."""
-    plan = _plan(spark, sf_dir, name)
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    draw_lines = [
-        ln for ln in plan.splitlines() if "dimsum-v1" in ln
-    ]
+def _draw_filter_contract(plan: str) -> None:
+    """The draw must survive as a Filter condition (or fold into the
+    deg-join condition) — never a Project/agg above the pair stage."""
+    draw_lines = [ln for ln in plan.splitlines() if "dimsum-v1" in ln]
     assert draw_lines, "the md5 draw was optimized away?"
     assert all(
         ln.lstrip().startswith(("Join condition:", "Condition"))
         for ln in draw_lines
     ), draw_lines[:1]
+
+
+def test_dimsum_draw_filter_below_pair_count_exchange(spark, sf_dir):
+    """DIMSUM's whole point is that the per-ENTRY md5 Bernoulli draw
+    filters the interaction table BEFORE the pair self-join, so both
+    the join and the (i, j) count exchange see only sampled entries
+    — everything JVM (no Python nodes), no cartesian product."""
+    plan = _plan(spark, sf_dir, "item_item_recs_dimsum")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    _draw_filter_contract(plan)
+
+
+def test_dimsum_draw_filter_butterfly_operator(spark, sf_dir):
+    """butterfly_counts_sampled shares the draw, but since r13 its
+    query plan reads the eager-checkpointed post-prune pair table
+    (the broadcast total otherwise re-executes the wedge join per
+    consumer) — so the draw-position contract is asserted on the
+    operator frame that feeds the checkpoint, and the no-Python /
+    no-cartesian / checkpoint-boundary contract on the full query."""
+    plan = _plan(spark, sf_dir, "butterfly_counts_sampled")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan, plan[:500]
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.catalog import load_table
+    from bbcnews_scraper_nlp_spark.operators.relational import cap_hot_keys
+    from bbcnews_scraper_nlp_spark.q_graph import butterfly_sampled_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ia = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ia = cap_hot_keys(ia, "u", 10_000)
+    bf = butterfly_sampled_counts(ia, gamma=6)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bf.explain("formatted")
+    _draw_filter_contract(buf.getvalue())
 
 
 def test_suffix_span_removal_no_python_no_cartesian(spark, sf_dir):

@@ -5,9 +5,11 @@ times from the Spark UI REST API.
     python tools/profile_query.py <sf_dir> <query> [query ...]
 
 Runs each query twice (cold then warm, matching bench.py's best-of-2)
-and prints build/exec decomposition for both runs plus the slowest
-jobs of the second run. Noop-sink timing (guide §1.4) so the count
-shortcut cannot prune work.
+and prints build/exec decomposition for both runs plus the job list.
+Default sink is count() to match bench.py's methodology exactly
+(PROFILE_SINK=noop switches to the guide-§1.4 noop sink; note the
+noop write path skips AQE re-optimization in Spark 4, so its numbers
+are NOT comparable to the bench).
 """
 
 from __future__ import annotations
@@ -61,7 +63,10 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             t_build = time.perf_counter() - t0
             t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            if os.environ.get("PROFILE_SINK") == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             t_exec = time.perf_counter() - t1
             print(
                 f"## {name} run{run}: build={t_build:.2f}s "

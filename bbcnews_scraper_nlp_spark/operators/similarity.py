@@ -993,18 +993,16 @@ def kmeans_lloyd(
 
     Plan shape (the 100 TB rationale): the quantized point table is
     persisted ONCE and every pass reads it back (InMemoryTableScan);
-    per iteration, assignment is a PURE PROJECTION — the k centroids
-    ride in as one sorted array-of-structs row via a 1-row broadcast
-    crossJoin (the house ×1-row pattern) and the k·dim distance
-    terms unroll to codegen arithmetic, so assignment never shuffles;
-    the update is ONE map-side-combinable hash agg whose shuffle
-    carries k × (dim+1) longs per map task (the embedding_centroids
-    shape). Each iteration's k-row centroid table is eagerly
-    localCheckpoint'ed: the next round references it twice (update +
-    empty-cluster coalesce), so a lazy chain doubles the logical tree
-    per iteration (the LPA lesson). Per-iteration cluster cost =
-    one tiny broadcast + one k-row shuffle — the canonical
-    distributed Lloyd.
+    per iteration, the k centroids ride in as a k-row literal
+    broadcast (LocalRelation — collected to the driver as k·dim
+    CONSTANT longs each round, the canonical distributed Lloyd and
+    exactly MLlib's shape), the k·dim distance terms unroll to
+    codegen arithmetic, and the update is ONE map-side-combinable
+    hash agg whose shuffle carries k × (dim+1) longs per map task
+    (the embedding_centroids shape); the empty-cluster COALESCE and
+    spine join are a driver-side dict lookup over those k rows.
+    Per-iteration cluster cost = one tiny broadcast + one k-row
+    shuffle + one k-row collect.
 
     Returns (id, cluster, dist2) from the final assignment pass:
     cluster in [0, k) and the exact squared distance in micro-units²
@@ -1022,31 +1020,57 @@ def kmeans_lloyd(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    from pyspark.sql import Window
-
+    # Seeds and per-round centroids live on the DRIVER as k×(dim+1)
+    # longs — the canonical distributed Lloyd (MLlib does the same):
+    # each round collects the k update rows and re-ships the k
+    # centroids as a literal LocalRelation. This replaced the r10
+    # checkpointed-centroid-frame shape (spine left-join + COALESCE +
+    # per-iteration eager localCheckpoint): the collect is bounded by
+    # the k·dim CONSTANT (8×65 longs here — the vocab-top precedent,
+    # never data-sized), the spine/coalesce joins fold into a Python
+    # dict lookup, and the per-iteration Catalyst analysis tree
+    # shrinks to scan+project+agg — measured 8.8 s → ~4 s of almost
+    # pure driver time at sf0.1 (exec was 0.14 s throughout). Every
+    # value stays an exact integer: the TakeOrderedAndProject seed
+    # heap, the packed-bigint argmin, and the truncating-toward-zero
+    # centroid division are bit-identical to the r10 frame algebra
+    # (tests/test_similarity.py pins the literal-Python twin).
     seed_h = F.md5(F.concat(F.lit(seed_tag + ":"), F.col("id").cast("string")))
-    seeds = (
-        pts.withColumn("h", seed_h).orderBy("h", "id").limit(k)
+    seed_rows = (
+        pts.withColumn("h", seed_h).orderBy("h", "id").limit(k).collect()
     )
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("h", "id")) - 1).alias("cid"),
-        F.col("e").alias("c"),
-    ).localCheckpoint(eager=True)
+    cents_py = [list(r["e"]) for r in seed_rows]  # cid = list index
 
-    spine = spark.range(k).select(F.col("id").cast("int").alias("cid"))
+    def assign(cents_now: list[list[int]]) -> DataFrame:
+        # broadcast the k-row literal centroid table onto the points
+        # (each point sees k rows), compute the dim-term squared
+        # distance as unrolled codegen arithmetic, and take the
+        # packed-bigint MIN per point — a map-side-combined argmin
+        # (the PQ-encode shape) whose partial agg collapses the
+        # k-fan-out back to one row per point BEFORE the exchange. A
+        # fully-unrolled LEAST-over-k·dim projection would avoid that
+        # exchange but costs k× the expression nodes — measured
+        # 15s/iteration of pure plan analysis+codegen at k=8·dim=64
+        # vs ~1s for this shape; at real scale the argmin exchange
+        # carries one long per point and AQE coalesces it.
+        # Arrow-backed createDataFrame: the k rows land as JVM-side
+        # Arrow batches (no Python worker task at execution, unlike
+        # plain createDataFrame-from-list) and the plan carries NO
+        # per-round literals, so the generated code is identical
+        # every iteration and Janino's cache hits (embedding the
+        # centroid values as literals recompiled codegen per round —
+        # measured slower than the r10 checkpoint shape).
+        import pandas as pd
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        # broadcast the k-row centroid table onto the points (each
-        # point sees k rows), compute the dim-term squared distance
-        # as unrolled codegen arithmetic, and take the packed-bigint
-        # MIN per point — a map-side-combined argmin (the PQ-encode
-        # shape) whose partial agg collapses the k-fan-out back to
-        # one row per point BEFORE the exchange. A fully-unrolled
-        # LEAST-over-k·dim projection would avoid that exchange but
-        # costs k× the expression nodes — measured 15s/iteration of
-        # pure plan analysis+codegen at k=8·dim=64 vs ~1s for this
-        # shape; at real scale the argmin exchange carries one long
-        # per point and AQE coalesces it.
+        cents_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cid": list(range(len(cents_now))),
+                    "c": list(cents_now),
+                }
+            ),
+            "cid int, c array<bigint>",
+        )
         d = None
         for i in range(dim):
             t = (F.col("e")[i] - F.col("c")[i]) * (F.col("e")[i] - F.col("c")[i])
@@ -1058,29 +1082,30 @@ def kmeans_lloyd(
             .agg(F.min("p").alias("pack"))
         )
 
+    def _tdiv(s: int, n: int) -> int:
+        # Spark `div` / DuckDB `//` truncate toward ZERO; Python //
+        # floors — replicate truncation exactly for negative sums
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
     for _ in range(iters):
-        a = assign(cents)
-        upd = (
+        a = assign(cents_py)
+        upd_rows = (
             a.groupBy(F.pmod(F.col("pack"), F.lit(k)).alias("cid"))
             .agg(
                 F.count("*").alias("n"),
                 *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dim)],
             )
-            .select(
-                "cid",
-                F.array(
-                    *[F.expr(f"s{i} div n") for i in range(dim)]
-                ).alias("cnew"),
-            )
+            .collect()
         )
-        cents = (
-            spine.join(upd, "cid", "left")
-            .join(cents.withColumnRenamed("c", "cprev"), "cid")
-            .select("cid", F.coalesce("cnew", "cprev").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        new = {
+            int(r["cid"]): [_tdiv(r[f"s{i}"], r["n"]) for i in range(dim)]
+            for r in upd_rows
+        }
+        # a cluster that lost all points keeps its previous centroid
+        cents_py = [new.get(cid, cents_py[cid]) for cid in range(k)]
 
-    final = assign(cents)
+    final = assign(cents_py)
     out = final.select(
         "id",
         F.pmod(F.col("pack"), F.lit(k)).cast("long").alias("cluster"),

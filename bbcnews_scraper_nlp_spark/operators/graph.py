@@ -168,6 +168,14 @@ def bounded_shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # each hop references the previous distance frame TWICE
+            # (carry + relax), so a lazy chain doubles the analyzed
+            # tree per hop (2^hops copies of the edge derivation —
+            # the LPA lesson). A LAZY local checkpoint truncates the
+            # lineage at analysis time but materializes only as a
+            # side effect of the first downstream job, so no extra
+            # blocking action runs per hop.
+            .localCheckpoint(eager=False)
         )
     return dist
 

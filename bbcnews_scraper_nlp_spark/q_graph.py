@@ -3746,12 +3746,21 @@ def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = pairs.select("s").distinct()
     h = cs.select("c", F.lit(scale).cast("long").alias("h"))
     a = None
+    # Each half-round's inbound-sum aggregate is eager-checkpointed:
+    # its max rides in as a BROADCAST, and exchange reuse never
+    # crosses a broadcast boundary (stage_io gotcha), so a lazy chain
+    # re-executed the edge join once per max AND re-analyzed a score
+    # tree that embeds every earlier broadcast — the LPA
+    # twice-referenced-frame lesson applied to power iteration. The
+    # checkpointed frame is one score row per node (the |V|-sized
+    # state any distributed HITS carries); per half-round cost is now
+    # exactly one keyed join + agg job.
     for _ in range(3):
         ar = (
             pairs.join(h, "c")
             .groupBy("s")
             .agg(F.sum("h").alias("ar"))
-        )
+        ).localCheckpoint(eager=True)
         am = ar.agg(F.greatest(F.max("ar"), F.lit(1)).alias("m"))
         a = (
             ss.join(ar, "s", "left")
@@ -3765,7 +3774,7 @@ def hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").alias("hr"))
-        )
+        ).localCheckpoint(eager=True)
         hm = hr.agg(F.greatest(F.max("hr"), F.lit(1)).alias("m"))
         h = (
             cs.join(hr, "c", "left")

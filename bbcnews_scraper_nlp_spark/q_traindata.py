@@ -1842,6 +1842,13 @@ def lsa_embed_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
             mat.join(vec, key_in)
             .groupBy(key_out, "r")
             .agg(F.sum(F.col("wt") * F.col("v")).alias("u"))
+            # r_ feeds both the rescale join and the broadcast max;
+            # the broadcast side re-runs the M·v join (no exchange
+            # reuse across a broadcast boundary), but mat is eager-
+            # checkpointed so the re-run is one cheap keyed join —
+            # a per-round r_ checkpoint was measured SLOWER at sf0.1
+            # (4.0 s → 5.6 s: block-store writes cost more than the
+            # re-run saves at this width). Revisit if dims grows.
         )
         s_ = r_.groupBy("r").agg(
             F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("s")

@@ -294,9 +294,36 @@ def test_scalar_quant_stats_broadcast_vectors_never_shuffle(spark, sf_dir):
 def test_shortest_paths_no_python_joins_on_node(spark, sf_dir):
     plan = _plan(spark, sf_dir, "shortest_paths_suppliers")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # the 4 unrolled hops read the persisted 2000-row edge cut, not a
-    # re-derivation of the projection build
-    assert "InMemoryTableScan" in plan
+    # since r13 each hop ends in a LAZY localCheckpoint (the carry +
+    # relax double reference doubled the analyzed tree per hop), so
+    # the final plan reads the hop-4 checkpoint
+    assert "Scan ExistingRDD" in plan
+    # the persisted-cut contract moves to the operator level: a hop
+    # frame over persisted edges must read InMemoryTableScan, and the
+    # checkpoint boundary truncates the carried lineage
+    from pyspark.sql import functions as F
+
+    from bbcnews_scraper_nlp_spark.operators.graph import (
+        bounded_shortest_paths,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7), (1, 3, 20)], "src int, dst int, w int"
+    ).persist()
+    try:
+        out = bounded_shortest_paths(
+            e, "src", "dst", "w",
+            e.agg(F.min("src").alias("node")), hops=2,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        hop_plan = buf.getvalue()
+        assert "Scan ExistingRDD" in hop_plan
+        rows = {tuple(r) for r in out.collect()}
+        assert rows == {(1, 0), (2, 5), (3, 12)}
+    finally:
+        e.unpersist()
 
 
 def test_textrank_no_python_uses_takeordered(spark, sf_dir):

@@ -242,12 +242,15 @@ def label_propagation(
             .groupBy(F.col("__dst").alias("node"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
-        mx = votes.groupBy("node").agg(F.max("cnt").alias("mc"))
-        winner = (
-            votes.join(mx, "node")
-            .filter(F.col("cnt") == F.col("mc"))
-            .groupBy("node")
-            .agg(F.min("lbl").alias("new_lbl"))
+        # most-frequent label with MIN tie-break, folded into ONE
+        # aggregation: min(struct(-cnt, lbl)).lbl is lexicographically
+        # smallest = largest cnt then smallest lbl — identical winner
+        # to the max-count filter + min-label pass it replaces, at one
+        # node-keyed exchange instead of three (agg + join + agg).
+        winner = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "lbl"))
+            .getField("lbl")
+            .alias("new_lbl")
         )
         labels = (
             labels.join(winner, "node", "left")

@@ -88,6 +88,61 @@ def _two_level_rank(
 two_level_rank = _two_level_rank
 
 
+def _two_level_rank_fixed(
+    df: DataFrame,
+    bucket_src: Column,
+    lo: int,
+    hi: int,
+    order_cols: list[str],
+    buckets: int = 64,
+) -> tuple[DataFrame, int]:
+    """Two-level rank with STATICALLY KNOWN ``[lo, hi]`` bounds on
+    ``bucket_src`` — the suffix-doubling fast path. The adaptive form
+    above derives bucket width and base offsets from two aggregates
+    over its own input, and both ride in as broadcasts; exchange
+    reuse never crosses a broadcast boundary, so the input's lineage
+    (a shuffle-derived distinct here) executes THREE times per rank.
+    With the bounds known up front the width is a literal, the
+    (unique-keyed) input materializes once (eager localCheckpoint),
+    the ≤``buckets`` per-bucket counts collect to the driver
+    (bounded: one row per bucket), and the base offsets attach as a
+    literal array lookup — no aggregate broadcasts, no extra joins,
+    one execution of the input.
+
+    Rank VALUES differ from the adaptive form (bucket boundaries
+    differ), but remain a pure deterministic function of the data;
+    suffix construction only consumes rank equality and order, both
+    of which any two-level bucketing preserves. Returns
+    ``(ranked_df, n_rows)`` — the row count is free from the totals
+    pass and feeds the next round's ``hi``."""
+    width = ((hi - lo) // buckets) + 1
+    b = (
+        df.withColumn("__bsrc", bucket_src.cast("long"))
+        .withColumn("__bucket", F.expr(f"(__bsrc - {lo}) div {width}"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dict(
+        (r["__bucket"], r["__t"])
+        for r in b.groupBy("__bucket").agg(F.count("*").alias("__t")).collect()
+    )
+    bases, running = [], 0
+    for i in range(buckets):
+        bases.append(running)
+        running += counts.get(i, 0)
+    wi = Window.partitionBy("__bucket").orderBy(*order_cols)
+    ranked = (
+        b.withColumn(
+            "rank",
+            (
+                F.element_at(F.lit(bases), F.col("__bucket").cast("int") + 1)
+                + F.row_number().over(wi)
+            ).cast("long"),
+        )
+        .drop("__bucket", "__bsrc")
+    )
+    return ranked, running
+
+
 def suffix_window_ranks(
     df: DataFrame,
     id_col: str,
@@ -154,14 +209,17 @@ def suffix_window_ranks(
         F.col("__g.pos").alias("pos"),
         F.col("__g.gram").alias("gram"),
     )
-    # unsigned-shift the hash into [0, 2^63) so the bucket-width
-    # subtraction (__hi - __lo) cannot wrap int64; the hash only
-    # BUCKETS the seed vocabulary (identity stays the gram string),
-    # so a collision merely co-buckets two grams — never conflates
-    # them.
-    r = _two_level_rank(
+    # unsigned-shift the hash into [0, 2^63) so the bucket arithmetic
+    # cannot wrap int64 — and the hash DOMAIN is therefore statically
+    # known, so the seed rank takes the fixed-bounds fast path (no
+    # min/max broadcast). The hash only BUCKETS the seed vocabulary
+    # (identity stays the gram string), so a collision merely
+    # co-buckets two grams — never conflates them.
+    r, n_prev = _two_level_rank_fixed(
         g.select("gram").distinct(),
         F.shiftrightunsigned(F.xxhash64("gram"), 1),
+        0,
+        (1 << 63) - 1,
         ["gram"],
         buckets,
     )
@@ -184,9 +242,15 @@ def suffix_window_ranks(
             F.col("v").alias("__v1"),
             F.coalesce("__v2", F.lit(-1)).alias("__v2"),
         )
-        m = _two_level_rank(
+        # __v1 is a dense 1-based rank from the previous round, so its
+        # bounds [1, n_prev] are known without touching the data —
+        # fixed-bounds fast path again, and the next round's bound is
+        # this round's (free) distinct-pair count
+        m, n_prev = _two_level_rank_fixed(
             pairs.select("__v1", "__v2").distinct(),
             F.col("__v1"),
+            1,
+            max(n_prev, 1),
             ["__v1", "__v2"],
             buckets,
         )

@@ -986,7 +986,12 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = fit_partitions(feat, n_docs)
     if target < feat.rdd.getNumPartitions():
         feat = feat.coalesce(target)
+    # cache the doc-term vectors: each of the online optimizer's
+    # minibatch iterations re-pays the CountVectorizer transform
+    # otherwise (the lda_pipeline contract)
+    feat = feat.cache()
     model = fit_lda(feat, k=4, max_iter=10, seed=42)
+    feat.unpersist(blocking=False)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
     out = umass_certificate(toks, terms, min_df=2)
     toks.unpersist(blocking=False)
@@ -1042,7 +1047,12 @@ def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = fit_partitions(feat, n_docs)
     if target < feat.rdd.getNumPartitions():
         feat = feat.coalesce(target)
+    # cache the doc-term vectors: each of the online optimizer's
+    # minibatch iterations re-pays the CountVectorizer transform
+    # otherwise (the lda_pipeline contract)
+    feat = feat.cache()
     model = fit_lda(feat, k=4, max_iter=10, seed=42)
+    feat.unpersist(blocking=False)
     terms = topics_terms_from_model(model, cv.vocabulary, num_words=10)
     out = cv_certificate(toks, terms, window=110)
     toks.unpersist(blocking=False)

@@ -1177,7 +1177,12 @@ def item_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000)
+    # materialize the capped interaction table once: the degree agg,
+    # both self-join sides, and the hot-key semi-join's broadcast build
+    # each re-derive the orders x lineitem distinct otherwise (broadcast
+    # boundaries block exchange reuse) - bench_subset sf0.1 best-of-3:
+    # CF family total 30.5 -> 27.1s
+    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
     return item_item_topk(ia, "u", "i", k=3)
 
 
@@ -1208,7 +1213,12 @@ def item_item_recs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000)
+    # materialize the capped interaction table once: the degree agg,
+    # both self-join sides, and the hot-key semi-join's broadcast build
+    # each re-derive the orders x lineitem distinct otherwise (broadcast
+    # boundaries block exchange reuse) - bench_subset sf0.1 best-of-3:
+    # CF family total 30.5 -> 27.1s
+    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
     return item_item_topk(ia, "u", "i", k=3, min_co=2)
 
 
@@ -1273,7 +1283,11 @@ def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000)
+    # materialize the capped interaction table once (the exact-CF
+    # lesson: the degree broadcast build, the ia2 probe, and the
+    # hot-key semi-join each re-derived the distinct otherwise -
+    # bench_subset sf0.1 best-of-3: 9.41 -> 8.19s)
+    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
     return item_item_dimsum(ia, "u", "i", k=3, gamma=6)
 
 
@@ -1395,7 +1409,7 @@ def butterfly_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000)
+    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
     # Materialize the post-prune pair estimates ONCE: three consumers
     # read bf (the 1-row global total, and both sides of the per-item
     # union), and the total additionally rides in as a BROADCAST —
@@ -3846,7 +3860,7 @@ def butterfly_counts_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000)
+    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
     a = ia.select("u", F.col("i").alias("i1"))
     b = ia.select("u", F.col("i").alias("i2"))
     co = (

@@ -823,8 +823,13 @@ def walk_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.node").alias("center"), F.col("b.node").alias("context")
     )
     pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
+    # symmetric pair relation: the center marginal IS the context
+    # marginal — one aggregation serves both joins (the oracle's
+    # separate ctr/ctx CTEs compute the identical table)
     ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
-    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
+    ctx = ctr.select(
+        F.col("center").alias("context"), F.col("n_a").alias("n_b")
+    )
     tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
     sc = (
         pc.join(ctr, "center")
@@ -958,8 +963,14 @@ def _pmi_embedding_from_edges(spark: SparkSession, edges: DataFrame):
         F.col("a.node").alias("center"), F.col("b.node").alias("context")
     )
     pc = pr.groupBy("center", "context").agg(F.count("*").alias("n_ab"))
+    # the ±window pair relation is symmetric ((a,b) ⟺ (b,a) with the
+    # same count), so the center marginal IS the context marginal —
+    # one aggregation serves both joins (the oracle computes ctr and
+    # ctx separately; they are equal row sets by the same symmetry)
     ctr = pc.groupBy("center").agg(F.sum("n_ab").alias("n_a"))
-    ctx = pc.groupBy("context").agg(F.sum("n_ab").alias("n_b"))
+    ctx = ctr.select(
+        F.col("center").alias("context"), F.col("n_a").alias("n_b")
+    )
     tot = F.broadcast(pc.agg(F.sum("n_ab").alias("n")))
     mat = (
         pc.join(ctr, "center")
@@ -981,7 +992,10 @@ def _pmi_embedding_from_edges(spark: SparkSession, edges: DataFrame):
         .filter(F.col("w") > 0)
         .localCheckpoint(eager=True)
     )
-    vn = corpus.select("node").distinct().localCheckpoint(eager=True)
+    # referenced exactly once (the final round's completion join)
+    # now that intermediate rounds skip the zero-completion — derives
+    # from the checkpointed corpus, so no checkpoint of its own
+    vn = corpus.select("node").distinct()
     dims = spark.range(4).select(F.col("id").cast("int").alias("r"))
     v = vn.join(dims).select(
         "node",
@@ -1009,7 +1023,7 @@ def _pmi_embedding_from_edges(spark: SparkSession, edges: DataFrame):
             - 1000
         ).alias("v"),
     )
-    for _ in range(3):
+    for t in range(3):
         u = (
             mat.join(v, mat["j"] == v["node"])
             .groupBy(mat["i"].alias("node"), "r")
@@ -1019,18 +1033,29 @@ def _pmi_embedding_from_edges(spark: SparkSession, edges: DataFrame):
         s = u.groupBy("r").agg(
             F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).alias("s")
         )
-        v = (
-            vn.join(dims)
-            .join(F.broadcast(s), "r", "left")
-            .join(u, ["node", "r"], "left")
-            .select(
-                "node",
-                "r",
-                F.expr(
-                    "coalesce(u, 0) * 1000000 div coalesce(s, 1)"
-                ).alias("v"),
+        if t < 2:
+            # intermediate rounds skip the vn×dims zero-completion:
+            # a (node, r) absent from u rescales to v = 0, and zero
+            # components contribute nothing to the next round's
+            # SUM(w·v) — identical u next round, two fewer joins and
+            # no vn dependency per round. Only the FINAL round must
+            # emit the complete (node, dim) grid.
+            v = u.join(F.broadcast(s), "r").select(
+                "node", "r", F.expr("u * 1000000 div s").alias("v")
             )
-        )
+        else:
+            v = (
+                vn.join(dims)
+                .join(F.broadcast(s), "r", "left")
+                .join(u, ["node", "r"], "left")
+                .select(
+                    "node",
+                    "r",
+                    F.expr(
+                        "coalesce(u, 0) * 1000000 div coalesce(s, 1)"
+                    ).alias("v"),
+                )
+            )
     out = v.select(
         F.col("node").cast("long").alias("node"),
         F.col("r").alias("dim"),

@@ -78,6 +78,13 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", state_store
         )
+    # deployment-specific overrides without code edits (cluster sizing,
+    # A/B measurement): semicolon-separated key=value pairs, applied
+    # before per-call extra_conf so callers still win
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

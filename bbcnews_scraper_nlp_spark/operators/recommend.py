@@ -70,17 +70,37 @@ def item_item_topk(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     )
     deg = ia.groupBy("i").agg(F.count("*").alias("n"))
+    # ONE user-keyed exchange feeds both self-join sides: the rename
+    # to j sits ABOVE a shared explicit repartition, so the second
+    # side is a ReusedExchange instead of a second derivation+shuffle
+    # of the entry table. Explicit count: checkpointed inputs scan as
+    # ExistingRDD with unknown stats, and an ENSURE_REQUIREMENTS
+    # exchange there gets AQE-coalesced below the core count for the
+    # compute-bound pair stage (profiled 9 tasks at sf0.1).
+    npart = int(
+        interactions.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    iar = ia.repartition(npart, "u")
     co = (
-        ia.join(ia.select(F.col("u"), F.col("i").alias("j")), "u")
+        iar.join(iar.select(F.col("u"), F.col("i").alias("j")), "u")
         .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
         .agg(F.count("*").alias("co"))
     )
     if min_co > 1:
         co = co.filter(F.col("co") >= min_co)
+    # degrees attach to the aggregated pairs via BROADCAST: deg is
+    # items-sized, but derived from an ExistingRDD scan its stats are
+    # unknown, so the un-hinted join planned as a sort-merge that
+    # re-shuffled the whole pair table by i and then by j
     sim = (
-        co.join(deg.select(F.col("i"), F.col("n").alias("ni")), "i")
-        .join(deg.select(F.col("i").alias("j"), F.col("n").alias("nj")), "j")
+        co.join(F.broadcast(deg.select(F.col("i"), F.col("n").alias("ni"))), "i")
+        .join(
+            F.broadcast(
+                deg.select(F.col("i").alias("j"), F.col("n").alias("nj"))
+            ),
+            "j",
+        )
         .select(
             "i",
             "j",
@@ -138,8 +158,9 @@ def item_item_dimsum(
     self-join over the kept entries, one (i, j) count shuffle —
     the stage that exceeded task memory at fixed partitions in the
     exact variant's 10x rehearsal now sees p²-shrunken pair volume.
-    Degrees ride the kept rows (MAX per group), so no post-count
-    degree join.
+    Degrees re-attach to the aggregated pairs by items-sized
+    broadcast joins (riding them through the pair exchange as MAX
+    aggregates fattened the dominant shuffle ~40%).
 
     Returns (item, rec, sim_ppm, sampled, rank): ``sampled`` = 1
     when either endpoint was in the estimator lane (n > γ²); sim_ppm
@@ -154,7 +175,12 @@ def item_item_dimsum(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     )
     deg = ia.groupBy("i").agg(F.count("*").alias("n"))
-    ia2 = ia.join(deg, "i").select("u", "i", "n")
+    # BROADCAST the item-degree table onto the entries: deg is
+    # items-sized but carries unknown stats off a checkpointed scan,
+    # so the un-hinted join planned as a sort-merge — an extra
+    # exchange+sort of the full entry table per self-join side, with
+    # the draw filter evaluated inside the merge as a join residual
+    ia2 = ia.join(F.broadcast(deg), "i").select("u", "i", "n")
     # The draw predicate H²·n < γ²·2⁴⁰ evaluated in the threshold
     # form H² < (γ²·2⁴⁰ − 1) div n + 1: identical kept set for every
     # positive integer n (a·n < C ⟺ a ≤ (C−1) div n ⟺ a <
@@ -176,32 +202,49 @@ def item_item_dimsum(
             f" < ((cast({g2} as bigint) * {1 << 40} - 1) div n + 1)"
         )
     )
+    # degrees do NOT ride the pair stream: n is a function of i, so
+    # MAX(n) per (i, j) group equals a post-count degree join — but
+    # riding it put two extra bigint agg buffers on every one of the
+    # Σ(p·deg)² partial rows and fattened the (i, j) exchange ~40%
+    # (profiled 363 MB at sf0.1, the query's dominant stage).
+    # Re-attach degrees to the aggregated pairs via broadcast
+    # instead. The self-join reuses ONE explicit user-keyed exchange
+    # (rename above it), so the kept-filter md5 runs once per entry
+    # and the compute-bound pair stage keeps full parallelism
+    # (ENSURE_REQUIREMENTS off a stats-free checkpoint scan was
+    # AQE-coalesced to 9 tasks at sf0.1).
+    npart = int(
+        interactions.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keptr = kept.select("u", "i").repartition(npart, "u")
     co = (
-        kept.join(
-            kept.select(
-                "u", F.col("i").alias("j"), F.col("n").alias("nj")
-            ),
-            "u",
-        )
+        keptr.join(keptr.select("u", F.col("i").alias("j")), "u")
         .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
-        .agg(
-            F.max("n").alias("ni"),
-            F.max("nj").alias("nj"),
-            F.count("*").alias("co_s"),
+        .agg(F.count("*").alias("co_s"))
+        .join(F.broadcast(deg.select("i", F.col("n").alias("ni"))), "i")
+        .join(
+            F.broadcast(
+                deg.select(F.col("i").alias("j"), F.col("n").alias("nj"))
+            ),
+            "j",
         )
     )
-    # sim stays exact in the DECIMAL(38,0) lane through the product
-    # and division, then lands as BIGINT — exactly the oracle's
-    # CAST(co_s::HUGEINT * ... AS BIGINT). Sorting/shuffling BIGINT
-    # instead of Decimal128 through the rank window measured ~2.4x
-    # on the pair table at sf0.1.
+    # sim in pure BIGINT codegen: co_s²·10⁶ < 2⁶³ needs co_s < 3.03e6,
+    # and co_s ≤ min(kept_i, kept_j) where kept mass per item is
+    # ≈ γ·√n (the point of the draw) — γ=6 would need n > 2.5e11
+    # interactions on a single item to overflow, far beyond the 100 TB
+    # shape (and the 10k per-user cap). Within that bound the value is
+    # bit-equal to the oracle's HUGEINT product cast to BIGINT, while
+    # the expression runs as codegen long arithmetic instead of
+    # interpreted Decimal128 on every one of the ~Σ(p·deg)² pair rows
+    # (25M at sf0.1 — measured the dominant CPU term).
     sim = co.select(
         "i",
         "j",
         F.expr(
-            f"cast(cast(co_s as decimal(38,0)) * co_s * {PPM}"
-            f" div (least(ni, {g2}) * least(nj, {g2})) as bigint)"
+            f"co_s * co_s * {PPM}"
+            f" div (least(ni, {g2}) * least(nj, {g2}))"
         ).alias("sim_ppm"),
         ((F.col("ni") > g2) | (F.col("nj") > g2))
         .cast("long")

@@ -1207,7 +1207,17 @@ def item_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-derive the orders x lineitem distinct otherwise (broadcast
     # boundaries block exchange reuse) - bench_subset sf0.1 best-of-3:
     # CF family total 30.5 -> 27.1s
-    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
+    # hash-partition by the join key BEFORE checkpointing: the
+    # checkpoint freezes partitioning, so the user-keyed self-join
+    # below reuses it with NO exchange, and the pair-gen map stage
+    # runs at full width instead of the AQE-coalesced ~11 partitions
+    # the un-keyed checkpoint froze (explicit count: a column-only
+    # repartition is AQE-coalescable, round-8 gotcha)
+    ia = (
+        cap_hot_keys(ia, "u", 10_000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "u")
+        .localCheckpoint(eager=True)
+    )
     return item_item_topk(ia, "u", "i", k=3)
 
 
@@ -1243,7 +1253,17 @@ def item_item_recs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-derive the orders x lineitem distinct otherwise (broadcast
     # boundaries block exchange reuse) - bench_subset sf0.1 best-of-3:
     # CF family total 30.5 -> 27.1s
-    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
+    # hash-partition by the join key BEFORE checkpointing: the
+    # checkpoint freezes partitioning, so the user-keyed self-join
+    # below reuses it with NO exchange, and the pair-gen map stage
+    # runs at full width instead of the AQE-coalesced ~11 partitions
+    # the un-keyed checkpoint froze (explicit count: a column-only
+    # repartition is AQE-coalescable, round-8 gotcha)
+    ia = (
+        cap_hot_keys(ia, "u", 10_000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "u")
+        .localCheckpoint(eager=True)
+    )
     return item_item_topk(ia, "u", "i", k=3, min_co=2)
 
 
@@ -1296,7 +1316,7 @@ def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_hot_keys semantics). Plan: deg join item-keyed, the draw
     filters the ENTRY table map-side, ONE user-keyed self-join over
     kept entries (p²-shrunken pair volume), one (i,j) count shuffle,
-    degrees riding as MAX — no post-count join — then the per-item
+    degrees re-attached by broadcast join — then the per-item
     rank window. At 100 TB this is the variant that runs: the exact
     pair count is Σdeg² while this one is Σ(p·deg)² = O(items·γ²)."""
     from .operators.recommend import item_item_dimsum
@@ -1312,7 +1332,17 @@ def item_item_recs_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson: the degree broadcast build, the ia2 probe, and the
     # hot-key semi-join each re-derived the distinct otherwise -
     # bench_subset sf0.1 best-of-3: 9.41 -> 8.19s)
-    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
+    # hash-partition by the join key BEFORE checkpointing: the
+    # checkpoint freezes partitioning, so the user-keyed self-join
+    # below reuses it with NO exchange, and the pair-gen map stage
+    # runs at full width instead of the AQE-coalesced ~11 partitions
+    # the un-keyed checkpoint froze (explicit count: a column-only
+    # repartition is AQE-coalescable, round-8 gotcha)
+    ia = (
+        cap_hot_keys(ia, "u", 10_000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "u")
+        .localCheckpoint(eager=True)
+    )
     return item_item_dimsum(ia, "u", "i", k=3, gamma=6)
 
 
@@ -1327,7 +1357,10 @@ def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
     div (min·min), DECIMAL(38,0) lane."""
     g2 = gamma * gamma
     deg = ia.groupBy("i").agg(F.count("*").alias("n"))
-    ia2 = ia.join(deg, "i").select("u", "i", "n")
+    # broadcast deg: unknown stats off the checkpointed scan
+    # otherwise plan a sort-merge join (extra exchange + sort of the
+    # whole entry table) — the recommend.item_item_dimsum lesson
+    ia2 = ia.join(F.broadcast(deg), "i").select("u", "i", "n")
     # threshold form of H²·n < γ²·2⁴⁰ (see recommend.item_item_dimsum):
     # identical kept set, every operand int64-safe at any degree,
     # pure BIGINT codegen instead of Decimal128 interpretation
@@ -1343,19 +1376,29 @@ def butterfly_sampled_counts(ia: DataFrame, gamma: int = 6) -> DataFrame:
             f" < ((cast({g2} as bigint) * {1 << 40} - 1) div n + 1)"
         )
     )
+    # degrees re-attach AFTER the (i, j) count via broadcast joins —
+    # n is a function of the item, so this equals the oracle's
+    # MAX(n) per group while keeping the pair exchange to
+    # (i, j, count) partials only (the recommend.item_item_dimsum
+    # lesson: riding degrees fattened the dominant shuffle ~40%).
+    # ONE explicit user-keyed exchange feeds both self-join sides
+    # (rename above it → ReusedExchange, md5 draw runs once, full
+    # parallelism on the compute-bound pair stage).
+    npart = int(
+        ia.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keptr = kept.select("u", "i").repartition(npart, "u")
     co = (
-        kept.join(
-            kept.select(
-                "u", F.col("i").alias("j"), F.col("n").alias("nj")
-            ),
-            "u",
-        )
+        keptr.join(keptr.select("u", F.col("i").alias("j")), "u")
         .filter(F.col("i") < F.col("j"))
         .groupBy("i", "j")
-        .agg(
-            F.max("n").alias("ni"),
-            F.max("nj").alias("nj"),
-            F.count("*").alias("co_s"),
+        .agg(F.count("*").alias("co_s"))
+        .join(F.broadcast(deg.select("i", F.col("n").alias("ni"))), "i")
+        .join(
+            F.broadcast(
+                deg.select(F.col("i").alias("j"), F.col("n").alias("nj"))
+            ),
+            "j",
         )
     )
     return co.filter(F.col("co_s") >= 2).select(
@@ -1434,7 +1477,17 @@ def butterfly_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
+    # hash-partition by the join key BEFORE checkpointing: the
+    # checkpoint freezes partitioning, so the user-keyed self-join
+    # below reuses it with NO exchange, and the pair-gen map stage
+    # runs at full width instead of the AQE-coalesced ~11 partitions
+    # the un-keyed checkpoint froze (explicit count: a column-only
+    # repartition is AQE-coalescable, round-8 gotcha)
+    ia = (
+        cap_hot_keys(ia, "u", 10_000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "u")
+        .localCheckpoint(eager=True)
+    )
     # Materialize the post-prune pair estimates ONCE: three consumers
     # read bf (the 1-row global total, and both sides of the per-item
     # union), and the total additionally rides in as a BROADCAST —
@@ -3885,9 +3938,24 @@ def butterfly_counts_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    ia = cap_hot_keys(ia, "u", 10_000).localCheckpoint(eager=True)
-    a = ia.select("u", F.col("i").alias("i1"))
-    b = ia.select("u", F.col("i").alias("i2"))
+    # hash-partition by the join key BEFORE checkpointing: the
+    # checkpoint freezes partitioning, so the user-keyed self-join
+    # below reuses it with NO exchange, and the pair-gen map stage
+    # runs at full width instead of the AQE-coalesced ~11 partitions
+    # the un-keyed checkpoint froze (explicit count: a column-only
+    # repartition is AQE-coalescable, round-8 gotcha)
+    ia = (
+        cap_hot_keys(ia, "u", 10_000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "u")
+        .localCheckpoint(eager=True)
+    )
+    # one explicit user-keyed exchange, renames above it (ReusedExchange;
+    # full-width pair stage — the recommend.item_item_topk shape)
+    iar = ia.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "u"
+    )
+    a = iar.select("u", F.col("i").alias("i1"))
+    b = iar.select("u", F.col("i").alias("i2"))
     co = (
         a.join(b, "u")
         .filter(F.col("i1") < F.col("i2"))

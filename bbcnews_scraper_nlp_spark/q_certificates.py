@@ -910,7 +910,7 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_clean import clean_tokens
     from .operators.topics import lda_pipeline
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    docs = load_table(spark, sf_dir, "documents", widen="barrier")
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -976,7 +976,7 @@ def m3_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.coherence import topics_terms_from_model, umass_certificate
     from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    docs = load_table(spark, sf_dir, "documents", widen="barrier")
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0).cache()
@@ -1037,7 +1037,7 @@ def m3_coherence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.coherence import cv_certificate, topics_terms_from_model
     from .operators.topics import fit_count_vectorizer, fit_lda, fit_partitions
 
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    docs = load_table(spark, sf_dir, "documents", widen="barrier")
     toks = docs.select(
         "doc_id", clean_tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0).cache()

@@ -1108,6 +1108,16 @@ def streaming_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", leaf)
         .parquet(parent)
     )
+    # spread the decode across the cluster: a single-file source
+    # plans ONE input partition per micro-batch, which serialized the
+    # whole Python decode stage onto one core (profiled: a 7.6 s
+    # single-task batch at sf0.1). Repartition BEFORE the payload
+    # attach so only the skinny document rows shuffle, never the
+    # synthesized image bytes (guide: move heavy bytes zero times).
+    # At scale a multi-file source already splits; the shuffle then
+    # just rebalances skew. Stateless 1:1 stage, so the drained row
+    # set is unchanged.
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     decoded = decode_image_pixels(
         attach_gradient_image_payload(stream, "doc_id")
     )

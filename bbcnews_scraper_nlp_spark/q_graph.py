@@ -71,9 +71,15 @@ def _strong_tie_edges(
     release via cache_handles — the pagerank contract)."""
     e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    # renames above one explicit customer-keyed repartition: both
+    # self-join sides reuse a single shuffle stage, so the
+    # scan⋈distinct⋈cap subtree derives once (the kNN-builder shape)
+    e0r = e0.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "c"
+    )
     cn = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        e0r.select("c", F.col("s").alias("s1"))
+        .join(e0r.select("c", F.col("s").alias("s2")), "c")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("cn"))
@@ -358,10 +364,16 @@ def _supplier_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
     # ordered pairs once (halves the user-keyed join fan-out — the
     # dominant cost: Σ per-user-degree² rows), mirror the small
-    # aggregated table for the per-node window
+    # aggregated table for the per-node window. The renames sit
+    # ABOVE one explicit customer-keyed repartition so both self-join
+    # sides reuse a single shuffle stage — the scan⋈distinct⋈cap
+    # subtree derives once, not once per side (the CF-family shape).
+    e0r = e0.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "c"
+    )
     cno = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        e0r.select("c", F.col("s").alias("s1"))
+        .join(e0r.select("c", F.col("s").alias("s2")), "c")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("cn"))
@@ -2156,8 +2168,13 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same capped universe so Jaccard stays exact over it
     e = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e.groupBy("s").agg(F.count("*").alias("d"))
-    a = e.select("c", F.col("s").alias("s1"))
-    b = e.select("c", F.col("s").alias("s2"))
+    # shared explicit exchange for the self-join (renames above it) —
+    # one derivation of the projection subtree, full-width pair stage
+    er = e.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "c"
+    )
+    a = er.select("c", F.col("s").alias("s1"))
+    b = er.select("c", F.col("s").alias("s2"))
     cn = (
         a.join(b, "c")
         .filter(F.col("s1") < F.col("s2"))
@@ -2305,9 +2322,13 @@ def shortest_paths_suppliers(
 
     e0 = cap_hot_keys(_supplier_projection(spark, sf_dir), "c", 10_000)
     deg = e0.groupBy("s").agg(F.count("*").alias("d"))
+    # shared explicit exchange for the self-join (renames above it)
+    e0r = e0.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "c"
+    )
     cn = (
-        e0.select("c", F.col("s").alias("s1"))
-        .join(e0.select("c", F.col("s").alias("s2")), "c")
+        e0r.select("c", F.col("s").alias("s1"))
+        .join(e0r.select("c", F.col("s").alias("s2")), "c")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("cn"))

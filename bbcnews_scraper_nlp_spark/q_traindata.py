@@ -1320,7 +1320,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map task before the exchange; ranking windows run on the
     types×32-row aggregate only. At 100 TB this is the standard way
     to put error bars on corpus stats without a second pass."""
-    events = load_table(spark, sf_dir, "events")
+    # widen: the 32-way replicate explode + one md5 per (row, b) is
+    # the dominant cost and sat in the single-partition scan task
+    # (profiled: one 4.4 s task at sf0.1); map-side partial agg
+    # collapses to types x 32 partials either way
+    events = load_table(spark, sf_dir, "events", widen=True)
     from pyspark.sql import Window
 
     d = events.select(

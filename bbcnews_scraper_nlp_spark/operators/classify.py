@@ -9,9 +9,10 @@ fit externally), NB TRAINING is itself one aggregation pass, so both
 train and predict stay inside Spark with no driver-side state.
 
 Design constraints shared with the rest of the engine:
-- train = two groupBys (token-class counts, class totals) + one
-  1-row corpus aggregate — all map-side combinable, one shuffle
-  keyed on (token, class);
+- train = ONE token pass: the (token, class) count table is the only
+  aggregation that reads the token stream; class totals and the
+  vocabulary size are marginals OF THAT TABLE (identical integers,
+  no second explode);
 - log-likelihoods are quantized to integer MILLI-NATS before any
   per-document aggregation (the bm25/perplexity recipe): ln's 1-ulp
   Java/libm disagreement is absorbed by the rounding, and the
@@ -67,11 +68,38 @@ def nb_train_predict(
 
     Returns (id, label, pred, score_milli): the argmax class per
     document with its integer milli-nat log-posterior.
+
+    Because train and score read the SAME frame here, the token
+    stream is exploded exactly once: the per-document term-frequency
+    table (id, cls, w, tf) is materialized once (lazy
+    localCheckpoint), the model's (w, cls) counts are its marginal
+    (cls is a function of id, so the counts are the same integers),
+    and prediction re-reads the tf slice. The split-caller path
+    (``nb_model`` + ``nb_predict``) costs one explode per frame the
+    same way.
     """
-    model, classes = nb_model(docs, text_col, label_col, hash_buckets)
-    return nb_predict(
-        docs, model, classes, id_col, text_col, label_col, hash_buckets
+    tfc = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("cls"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("w", _nb_feature(F.col("w"), hash_buckets))
+        .groupBy("id", "cls", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    wc = tfc.groupBy("w", "cls").agg(F.sum("tf").alias("cnt"))
+    ndocs = docs.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count("*").alias("n_c")
+    )
+    n_all = docs.agg(F.count("*").alias("n"))
+    model, classes = _nb_model_from_counts(wc, ndocs, n_all)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    return _nb_score(base, tfc.select("id", "w", "tf"), model, classes)
 
 
 def _nb_feature(w: Column, hash_buckets: int | None) -> Column:
@@ -92,6 +120,10 @@ def nb_model(
     prior_milli, miss_milli) — the log-prior and the unseen-token
     default ROUND(1000 * ln(1 / (tot_c + V))), a few rows,
     broadcastable.
+
+    One token pass: only the (w, cls) count aggregation reads the
+    token explode; class totals and |V| are its marginals (the same
+    integers a direct pass would count).
     """
     tok = (
         docs.select(
@@ -102,12 +134,21 @@ def nb_model(
         .withColumn("w", _nb_feature(F.col("w"), hash_buckets))
     )
     wc = tok.groupBy("w", "cls").agg(F.count("*").alias("cnt"))
-    totals = tok.groupBy("cls").agg(F.count("*").alias("tot"))
-    vocab = tok.select(F.countDistinct("w").alias("v"))
     ndocs = docs.groupBy(F.col(label_col).alias("cls")).agg(
         F.count("*").alias("n_c")
     )
     n_all = docs.agg(F.count("*").alias("n"))
+    return _nb_model_from_counts(wc, ndocs, n_all)
+
+
+def _nb_model_from_counts(
+    wc: DataFrame, ndocs: DataFrame, n_all: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (model, classes) from the (w, cls, cnt) table: class
+    token totals and vocabulary size are marginals of it, so however
+    ``wc`` was produced the token stream is read exactly once."""
+    totals = wc.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    vocab = wc.agg(F.countDistinct("w").alias("v"))
 
     classes = (
         totals.join(ndocs, "cls")
@@ -171,6 +212,16 @@ def nb_predict(
         .groupBy("id", "w")
         .agg(F.count("*").alias("tf"))
     )
+    return _nb_score(base, tf, model, classes)
+
+
+def _nb_score(
+    base: DataFrame, tf: DataFrame, model: DataFrame, classes: DataFrame
+) -> DataFrame:
+    """The scoring tail shared by the fused and split paths: fan the
+    (id, w, tf) table out by the few classes (broadcast), left-join
+    the model on (token, class) with the per-class unseen default,
+    one (doc, class) integer sum, row_number argmax."""
     cls = F.broadcast(classes)
     scored = (
         tf.crossJoin(cls.select("cls", "miss_milli"))
@@ -216,19 +267,22 @@ def nb_kfold_predict(
     evaluation (``nb_train_predict`` is resubstitution by design).
 
     The naive form retrains k times (k full token passes). This is
-    ONE pass: counts are aggregated per (key, fold) once, and each
-    fold's leave-one-out model is derived by SUBTRACTION over a
-    k-row fold grid — cnt_train(i) = cnt_total − cnt_fold(i), the
-    same for class token totals, per-fold vocabulary sizes
-    (V(i) = #{w : cnt_w_total > cnt_w_fold(i)}), class doc counts,
-    and corpus size. Folds come from ``traindata.kfold_split``
-    (md5-bucket — engine-portable, so a DuckDB oracle reproduces
-    fold membership AND every model weight bit-for-bit).
+    ONE pass — literally one: the per-document term-frequency table
+    (id, cls, fold, w, tf) is the only aggregation that reads the
+    token explode (lazy localCheckpoint), and every count the fold
+    models need is a MARGINAL of it — per-(token, class, fold)
+    counts, class token totals, per-fold vocabulary sizes
+    (V(i) = #{w : cnt_w_total > cnt_w_fold(i)}), while each fold's
+    leave-one-out model is derived by SUBTRACTION over a k-row fold
+    grid — cnt_train(i) = cnt_total − cnt_fold(i). Folds come from
+    ``traindata.kfold_split`` (md5-bucket — engine-portable, so a
+    DuckDB oracle reproduces fold membership AND every model weight
+    bit-for-bit).
 
     Returns (fold, id, label, pred, score_milli). At 100 TB: the
-    token explode still happens once; model state is Heaps-bounded
-    × k; every shuffle keys on (token[, class][, fold]) — the
-    subtraction grid joins are driven by a k-row broadcast.
+    token explode happens once; model state is Heaps-bounded × k;
+    every shuffle keys on (token[, class][, fold]) or (doc[, ...]) —
+    the subtraction grid joins are driven by a k-row broadcast.
     """
     from .traindata import kfold_split
 
@@ -237,19 +291,31 @@ def nb_kfold_predict(
         docs.sparkSession.range(k).select(F.col("id").cast("int").alias("fold"))
     )
 
-    tok = (
+    # THE token pass: per-document tf with label and fold riding
+    # along (both are functions of the doc id, so the added grouping
+    # keys do not change the groups). Everything below is a marginal
+    # of this table — the explode never re-runs.
+    tfc = (
         d.select(
+            F.col(id_col).alias("id"),
             F.col(label_col).alias("cls"),
             "fold",
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )
         .filter(F.col("w") != "")
+        .groupBy("id", "cls", "fold", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
 
     # (token, class): per-fold counts once, totals derived from them
     # (the second agg reads the already-Heaps-bounded first, and the
     # leave-one-out grid left-joins back on (w, cls, fold))
-    wcf = tok.groupBy("w", "cls", "fold").agg(F.count("*").alias("cnt_f"))
+    wcf = (
+        tfc.groupBy("w", "cls", "fold")
+        .agg(F.sum("tf").alias("cnt_f"))
+        .localCheckpoint(eager=False)
+    )
     wct = wcf.groupBy("w", "cls").agg(F.sum("cnt_f").alias("cnt_t"))
     model_cnt = (
         wct.join(folds)
@@ -263,8 +329,9 @@ def nb_kfold_predict(
         .filter(F.col("cnt") > 0)
     )
 
-    # class token totals per training complement (classes × k rows)
-    tcf = tok.groupBy("cls", "fold").agg(F.count("*").alias("t_f"))
+    # class token totals per training complement (classes × k rows) —
+    # a marginal of wcf, not a second token pass
+    tcf = wcf.groupBy("cls", "fold").agg(F.sum("cnt_f").alias("t_f"))
     tct = tcf.groupBy("cls").agg(F.sum("t_f").alias("t_t"))
     tot = (
         tct.join(folds)
@@ -277,8 +344,8 @@ def nb_kfold_predict(
     )
 
     # per-fold training vocabulary: a token counts for fold i's model
-    # iff it occurs OUTSIDE fold i
-    wf = tok.groupBy("w", "fold").agg(F.count("*").alias("u_f"))
+    # iff it occurs OUTSIDE fold i — again a marginal of wcf
+    wf = wcf.groupBy("w", "fold").agg(F.sum("cnt_f").alias("u_f"))
     wt = wf.groupBy("w").agg(F.sum("u_f").alias("u_t"))
     voc = (
         wt.join(folds)
@@ -356,20 +423,13 @@ def nb_kfold_predict(
 
     # predict: each document scored against ITS OWN fold's held-out
     # model (the fold column rides the tf table, so the model join is
-    # a plain (w, cls, fold) hash join)
+    # a plain (w, cls, fold) hash join). tf is the SAME materialized
+    # table the model counts came from — cls is a function of id, so
+    # projecting it away leaves exactly the (id, fold, w) tf rows.
     base = d.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("label"), "fold"
     )
-    tf = (
-        d.select(
-            F.col(id_col).alias("id"),
-            "fold",
-            F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("id", "fold", "w")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = tfc.select("id", "fold", "w", "tf")
     scored = (
         tf.join(F.broadcast(classes.select("cls", "fold", "miss_milli")), "fold")
         .join(model, ["w", "cls", "fold"], "left")

@@ -576,7 +576,16 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # (2) pointer doubling to the root: x -> p(p(x)) until fixed.
-        for _ in range(max_jumps):
+        # The convergence probe rides the doubling join itself as a
+        # `moved` flag (p changed iff the parent-of-parent lookup hit
+        # a different value), so each jump is ONE join + checkpoint;
+        # the old separate nxt-vs-parent comparison join re-shuffled
+        # both tables once more per jump for the same bit. The probe
+        # fires on every SECOND jump: depth halves per jump, so early
+        # probes are almost never the stopping one, and a jump past
+        # the fixpoint is an identity lookup (idempotent — labels are
+        # unchanged, one wasted tiny join at worst).
+        for j in range(max_jumps):
             nxt = (
                 parent.alias("a")
                 .join(
@@ -589,19 +598,17 @@ def connected_components(
                 .select(
                     F.col("a.x").alias("x"),
                     F.coalesce(F.col("pp"), F.col("a.p")).alias("p"),
+                    (
+                        F.col("pp").isNotNull()
+                        & (F.col("pp") != F.col("a.p"))
+                    ).alias("moved"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                nxt.alias("n")
-                .join(parent.alias("o"), F.col("n.x") == F.col("o.x"))
-                .filter(F.col("n.p") != F.col("o.p"))
-                .limit(1)
-                .count()
-            )
-            parent = nxt
-            if changed == 0:
-                break
+            parent = nxt.select("x", "p")
+            if j % 2 == 1 or j == max_jumps - 1:
+                if nxt.filter("moved").limit(1).count() == 0:
+                    break
         # (3) fold into the global labels and contract the edges.
         labels = (
             labels.alias("l")

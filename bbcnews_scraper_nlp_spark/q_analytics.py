@@ -500,8 +500,13 @@ def streaming_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")
     ev_path = f"{sf_dir}/events.parquet"
     run_root = tempfile.mkdtemp(prefix="kmv_setops_run_")
-    for scope in ("click", "view"):
-        q = kmv_stream(
+    # the two pipelines are INDEPENDENT by design (separate sketch
+    # tables, separate checkpoint lineages — that is the point of the
+    # query); start both drains and await both, so the second
+    # pipeline's micro-batches back-fill the first's stragglers
+    # (guide §2.6) instead of serializing two full stream startups
+    drains = [
+        kmv_stream(
             spark,
             ev_path,
             f"{run_root}/{scope}/sketch",
@@ -511,6 +516,9 @@ def streaming_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_KMV_K,
             where=f"event_type = '{scope}'",
         )
+        for scope in ("click", "view")
+    ]
+    for q in drains:
         q.awaitTermination()
     sk = read_kmv_sketch(
         spark, f"{run_root}/click/sketch", ["event_type"], k=_KMV_K

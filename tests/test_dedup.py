@@ -149,6 +149,24 @@ def test_cc_path_graph_converges_logarithmically(spark):
     assert got == {(i, 0) for i in range(201)}
 
 
+def test_cc_probe_cadence_exact_on_any_fixpoint_parity(spark):
+    # r13: the inner pointer-doubling loop probes convergence every
+    # SECOND jump (a jump past the fixpoint is an identity lookup).
+    # Chains of these lengths reach their fixpoint at different jump
+    # parities — labels must be the exact component minimum either way.
+    from bbcnews_scraper_nlp_spark.operators.dedup import connected_components
+
+    for n in (2, 3, 5, 9):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components(edges).collect()
+        }
+        assert got == {(i, 0) for i in range(n + 1)}, f"chain {n}"
+
+
 def test_cc_matches_union_find_on_random_graph(spark):
     import random
 

@@ -802,3 +802,18 @@ def test_suffix_span_removal_no_python_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_nb_fused_single_token_pass(spark, sf_dir):
+    """The fused NB train+predict paths (r13) materialize ONE
+    per-document tf table (lazy localCheckpoint → Scan ExistingRDD)
+    and derive every model count as a marginal of it: the token
+    explode must not appear in the SQL plan at all — it lives once
+    inside the checkpointed lineage. A visible Generate here means
+    the single-token-pass fusion regressed to per-consumer explodes."""
+    for name in ("nb_lang_confusion", "nb_kfold_eval"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Scan ExistingRDD" in plan, f"{name} lost the fused tf table"
+        assert "Generate" not in plan, (
+            f"{name} re-grew a visible token explode"
+        )

@@ -382,8 +382,36 @@ def _gopher_rep_sql() -> str:
     return "".join(parts)
 
 
+def _gauntlet_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared quality-gauntlet token table: (doc_id, pos, w, lw,
+    trm) with DENSE positions (empties filtered before posexplode —
+    gopher's coverage legs do pos arithmetic and need adjacency) and
+    the C4 terminator flag. Eager-materialized once; both published
+    gauntlets and their agreement composition read these blocks
+    instead of re-exploding the corpus."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce("text", F.lit("")), " "),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    return t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.length("w").alias("lw"),
+        F.col("w").isin(list(_C4_TERMINATORS)).cast("int").alias("trm"),
+    ).localCheckpoint(eager=True)
+
+
 @register("gopher_repetition_flags", _gopher_rep_sql())
-def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gopher_repetition_flags(
+    spark: SparkSession, sf_dir: str, tk: DataFrame | None = None
+) -> DataFrame:
     """The PUBLISHED Gopher repetition filters (Rae et al. 2021 Table
     A1, the repetition subset — gopher_quality_flags' sibling, done
     to the same zero-float-boundary standard): duplicate-line
@@ -402,25 +430,13 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance only (the dedup_span_removal linearity argument), and
     the 11 result legs join back on doc_id. At 100 TB: everything
     shuffles on doc_id or a gram key; no pairwise stage anywhere;
-    the window frame is per-document and bounded."""
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    the window frame is per-document and bounded. ``tk`` lets a
+    composing query (quality_filter_agreement) hand in the shared
+    pre-materialized token table instead of exploding the corpus a
+    second time — same (doc_id, pos, w, lw, trm) rows, dense pos."""
     max_n = max(_REP_DUP)
-    t = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.coalesce("text", F.lit("")), " "),
-            lambda x: x != "",
-        ).alias("toks"),
-    )
-    tk = t.select(
-        "doc_id", F.posexplode("toks").alias("pos", "w")
-    ).select(
-        "doc_id",
-        "pos",
-        "w",
-        F.length("w").alias("lw"),
-        F.col("w").isin(list(_C4_TERMINATORS)).cast("int").alias("trm"),
-    ).localCheckpoint(eager=True)
+    if tk is None:
+        tk = _gauntlet_tokens(spark, sf_dir)
     tot = tk.groupBy("doc_id").agg(
         F.coalesce(F.sum("lw"), F.lit(0)).cast("long").alias("total_chars")
     )
@@ -526,7 +542,10 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.sum("lw").cast("long").alias(f"cc{n}_chars"))
         )
-    out = docs.select("doc_id")
+    # base row set = ALL documents (zero-token docs still emit a
+    # row); a bare column-pruned scan — no widen needed to project
+    # one key column
+    out = load_table(spark, sf_dir, "documents").select("doc_id")
     for leg in legs:
         out = out.join(leg, "doc_id", "left")
 
@@ -620,7 +639,9 @@ def _c4_sql() -> str:
 
 
 @register("c4_quality_flags", _c4_sql())
-def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c4_quality_flags(
+    spark: SparkSession, sf_dir: str, tk: DataFrame | None = None
+) -> DataFrame:
     """The PUBLISHED C4 page-filter rules (Raffel et al. 2020 §2.2),
     each as an exact integer flag — the line/sentence-structural
     sibling of gopher_quality_flags' word-level rules: retain only
@@ -637,15 +658,23 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew) -> per-doc left joins. Everything shuffles on doc_id or
     a 128-bit span hash; at 100 TB this is the C4 pipeline's actual
     shape (reference analog: the clean() gauntlet
-    data_preparation.py:34-42 done to a published standard)."""
+    data_preparation.py:34-42 done to a published standard).
+
+    ``tk`` lets a composing query (quality_filter_agreement) hand in
+    the shared pre-materialized token table. Every tk consumer here
+    uses pos only for ORDERING, so the shared table's dense
+    positions produce identical sentences; standalone, the inline
+    explode stays unmaterialized (its one consumer is the
+    checkpointed sentence table)."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     t = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
-    tok = t.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    tk = tok.withColumn(
-        "trm", F.col("w").isin(list(_C4_TERMINATORS)).cast("int")
-    )
+    if tk is None:
+        tok = t.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        ).filter(F.col("w") != "")
+        tk = tok.withColumn(
+            "trm", F.col("w").isin(list(_C4_TERMINATORS)).cast("int")
+        )
     run = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -790,11 +819,15 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `//` both truncate toward zero. ONE output row. Plan:
     both flag pipelines run as written (their own contracts apply),
     ONE doc_id-keyed join, one global agg — the two gauntlets share
-    the corpus scan per their own plans; nothing new shuffles wide."""
-    g = gopher_repetition_flags(spark, sf_dir).select(
+    ONE materialized token table (r13: both read the same
+    (doc_id, pos, w, lw, trm) blocks instead of exploding the corpus
+    once each; identical rows by the pos-ordering argument on the
+    C4 side); nothing new shuffles wide."""
+    tk = _gauntlet_tokens(spark, sf_dir)
+    g = gopher_repetition_flags(spark, sf_dir, tk=tk).select(
         "doc_id", F.col("keep").alias("g")
     )
-    c = c4_quality_flags(spark, sf_dir).select(
+    c = c4_quality_flags(spark, sf_dir, tk=tk).select(
         "doc_id", F.col("keep").alias("c")
     )
     j = g.join(c, "doc_id")

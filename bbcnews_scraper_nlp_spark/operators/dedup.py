@@ -581,10 +581,14 @@ def connected_components(
         # a different value), so each jump is ONE join + checkpoint;
         # the old separate nxt-vs-parent comparison join re-shuffled
         # both tables once more per jump for the same bit. The probe
-        # fires on every SECOND jump: depth halves per jump, so early
-        # probes are almost never the stopping one, and a jump past
-        # the fixpoint is an identity lookup (idempotent — labels are
-        # unchanged, one wasted tiny join at worst).
+        # fires after EVERY jump: reading the flag is one narrow scan
+        # of the just-checkpointed blocks (no shuffle, no recompute),
+        # while skipping it costs a full extra doubling join +
+        # checkpoint whenever the fixpoint lands on the unprobed
+        # parity — star-contracted forests usually flatten in ONE
+        # jump, so the every-second cadence paid that extra join on
+        # almost every outer round (r13 driver run: minhash_clusters
+        # 3.4s -> 7.0s).
         for j in range(max_jumps):
             nxt = (
                 parent.alias("a")
@@ -606,9 +610,8 @@ def connected_components(
                 .localCheckpoint(eager=True)
             )
             parent = nxt.select("x", "p")
-            if j % 2 == 1 or j == max_jumps - 1:
-                if nxt.filter("moved").limit(1).count() == 0:
-                    break
+            if nxt.filter("moved").limit(1).count() == 0:
+                break
         # (3) fold into the global labels and contract the edges.
         labels = (
             labels.alias("l")

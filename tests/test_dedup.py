@@ -150,10 +150,12 @@ def test_cc_path_graph_converges_logarithmically(spark):
 
 
 def test_cc_probe_cadence_exact_on_any_fixpoint_parity(spark):
-    # r13: the inner pointer-doubling loop probes convergence every
-    # SECOND jump (a jump past the fixpoint is an identity lookup).
-    # Chains of these lengths reach their fixpoint at different jump
-    # parities — labels must be the exact component minimum either way.
+    # r13 folded the convergence probe into the doubling join as a
+    # `moved` flag; r14 reads it after EVERY jump (the flag read is a
+    # narrow scan of the checkpointed blocks, while an unprobed jump
+    # past the fixpoint costs a full identity join). Chains of these
+    # lengths reach their fixpoint at different jump parities —
+    # labels must be the exact component minimum either way.
     from bbcnews_scraper_nlp_spark.operators.dedup import connected_components
 
     for n in (2, 3, 5, 9):

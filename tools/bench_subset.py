@@ -48,6 +48,12 @@ def main() -> None:
         if best != float("inf"):
             timings[name] = round(best, 3)
         spark.catalog.clearCache()
+        # match bench.py: also drop dead localCheckpoint blocks and
+        # collect broadcast garbage between queries (clearCache only
+        # covers catalog-cached relations)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.sparkContext._jvm.System.gc()
     out = {
         "metric": "subset_queries_total",
         "value": round(sum(timings.values()), 3),
